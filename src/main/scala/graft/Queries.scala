@@ -1,0 +1,411 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.nested.{NestedOps, NestedExpr}
+import graft.nested.syntax._
+
+/** The oracle-checked query battery.
+  *
+  * Each entry exercises one operator family from SURVEY.md §2 through the
+  * graft nested-ops library and ends in a FLAT result whose column names and
+  * value types match the paired DuckDB SQL in [[Queries.oracles]] exactly
+  * (driver hashes values after sorting columns by name):
+  *  - counts are cast to BIGINT on the Spark side (`size` returns int);
+  *  - doubles are `round(x, 2..4)` on BOTH sides;
+  *  - no raw timestamp outputs (epoch millis instead).
+  */
+object Queries {
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** lineitem packed under orders-compatible key name. */
+  private def lines(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+
+  /** Round a DIVISION-DERIVED double for oracle comparison. Quotients (avg,
+    * interpolated percentiles) of cent-valued data frequently land exactly on
+    * a rounding boundary, where Spark's vs DuckDB's last-ulp accumulation
+    * differences flip the rounded digit; +1e-9 (≫ accumulated ulp error,
+    * ≪ the 1/(200·n) minimum distance of non-boundary cent quotients) makes
+    * both engines round boundary cases the same way. Pure sums of 2-decimal
+    * values never sit on a 3rd-decimal boundary and don't need this. */
+  private def roundSafe(c: Column, prec: Int): Column =
+    round(c + lit(1e-9), prec)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------------------
+  // §2.1 construction / packing
+  // ---------------------------------------------------------------------------
+
+  /** packFlat: group-pack lineitem, per-group count + sum via element HOFs. */
+  val qPackFlat: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    packed.select(
+      col("o_orderkey").as("orderkey"),
+      size(col("items")).cast("long").as("n_items"),
+      round(NestedOps.elementSum("items", "l_quantity"), 2).as("sum_qty"))
+  }
+
+  /** joinNested left: NULL cells for childless rows count as 0. */
+  val qJoinNested: Q = (s, dir) => {
+    rd(s, dir, "orders")
+      .joinNested(lines(s, dir), Seq("o_orderkey"), "items", "left")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        coalesce(size(col("items")), lit(0)).cast("long").as("n_items"))
+  }
+
+  /** fromFlat: split a flat join back into base + nested. */
+  val qFromFlat: Q = (s, dir) => {
+    val flat = rd(s, dir, "orders").join(lines(s, dir), Seq("o_orderkey"))
+    NestedOps.fromFlat(flat, Seq("o_totalprice"),
+        Seq("l_quantity", "l_extendedprice"), Seq("o_orderkey"), "items")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        size(col("items")).cast("long").as("n_items"),
+        round(NestedOps.elementSum("items", "l_extendedprice"), 2).as("sum_price"))
+  }
+
+  /** toLists → fromLists round-trip, then flatten and aggregate. */
+  val qListsRoundtrip: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val asLists = packed.toLists("items", baseCols = Seq("o_orderkey"))
+    val rezipped = asLists.fromLists(
+      Seq("l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate"), "items")
+    rezipped.toFlat("items", baseCols = Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.2 projection / §2.5 reshape
+  // ---------------------------------------------------------------------------
+
+  /** Hierarchical projection nf["items.l_quantity"] → flat, then agg. */
+  val qGetSub: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.getSubColumn(packed, "items.l_quantity", Seq("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(countDistinct(col("l_quantity")).as("n_distinct_qty"))
+      .withColumnRenamed("o_orderkey", "orderkey")
+  }
+
+  /** explode (inline) a nest keeping base columns, then aggregate. */
+  val qExplode: Q = (s, dir) => {
+    rd(s, dir, "orders")
+      .joinNested(lines(s, dir), Seq("o_orderkey"), "items", "inner")
+      .explodeNested("items")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** flattenInner: customer→orders→lineitem double nest hoisted one level. */
+  val qFlattenInner: Q = (s, dir) => {
+    val ordersWithLines = rd(s, dir, "orders")
+      .joinNested(lines(s, dir), Seq("o_orderkey"), "lines", "inner")
+    val byCust = NestedOps.packFlat(ordersWithLines, Seq("o_custkey"), "orders")
+    NestedOps.flattenInner(byCust, "orders", "lines")
+      .select(col("o_custkey").as("custkey"),
+        size(col("orders")).cast("long").as("n_items"),
+        round(NestedOps.elementSum("orders", "l_extendedprice"), 2).as("sum_price"))
+  }
+
+  /** split by categorical field into per-value nests. */
+  val qSplit: Q = (s, dir) => {
+    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+      .splitNested("items", "l_linestatus", Seq("O", "F"))
+      .select(col("o_orderkey").as("orderkey"),
+        coalesce(size(col("items_O")), lit(0)).cast("long").as("n_open"),
+        coalesce(size(col("items_F")), lit(0)).cast("long").as("n_filled"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.3 filters / predicates
+  // ---------------------------------------------------------------------------
+
+  /** Element-level filter dropping emptied rows (.nest.query semantics). */
+  val qNestFilter: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.filterElementsDropEmpty(packed, "items",
+        e => e.getField("l_quantity") > 25.0)
+      .select(col("o_orderkey").as("orderkey"),
+        size(col("items")).cast("long").as("n"),
+        roundSafe(NestedOps.elementMean("items", "l_extendedprice"), 2).as("avg_price"))
+  }
+
+  /** The string query dialect: element filter keeps rows, then flatten-agg. */
+  val qQueryDialect: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedExpr.query(packed, "items.l_discount > 0.05")
+      .toFlat("items")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
+  /** dropna / fillna on nested elements (nulls synthesized deterministically). */
+  val qDropnaFillna: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+      .withNestedField("items", "disc",
+        e => when(e.getField("l_discount") < 0.03, lit(null))
+          .otherwise(e.getField("l_discount")))
+    val dropped = NestedOps.dropNaElements(packed, "items", Seq("disc"))
+    val filled = NestedOps.fillNaElements(packed, "items", Map("disc" -> 0.0))
+    val a = dropped.agg(sum(size(col("items"))).cast("long").as("n_after_dropna"))
+    val b = filled.select(explode(col("items")).as("e"))
+      .agg(round(sum(col("e.disc")), 4).as("sum_after_fillna"))
+    a.crossJoin(b)
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.4 mutation
+  // ---------------------------------------------------------------------------
+
+  /** withNestedField closing over element fields. */
+  val qWithField: Q = (s, dir) => {
+    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+      .withNestedField("items", "revenue",
+        e => e.getField("l_extendedprice") * (lit(1.0) - e.getField("l_discount")))
+      .toFlat("items")
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("revenue")), 2).as("sum_revenue"))
+  }
+
+  /** eval-assignment string dialect creating a new nested field. */
+  val qEvalAssign: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedExpr.evalAssign(packed,
+        "items.charge = items.l_extendedprice * (1 - items.l_discount) * (1 + items.l_tax)")
+      .toFlat("items")
+      .groupBy("l_linestatus")
+      .agg(round(sum(col("charge")), 2).as("sum_charge"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.6 aggregations
+  // ---------------------------------------------------------------------------
+
+  /** count_nested(by=...) per-row pivot counts. */
+  val qCountNestedBy: Q = (s, dir) => {
+    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+      .countNested("items", Some("l_returnflag"), Seq("R", "A", "N"))
+      .select(col("o_orderkey").as("orderkey"),
+        col("n_items_R").cast("long").as("n_r"),
+        col("n_items_A").cast("long").as("n_a"),
+        col("n_items_N").cast("long").as("n_n"))
+  }
+
+  /** min/max across base cols and nested fields in one aggregate. */
+  val qMinMax: Q = (s, dir) => {
+    rd(s, dir, "orders")
+      .joinNested(lines(s, dir), Seq("o_orderkey"), "items", "inner")
+      .agg(
+        round(min(col("o_totalprice")), 2).as("min_total"),
+        round(max(col("o_totalprice")), 2).as("max_total"),
+        round(min(NestedOps.elementMin("items", "l_quantity")), 2).as("min_qty"),
+        round(max(NestedOps.elementMax("items", "l_quantity")), 2).as("max_qty"))
+  }
+
+  /** describe: count/mean/std/quartiles over a nested field (exact percentile). */
+  val qDescribe: Q = (s, dir) => {
+    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+      .toFlat("items")
+      .agg(
+        count(col("l_extendedprice")).as("cnt"),
+        roundSafe(avg(col("l_extendedprice")), 2).as("mean"),
+        roundSafe(stddev_samp(col("l_extendedprice")), 2).as("std"),
+        round(min(col("l_extendedprice")), 2).as("mn"),
+        roundSafe(expr("percentile(l_extendedprice, 0.25)"), 2).as("q25"),
+        roundSafe(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
+        roundSafe(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
+        round(max(col("l_extendedprice")), 2).as("mx"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.7 within-cell sort
+  // ---------------------------------------------------------------------------
+
+  /** sort elements desc by shipdate (tie: linenumber), take head per row. */
+  val qSortHead: Q = (s, dir) => {
+    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items",
+        sortBy = Seq(("l_shipdate", false), ("l_linenumber", true),
+          ("l_extendedprice", true), ("l_partkey", true), ("l_suppkey", true)))
+      .select(col("o_orderkey").as("orderkey"),
+        round(element_at(col("items"), 1).getField("l_extendedprice"), 2)
+          .as("latest_price"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.10 map_rows (fused element reduce)
+  // ---------------------------------------------------------------------------
+
+  /** The reference's flagship reduce: per-row mean over a nested field. */
+  val qMapRowsMean: Q = (s, dir) => {
+    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+      .select(col("o_orderkey").as("orderkey"),
+        roundSafe(NestedOps.elementMean("items", "l_quantity"), 4).as("mean_qty"),
+        round(NestedOps.elementMax("items", "l_extendedprice") -
+          NestedOps.elementMin("items", "l_extendedprice"), 2).as("amplitude"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // windows / events (inherited surface hardened for scale)
+  // ---------------------------------------------------------------------------
+
+  /** Sessionization via lag window: 30-minute gap starts a new session.
+    * events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`); all
+    * arithmetic stays in exact integer milliseconds (`DIV`). */
+  val qSessionize: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    rd(s, dir, "events")
+      .withColumn("ms", expr("ts DIV 1000000"))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_pack_flat" -> qPackFlat,
+    "q_join_nested" -> qJoinNested,
+    "q_from_flat" -> qFromFlat,
+    "q_lists_roundtrip" -> qListsRoundtrip,
+    "q_get_sub" -> qGetSub,
+    "q_explode" -> qExplode,
+    "q_flatten_inner" -> qFlattenInner,
+    "q_split" -> qSplit,
+    "q_nest_filter" -> qNestFilter,
+    "q_query_dialect" -> qQueryDialect,
+    "q_dropna_fillna" -> qDropnaFillna,
+    "q_with_field" -> qWithField,
+    "q_eval_assign" -> qEvalAssign,
+    "q_count_nested_by" -> qCountNestedBy,
+    "q_min_max" -> qMinMax,
+    "q_describe" -> qDescribe,
+    "q_sort_head" -> qSortHead,
+    "q_map_rows_mean" -> qMapRowsMean,
+    "q_sessionize" -> qSessionize,
+  ) ++ TrainingQueries.all
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_flat" ->
+      """SELECT l_orderkey AS orderkey, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_join_nested" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+        | count(l_orderkey) AS n_items
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice""".stripMargin,
+    "q_from_flat" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice,
+        | count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice""".stripMargin,
+    "q_lists_roundtrip" ->
+      "SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty FROM lineitem",
+    "q_get_sub" ->
+      """SELECT l_orderkey AS orderkey,
+        | count(DISTINCT l_quantity) AS n_distinct_qty
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_explode" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_flatten_inner" ->
+      """SELECT o_custkey AS custkey, count(*) AS n_items,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_custkey""".stripMargin,
+    "q_split" ->
+      """SELECT l_orderkey AS orderkey,
+        | count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+        | count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_nest_filter" ->
+      """SELECT l_orderkey AS orderkey, count(*) AS n,
+        | round(avg(l_extendedprice) + 1e-9, 2) AS avg_price
+        |FROM lineitem WHERE l_quantity > 25 GROUP BY l_orderkey""".stripMargin,
+    "q_query_dialect" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_discount > 0.05 GROUP BY l_returnflag""".stripMargin,
+    "q_dropna_fillna" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem WHERE l_discount >= 0.03) AS n_after_dropna,
+        | (SELECT round(sum(CASE WHEN l_discount < 0.03 THEN 0.0
+        |                        ELSE l_discount END), 4)
+        |  FROM lineitem) AS sum_after_fillna""".stripMargin,
+    "q_with_field" ->
+      """SELECT l_returnflag,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_eval_assign" ->
+      """SELECT l_linestatus,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_count_nested_by" ->
+      """SELECT l_orderkey AS orderkey,
+        | count(*) FILTER (WHERE l_returnflag = 'R') AS n_r,
+        | count(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+        | count(*) FILTER (WHERE l_returnflag = 'N') AS n_n
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_min_max" ->
+      """SELECT
+        | (SELECT round(min(o_totalprice), 2) FROM orders
+        |   WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS min_total,
+        | (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)) AS max_total,
+        | (SELECT round(min(l_quantity), 2) FROM lineitem) AS min_qty,
+        | (SELECT round(max(l_quantity), 2) FROM lineitem) AS max_qty""".stripMargin,
+    "q_describe" ->
+      """SELECT count(l_extendedprice) AS cnt,
+        | round(avg(l_extendedprice) + 1e-9, 2) AS mean,
+        | round(stddev_samp(l_extendedprice) + 1e-9, 2) AS std,
+        | round(min(l_extendedprice), 2) AS mn,
+        | round(quantile_cont(l_extendedprice, 0.25) + 1e-9, 2) AS q25,
+        | round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2) AS q50,
+        | round(quantile_cont(l_extendedprice, 0.75) + 1e-9, 2) AS q75,
+        | round(max(l_extendedprice), 2) AS mx
+        |FROM lineitem""".stripMargin,
+    "q_sort_head" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(l_extendedprice, 2) AS latest_price
+        |FROM (SELECT l_orderkey, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_shipdate DESC, l_linenumber, l_extendedprice,
+        |            l_partkey, l_suppkey) AS rn
+        |      FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_map_rows_mean" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(avg(l_quantity) + 1e-9, 4) AS mean_qty,
+        | round(max(l_extendedprice) - min(l_extendedprice), 2) AS amplitude
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_sessionize" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        | count(*) AS n_events
+        |FROM (SELECT user_id,
+        |        CASE WHEN prev_ms IS NULL
+        |               OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END
+        |          AS new_session
+        |      FROM (SELECT user_id, ts, event_id,
+        |              lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) AS prev_ms
+        |            FROM events))
+        |GROUP BY user_id""".stripMargin,
+  ) ++ TrainingQueries.oracles
+}

@@ -1,13 +1,52 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.nested.{NestedOps, NestedExpr}
+import graft.nested.syntax._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query takes (spark, sfDir) and returns a FLAT DataFrame whose
+  * columns are aliased identically to the DuckDB oracle SQL in [[oracleSql]].
+  * Doubles are rounded in both engines so value hashes match.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's performance.ipynb workflow: read → join_nested →
+    * element query → count_nested → per-row reduce. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val orders = read(spark, dir, "orders")
+    val lineitem = read(spark, dir, "lineitem")
+    orders
+      .joinNested(lineitem, Seq("l_orderkey" -> "o_orderkey"), "lines")
+      .filterElements("lines", s => s.getField("l_quantity") > 10.0)
+      .countNested("lines", Some("l_returnflag"), Seq("R", "A", "N"))
+      .where(col("n_lines_R") > 0)
+      .select(col("o_orderkey"),
+        NestedOps.elementMean("lines", "l_extendedprice").as("mean_price"),
+        col("n_lines_R"), col("n_lines_A"), col("n_lines_N"))
+  }
+
+  // Overload used by entry: child key named differently than base key.
+  implicit private class JoinRenamed(base: DataFrame) {
+    def joinNested(child: DataFrame, on: Seq[(String, String)], name: String)
+      : DataFrame = {
+      val renamed = on.foldLeft(child) { case (df, (from, to)) =>
+        df.withColumnRenamed(from, to) }
+      NestedOps.joinNested(base, renamed, on.map(_._2), name)
+    }
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,457 @@
+package graft.nested
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core nested-column operations, Spark-first.
+  *
+  * A "nested column" is any column of type `ArrayType(StructType)` — the exact
+  * logical twin of the reference's Arrow `large_list<struct<...>>` storage
+  * (reference: src/nested_pandas/series/_storage/list_struct_storage.py:19-39).
+  * There is no extension type and no engine fork: every verb below compiles to
+  * Column expressions (higher-order functions, `withField`, `collect_list`,
+  * `inline`) or standard plans, so Catalyst optimization, whole-stage codegen
+  * and AQE apply untouched.
+  *
+  * The pandas Index of the reference (series/packer.py:96-101) becomes an
+  * explicit key column (`on: Seq[String]`) everywhere.
+  *
+  * Scale notes (100 TB design):
+  *  - Only [[NestedOps.packFlat]] / [[NestedOps.joinNested]] / [[NestedOps.fromFlat]]
+  *    shuffle (groupBy on the key). Every other verb is a narrow, per-partition
+  *    map over array cells — no shuffle, no skew sensitivity.
+  *  - Element-level filters/mutations use `filter`/`transform` HOFs which stay
+  *    inside whole-stage codegen.
+  *  - For pre-bucketed child tables, `packFlat` avoids the shuffle entirely
+  *    (bucket pruning); for skewed keys AQE skew-join handles `joinNested`.
+  */
+object NestedOps {
+
+  // ---------------------------------------------------------------------------
+  // Schema introspection (reference: nestedframe/core.py:85-105, 346-383)
+  // ---------------------------------------------------------------------------
+
+  /** Is this data type a nested column type (array of struct)? */
+  def isNestedType(dt: DataType): Boolean = dt match {
+    case ArrayType(_: StructType, _) => true
+    case _                           => false
+  }
+
+  /** Struct type of the elements of nested column `name`. */
+  def nestedStruct(df: DataFrame, name: String): StructType =
+    df.schema(name).dataType match {
+      case ArrayType(s: StructType, _) => s
+      case other =>
+        throw new IllegalArgumentException(
+          s"Column '$name' is not a nested (array<struct>) column: $other")
+    }
+
+  /** Names of all nested (array-of-struct) columns. */
+  def nestedColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if isNestedType(f.dataType) => f.name }.toSeq
+
+  /** Names of all base (non-nested) columns. */
+  def baseColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case f if !isNestedType(f.dataType) => f.name }.toSeq
+
+  /** Field names inside nested column `nest`. */
+  def subColumns(df: DataFrame, nest: String): Seq[String] =
+    nestedStruct(df, nest).fieldNames.toSeq
+
+  /** All addressable columns: base names ++ dotted `nest.field` names
+    * (reference: core.py:85-105 `all_columns`). */
+  def allColumns(df: DataFrame): Seq[String] =
+    df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case ArrayType(s: StructType, _) =>
+          s.fieldNames.toSeq.map(sf => s"${f.name}.$sf")
+        case _ => Seq(f.name)
+      }
+    }
+
+  /** Split a dotted component `nest.field` into (nest, field) if `nest` is a
+    * nested column of df; otherwise treat as base column. Backticks stripped. */
+  def resolveDotted(df: DataFrame, name: String): (Option[String], String) = {
+    val clean = name.replace("`", "")
+    val nests = nestedColumns(df).toSet
+    val idx = clean.indexOf('.')
+    if (idx > 0 && nests.contains(clean.substring(0, idx)))
+      (Some(clean.substring(0, idx)), clean.substring(idx + 1))
+    else (None, clean)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Packing / construction (reference: series/packer.py, nestedframe/core.py:385-743)
+  // ---------------------------------------------------------------------------
+
+  /** Comparator Column for `array_sort(expr, (l, r) => ...)` over struct
+    * elements, ordering by `keys` (field name, ascending?) with nulls first on
+    * ascending keys (Spark default ordering). */
+  private def structComparator(l: Column, r: Column,
+                               keys: Seq[(String, Boolean)]): Column = {
+    keys.foldRight(lit(0)) { case ((field, asc), tail) =>
+      val (lf, rf) = (l.getField(field), r.getField(field))
+      val (lt, gt) = if (asc) (lit(-1), lit(1)) else (lit(1), lit(-1))
+      when(lf.isNull && rf.isNull, tail)
+        .when(lf.isNull, if (asc) lit(-1) else lit(1))
+        .when(rf.isNull, if (asc) lit(1) else lit(-1))
+        .when(lf < rf, lt)
+        .when(lf > rf, gt)
+        .otherwise(tail)
+    }
+  }
+
+  /** Pack a flat child frame into one row per key with a nested column.
+    *
+    * Reference: `pack_flat` (series/packer.py:64-117) — group by index, one
+    * sub-frame per key. Deterministic element order is achieved with
+    * `array_sort` after `collect_list` when `sortBy` is given (the reference
+    * stable-sorts by index; within-key order there is input order, which Spark
+    * does not guarantee across shuffles — callers that need determinism pass
+    * `sortBy`).
+    *
+    * Physical plan: ObjectHashAggregate(collect_list) — one shuffle on `on`.
+    * At 100 TB: the single shuffle of the pipeline; pre-bucketed tables on the
+    * key skip it entirely.
+    */
+  def packFlat(child: DataFrame, on: Seq[String], name: String,
+               sortBy: Seq[(String, Boolean)] = Nil): DataFrame = {
+    val valueCols = child.columns.filterNot(on.contains).toSeq
+    val packed = child
+      .groupBy(on.map(col): _*)
+      .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
+    if (sortBy.isEmpty) packed
+    else packed.withColumn(name,
+      array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
+  }
+
+  /** Group-join: pack `child` by `on` and join onto `base`.
+    *
+    * Reference: `NestedFrame.join_nested` (nestedframe/core.py:469-557).
+    * `how` ∈ left | inner | right | outer (same as reference core.py:496-505).
+    * A base row with no children gets a NULL nested cell (left/outer), which
+    * the reference also produces — NULL cell ≠ empty array (core.py:404-412).
+    *
+    * Plan: one shuffle for the groupBy; the join is equi-join on the same key
+    * so Catalyst reuses the partitioning (no second shuffle of the child side);
+    * small packed sides are broadcast automatically under AQE.
+    */
+  def joinNested(base: DataFrame, child: DataFrame, on: Seq[String],
+                 name: String, how: String = "left",
+                 sortBy: Seq[(String, Boolean)] = Nil): DataFrame =
+    base.join(packFlat(child, on, name, sortBy), on, how)
+
+  /** Split one flat frame into base columns (first value per key) + a packed
+    * nested column. Reference: `NestedFrame.from_flat` (core.py:595-658). */
+  def fromFlat(df: DataFrame, baseCols: Seq[String], nestedCols: Seq[String],
+               on: Seq[String], name: String = "nested"): DataFrame =
+  {
+    val aggs = baseCols.map(c => first(col(c)).as(c)) :+
+      collect_list(struct(nestedCols.map(col): _*)).as(name)
+    df.groupBy(on.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Zip equal-length list columns into one nested column.
+    * Reference: `from_lists` / `pack_lists` (core.py:660-743, packer.py:185-252).
+    * Pure narrow op: `arrays_zip` (zero shuffle). */
+  def fromLists(df: DataFrame, listCols: Seq[String], name: String = "nested",
+                dropSource: Boolean = true): DataFrame = {
+    val zipped = df.withColumn(name, arrays_zip(listCols.map(col): _*))
+    if (dropSource) zipped.drop(listCols: _*) else zipped
+  }
+
+  // ---------------------------------------------------------------------------
+  // Projection / un-nesting (reference: accessor.py to_flat/to_lists, core.py getitem)
+  // ---------------------------------------------------------------------------
+
+  /** Un-nest `nest` into flat columns, repeating the given base columns per
+    * element. Reference: `.nest.to_flat` (accessor.py:93-157). Rows whose cell
+    * is NULL or empty produce no rows (reference behavior); pass
+    * `keepEmpty=true` for `inline_outer` semantics.
+    * Narrow op (generator, no shuffle). */
+  def toFlat(df: DataFrame, nest: String, baseCols: Seq[String] = Nil,
+             fields: Seq[String] = Nil, keepEmpty: Boolean = false): DataFrame = {
+    val src = if (fields.isEmpty) df else selectSubFields(df, nest, fields)
+    val gen = if (keepEmpty) inline_outer(col(nest)) else inline(col(nest))
+    src.select(baseCols.map(col) :+ gen: _*)
+  }
+
+  /** Project nested column to a subset of its fields.
+    * Reference: `view_fields` (accessor.py:762-801). Narrow `transform`. */
+  def selectSubFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame =
+    df.withColumn(nest,
+      transform(col(nest), s => struct(fields.map(f => s.getField(f).as(f)): _*)))
+
+  /** One list column per nested field. Reference: `.nest.to_lists`
+    * (accessor.py:44-91). */
+  def toLists(df: DataFrame, nest: String, baseCols: Seq[String] = Nil): DataFrame = {
+    val fields = subColumns(df, nest)
+    df.select(baseCols.map(col) ++
+      fields.map(f => transform(col(nest), s => s.getField(f)).as(f)): _*)
+  }
+
+  /** Per-row element count. Reference: `.nest.len()` (accessor.py:164-175).
+    * NULL cell → NULL (distinct from empty → 0). */
+  def nestLen(nest: String): Column = size(col(nest))
+
+  /** Flat column `nest.field` extracted with its key columns, one row per
+    * element. Reference: `nf["nested.t"]` (core.py:228-259). */
+  def getSubColumn(df: DataFrame, dotted: String, keyCols: Seq[String]): DataFrame = {
+    val (nestOpt, field) = resolveDotted(df, dotted)
+    nestOpt match {
+      case Some(nest) =>
+        df.select(keyCols.map(col) :+ explode(col(nest)).as("__e"): _*)
+          .select(keyCols.map(col) :+ col(s"__e.$field").as(field): _*)
+      case None => df.select(keyCols.map(col) :+ col(field): _*)
+    }
+  }
+
+  // ---------------------------------------------------------------------------
+  // Element-level filters (reference: core.py query/dropna, accessor.py query)
+  // ---------------------------------------------------------------------------
+
+  /** Filter ELEMENTS inside each nested cell, keeping all top-level rows
+    * (emptied cells become empty arrays). Reference: `NestedFrame.query` with a
+    * nested-field predicate (core.py:1526-1648). Narrow HOF, no shuffle. */
+  def filterElements(df: DataFrame, nest: String, pred: Column => Column): DataFrame =
+    df.withColumn(nest, filter(col(nest), pred))
+
+  /** Same, but drop rows whose cell emptied.
+    * Reference: `.nest.query` (accessor.py:600-638). */
+  def filterElementsDropEmpty(df: DataFrame, nest: String,
+                              pred: Column => Column): DataFrame =
+    filterElements(df, nest, pred).where(size(col(nest)) > 0)
+
+  /** Drop elements with NULLs in `subset` fields (all fields if empty).
+    * Reference: `dropna(on_nested=...)` (core.py:1699-1849). */
+  def dropNaElements(df: DataFrame, nest: String,
+                     subset: Seq[String] = Nil): DataFrame = {
+    val fields = if (subset.nonEmpty) subset else subColumns(df, nest)
+    filterElements(df, nest, s => fields.map(f => s.getField(f).isNotNull)
+      .reduce(_ && _))
+  }
+
+  /** Fill NULLs in nested fields with per-field constants.
+    * Reference: `fillna` with dotted keys (core.py:1351-1434). */
+  def fillNaElements(df: DataFrame, nest: String,
+                     values: Map[String, Any]): DataFrame =
+    df.withColumn(nest, transform(col(nest), s =>
+      values.foldLeft(s) { case (acc, (f, v)) =>
+        acc.withField(f, coalesce(s.getField(f), lit(v)))
+      }))
+
+  // ---------------------------------------------------------------------------
+  // Mutation (reference: core.py:284-344, accessor.py set_* / drop)
+  // ---------------------------------------------------------------------------
+
+  /** Replace/add a field inside each element: `f` receives the element struct
+    * and returns the new field value; it may also close over base columns of
+    * the row (broadcast-per-row semantics of the reference's aligned-Series
+    * assignment, core.py:284-340). Narrow `transform` + `withField`. */
+  def withNestedField(df: DataFrame, nest: String, field: String,
+                      f: Column => Column): DataFrame =
+    df.withColumn(nest, transform(col(nest), s => s.withField(field, f(s))))
+
+  /** Set a nested field to a constant (reference `set_filled_column`,
+    * accessor.py:236-491). */
+  def withNestedFieldFilled(df: DataFrame, nest: String, field: String,
+                            value: Column): DataFrame =
+    withNestedField(df, nest, field, _ => value)
+
+  /** Drop fields from a nested column (≥1 must remain, like
+    * ext_array.py:1229-1230). Reference: `.nest.drop` (accessor.py:528-562). */
+  def dropNestedFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame = {
+    val remaining = subColumns(df, nest).filterNot(fields.contains)
+    require(remaining.nonEmpty, s"Cannot drop all fields of nested column '$nest'")
+    selectSubFields(df, nest, remaining)
+  }
+
+  /** Drop base columns and/or dotted nested sub-columns in one call.
+    * Reference: `NestedFrame.drop` (core.py:745-858). */
+  def dropColumns(df: DataFrame, names: Seq[String]): DataFrame = {
+    val (dotted, base) = names.partition(n => resolveDotted(df, n)._1.isDefined)
+    val byNest = dotted.groupBy(n => resolveDotted(df, n)._1.get)
+    val afterNested = byNest.foldLeft(df) { case (acc, (nest, ns)) =>
+      dropNestedFields(acc, nest, ns.map(n => resolveDotted(df, n)._2))
+    }
+    if (base.nonEmpty) afterNested.drop(base: _*) else afterNested
+  }
+
+  // ---------------------------------------------------------------------------
+  // Reshaping (reference: core.py explode/split, accessor.py to_flatten_inner)
+  // ---------------------------------------------------------------------------
+
+  /** Explode a nested column to one row per element, keeping all base columns.
+    * Reference: `NestedFrame.explode` (core.py:1221-1349). */
+  def explodeNested(df: DataFrame, nest: String,
+                    keepEmpty: Boolean = false): DataFrame = {
+    val base = df.columns.filterNot(_ == nest).toSeq
+    val gen = if (keepEmpty) inline_outer(col(nest)) else inline(col(nest))
+    df.select(base.map(col) :+ gen: _*)
+  }
+
+  /** Split one nest into `{nest}_{value}` nests by the values of a categorical
+    * field. Reference: `NestedFrame.split` (core.py:860-947).
+    * `values` should be supplied for large domains (collecting distinct values
+    * is a driver action); when given, the op is fully narrow. */
+  def splitNested(df: DataFrame, nest: String, byField: String,
+                  values: Seq[String], dropField: Boolean = false,
+                  dropSource: Boolean = true): DataFrame = {
+    val withSplits = values.foldLeft(df) { (acc, v) =>
+      val filtered = filter(col(nest), s => s.getField(byField) === lit(v))
+      val cleaned =
+        if (dropField) transform(filtered, s => s.dropFields(byField))
+        else filtered
+      acc.withColumn(s"${nest}_$v", cleaned)
+    }
+    if (dropSource) withSplits.drop(nest) else withSplits
+  }
+
+  /** Flatten a doubly-nested field one level up: each outer element is
+    * replicated per inner element, inner fields hoisted.
+    * Reference: `.nest.to_flatten_inner` (accessor.py:859-986) — the one
+    * multi-level operator. Narrow (flatten ∘ transform). */
+  def flattenInner(df: DataFrame, nest: String, innerField: String): DataFrame = {
+    val outerFields = subColumns(df, nest).filterNot(_ == innerField)
+    val innerStruct = nestedStruct(df, nest)(innerField).dataType match {
+      case ArrayType(s: StructType, _) => s
+      case other => throw new IllegalArgumentException(
+        s"Field '$innerField' of '$nest' is not array<struct>: $other")
+    }
+    val innerFields = innerStruct.fieldNames.toSeq
+    df.withColumn(nest,
+      flatten(transform(col(nest), o =>
+        transform(o.getField(innerField), i =>
+          struct(outerFields.map(f => o.getField(f).as(f)) ++
+                 innerFields.map(f => i.getField(f).as(f)): _*)))))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Within-cell sort (reference: core.py:1943-1975 sort_values nested target)
+  // ---------------------------------------------------------------------------
+
+  /** Sort elements within each nested cell by one or more (field, ascending)
+    * keys, mixed directions supported. Reference guarantees the row index stays
+    * the outer sort key (core.py:1949-1956); here rows are untouched.
+    * Narrow `array_sort` with a struct comparator — no explode/shuffle. */
+  def sortElements(df: DataFrame, nest: String,
+                   keys: Seq[(String, Boolean)]): DataFrame =
+    df.withColumn(nest,
+      array_sort(col(nest), (l, r) => structComparator(l, r, keys)))
+
+  // ---------------------------------------------------------------------------
+  // Aggregations (reference: core.py min/max/describe, utils/utils.py count_nested)
+  // ---------------------------------------------------------------------------
+
+  /** Per-row count of elements, optionally one count column per value of a
+    * categorical field. Reference: `count_nested` (utils/utils.py:8-102).
+    * All counts are narrow `size(filter(...))` expressions — the per-row
+    * "group-by/pivot" of the reference costs no shuffle here. */
+  def countNested(df: DataFrame, nest: String, by: Option[String] = None,
+                  values: Seq[String] = Nil): DataFrame = by match {
+    case None => df.withColumn(s"n_$nest", coalesce(size(col(nest)), lit(0)))
+    case Some(field) =>
+      values.foldLeft(df) { (acc, v) =>
+        acc.withColumn(s"n_${nest}_$v",
+          coalesce(size(filter(col(nest), s => s.getField(field) === lit(v))), lit(0)))
+      }
+  }
+
+  /** Column-wise min/max over base columns and nested fields (dotted names).
+    * Reference: `NestedFrame.min/max` (core.py:949-1097). One global agg. */
+  def aggAllColumns(df: DataFrame, fn: String): DataFrame = {
+    def scalarAgg(c: Column) = fn match {
+      case "min" => min(c); case "max" => max(c)
+      case other => throw new IllegalArgumentException(s"unsupported: $other")
+    }
+    def arrayAgg(c: Column) = fn match {
+      // array_min/array_max ignore nulls inside; min/max over rows ignore null cells
+      case "min" => min(array_min(c)); case "max" => max(array_max(c))
+    }
+    val aggs = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case ArrayType(s: StructType, _) =>
+          s.fieldNames.toSeq.map(sf =>
+            arrayAgg(transform(col(f.name), e => e.getField(sf)))
+              .as(s"${f.name}.$sf"))
+        case _ => Seq(scalarAgg(col(f.name)).as(f.name))
+      }
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Mean of a numeric nested field per row, as a Column. NULL for NULL/empty
+    * cells. Codegen-friendly `aggregate` HOF — the fused replacement for the
+    * reference's `map_rows(np.mean, "nested.f")` hot path (core.py:2207-2545). */
+  def elementMean(nest: String, field: String): Column = {
+    val vals = filter(transform(col(nest), s => s.getField(field)),
+      v => v.isNotNull)
+    when(size(vals) > 0,
+      aggregate(vals, lit(0.0), (acc, v) => acc + v) / size(vals))
+  }
+
+  /** Sum of a numeric nested field per row (0.0 for empty, NULL for NULL cell). */
+  def elementSum(nest: String, field: String): Column =
+    when(col(nest).isNotNull,
+      aggregate(transform(col(nest), s => s.getField(field)), lit(0.0),
+        (acc, v) => acc + coalesce(v, lit(0.0))))
+
+  /** Min/max of a nested field per row. */
+  def elementMin(nest: String, field: String): Column =
+    array_min(transform(col(nest), s => s.getField(field)))
+  def elementMax(nest: String, field: String): Column =
+    array_max(transform(col(nest), s => s.getField(field)))
+}
+
+/** Implicit syntax: `import graft.nested.syntax._` then `df.joinNested(...)`. */
+object syntax {
+  implicit class NestedDataFrameOps(val df: DataFrame) extends AnyVal {
+    def nestedColumns: Seq[String] = NestedOps.nestedColumns(df)
+    def baseColumns: Seq[String] = NestedOps.baseColumns(df)
+    def subColumns(nest: String): Seq[String] = NestedOps.subColumns(df, nest)
+    def allNestedColumns: Seq[String] = NestedOps.allColumns(df)
+
+    def joinNested(child: DataFrame, on: Seq[String], name: String,
+                   how: String = "left",
+                   sortBy: Seq[(String, Boolean)] = Nil): DataFrame =
+      NestedOps.joinNested(df, child, on, name, how, sortBy)
+    def fromFlat(baseCols: Seq[String], nestedCols: Seq[String],
+                 on: Seq[String], name: String = "nested"): DataFrame =
+      NestedOps.fromFlat(df, baseCols, nestedCols, on, name)
+    def fromLists(listCols: Seq[String], name: String = "nested"): DataFrame =
+      NestedOps.fromLists(df, listCols, name)
+
+    def toFlat(nest: String, baseCols: Seq[String] = Nil,
+               fields: Seq[String] = Nil): DataFrame =
+      NestedOps.toFlat(df, nest, baseCols, fields)
+    def toLists(nest: String, baseCols: Seq[String] = Nil): DataFrame =
+      NestedOps.toLists(df, nest, baseCols)
+    def selectSubFields(nest: String, fields: Seq[String]): DataFrame =
+      NestedOps.selectSubFields(df, nest, fields)
+
+    def filterElements(nest: String, pred: Column => Column): DataFrame =
+      NestedOps.filterElements(df, nest, pred)
+    def dropNaElements(nest: String, subset: Seq[String] = Nil): DataFrame =
+      NestedOps.dropNaElements(df, nest, subset)
+    def fillNaElements(nest: String, values: Map[String, Any]): DataFrame =
+      NestedOps.fillNaElements(df, nest, values)
+
+    def withNestedField(nest: String, field: String, f: Column => Column): DataFrame =
+      NestedOps.withNestedField(df, nest, field, f)
+    def dropNestedFields(nest: String, fields: String*): DataFrame =
+      NestedOps.dropNestedFields(df, nest, fields)
+
+    def explodeNested(nest: String, keepEmpty: Boolean = false): DataFrame =
+      NestedOps.explodeNested(df, nest, keepEmpty)
+    def splitNested(nest: String, byField: String, values: Seq[String]): DataFrame =
+      NestedOps.splitNested(df, nest, byField, values)
+    def flattenInner(nest: String, innerField: String): DataFrame =
+      NestedOps.flattenInner(df, nest, innerField)
+    def sortElements(nest: String, keys: (String, Boolean)*): DataFrame =
+      NestedOps.sortElements(df, nest, keys)
+    def countNested(nest: String, by: Option[String] = None,
+                    values: Seq[String] = Nil): DataFrame =
+      NestedOps.countNested(df, nest, by, values)
+  }
+}

@@ -1,0 +1,192 @@
+package graft
+
+import graft.nested.{NestedOps, NestedExpr, syntax}
+import syntax._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Unit tests mirroring the reference's F2 fixture
+  * (tests/nested_pandas/nestedframe/test_nestedframe.py:886-892). */
+class NestedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // F2: base {a:[1,2,3], b:[4,5,6]} key=[0,1,2];
+  // child key=[0,0,0,1,1,1,2,2,2], c, d
+  lazy val base = Seq((0L, 1, 4), (1L, 2, 5), (2L, 3, 6)).toDF("key", "a", "b")
+  lazy val child = Seq(
+    (0L, 0, 5), (0L, 2, 4), (0L, 4, 7),
+    (1L, 1, 5), (1L, 4, 3), (1L, 3, 1),
+    (2L, 1, 9), (2L, 4, 3), (2L, 1, 4)).toDF("key", "c", "d")
+  lazy val nf = base.joinNested(child, Seq("key"), "nested",
+    sortBy = Seq(("c", true), ("d", true)))
+
+  test("schema introspection") {
+    assert(nf.nestedColumns == Seq("nested"))
+    assert(nf.baseColumns == Seq("key", "a", "b"))
+    assert(nf.subColumns("nested") == Seq("c", "d"))
+    assert(nf.allNestedColumns == Seq("key", "a", "b", "nested.c", "nested.d"))
+  }
+
+  test("joinNested packs 3 elements per key") {
+    val sizes = nf.select(size($"nested")).as[Int].collect()
+    assert(sizes.toSeq == Seq(3, 3, 3))
+    assert(nf.count() == 3)
+  }
+
+  test("joinNested left keeps keyless rows as NULL cells") {
+    val base4 = base.union(Seq((3L, 9, 9)).toDF)
+    val j = base4.joinNested(child, Seq("key"), "nested")
+    val row = j.filter($"key" === 3L).select($"nested").collect()(0)
+    assert(row.isNullAt(0)) // NULL cell, not empty array
+  }
+
+  test("element filter keeps all rows, empties cells") {
+    // reference: query("nested.c > 1") keeps 7 of 9 elements
+    val q = nf.filterElements("nested", s => s.getField("c") > 1)
+    assert(q.count() == 3)
+    val total = q.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(total == 5) // c values: 0,2,4 | 1,4,3 | 1,4,1 → >1: 2 + 2 + 1
+  }
+
+  test("string query dialect: element-level") {
+    val q = NestedExpr.query(nf, "nested.c > 1")
+    val total = q.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(total == 5)
+    assert(q.count() == 3)
+  }
+
+  test("string query dialect: base-level and len()") {
+    assert(NestedExpr.query(nf, "a > 1").count() == 2)
+    assert(NestedExpr.query(nf, "nested.len() == 3").count() == 3)
+    assert(NestedExpr.query(nf, "nested.len() > 3").count() == 0)
+  }
+
+  test("string query dialect rejects mixed layers") {
+    intercept[IllegalArgumentException] {
+      NestedExpr.query(nf, "nested.c > a")
+    }
+  }
+
+  test("eval assignment adds a field inside the nest") {
+    val r = NestedExpr.evalAssign(nf, "nested.e = nested.c + nested.d")
+    assert(r.subColumns("nested") == Seq("c", "d", "e"))
+    val firstE = r.orderBy($"key")
+      .select(expr("nested[0].e")).as[Int].collect()(0)
+    assert(firstE == 5) // sorted by (c,d): first element (0,5) → e=5
+  }
+
+  test("eval assignment with base rhs") {
+    val r = NestedExpr.evalAssign(nf, "ab = a + b")
+    assert(r.select(sum($"ab")).as[Long].collect()(0) == 21)
+  }
+
+  test("toFlat round-trips packFlat") {
+    val flat = nf.toFlat("nested", baseCols = Seq("key"))
+    assert(flat.columns.toSeq == Seq("key", "c", "d"))
+    assert(flat.count() == 9)
+  }
+
+  test("toLists produces per-field arrays") {
+    val l = nf.toLists("nested", baseCols = Seq("key"))
+    assert(l.columns.toSeq == Seq("key", "c", "d"))
+    val c0 = l.orderBy($"key").select($"c").as[Seq[Int]].collect()(0)
+    assert(c0 == Seq(0, 2, 4))
+  }
+
+  test("fromLists zips lists into a nest") {
+    val lists = Seq((1, Seq(1, 2, 3), Seq(2, 4, 6))).toDF("k", "e", "f")
+    val n = lists.fromLists(Seq("e", "f"), "nested")
+    assert(n.nestedColumns == Seq("nested"))
+    assert(n.subColumns("nested") == Seq("e", "f"))
+    assert(n.select(expr("nested[1].f")).as[Int].collect()(0) == 4)
+  }
+
+  test("withNestedField mutates elements (may close over base cols)") {
+    val r = nf.withNestedField("nested", "cd",
+      s => s.getField("c") * s.getField("d") + col("a"))
+    val v = r.orderBy($"key").select(expr("nested[2].cd")).as[Int].collect()(0)
+    assert(v == 4 * 7 + 1)
+  }
+
+  test("dropNestedFields and ≥1 field invariant") {
+    val r = nf.dropNestedFields("nested", "d")
+    assert(r.subColumns("nested") == Seq("c"))
+    intercept[IllegalArgumentException] {
+      nf.dropNestedFields("nested", "c", "d")
+    }
+  }
+
+  test("sortElements multi-key mixed direction") {
+    val r = nf.sortElements("nested", ("c", false), ("d", true))
+    val firstC = r.orderBy($"key").select(expr("nested[0].c")).as[Int].collect()
+    assert(firstC.toSeq == Seq(4, 4, 4))
+    // key=2 has c=[1,4,1]; desc c then asc d: (4,3),(1,4),(1,9)? d asc: (1,4),(1,9)
+    val k2 = r.filter($"key" === 2).select(expr("nested.d")).as[Seq[Int]].collect()(0)
+    assert(k2 == Seq(3, 4, 9))
+  }
+
+  test("countNested by value") {
+    val withBand = nf.withNestedField("nested", "band",
+      s => when(s.getField("c") > 1, "g").otherwise("r"))
+    val counted = withBand.countNested("nested", Some("band"), Seq("g", "r"))
+    val row = counted.orderBy($"key").select($"n_nested_g", $"n_nested_r").collect()(0)
+    assert(row == Row(2, 1))
+  }
+
+  test("splitNested") {
+    val withBand = nf.withNestedField("nested", "band",
+      s => when(s.getField("c") > 1, "g").otherwise("r"))
+    val sp = withBand.splitNested("nested", "band", Seq("g", "r"))
+    assert(sp.nestedColumns.toSet == Set("nested_g", "nested_r"))
+    val sizes = sp.orderBy($"key")
+      .select(size($"nested_g"), size($"nested_r")).collect()(0)
+    assert(sizes == Row(2, 1))
+  }
+
+  test("dropNaElements / fillNaElements") {
+    val withNulls = nf.withNestedField("nested", "c",
+      s => when(s.getField("c") === 0, lit(null)).otherwise(s.getField("c")))
+    val dropped = withNulls.dropNaElements("nested", Seq("c"))
+    val total = dropped.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(total == 8)
+    val filled = withNulls.fillNaElements("nested", Map("c" -> -1))
+    val f = filled.orderBy($"key").select(expr("nested[0].c")).as[Int].collect()(0)
+    assert(f == -1)
+  }
+
+  test("flattenInner hoists a double nest") {
+    // outer: per key one element with inner = the nested array
+    val dbl = nf.select($"key",
+      array(struct($"a", $"nested".as("inner"))).as("outer"))
+    val r = NestedOps.flattenInner(dbl, "outer", "inner")
+    val sizes = r.select(size($"outer")).as[Int].collect()
+    assert(sizes.toSeq == Seq(3, 3, 3))
+    assert(NestedOps.subColumns(r, "outer") == Seq("a", "c", "d"))
+  }
+
+  test("aggAllColumns min/max incl. nested fields") {
+    val mn = NestedOps.aggAllColumns(nf.drop("key"), "min").collect()(0)
+    val mx = NestedOps.aggAllColumns(nf.drop("key"), "max").collect()(0)
+    assert(mn.getInt(mn.fieldIndex("a")) == 1)
+    assert(mn.getInt(mn.fieldIndex("nested.c")) == 0)
+    assert(mx.getInt(mx.fieldIndex("nested.d")) == 9)
+  }
+
+  test("element aggregates (mean/sum/min/max) as columns") {
+    val r = nf.select($"key",
+      NestedOps.elementMean("nested", "c").as("mc"),
+      NestedOps.elementSum("nested", "d").as("sd"))
+      .orderBy($"key").collect()
+    assert(r(0) == Row(0L, 2.0, 16.0))
+    assert(r(1) == Row(1L, 8.0 / 3, 9.0))
+  }
+
+  test("backtick identifiers in query dialect") {
+    val odd = nf.withColumnRenamed("nested", "bad dog")
+      .withColumn("bad dog",
+        expr("transform(`bad dog`, s -> named_struct('n/a', s.c, 'n/b', s.d))"))
+    val q = NestedExpr.query(odd, "`bad dog`.`n/a` > 2")
+    val total = q.select(sum(size(col("bad dog")))).as[Long].collect()(0)
+    assert(total == 4) // c>2: key0 {4}, key1 {4,3}, key2 {4}
+  }
+}
