@@ -1,12 +1,386 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, Multimodal}
 
-/** Large-scale training-data pipeline operators (dedup, similarity search,
-  * text analysis, multimodal) over the `documents` / `embeddings` tables.
-  * Filled in incrementally; see graft.operators.*. */
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, minhash-LSH, simhash, n-gram jaccard, embedding cosine),
+  * similarity search (brute-force + hyperplane-LSH ANN), text analysis
+  * (lang-id, quality, token stats, fingerprint), multimodal plumbing.
+  *
+  * Oracle-parity notes: all integer arithmetic is exact; double quotients are
+  * epsilon-rounded (see Queries.roundSafe rationale); dot products / rolling
+  * hashes use sequential left-fold accumulation, verified bit-identical
+  * between Spark HOF `aggregate` and DuckDB `list_sum`/`list_reduce`.
+  * Engine-specific hashing (xxhash64) appears only in rows-only queries.
+  */
 object TrainingQueries {
   type Q = (SparkSession, String) => DataFrame
-  val all: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def roundSafe(c: org.apache.spark.sql.Column, p: Int) =
+    round(c + lit(1e-9), p)
+
+  // ---------------------------------------------------------------------------
+  // Dedup family
+  // ---------------------------------------------------------------------------
+
+  /** Exact dedup on normalized text: one hash aggregation. */
+  val qDedupExact: Q = (s, dir) =>
+    Dedup.exact(docs(s, dir), "doc_id", Seq(lower(trim(col("text")))))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Rank-based MinHash signatures (oracle-exact variant; production uses
+    * xxhash64, see q_minhash_pairs). Long format: (doc_id, hidx, sig). */
+  val qMinhashRank: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val sh = d.select(col("doc_id"),
+      explode(TextFunctions.distinctShingles(col("text"), 5)).as("sh"))
+    // Global shingle rank — a single-partition window; fine for the bounded
+    // 500-doc documents table, NOT the scale path (that's xxhash64).
+    val ranks = sh.select("sh").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+    val hs = Seq((3L, 1L), (5L, 2L), (7L, 3L), (11L, 4L), (13L, 5L), (17L, 6L))
+    val withH = sh.join(ranks, "sh")
+    val aggs = hs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("sid") * a + b) % 100003L).as(s"sig$i") }
+    val sigs = withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sigs.select(col("doc_id"), explode(array(hs.indices.map(i =>
+        struct(lit(i.toLong).as("hidx"), col(s"sig$i").as("sig"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.hidx"), col("e.sig"))
+  }
+
+  /** Production MinHash+LSH candidate pairs (xxhash64; rows-only check). */
+  val qMinhashPairs: Q = (s, dir) => {
+    val withSig = docs(s, dir).select(col("doc_id"),
+      Dedup.minHashSignatures(col("text"), numHashes = 8, shingleSize = 5)
+        .as("sig"))
+    Dedup.lshCandidatePairs(withSig, "doc_id", "sig",
+      numHashes = 8, rowsPerBand = 2)
+  }
+
+  /** Production 64-bit SimHash near-dup pairs (xxhash64; rows-only check):
+    * pairs at Hamming distance ≤ 12, banded by 16-bit blocks. */
+  val qSimhashPairs: Q = (s, dir) => {
+    val sigs = docs(s, dir)
+      .select(col("doc_id"), Dedup.simHash64(col("text")).as("sig"))
+    // band on 16-bit blocks: near-dups agree on ≥1 block with high prob.
+    val banded = sigs.select(col("doc_id"), col("sig"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
+          .as("block"))): _*)).as("e"))
+      .select(col("doc_id"), col("sig"), col("e.band"), col("e.block"))
+    val a = banded.select(col("band"), col("block"),
+      col("doc_id").as("a"), col("sig").as("siga"))
+    val b = banded.select(col("band"), col("block"),
+      col("doc_id").as("b"), col("sig").as("sigb"))
+    a.join(b, Seq("band", "block")).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Dedup.hamming64(col("siga"), col("sigb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 12)
+  }
+
+  /** Character-3-gram Jaccard over all doc pairs with id < 40. */
+  val qJaccardPairs: Q = (s, dir) => {
+    val d = docs(s, dir).where(col("doc_id") < 40)
+      .select(col("doc_id"),
+        TextFunctions.distinctShingles(col("text"), 3).as("sh"))
+    val a = d.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val b = d.select(col("doc_id").as("b"), col("sh").as("shb"))
+    broadcast(a).crossJoin(b).where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        (size(col("sha")) + size(col("shb")) -
+          size(array_intersect(col("sha"), col("shb")))).cast("long").as("uni"))
+      .withColumn("jac", roundSafe(col("inter") / col("uni"), 4))
+  }
+
+  /** Embedding cosine near-dup pairs (ids < 100, sim > 0.2) — exact doubles. */
+  val qEmbedCosinePairs: Q = (s, dir) => {
+    val e = embs(s, dir).where(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    broadcast(a).crossJoin(b).where(col("a") < col("b"))
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .where(col("sim") > 0.2)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Similarity search
+  // ---------------------------------------------------------------------------
+
+  /** Brute-force exact top-3 cosine neighbors for queries vec_id < 20. */
+  val qAnnBrute: Q = (s, dir) => {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(e.where(col("vec_id") < 20), e, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Hyperplane-LSH bucket assignment (integer planes, engine-exact). */
+  val qAnnLshBuckets: Q = (s, dir) =>
+    embs(s, dir).select(col("vec_id"),
+      Similarity.hyperplaneBucket(col("embedding"), numPlanes = 8, dim = 64)
+        .as("bucket"))
+
+  /** LSH-bucketed approximate top-3 (scale path; rows-only check since
+    * result depends on bucket contents, oracle covered via buckets query). */
+  val qAnnLshTopK: Q = (s, dir) => {
+    val e = embs(s, dir)
+    Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3,
+      numPlanes = 8, dim = 64)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------------
+
+  /** Token statistics per document. */
+  val qTokenStats: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+      roundSafe(TextFunctions.meanTokenLength(col("text")), 4).as("mean_len"))
+
+  /** Quality scoring per document. */
+  val qQuality: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      roundSafe(TextFunctions.typeTokenRatio(col("text")), 4).as("ttr"),
+      roundSafe(TextFunctions.stopwordRatio(col("text")), 4).as("stop_ratio"),
+      roundSafe(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+
+  /** Language-ID heuristic + per-language marker scores. */
+  val qLangId: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.predictLang(col("text")).as("pred_lang"),
+      TextFunctions.langScore(col("text"), "en").as("en_score"),
+      TextFunctions.langScore(col("text"), "de").as("de_score"))
+
+  /** Rolling-hash content fingerprint (engine-exact). */
+  val qFingerprint: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.rollingHash(col("text")).as("fp"))
+
+  // ---------------------------------------------------------------------------
+  // Multimodal plumbing (decode STUBBED — see Multimodal.fakeDecode)
+  // ---------------------------------------------------------------------------
+
+  /** Binary payload → typed metadata via per-partition batched decode, plus
+    * resize + frame-sample plumbing. Payload is the utf-8 bytes of `text`
+    * standing in for real media bytes. */
+  val qMultimodalMeta: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload").toDF()
+    val (rw, rh) = Multimodal.resizeMeta(col("width"), col("height"), 256)
+    meta.select(col("media_id"), col("byte_len"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"), col("format"),
+        rw.cast("long").as("rw"), rh.cast("long").as("rh"),
+        size(Multimodal.sampleFrameIndices(col("n_frames"), 3)).cast("long")
+          .as("n_sampled"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // registry + oracles
+  // ---------------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_minhash_rank" -> qMinhashRank,
+    "q_minhash_pairs" -> qMinhashPairs,
+    "q_simhash_pairs" -> qSimhashPairs,
+    "q_jaccard_pairs" -> qJaccardPairs,
+    "q_embed_cosine_pairs" -> qEmbedCosinePairs,
+    "q_ann_brute" -> qAnnBrute,
+    "q_ann_lsh_buckets" -> qAnnLshBuckets,
+    "q_ann_lsh_topk" -> qAnnLshTopK,
+    "q_token_stats" -> qTokenStats,
+    "q_quality" -> qQuality,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_multimodal_meta" -> qMultimodalMeta,
+  )
+
+  // ---- oracle SQL (DuckDB) --------------------------------------------------
+
+  /** DuckDB: distinct char n-gram shingles of text as a list. */
+  private def duckShingles(n: Int): String =
+    s"list_distinct([substr(text, i, $n) " +
+      s"for i in range(1, greatest(length(text) - ${n - 1}, 0) + 1)])"
+
+  /** DuckDB whole-word occurrence count of `w` in lower(text). */
+  private def occ(w: String): String = {
+    val padded = s"' ' || lower(text) || ' '"
+    val kw = s" $w "
+    s"((length($padded) - length(replace($padded, '$kw', ''))) // ${kw.length})"
+  }
+
+  private def langScoreSql(lang: String): String =
+    TextFunctions.langMarkers.toMap.apply(lang).map(occ).mkString("(", " + ", ")")
+
+  private val predLangSql: String = {
+    val scores = TextFunctions.langMarkers.map { case (l, _) =>
+      l -> langScoreSql(l) }
+    val best = scores.map(_._2).reduce((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (l, sc) =>
+      s"WHEN $sc = __best AND __best > 0 THEN '$l'" }.mkString(" ")
+    s"(SELECT CASE $whens ELSE 'unk' END FROM (SELECT $best AS __best))"
+  }
+
+  /** DuckDB literal for the plane-j integer weight vector (matches
+    * Similarity.planeWeight exactly). */
+  private def planeWeightsSql(j: Int, dim: Int): String =
+    (0 until dim).map { d =>
+      (((j.toLong * 64L + d.toLong) * 2654435761L % 97L) - 48L).toDouble
+    }.mkString("[", ", ", "]")
+
+  private def bucketSql(numPlanes: Int, dim: Int): String =
+    (0 until numPlanes).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(list_zip(embedding,
+         | ${planeWeightsSql(j, dim)}),
+         | x -> CAST(x[1] AS DOUBLE) * x[2])) > 0
+         | THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private val dotSql =
+    """list_sum(list_transform(list_zip(a.ea, b.eb),
+      | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+  private def normSql(v: String) =
+    s"""sqrt(list_sum(list_transform($v,
+       | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY lower(trim(text))""".stripMargin,
+    "q_minhash_rank" -> {
+      val hs = Seq((3, 1), (5, 2), (7, 3), (11, 4), (13, 5), (17, 6))
+      val sigExprs = hs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((sid * $a + $b) % 100003) AS sig$i" }.mkString(", ")
+      val unions = hs.indices.map(i =>
+        s"SELECT doc_id, CAST($i AS BIGINT) AS hidx, sig$i AS sig FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckShingles(5)}) AS sh
+         |  FROM documents),
+         |ranks AS (
+         |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+         |  FROM (SELECT DISTINCT sh FROM sh)),
+         |sigs AS (
+         |  SELECT doc_id, $sigExprs
+         |  FROM sh JOIN ranks USING (sh) GROUP BY doc_id)
+         |$unions""".stripMargin
+    },
+    "q_jaccard_pairs" ->
+      s"""WITH t AS (SELECT doc_id, ${duckShingles(3)} AS sh
+         |           FROM documents WHERE doc_id < 40)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |  CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+         |       AS BIGINT) AS uni,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |    + 1e-9, 4) AS jac
+         |FROM t a JOIN t b ON a.doc_id < b.doc_id""".stripMargin,
+    "q_embed_cosine_pairs" ->
+      s"""SELECT a.a, b.b,
+         |  round($dotSql / (${normSql("a.ea")} * ${normSql("b.eb")}), 6) AS sim
+         |FROM (SELECT vec_id AS a, embedding AS ea FROM embeddings
+         |      WHERE vec_id < 100) a
+         |JOIN (SELECT vec_id AS b, embedding AS eb FROM embeddings
+         |      WHERE vec_id < 100) b ON a.a < b.b
+         |WHERE $dotSql / (${normSql("a.ea")} * ${normSql("b.eb")}) > 0.2""".stripMargin,
+    "q_ann_brute" ->
+      s"""WITH scored AS (
+         |  SELECT a.a AS query_id, b.b AS neighbor_id,
+         |    $dotSql / (${normSql("a.ea")} * ${normSql("b.eb")}) AS sim
+         |  FROM (SELECT vec_id AS a, embedding AS ea FROM embeddings
+         |        WHERE vec_id < 20) a
+         |  JOIN (SELECT vec_id AS b, embedding AS eb FROM embeddings) b
+         |    ON a.a <> b.b),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_ann_lsh_buckets" ->
+      s"""SELECT vec_id, CAST(${bucketSql(8, 64)} AS BIGINT) AS bucket
+         |FROM embeddings""".stripMargin,
+    "q_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   AS n_tokens,
+        | CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |   AS BIGINT) AS n_distinct,
+        | round(CAST(list_sum(list_transform(
+        |     regexp_split_to_array(trim(text), '\s+'), w -> length(w)))
+        |   AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+        |   + 1e-9, 4) AS mean_len
+        |FROM documents""".stripMargin,
+    "q_quality" -> {
+      val toks = """regexp_split_to_array(trim(text), '\s+')"""
+      val nTok = s"len($toks)"
+      val nDist = s"len(list_distinct($toks))"
+      val meanLen = s"CAST(list_sum(list_transform($toks, w -> length(w))) " +
+        s"AS DOUBLE) / $nTok"
+      val stopR = s"CAST(${langScoreSql("en")} AS DOUBLE) / $nTok"
+      val ttr = s"CAST($nDist AS DOUBLE) / $nTok"
+      s"""SELECT doc_id,
+         | round($ttr + 1e-9, 4) AS ttr,
+         | round($stopR + 1e-9, 4) AS stop_ratio,
+         | round($ttr * 0.5 + least($stopR * 4.0, 1.0) * 0.3 +
+         |   (CASE WHEN $meanLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END)
+         |   + 1e-9, 4) AS quality
+         |FROM documents""".stripMargin
+    },
+    "q_lang_id" ->
+      s"""SELECT doc_id, $predLangSql AS pred_lang,
+         | CAST(${langScoreSql("en")} AS BIGINT) AS en_score,
+         | CAST(${langScoreSql("de")} AS BIGINT) AS de_score
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |     [CAST(unicode(c) AS BIGINT) for c in str_split_regex(text, '')]),
+        |   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | CAST(320 + octet_length(encode(text)) % 321 AS BIGINT) AS width,
+        | CAST(240 + (octet_length(encode(text)) * 7) % 241 AS BIGINT) AS height,
+        | CAST(1 + octet_length(encode(text)) % 30 AS BIGINT) AS n_frames,
+        | CASE WHEN octet_length(encode(text)) % 2 = 0
+        |      THEN 'rgb8' ELSE 'yuv420' END AS format,
+        | CAST(round((320 + octet_length(encode(text)) % 321) * (256.0 /
+        |   least(320 + octet_length(encode(text)) % 321,
+        |         240 + (octet_length(encode(text)) * 7) % 241)) + 1e-9)
+        |   AS BIGINT) AS rw,
+        | CAST(round((240 + (octet_length(encode(text)) * 7) % 241) * (256.0 /
+        |   least(320 + octet_length(encode(text)) % 321,
+        |         240 + (octet_length(encode(text)) * 7) % 241)) + 1e-9)
+        |   AS BIGINT) AS rh,
+        | CAST((1 + octet_length(encode(text)) % 30 + 2) // 3 AS BIGINT)
+        |   AS n_sampled
+        |FROM documents""".stripMargin,
+    // q_minhash_pairs, q_simhash_pairs, q_ann_lsh_topk: xxhash64-based →
+    // rows-only checks (engine hash not reproducible in the oracle).
+  )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata struct
+  * alongside. The decode step is a STUB (no media libraries in this
+  * environment): [[fakeDecode]] derives deterministic pseudo-metadata from
+  * the bytes. Everything around it — schema, batched per-partition execution,
+  * partition sizing — is real and is what matters at 100 TB:
+  *
+  *  - decode/feature-extract run via `mapPartitions` over a typed Dataset:
+  *    one JVM-side batch per partition (the Scala analog of arrow-batched
+  *    Python `mapInPandas`), so a real decoder would amortize codec init
+  *    per-partition, not per-row.
+  *  - media rows are large: repartition by size budget BEFORE decode so a
+  *    partition's decoded frames fit in executor memory (see
+  *    [[repartitionForMedia]]).
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, payload: Array[Byte])
+  case class MediaMeta(media_id: Long, byte_len: Long, width: Int, height: Int,
+                       n_frames: Int, format: String)
+
+  /** STUB decoder: deterministic pseudo-metadata from payload bytes.
+    * A real implementation would call an image/video codec here; the
+    * signature (bytes in, typed metadata out) is the real contract. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
+    val n = payload.length
+    val width = 320 + (n % 321)            // 320..640
+    val height = 240 + ((n * 7) % 241)     // 240..480
+    val frames = 1 + (n % 30)
+    val fmt = if (n % 2 == 0) "rgb8" else "yuv420"
+    (width, height, frames, fmt)
+  }
+
+  /** Decode a binary payload column into a typed metadata Dataset.
+    * Batched per partition; codec state would be initialized once per
+    * partition in the `mapPartitions` closure. */
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String)
+                (implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init of a (stub) codec happens here
+        rows.map { r =>
+          val (w, h, f, fmt) = fakeDecode(r.payload)
+          MediaMeta(r.media_id, r.payload.length.toLong, w, h, f, fmt)
+        }
+      }
+  }
+
+  /** Frame sampling: keep every `stride`-th frame index, as the plumbing a
+    * video pipeline needs (indices only — decode stubbed). Pure Column expr. */
+  def sampleFrameIndices(nFrames: org.apache.spark.sql.Column, stride: Int)
+      : org.apache.spark.sql.Column =
+    filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)
+
+  /** "Resize": metadata-level scale transform (decode stubbed).
+    * +1e-9 before round: w·(t/s) can land exactly on .5 for integer dims;
+    * the epsilon makes rounding engine-portable (see Queries.roundSafe). */
+  def resizeMeta(width: org.apache.spark.sql.Column,
+                 height: org.apache.spark.sql.Column,
+                 targetShortSide: Int)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val short = least(width, height)
+    val scale = lit(targetShortSide).cast("double") / short
+    (round(width * scale + lit(1e-9)).cast("int"),
+     round(height * scale + lit(1e-9)).cast("int"))
+  }
+
+  /** Media partitions must be sized by BYTES, not rows: repartition so each
+    * partition holds ~`targetMB` of payload. At 100 TB this is the difference
+    * between a working pipeline and OOM: a 1000-row partition of 4K video is
+    * tens of GB. Uses a running estimate from the payload length column. */
+  def repartitionForMedia(df: DataFrame, payloadCol: String,
+                          totalBytes: Long, targetMB: Int = 128): DataFrame = {
+    val parts = math.max(1, (totalBytes / (targetMB * 1024L * 1024L)).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scale design (100 TB):
+  *  - [[cosine]] / [[dot]] are sequential-fold HOF expressions — codegen'd,
+  *    narrow, and bit-reproducible across engines (verified vs DuckDB).
+  *  - [[bruteForceTopK]] broadcasts the (small) query set against the corpus:
+  *    one narrow pass + a partial top-k aggregation, no corpus shuffle.
+  *  - [[hyperplaneBucket]] assigns LSH buckets per-row with integer
+  *    hyperplanes (zero shuffle); [[lshTopK]] joins query and corpus on the
+  *    bucket, turning all-pairs scoring into per-bucket scoring.
+  */
+object Similarity {
+
+  /** Dot product of two equal-length numeric arrays, accumulated
+    * sequentially in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; NULL if either norm is zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val (na, nb) = (norm(a), norm(b))
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+  }
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * `queries` (small, broadcast) × `corpus` (huge): Catalyst plans a
+    * BroadcastNestedLoopJoin — the corpus is scanned once, never shuffled;
+    * only (nQueries × k) rows survive the window. Self-matches excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: String = "vec_id", cId: String = "vec_id",
+                     qVec: String = "embedding", cVec: String = "embedding")
+      : DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic integer hyperplane weight for (plane j, dimension d):
+    * pseudo-random in [-48, 48] via exact integer arithmetic (reproducible in
+    * any SQL engine — no float RNG). */
+  private def planeWeight(j: Int, d: Int): Long =
+    ((j.toLong * 64L + d.toLong) * 2654435761L % 97L) - 48L
+
+  /** LSH bucket id: one bit per hyperplane = sign of <v, plane_j>. */
+  def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { j =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeWeight(j, d).toDouble)
+      }.reduce[Column](_ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce[Column](_ + _)
+
+  /** Approximate top-k: score only within the query's hyperplane bucket.
+    * The bucket equi-join shuffles both sides by bucket id — at 100 TB this
+    * replaces an O(N·Q) scan with O(N·Q/2^planes) per-bucket work. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numPlanes: Int, dim: Int,
+              qId: String = "vec_id", cId: String = "vec_id",
+              qVec: String = "embedding", cVec: String = "embedding")
+      : DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      hyperplaneBucket(col(qVec), numPlanes, dim).as("__bucket"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      hyperplaneBucket(col(cVec), numPlanes, dim).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+}

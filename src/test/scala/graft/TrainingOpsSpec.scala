@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity, Multimodal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different words entirely unrelated text"),
+    (3L, "the quick brown fox jumps over the lazy dog") // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs, "doc_id", Seq(col("text")))
+    assert(r.count() == 3)
+    val dup = r.where(col("n_copies") === 2).select("keep_id").as[Long].collect()
+    assert(dup.toSeq == Seq(0L))
+  }
+
+  test("token stats") {
+    val r = docs.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.distinctTokenCount(col("text")).as("d"))
+      .where(col("n") === 9).collect()
+    assert(r.length == 3)        // docs 0,1,3 have 9 tokens
+    assert(r.head.getLong(1) == 8) // "the" repeats
+  }
+
+  test("minhash signatures identical for identical docs, close for near-dups") {
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minHashSignatures(col("text"), 8, 5).as("sig"))
+      .orderBy("doc_id").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    val agree01 = sigs(0L).zip(sigs(1L)).count { case (a, b) => a == b }
+    val agree02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(agree01 > agree02)
+    assert(agree02 == 0)
+  }
+
+  test("LSH candidate pairs find the exact dup") {
+    val withSig = docs.select(col("doc_id"),
+      Dedup.minHashSignatures(col("text"), 8, 5).as("sig"))
+    val pairs = Dedup.lshCandidatePairs(withSig, "doc_id", "sig", 8, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("simhash hamming distance orders by similarity") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    val d01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val d02 = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    assert(d01 < d02)
+  }
+
+  test("nGramJaccard: identical=1, near-dup high, unrelated low") {
+    val a = docs.where($"doc_id" === 0).select($"text".as("ta"))
+    val pairs = a.crossJoin(docs.select($"doc_id", $"text".as("tb")))
+      .select($"doc_id", Dedup.nGramJaccard($"ta", $"tb").as("j"))
+      .as[(Long, Double)].collect().toMap
+    assert(pairs(3L) == 1.0)
+    assert(pairs(1L) > 0.6)
+    assert(pairs(2L) < 0.1)
+  }
+
+  test("cosine and brute-force top-k") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.bruteForceTopK(
+      vecs.where($"vec_id" === 0), vecs, k = 3)
+      .select($"rank", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 1L) // most similar
+    assert(r(3L) == 3L) // least similar (opposite)
+  }
+
+  test("lsh bucket: same vector → same bucket; topk finds dup") {
+    val vecs = Seq(
+      (0L, (0 until 64).map(i => math.sin(i).toFloat)),
+      (1L, (0 until 64).map(i => math.sin(i).toFloat)),
+      (2L, (0 until 64).map(i => math.cos(i * 3).toFloat))
+    ).toDF("vec_id", "embedding")
+    val b = vecs.select(
+      Similarity.hyperplaneBucket($"embedding", 8, 64).as("b"))
+      .as[Long].collect()
+    assert(b(0) == b(1))
+    val topk = Similarity.lshTopK(vecs.where($"vec_id" === 0), vecs, 1, 8, 64)
+    val hit = topk.select($"neighbor_id").as[Long].collect()
+    assert(hit.toSeq == Seq(1L))
+  }
+
+  test("language id + quality are deterministic and sane") {
+    val r = docs.orderBy("doc_id").select(
+      TextFunctions.predictLang($"text").as("l"),
+      TextFunctions.langScore($"text", "en").as("s"),
+      round(TextFunctions.qualityScore($"text"), 4).as("q")).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("en", "en", "unk", "en"))
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L, 0L, 2L))
+    assert(r.forall(row => row.getDouble(2) > 0 && row.getDouble(2) <= 1.0))
+  }
+
+  test("rolling hash: deterministic, content-sensitive") {
+    val fps = docs.select(TextFunctions.rollingHash($"text")).as[Long].collect()
+    assert(fps(0) == fps(3))
+    assert(fps(0) != fps(1))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("multimodal decode plumbing round-trips schema") {
+    implicit val s = spark
+    val withPayload = docs.select($"doc_id",
+      encode($"text", "utf-8").as("payload"))
+    val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload")
+    val r = meta.orderBy("media_id").collect()
+    assert(r.length == 4)
+    assert(r(0).byte_len == 43)
+    assert(r(0).width == 320 + 43 % 321)
+    assert(r(0).format == "yuv420")
+    // frame sampling: stride 3 over n frames
+    val n = docs.sparkSession.range(1).select(
+      size(Multimodal.sampleFrameIndices(lit(10), 3))).as[Int].collect()(0)
+    assert(n == 4) // frames 0,3,6,9
+  }
+}
