@@ -25,6 +25,11 @@ object Queries {
   private def lines(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
 
+  /** Pruned projection — at scale, select the needed fields BEFORE packing so
+    * the collect_list shuffle carries slim structs, not whole rows. */
+  private def lines(s: SparkSession, dir: String, cols: String*): DataFrame =
+    lines(s, dir).select(("o_orderkey" +: cols).map(col): _*)
+
   /** Round a DIVISION-DERIVED double for oracle comparison. Quotients (avg,
     * interpolated percentiles) of cent-valued data frequently land exactly on
     * a rounding boundary, where Spark's vs DuckDB's last-ulp accumulation
@@ -72,12 +77,12 @@ object Queries {
 
   /** toLists → fromLists round-trip, then flatten and aggregate. */
   val qListsRoundtrip: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice", "l_returnflag"),
+      Seq("o_orderkey"), "items")
     val asLists = packed.toLists("items", baseCols = Seq("o_orderkey"))
     val rezipped = asLists.fromLists(
-      Seq("l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-        "l_linestatus", "l_shipdate"), "items")
+      Seq("l_quantity", "l_extendedprice", "l_returnflag"), "items")
     rezipped.toFlat("items", baseCols = Seq("o_orderkey"))
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
@@ -97,8 +102,8 @@ object Queries {
 
   /** explode (inline) a nest keeping base columns, then aggregate. */
   val qExplode: Q = (s, dir) => {
-    rd(s, dir, "orders")
-      .joinNested(lines(s, dir), Seq("o_orderkey"), "items", "inner")
+    rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .joinNested(lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items", "inner")
       .explodeNested("items")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -106,8 +111,9 @@ object Queries {
 
   /** flattenInner: customer→orders→lineitem double nest hoisted one level. */
   val qFlattenInner: Q = (s, dir) => {
-    val ordersWithLines = rd(s, dir, "orders")
-      .joinNested(lines(s, dir), Seq("o_orderkey"), "lines", "inner")
+    val ordersWithLines = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .joinNested(lines(s, dir, "l_extendedprice"), Seq("o_orderkey"), "lines",
+        "inner")
     val byCust = NestedOps.packFlat(ordersWithLines, Seq("o_custkey"), "orders")
     NestedOps.flattenInner(byCust, "orders", "lines")
       .select(col("o_custkey").as("custkey"),
@@ -130,7 +136,8 @@ object Queries {
 
   /** Element-level filter dropping emptied rows (.nest.query semantics). */
   val qNestFilter: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice"), Seq("o_orderkey"), "items")
     NestedOps.filterElementsDropEmpty(packed, "items",
         e => e.getField("l_quantity") > 25.0)
       .select(col("o_orderkey").as("orderkey"),
@@ -140,7 +147,9 @@ object Queries {
 
   /** The string query dialect: element filter keeps rows, then flatten-agg. */
   val qQueryDialect: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_discount", "l_returnflag", "l_extendedprice"),
+      Seq("o_orderkey"), "items")
     NestedExpr.query(packed, "items.l_discount > 0.05")
       .toFlat("items")
       .groupBy("l_returnflag")
@@ -149,7 +158,8 @@ object Queries {
 
   /** dropna / fillna on nested elements (nulls synthesized deterministically). */
   val qDropnaFillna: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_discount"), Seq("o_orderkey"), "items")
       .withNestedField("items", "disc",
         e => when(e.getField("l_discount") < 0.03, lit(null))
           .otherwise(e.getField("l_discount")))
@@ -167,7 +177,9 @@ object Queries {
 
   /** withNestedField closing over element fields. */
   val qWithField: Q = (s, dir) => {
-    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.packFlat(
+      lines(s, dir, "l_extendedprice", "l_discount", "l_returnflag"),
+      Seq("o_orderkey"), "items")
       .withNestedField("items", "revenue",
         e => e.getField("l_extendedprice") * (lit(1.0) - e.getField("l_discount")))
       .toFlat("items")
@@ -177,7 +189,9 @@ object Queries {
 
   /** eval-assignment string dialect creating a new nested field. */
   val qEvalAssign: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_extendedprice", "l_discount", "l_tax", "l_linestatus"),
+      Seq("o_orderkey"), "items")
     NestedExpr.evalAssign(packed,
         "items.charge = items.l_extendedprice * (1 - items.l_discount) * (1 + items.l_tax)")
       .toFlat("items")
@@ -212,7 +226,8 @@ object Queries {
 
   /** describe: count/mean/std/quartiles over a nested field (exact percentile). */
   val qDescribe: Q = (s, dir) => {
-    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.packFlat(
+      lines(s, dir, "l_extendedprice"), Seq("o_orderkey"), "items")
       .toFlat("items")
       .agg(
         count(col("l_extendedprice")).as("cnt"),
@@ -231,7 +246,10 @@ object Queries {
 
   /** sort elements desc by shipdate (tie: linenumber), take head per row. */
   val qSortHead: Q = (s, dir) => {
-    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items",
+    NestedOps.packFlat(
+      lines(s, dir, "l_shipdate", "l_linenumber", "l_extendedprice",
+        "l_partkey", "l_suppkey"),
+      Seq("o_orderkey"), "items",
         sortBy = Seq(("l_shipdate", false), ("l_linenumber", true),
           ("l_extendedprice", true), ("l_partkey", true), ("l_suppkey", true)))
       .select(col("o_orderkey").as("orderkey"),

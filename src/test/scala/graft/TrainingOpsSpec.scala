@@ -52,7 +52,7 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("simhash hamming distance orders by similarity") {
-    val sigs = docs.select(col("doc_id"), Dedup.simHash64(col("text")).as("s"))
+    val sigs = docs.select(col("doc_id"), Dedup.simHash64("text").as("s"))
       .as[(Long, Long)].collect().toMap
     assert(sigs(0L) == sigs(3L))
     val d01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
