@@ -293,6 +293,78 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------------
+  // map_rows / IO / reshape extensions
+  // ---------------------------------------------------------------------------
+
+  /** mapRows imperative kernel (the reference's njit max_slope example,
+    * docs njit_map_rows.ipynb): max |Δprice| over shipdate-ordered items. */
+  val qMapRowsKernel: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_shipdate", "l_linenumber", "l_extendedprice",
+        "l_partkey", "l_suppkey"),
+      Seq("o_orderkey"), "items",
+      sortBy = Seq(("l_shipdate", true), ("l_linenumber", true),
+        ("l_extendedprice", true), ("l_partkey", true), ("l_suppkey", true)))
+    graft.nested.MapRows.mapRows(packed,
+      Seq("o_orderkey", "items.l_extendedprice"),
+      StructType(Seq(StructField("orderkey", LongType),
+        StructField("max_jump", DoubleType)))) { case Seq(k, prices) =>
+      val p = prices.asInstanceOf[Seq[Double]]
+      val jump = if (p.length < 2) null
+                 else p.sliding(2).map(w => math.abs(w(1) - w(0))).max
+      Seq(k, jump)
+    }.withColumn("max_jump", round(col("max_jump"), 2))
+  }
+
+  /** Struct-of-list parquet round-trip (the reference's on-disk encoding):
+    * write transposed, read back with auto-cast, aggregate. */
+  val qStructOfList: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_returnflag"), Seq("o_orderkey"), "items")
+    val path = s"/tmp/graft_sol_roundtrip"
+    graft.sources.NestedParquet.writeStructOfList(packed, path)
+    graft.sources.NestedParquet.readCompat(s, path)
+      .toFlat("items")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Generic describe operator (long format) over a nested numeric field. */
+  val qDescribeAll: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+    NestedOps.describeAll(packed.drop("o_orderkey"))
+      .select(col("column"), col("stat"),
+        roundSafe(col("value"), 4).as("value"))
+  }
+
+  /** explodeAligned over toLists output: multi-column aligned explode. */
+  val qExplodeAligned: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_returnflag"), Seq("o_orderkey"), "items")
+    val asLists = packed.toLists("items", baseCols = Seq("o_orderkey"))
+    NestedOps.explodeAligned(asLists, Seq("l_quantity", "l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** get_list_index: per-element ordinals, used to pick each cell's head. */
+  val qElementIndex: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey",
+        "l_linenumber"),
+      Seq("o_orderkey"), "items",
+      sortBy = Seq(("l_quantity", true), ("l_extendedprice", true),
+        ("l_partkey", true), ("l_suppkey", true), ("l_linenumber", true)))
+    NestedOps.withElementIndex(packed, "items")
+      .toFlat("items", baseCols = Seq("o_orderkey"))
+      .where(col("idx") === 0)
+      .select(col("o_orderkey").as("orderkey"),
+        round(col("l_extendedprice"), 2).as("min_qty_price"))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
@@ -316,6 +388,11 @@ object Queries {
     "q_sort_head" -> qSortHead,
     "q_map_rows_mean" -> qMapRowsMean,
     "q_sessionize" -> qSessionize,
+    "q_map_rows_kernel" -> qMapRowsKernel,
+    "q_struct_of_list" -> qStructOfList,
+    "q_describe_all" -> qDescribeAll,
+    "q_explode_aligned" -> qExplodeAligned,
+    "q_element_index" -> qElementIndex,
   ) ++ TrainingQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -425,5 +502,44 @@ object Queries {
         |                ORDER BY ts, event_id) AS prev_ms
         |            FROM events))
         |GROUP BY user_id""".stripMargin,
+    "q_map_rows_kernel" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(max(abs(l_extendedprice - prev)), 2) AS max_jump
+        |FROM (SELECT l_orderkey, l_extendedprice,
+        |        lag(l_extendedprice) OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_shipdate, l_linenumber, l_extendedprice,
+        |                   l_partkey, l_suppkey) AS prev
+        |      FROM lineitem)
+        |GROUP BY l_orderkey""".stripMargin,
+    "q_struct_of_list" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_describe_all" -> {
+      val q = "l_quantity"
+      Seq(
+        s"SELECT 'items.$q' AS \"column\", 'count' AS stat, " +
+          s"round(CAST(count($q) AS DOUBLE) + 1e-9, 4) AS value FROM lineitem",
+        s"SELECT 'items.$q', 'mean', round(avg($q) + 1e-9, 4) FROM lineitem",
+        s"SELECT 'items.$q', 'std', round(stddev_samp($q) + 1e-9, 4) FROM lineitem",
+        s"SELECT 'items.$q', 'min', round(CAST(min($q) AS DOUBLE) + 1e-9, 4) FROM lineitem",
+        s"SELECT 'items.$q', '25%', round(quantile_cont($q, 0.25) + 1e-9, 4) FROM lineitem",
+        s"SELECT 'items.$q', '50%', round(quantile_cont($q, 0.5) + 1e-9, 4) FROM lineitem",
+        s"SELECT 'items.$q', '75%', round(quantile_cont($q, 0.75) + 1e-9, 4) FROM lineitem",
+        s"SELECT 'items.$q', 'max', round(CAST(max($q) AS DOUBLE) + 1e-9, 4) FROM lineitem",
+      ).mkString(" UNION ALL ")
+    },
+    "q_explode_aligned" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_element_index" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(l_extendedprice, 2) AS min_qty_price
+        |FROM (SELECT l_orderkey, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_orderkey
+        |          ORDER BY l_quantity, l_extendedprice, l_partkey, l_suppkey,
+        |                   l_linenumber) AS rn
+        |      FROM lineitem) WHERE rn = 1""".stripMargin,
   ) ++ TrainingQueries.oracles
 }

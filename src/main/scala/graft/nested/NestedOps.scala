@@ -402,6 +402,81 @@ object NestedOps {
     array_min(transform(col(nest), s => s.getField(field)))
   def elementMax(nest: String, field: String): Column =
     array_max(transform(col(nest), s => s.getField(field)))
+
+  /** Explode SEVERAL aligned array/nested columns together, one output row
+    * per position (lengths must match — reference `NestedFrame.explode`
+    * multi-column mode, core.py:1221-1349). `arrays_zip` + one `inline`:
+    * a single generator, not N chained explodes. */
+  def explodeAligned(df: DataFrame, cols: Seq[String],
+                     keepEmpty: Boolean = false): DataFrame = {
+    val base = df.columns.filterNot(cols.contains).toSeq
+    val zipped = arrays_zip(cols.map(col): _*)
+    val gen = if (keepEmpty) inline_outer(zipped) else inline(zipped)
+    val exploded = df.select(base.map(col) :+ gen: _*)
+    // arrays_zip names struct fields after the source columns; nested
+    // (struct-element) sources surface as structs — flatten them to fields.
+    cols.foldLeft(exploded) { (d, c) =>
+      d.schema(c).dataType match {
+        case s: StructType =>
+          val flat = s.fieldNames.toSeq.map(f => col(s"$c.$f").as(f))
+          d.select(d.columns.filterNot(_ == c).toSeq.map(col) ++ flat: _*)
+        case _ => d
+      }
+    }
+  }
+
+  /** Per-element ordinal within each cell, as field `idx` (reference
+    * `get_list_index`, ext_array.py:1021-1027 — the alignment key). */
+  def withElementIndex(df: DataFrame, nest: String,
+                       idxField: String = "idx"): DataFrame =
+    df.withColumn(nest, transform(col(nest), (s, i) =>
+      s.withField(idxField, i.cast("long"))))
+
+  /** describe: count / mean / std / min / 25% / 50% / 75% / max for every
+    * numeric base column and nested numeric field (reference
+    * `NestedFrame.describe`, core.py:1099-1219). Long format
+    * (column, stat, value); one aggregate per layer. Exact percentiles
+    * (matching pandas' interpolation), so at extreme scale swap
+    * `percentile` for `percentile_approx`. */
+  def describeAll(df: DataFrame): DataFrame = {
+    val numeric: DataType => Boolean = {
+      case _: NumericType => true
+      case _              => false
+    }
+    def statsFor(src: DataFrame, c: String, outName: String): DataFrame = {
+      val x = col(c)
+      src.agg(
+        count(x).cast("double").as("count"),
+        avg(x).as("mean"),
+        stddev_samp(x).as("std"),
+        min(x).cast("double").as("min"),
+        expr(s"percentile(`$c`, 0.25)").as("p25"),
+        expr(s"percentile(`$c`, 0.5)").as("p50"),
+        expr(s"percentile(`$c`, 0.75)").as("p75"),
+        max(x).cast("double").as("max"))
+        .select(lit(outName).as("column"), explode(map(
+          lit("count"), col("count"), lit("mean"), col("mean"),
+          lit("std"), col("std"), lit("min"), col("min"),
+          lit("25%"), col("p25"), lit("50%"), col("p50"),
+          lit("75%"), col("p75"), lit("max"), col("max")))
+          .as(Seq("stat", "value")))
+    }
+    val baseStats = df.schema.fields.toSeq.collect {
+      case f if numeric(f.dataType) => statsFor(df, f.name, f.name)
+    }
+    val nestedStats = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case ArrayType(s: StructType, _) =>
+          val flat = df.select(inline(col(f.name)))
+          s.fields.toSeq.collect {
+            case sf if numeric(sf.dataType) =>
+              statsFor(flat, sf.name, s"${f.name}.${sf.name}")
+          }
+        case _ => Nil
+      }
+    }
+    (baseStats ++ nestedStats).reduce(_ unionAll _)
+  }
 }
 
 /** Implicit syntax: `import graft.nested.syntax._` then `df.joinNested(...)`. */

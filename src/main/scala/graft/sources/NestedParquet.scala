@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.nested.NestedOps
+
+/** Parquet IO for nested columns, covering the reference's read/write surface
+  * (nestedframe/io.py).
+  *
+  * Spark reads/writes `array<struct<...>>` natively; what needs code is:
+  *  - struct-of-list compatibility: the reference WRITES nested columns as
+  *    `struct<f1: list<t1>, ...>` (one list per field, shared offsets —
+  *    core.py:2586-2631, ext_array.py:929-945); [[readCompat]] detects that
+  *    encoding and transposes it to `array<struct>` with `arrays_zip`
+  *    (zero shuffle), [[writeStructOfList]] produces it for files the
+  *    reference can partially load.
+  *  - partial nested-column loading `columns=["nested.a"]` (io.py:150-205):
+  *    [[selectColumns]] reassembles pruned nests and enforces the
+  *    full-vs-partial conflict error (io.py:182-189).
+  *
+  * Scale: nested-leaf projection reaches the parquet scan via Catalyst
+  * SchemaPruning (verified in plans: ReadSchema lists only requested
+  * leaves); no custom reader needed.
+  */
+object NestedParquet {
+
+  /** Is this a struct whose every field is an array (the reference's
+    * struct-of-list parquet encoding)? */
+  private def isStructOfList(dt: DataType): Boolean = dt match {
+    case s: StructType =>
+      s.fields.nonEmpty && s.fields.forall(_.dataType.isInstanceOf[ArrayType])
+    case _ => false
+  }
+
+  /** Read parquet, transposing any struct-of-list columns into nested
+    * (array-of-struct) columns — the `from_pyarrow` auto-cast
+    * (io.py:498-572). */
+  def readCompat(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case s: StructType if isStructOfList(f.dataType) =>
+          val zipped = arrays_zip(
+            s.fieldNames.toSeq.map(n => col(s"${f.name}.$n").as(n)): _*)
+          df.withColumn(f.name, zipped)
+        case _ => df
+      }
+    }
+  }
+
+  /** Write with nested columns transposed to struct-of-list (the reference's
+    * on-disk format, enabling its leaf-level partial loading). */
+  def writeStructOfList(df: DataFrame, path: String,
+                        mode: String = "overwrite"): Unit = {
+    val out = NestedOps.nestedColumns(df).foldLeft(df) { (d, nest) =>
+      val fields = NestedOps.subColumns(d, nest)
+      d.withColumn(nest, struct(fields.map(fl =>
+        transform(col(nest), s => s.getField(fl)).as(fl)): _*))
+    }
+    out.write.mode(mode).parquet(path)
+  }
+
+  /** Column selection with dotted nested components, mirroring
+    * `read_parquet(columns=...)` semantics: `"nested"` loads the whole nest,
+    * `"nested.a"` loads a pruned nest; requesting both for the same nest is
+    * an error (io.py:182-189). Apply directly after `spark.read.parquet` —
+    * Catalyst pushes the leaf projection into the scan. */
+  def selectColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val parsed = columns.map(c => (c, NestedOps.resolveDotted(df, c)))
+    val byNest = parsed.collect { case (_, (Some(n), f)) => (n, f) }
+      .groupBy(_._1).map { case (n, fs) => (n, fs.map(_._2)) }
+    val fullNests = parsed.collect {
+      case (c, (None, n)) if NestedOps.nestedColumns(df).contains(n) => n
+    }.toSet
+    val conflict = fullNests.intersect(byNest.keySet)
+    require(conflict.isEmpty,
+      s"Both full and partial load requested for nest(s): ${conflict.mkString(", ")}")
+    val outCols: Seq[Column] = parsed.map {
+      case (c, (None, base)) => col(base)
+      case (_, (Some(n), _)) => col(n) // replaced below by pruned transform
+    }.distinct
+    val selected = df.select(outCols: _*)
+    byNest.foldLeft(selected) { case (d, (nest, fields)) =>
+      NestedOps.selectSubFields(d, nest, fields.distinct)
+    }
+  }
+
+  /** Toy dataset generator — the reference's `generate_data`
+    * (datasets/generation.py:6-57): base (id, a, b) + nested
+    * (t, flux, flux_error, band), `nLayer` elements per base row,
+    * deterministic via seeded per-row hashing (no driver-side RNG state,
+    * so it scales to any nBase on a cluster). */
+  def generateData(spark: SparkSession, nBase: Long, nLayer: Int): DataFrame = {
+    val base = spark.range(nBase).toDF("id")
+      .withColumn("a", pmod(xxhash64(col("id"), lit(1)), lit(1000L)) / 1000.0)
+      .withColumn("b", pmod(xxhash64(col("id"), lit(2)), lit(1000L)) / 500.0)
+    base.withColumn("nested",
+      transform(sequence(lit(0), lit(nLayer - 1)), i => struct(
+        (pmod(xxhash64(col("id"), i, lit(3)), lit(2000L)) / 100.0).as("t"),
+        (pmod(xxhash64(col("id"), i, lit(4)), lit(10000L)) / 100.0).as("flux"),
+        lit(1.0).as("flux_error"),
+        when(pmod(xxhash64(col("id"), i, lit(5)), lit(2L)) === 0L, "r")
+          .otherwise("g").as("band"))))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — net-new relative to the reference (which
+  * has no streaming at all, SURVEY.md §2.12), designed so the nested data
+  * model carries over: a stream of child rows is incrementally PACKED into
+  * nested cells per key.
+  *
+  * Scale notes: both operators are keyed stateful aggregations — state is
+  * partitioned by key across executors, checkpointed incrementally; the
+  * watermark bounds state size.
+  */
+object StreamingOps {
+
+  /** Windowed streaming pack: child rows → one nested cell per
+    * (key, event-time window), emitted on watermark close. The streaming twin
+    * of `packFlat` — same collect_list(struct) core, plus watermark +
+    * window. */
+  def packStream(child: DataFrame, key: String, tsCol: String,
+                 valueCols: Seq[String], name: String,
+                 windowLen: String = "10 minutes",
+                 watermark: String = "10 minutes"): DataFrame =
+    child
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(key), window(col(tsCol), windowLen))
+      .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
+
+  case class SessionIn(user_id: Long, ts_ms: Long, value: Double)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+                        session_end_ms: Long, n_events: Long, sum_value: Double)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long,
+                                  total: Double)
+
+  /** Session windows with a processing gap via flatMapGroupsWithState:
+    * emits a session when `gapMs` of silence passes (state timeout).
+    * The streaming analog of the batch q_sessionize query. */
+  def sessionize(events: Dataset[SessionIn], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionIn],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.startMs, s.lastMs, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_ms)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+                  cur = Some(SessionState(s.startMs, e.ts_ms, s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.startMs, s.lastMs, s.n, s.total)
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import graft.nested.{NestedOps, MapRows, syntax}
+import graft.sources.NestedParquet
+import graft.streaming.StreamingOps
+import syntax._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class ExtendedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val base = Seq((0L, 1, 4), (1L, 2, 5), (2L, 3, 6)).toDF("key", "a", "b")
+  lazy val child = Seq(
+    (0L, 0, 5), (0L, 2, 4), (0L, 4, 7),
+    (1L, 1, 5), (1L, 4, 3), (1L, 3, 1),
+    (2L, 1, 9), (2L, 4, 3), (2L, 1, 4)).toDF("key", "c", "d")
+  lazy val nf = base.joinNested(child, Seq("key"), "nested",
+    sortBy = Seq(("c", true), ("d", true)))
+
+  test("mapRows: base scalar + nested seq args") {
+    val out = MapRows.mapRows(nf, Seq("a", "nested.c"),
+      StructType(Seq(StructField("a2", IntegerType),
+        StructField("sum_c", IntegerType)))) { case Seq(a, cs) =>
+      val s = cs.asInstanceOf[Seq[Int]].sum
+      Seq(a.asInstanceOf[Int] * 2, s)
+    }
+    val r = out.orderBy("a2").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(2, 4, 6))
+    assert(r.map(_.getInt(1)).toSeq == Seq(6, 8, 6))
+  }
+
+  test("mapRowsAppend joins results back on key") {
+    val out = MapRows.mapRowsAppend(nf, "key", Seq("nested.d"),
+      StructType(Seq(StructField("max_d", IntegerType)))) { case Seq(ds) =>
+      Seq(ds.asInstanceOf[Seq[Int]].max)
+    }
+    assert(out.columns.toSeq == Seq("key", "a", "b", "nested", "max_d"))
+    val r = out.orderBy("key").select("max_d").as[Int].collect()
+    assert(r.toSeq == Seq(7, 5, 9))
+  }
+
+  test("struct-of-list parquet round-trip (reference on-disk format)") {
+    val dir = Files.createTempDirectory("sol").toString + "/t.parquet"
+    NestedParquet.writeStructOfList(nf, dir)
+    // the file really is struct-of-list:
+    val raw = spark.read.parquet(dir)
+    assert(raw.schema("nested").dataType.isInstanceOf[StructType])
+    // and readCompat transposes it back to array<struct>:
+    val back = NestedParquet.readCompat(spark, dir)
+    assert(NestedOps.isNestedType(back.schema("nested").dataType))
+    val total = back.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(total == 9)
+    val c0 = back.orderBy("key").select(expr("nested[0].c")).as[Int].collect()
+    assert(c0.toSeq == Seq(0, 1, 1))
+  }
+
+  test("selectColumns partial nested load + conflict error") {
+    val pruned = NestedParquet.selectColumns(nf, Seq("key", "nested.c"))
+    assert(pruned.columns.toSeq == Seq("key", "nested"))
+    assert(pruned.subColumns("nested") == Seq("c"))
+    intercept[IllegalArgumentException] {
+      NestedParquet.selectColumns(nf, Seq("nested", "nested.c"))
+    }
+  }
+
+  test("explodeAligned zips aligned list columns") {
+    val df = Seq((1L, Seq(1, 2, 3), Seq("x", "y", "z")))
+      .toDF("k", "v", "w")
+    val r = NestedOps.explodeAligned(df, Seq("v", "w"))
+    assert(r.count() == 3)
+    assert(r.columns.toSet == Set("k", "v", "w"))
+    val rows = r.orderBy("v").as[(Long, Int, String)].collect()
+    assert(rows(2) == ((1L, 3, "z")))
+  }
+
+  test("withElementIndex adds per-cell ordinals") {
+    val r = NestedOps.withElementIndex(nf, "nested")
+    val idx = r.orderBy("key")
+      .select(expr("transform(nested, s -> s.idx)")).as[Seq[Long]].collect()
+    assert(idx.forall(_ == Seq(0L, 1L, 2L)))
+  }
+
+  test("describeAll covers base and nested numeric columns") {
+    val d = NestedOps.describeAll(nf.drop("key"))
+    val cols = d.select("column").distinct().as[String].collect().toSet
+    assert(cols == Set("a", "b", "nested.c", "nested.d"))
+    val meanC = d.where($"column" === "nested.c" && $"stat" === "mean")
+      .select("value").as[Double].collect()(0)
+    assert(math.abs(meanC - 20.0 / 9) < 1e-12)
+    assert(d.count() == 4 * 8)
+  }
+
+  test("generateData is deterministic and nested-shaped") {
+    val d1 = NestedParquet.generateData(spark, 10, 5)
+    assert(d1.count() == 10)
+    assert(NestedOps.subColumns(d1, "nested") ==
+      Seq("t", "flux", "flux_error", "band"))
+    val s = d1.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(s == 50)
+    val a1 = d1.orderBy("id").select("a").as[Double].collect()
+    val a2 = NestedParquet.generateData(spark, 10, 5)
+      .orderBy("id").select("a").as[Double].collect()
+    assert(a1.toSeq == a2.toSeq)
+  }
+
+  test("streaming pack: windowed collect_list under watermark") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val t0 = 1700000000000L
+    ms.addData(
+      (1L, new java.sql.Timestamp(t0), 1.0),
+      (1L, new java.sql.Timestamp(t0 + 60000), 2.0),
+      (2L, new java.sql.Timestamp(t0 + 1000), 5.0))
+    val df = ms.toDF().toDF("user_id", "ts", "value")
+    val packed = StreamingOps.packStream(df, "user_id", "ts",
+      Seq("value"), "events", "10 minutes", "10 minutes")
+    val q = packed.writeStream.outputMode("complete")
+      .format("memory").queryName("packout").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT user_id, size(events) AS n FROM packout")
+        .as[(Long, Int)].collect().toMap
+      assert(out == Map(1L -> 2, 2L -> 1))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize emits closed sessions") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[StreamingOps.SessionIn](spark)
+    val t0 = 1700000000000L
+    // two sessions for user 1 (gap > 30 min), one ongoing for user 2
+    ms.addData(
+      StreamingOps.SessionIn(1L, t0, 1.0),
+      StreamingOps.SessionIn(1L, t0 + 60000, 2.0),
+      StreamingOps.SessionIn(1L, t0 + 3600000, 3.0),
+      StreamingOps.SessionIn(2L, t0, 9.0))
+    val out = StreamingOps.sessionize(ms.toDS(), gapMs = 1800000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessout").start()
+    try {
+      // ProcessingTimeTimeout keeps the query scheduling batches, so
+      // processAllAvailable never quiesces — poll the sink instead.
+      def rows() = spark.sql("SELECT * FROM sessout")
+        .as[StreamingOps.SessionOut].collect()
+      val deadline = System.currentTimeMillis() + 60000
+      while (rows().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      // first session of user 1 closed by the in-batch gap
+      assert(rows().toSeq ==
+        Seq(StreamingOps.SessionOut(1L, t0, t0 + 60000, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
