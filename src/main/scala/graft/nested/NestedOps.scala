@@ -169,12 +169,16 @@ object NestedOps {
     * element. Reference: `.nest.to_flat` (accessor.py:93-157). Rows whose cell
     * is NULL or empty produce no rows (reference behavior); pass
     * `keepEmpty=true` for `inline_outer` semantics.
-    * Narrow op (generator, no shuffle). */
+    * Narrow op (generator, no shuffle). Field subsets are rebuilt from
+    * field-path extractions (not a `transform` lambda) so parquet
+    * nested-schema pruning still reaches the scan. */
   def toFlat(df: DataFrame, nest: String, baseCols: Seq[String] = Nil,
              fields: Seq[String] = Nil, keepEmpty: Boolean = false): DataFrame = {
-    val src = if (fields.isEmpty) df else selectSubFields(df, nest, fields)
-    val gen = if (keepEmpty) inline_outer(col(nest)) else inline(col(nest))
-    src.select(baseCols.map(col) :+ gen: _*)
+    val cell =
+      if (fields.isEmpty) col(nest)
+      else arrays_zip(fields.map(f => col(s"$nest.$f").as(f)): _*)
+    val gen = if (keepEmpty) inline_outer(cell) else inline(cell)
+    df.select(baseCols.map(col) :+ gen: _*)
   }
 
   /** Project nested column to a subset of its fields.
@@ -201,8 +205,10 @@ object NestedOps {
     val (nestOpt, field) = resolveDotted(df, dotted)
     nestOpt match {
       case Some(nest) =>
-        df.select(keyCols.map(col) :+ explode(col(nest)).as("__e"): _*)
-          .select(keyCols.map(col) :+ col(s"__e.$field").as(field): _*)
+        // field-path explode (GetArrayStructFields) — prunes the scan to the
+        // single requested leaf, unlike exploding the whole struct array
+        df.select(keyCols.map(col) :+
+          explode(col(s"$nest.$field")).as(field): _*)
       case None => df.select(keyCols.map(col) :+ col(field): _*)
     }
   }

@@ -76,14 +76,25 @@ object NestedParquet {
     val conflict = fullNests.intersect(byNest.keySet)
     require(conflict.isEmpty,
       s"Both full and partial load requested for nest(s): ${conflict.mkString(", ")}")
-    val outCols: Seq[Column] = parsed.map {
-      case (c, (None, base)) => col(base)
-      case (_, (Some(n), _)) => col(n) // replaced below by pruned transform
-    }.distinct
-    val selected = df.select(outCols: _*)
-    byNest.foldLeft(selected) { case (d, (nest, fields)) =>
-      NestedOps.selectSubFields(d, nest, fields.distinct)
+    // Pruned nests are rebuilt from FIELD-PATH extractions
+    // (`col("nest.field")` = GetArrayStructFields) zipped back together:
+    // Catalyst's SchemaPruning pushes those into the parquet ReadSchema,
+    // whereas a `transform(nest, s -> struct(...))` lambda blocks pruning
+    // entirely (verified against Spark 4.1 plans — the scan read every leaf).
+    val seen = collection.mutable.LinkedHashSet[String]()
+    parsed.foreach {
+      case (_, (None, base)) => seen += base
+      case (_, (Some(n), _)) => seen += n
     }
+    val outCols: Seq[Column] = seen.toSeq.map { name =>
+      byNest.get(name) match {
+        case Some(fields) =>
+          arrays_zip(fields.distinct.map(f => col(s"$name.$f").as(f)): _*)
+            .as(name)
+        case None => col(name)
+      }
+    }
+    df.select(outCols: _*)
   }
 
   /** Toy dataset generator — the reference's `generate_data`

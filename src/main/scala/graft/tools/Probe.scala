@@ -39,3 +39,33 @@ object EntrySmoke {
     spark.stop()
   }
 }
+
+/** Checks Catalyst nested-schema pruning: write nested parquet, read back a
+  * single leaf through inline(), print the scan's ReadSchema. */
+object PruneCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val path = "/tmp/graft_prune_check"
+    graft.sources.NestedParquet.generateData(spark, 100, 10)
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    import org.apache.spark.sql.functions._
+    def readSchema(d: org.apache.spark.sql.DataFrame): String = {
+      val plan = d.queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString("; ")
+    }
+    val v1 = df.select(col("id"), inline(col("nested"))).select("id", "flux")
+    println("V1 inline-then-select: " + readSchema(v1))
+    val v2 = graft.nested.NestedOps.selectSubFields(df, "nested", Seq("flux"))
+      .select(col("id"), inline(col("nested")))
+    println("V2 transform-prune-then-inline: " + readSchema(v2))
+    val v3 = df.select(col("id"), explode(col("nested.flux")).as("flux"))
+    println("V3 field-path-explode: " + readSchema(v3))
+    val v4 = graft.sources.NestedParquet.selectColumns(df, Seq("id", "nested.flux"))
+    println("V4 selectColumns: " + readSchema(v4))
+    spark.stop()
+  }
+}
