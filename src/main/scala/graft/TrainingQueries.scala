@@ -63,8 +63,8 @@ object TrainingQueries {
     * background (2-row bands admitted >1% of all pairs). */
   val qMinhashPairs: Q = (s, dir) => {
     val withSig = docs(s, dir).select(col("doc_id"),
-      Dedup.minHashSignatures(col("text"), numHashes = 16, shingleSize = 5)
-        .as("sig"))
+      Dedup.minHashSignaturesNative(col("text"), numHashes = 16,
+        shingleSize = 5).as("sig"))
     Dedup.lshCandidatePairs(withSig, "doc_id", "sig",
       numHashes = 16, rowsPerBand = 4)
   }
@@ -73,7 +73,7 @@ object TrainingQueries {
     * pairs at Hamming distance ≤ 12, banded by 16-bit blocks. */
   val qSimhashPairs: Q = (s, dir) => {
     val sigs = docs(s, dir)
-      .select(col("doc_id"), Dedup.simHash64("text").as("sig"))
+      .select(col("doc_id"), Dedup.simHash64Native(col("text")).as("sig"))
     // band on 16-bit blocks: near-dups agree on ≥1 block with high prob.
     val banded = sigs.select(col("doc_id"), col("sig"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),

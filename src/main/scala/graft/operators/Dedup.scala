@@ -51,6 +51,16 @@ object Dedup {
       })
   }
 
+  /** Native (tight-loop Catalyst expression) variants of the sketches —
+    * same algorithms, one pass over UTF-8 bytes, no per-shingle allocation.
+    * Preferred at scale; the HOF forms above remain as the pure-built-in
+    * reference implementations. */
+  def minHashSignaturesNative(text: Column, numHashes: Int,
+                              shingleSize: Int = 5): Column =
+    graft.expressions.native.minhash(text, numHashes, shingleSize)
+  def simHash64Native(text: Column): Column =
+    graft.expressions.native.simhash64(text)
+
   /** Banded LSH candidate edges from a signature column.
     * rowsPerBand consecutive signature entries form a band; documents sharing
     * any full band are candidates. One explode + one shuffle on the bucket.

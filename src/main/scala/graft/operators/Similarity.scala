@@ -18,8 +18,14 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Dot product of two equal-length numeric arrays, accumulated
-    * sequentially in double. */
+    * sequentially in double. Native codegen'd expression — same fold order
+    * as the HOF formulation (bit-identical results, verified by the oracle),
+    * but inlined into whole-stage codegen instead of interpreted. */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.native.dot_f(a, b)
+
+  /** HOF formulation kept for reference/fallback. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

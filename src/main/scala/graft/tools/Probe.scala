@@ -69,3 +69,25 @@ object PruneCheck {
     spark.stop()
   }
 }
+
+/** Probes the registered graft_* SQL functions incl. error paths. */
+object ExtProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.register(spark)
+    println("OK1=" + spark.sql("SELECT graft_dot(array(1.0, 2.0), array(3.0, 4.0))").head.getDouble(0))
+    try { spark.sql("SELECT graft_dot('oops', array(1.0))").collect() }
+    catch { case e: Exception => println("ERR1=" + e.getMessage.linesIterator.next()) }
+    try { spark.sql("SELECT graft_minhash(123, 4, 3)").collect() }
+    catch { case e: Exception => println("ERR2=" + e.getMessage.linesIterator.next()) }
+    // codegen check: the dot should appear inside a WholeStageCodegen stage
+    val df = spark.sql(
+      "SELECT graft_dot(array(cast(id AS DOUBLE), 2.0), array(2.0, cast(id AS DOUBLE))) AS d FROM range(5)")
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' node prefix == inside WholeStageCodegen stage n
+    println("CODEGEN=" + plan.linesIterator.next().trim.startsWith("*("))
+    spark.stop()
+  }
+}

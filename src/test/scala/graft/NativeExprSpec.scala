@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.expressions.native
+import org.apache.spark.sql.functions._
+
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)),
+    (1L, Seq(0.5f, -1.5f, 2.5f), Seq(-1.0, 0.0, 2.0))
+  ).toDF("id", "f", "d")
+
+  test("dot_f matches the HOF fold bit-for-bit (float and double arrays)") {
+    val r = vecs.select(
+      native.dot_f($"f", $"f").as("nf"),
+      Similarity.dotHof($"f", $"f").as("hf"),
+      native.dot_f($"d", $"d").as("nd"),
+      Similarity.dotHof($"d", $"d").as("hd")).collect()
+    r.foreach { row =>
+      assert(row.getDouble(0) == row.getDouble(1))
+      assert(row.getDouble(2) == row.getDouble(3))
+    }
+    assert(r(0).getDouble(0) == 14.0)
+  }
+
+  test("native minhash: identical docs same sig, disjoint docs differ") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzzz xxxx yyyy wwww vvvv uuuu tttt ssss")).toDF("id", "text")
+    val sigs = docs.select($"id", native.minhash($"text", 8, 5).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(2L))
+    assert(sigs(0L).length == 8)
+    assert(sigs(0L).forall(_ >= 0))
+  }
+
+  test("native simhash64: dup identical, near-dup closer than unrelated") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different words entirely unrelated text"),
+      (3L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    val sigs = docs.select($"id", native.simhash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) <
+      java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)))
+  }
+
+  test("SQL registration via GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    vecs.createOrReplaceTempView("v")
+    val d = spark.sql("SELECT graft_dot(f, f) AS x FROM v WHERE id = 0")
+      .as[Double].collect()(0)
+    assert(d == 14.0)
+    val sh = spark.sql(
+      "SELECT graft_simhash64('a b c'), graft_minhash('hello world', 4, 3)")
+    assert(sh.collect().length == 1)
+  }
+
+  test("dot_f null array → null; empty arrays → 0.0") {
+    val df = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]]),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])))
+      .toDF("a", "b")
+    val r = df.select(native.dot_f($"a", $"b")).collect()
+    assert(r(0).isNullAt(0))
+    assert(r(1).getDouble(0) == 0.0)
+  }
+}
