@@ -176,9 +176,14 @@ object NestedExpr {
             }.mkString(", ")
             df.withColumn(nest, expr(
               s"transform(${bq(nest)}, __x -> named_struct($parts))"))
-          case Seq(nest, field) if a.nests == Set(nest) =>
-            throw new IllegalArgumentException(
-              s"Creating new nest '$nest' via assignment requires the nest to exist")
+          // New-nest creation from a single-source-nest expression
+          // (reference: eval assignment creating nests,
+          // tests/nested_pandas/nestedframe/test_nestedframe.py:2448-2540):
+          // `newnest.f = items.a * 2` builds newnest element-aligned to items.
+          case Seq(newNest, field) if a.nests.size == 1 =>
+            val src = a.nests.head
+            df.withColumn(newNest, expr(
+              s"transform(${bq(src)}, __x -> named_struct('${field.replace("'", "\\'")}', ${a.sql}))"))
           case Seq(name) =>
             require(a.nests.isEmpty,
               s"Assignment of nested-layer expression to base column '$name'")

@@ -314,6 +314,51 @@ object NestedOps {
     if (dropSource) withSplits.drop(nest) else withSplits
   }
 
+  /** splitNested with values discovered from the data (a driver-side
+    * distinct over the exploded field — use the explicit-values overload for
+    * large domains at scale; reference collects uniques the same way,
+    * core.py:860-947). */
+  def splitNestedAuto(df: DataFrame, nest: String, byField: String,
+                      dropField: Boolean = false,
+                      dropSource: Boolean = true): DataFrame = {
+    val values = df
+      .select(explode(col(s"$nest.$byField")).as("v"))
+      .where(col("v").isNotNull)
+      .distinct().orderBy("v")
+      .collect().map(_.get(0).toString).toSeq
+    splitNested(df, nest, byField, values, dropField, dropSource)
+  }
+
+  /** Build a one-column nested frame from local per-row sequences
+    * (reference `pack_seq`, series/packer.py:120-154): each element of `rows`
+    * is (key, Seq of element-tuples), NULL cell for None. Local-data
+    * constructor — for tests and small lookup tables, not a scale path. */
+  def packSeq[A <: Product : scala.reflect.runtime.universe.TypeTag](
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[(Long, Option[Seq[A]])], name: String = "nested"): DataFrame = {
+    import spark.implicits._
+    rows.toDF("key", name)
+  }
+
+  /** sort_values with layer dispatch (reference core.py:1851-1975): base
+    * column keys → row sort; dotted keys of ONE nest → within-cell element
+    * sort; mixing layers is rejected like the reference (core.py:1926-1928). */
+  def sortValues(df: DataFrame, by: Seq[(String, Boolean)]): DataFrame = {
+    val resolved = by.map { case (name, asc) =>
+      (resolveDotted(df, name), asc)
+    }
+    val nests = resolved.collect { case ((Some(n), _), _) => n }.toSet
+    if (nests.isEmpty)
+      df.orderBy(resolved.map { case ((_, c), asc) =>
+        if (asc) col(c).asc else col(c).desc }: _*)
+    else {
+      require(nests.size == 1 && !resolved.exists(_._1._1.isEmpty),
+        s"sort_values keys must target one layer; got nests=$nests plus base keys")
+      sortElements(df, nests.head,
+        resolved.map { case ((_, f), asc) => (f, asc) })
+    }
+  }
+
   /** Flatten a doubly-nested field one level up: each outer element is
     * replicated per inner element, inner fields hoisted.
     * Reference: `.nest.to_flatten_inner` (accessor.py:859-986) — the one

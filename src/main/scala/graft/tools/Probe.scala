@@ -91,3 +91,35 @@ object ExtProbe {
     spark.stop()
   }
 }
+
+/** Probes NestedExpr dialect edge cases at runtime. */
+object DialectProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = Seq((0L, 1), (1L, 2)).toDF("key", "a")
+    val c1 = Seq((0L, 1), (1L, 2)).toDF("key", "x")
+    val c2 = Seq((0L, 9), (1L, 8)).toDF("key", "y")
+    val nf = graft.nested.NestedOps.joinNested(
+      graft.nested.NestedOps.joinNested(base, c1, Seq("key"), "n1"),
+      c2, Seq("key"), "n2")
+    def tryIt(label: String)(f: => Any): Unit =
+      try { f; println(s"$label=OK") }
+      catch { case e: Exception =>
+        println(s"$label=REJECTED: ${e.getMessage.linesIterator.next().take(90)}") }
+    tryIt("CROSS_NEST_ASSIGN") {
+      graft.nested.NestedExpr.evalAssign(nf, "n1.z = n2.y + 1").collect() }
+    tryIt("CROSS_NEST_QUERY") {
+      graft.nested.NestedExpr.query(nf, "n1.x > n2.y").collect() }
+    tryIt("MALFORMED") {
+      graft.nested.NestedExpr.evalAssign(nf, "== nonsense ==").collect() }
+    tryIt("NEW_NEST") {
+      val r = graft.nested.NestedExpr.evalAssign(nf, "n3.z = n1.x * 10")
+      println("  n3[0].z per row: " + r.orderBy("key")
+        .select(expr("n3[0].z")).as[Int].collect().toSeq) }
+    spark.stop()
+  }
+}

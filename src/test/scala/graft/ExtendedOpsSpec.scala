@@ -154,4 +154,38 @@ class ExtendedOpsSpec extends SparkSpec {
         Seq(StreamingOps.SessionOut(1L, t0, t0 + 60000, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("evalAssign creates a new nest from a single-nest expression") {
+    val r = graft.nested.NestedExpr.evalAssign(nf, "derived.e = nested.c * 2")
+    assert(r.nestedColumns.toSet == Set("nested", "derived"))
+    assert(r.subColumns("derived") == Seq("e"))
+    val e0 = r.orderBy($"key").select(expr("derived[2].e")).as[Int].collect()
+    assert(e0.toSeq == Seq(8, 8, 8)) // c sorted asc: [0,2,4],[1,3,4],[1,1,4]
+  }
+
+  test("splitNestedAuto discovers values") {
+    val withBand = nf.withNestedField("nested", "band",
+      s => when(s.getField("c") > 1, "g").otherwise("r"))
+    val sp = NestedOps.splitNestedAuto(withBand, "nested", "band")
+    assert(sp.nestedColumns.toSet == Set("nested_g", "nested_r"))
+  }
+
+  test("packSeq builds nested column from local data incl. NULL cells") {
+    val df = NestedOps.packSeq(spark,
+      Seq((0L, Some(Seq((1, "a"), (2, "b")))), (1L, None)))
+    assert(df.count() == 2)
+    assert(NestedOps.isNestedType(df.schema("nested").dataType))
+    assert(df.where($"key" === 1L).select($"nested").collect()(0).isNullAt(0))
+  }
+
+  test("sortValues dispatches base vs nested and rejects mixing") {
+    val baseSorted = NestedOps.sortValues(nf, Seq(("a", false)))
+    assert(baseSorted.select("key").as[Long].collect().toSeq == Seq(2L, 1L, 0L))
+    val nestSorted = NestedOps.sortValues(nf, Seq(("nested.c", false)))
+    val c0 = nestSorted.orderBy($"key").select(expr("nested[0].c")).as[Int].collect()
+    assert(c0.toSeq == Seq(4, 4, 4))
+    intercept[IllegalArgumentException] {
+      NestedOps.sortValues(nf, Seq(("a", true), ("nested.c", true)))
+    }
+  }
 }
