@@ -91,6 +91,13 @@ object TrainingQueries {
       .where(col("hamming") <= 3)
   }
 
+  /** Full near-dup removal pipeline: sigs → LSH candidates → jaccard
+    * verification → connected components → keep min id per component.
+    * Rows-only check (candidate recall depends on engine hashing). */
+  val qDedupPipeline: Q = (s, dir) =>
+    Dedup.dedupNear(docs(s, dir), "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   /** Character-3-gram Jaccard over all doc pairs with id < 40. */
   val qJaccardPairs: Q = (s, dir) => {
     val d = docs(s, dir).where(col("doc_id") < 40)
@@ -204,6 +211,7 @@ object TrainingQueries {
 
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_pipeline" -> qDedupPipeline,
     "q_minhash_rank" -> qMinhashRank,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,

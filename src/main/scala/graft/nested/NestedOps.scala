@@ -126,6 +126,33 @@ object NestedOps {
       array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
   }
 
+  /** Skew-hardened two-stage pack: when a handful of keys dominate (one
+    * astronomy object with 10⁷ observations), a straight groupBy sends the
+    * whole hot key to one task. This variant pre-aggregates on
+    * (key, salt ∈ [0, saltBuckets)) — spreading each hot key over
+    * `saltBuckets` tasks — then merges the partial arrays with a second,
+    * much smaller aggregation (`flatten(collect_list(...))`).
+    * Use when AQE's skew handling isn't enough (extreme single-key skew);
+    * costs one extra (cheap) shuffle. Element order is salt-interleaved —
+    * pass `sortBy` for deterministic order. */
+  def packFlatSalted(child: DataFrame, on: Seq[String], name: String,
+                     saltBuckets: Int,
+                     sortBy: Seq[(String, Boolean)] = Nil): DataFrame = {
+    val valueCols = child.columns.filterNot(on.contains).toSeq
+    val salted = child.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(saltBuckets)))
+    val partial = salted
+      .groupBy((on :+ "__salt").map(col): _*)
+      .agg(collect_list(struct(valueCols.map(col): _*)).as("__part"))
+    val merged = partial
+      .groupBy(on.map(col): _*)
+      .agg(flatten(collect_list(col("__part"))).as(name))
+    if (sortBy.isEmpty) merged
+    else merged.withColumn(name,
+      array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
+  }
+
   /** Group-join: pack `child` by `on` and join onto `base`.
     *
     * Reference: `NestedFrame.join_nested` (nestedframe/core.py:469-557).

@@ -115,6 +115,65 @@ object Dedup {
         CAST(0 AS BIGINT), (acc, x) -> acc + x)""")
   }
 
+  /** Connected components over an undirected edge list (a, b) by iterative
+    * min-label propagation: label(v) ← min(label(v), min label of
+    * neighbors), until fixpoint or maxIter. Each round is two shuffles
+    * (edge join + groupBy) — O(diameter) rounds, and LSH star-edge graphs
+    * have tiny diameters. Returns (v, component) with component = min id
+    * reachable. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("component", col("v"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val candidate = sym
+        .join(labels.withColumnRenamed("v", "src"), "src")
+        .groupBy(col("dst").as("v"))
+        .agg(min(col("component")).as("neighborMin"))
+      val next = labels.join(candidate, Seq("v"), "left")
+        .select(col("v"),
+          least(col("component"), coalesce(col("neighborMin"),
+            col("component"))).as("component"))
+        .localCheckpoint() // truncate the iterative lineage
+      converged = next.select(col("v"), col("component").as("__nc"))
+        .join(labels.select(col("v"), col("component").as("__oc")), "v")
+        .where(col("__nc") < col("__oc"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** End-to-end near-duplicate removal:
+    * minhash signatures (native, zero shuffle) → banded LSH candidate star
+    * edges → exact n-gram Jaccard verification ≥ `threshold` → connected
+    * components → keep the min id per component.
+    * Returns the deduplicated frame (adds nothing, drops near-dups). */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.8, numHashes: Int = 16,
+                rowsPerBand: Int = 4, shingleSize: Int = 5): DataFrame = {
+    val withSig = df.select(col(idCol),
+      minHashSignaturesNative(col(textCol), numHashes, shingleSize).as("sig"))
+    val candidates = lshCandidatePairs(withSig, idCol, "sig",
+      numHashes, rowsPerBand)
+    // verification joins the texts back (broadcast the slim id→text pairs of
+    // candidates only, not the corpus)
+    val texts = df.select(col(idCol), col(textCol))
+    val verified = candidates
+      .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
+      .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
+      .where(nGramJaccard(col("__ta"), col("__tb"), shingleSize) >= threshold)
+      .select(col("a"), col("b"))
+    val comps = connectedComponents(verified)
+    df.join(comps.where(col("v") =!= col("component"))
+        .select(col("v").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -130,4 +130,30 @@ class TrainingOpsSpec extends SparkSpec {
       size(Multimodal.sampleFrameIndices(lit(10), 3))).as[Int].collect()(0)
     assert(n == 4) // frames 0,3,6,9
   }
+
+  test("connectedComponents labels chains and stars") {
+    // components: {1,2,3,4} (chain), {10,11} (pair), singleton 20 not in edges
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+  }
+
+  test("dedupNear removes near-dups, keeps min id and unrelated docs") {
+    val r = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // jaccard(0,1)=0.857 at 5-gram shingles → component {0,1,3}, keep 0
+    assert(r == Set(0L, 2L))
+  }
+
+  test("packFlatSalted equals packFlat after sort") {
+    import graft.nested.NestedOps
+    val child = (1 to 100).map(i => (i % 3L, i)).toDF("key", "v")
+    val a = NestedOps.packFlat(child, Seq("key"), "n", Seq(("v", true)))
+      .orderBy("key").select(expr("n.v")).as[Seq[Int]].collect()
+    val b = NestedOps.packFlatSalted(child, Seq("key"), "n", 8, Seq(("v", true)))
+      .orderBy("key").select(expr("n.v")).as[Seq[Int]].collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
