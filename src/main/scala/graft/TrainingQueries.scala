@@ -43,10 +43,16 @@ object TrainingQueries {
     val d = docs(s, dir)
     val sh = d.select(col("doc_id"),
       explode(TextFunctions.distinctShingles(col("text"), 5)).as("sh"))
-    // Global shingle rank — a single-partition window; fine for the bounded
-    // 500-doc documents table, NOT the scale path (that's xxhash64).
-    val ranks = sh.select("sh").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("sh")).cast("long"))
+    // Global shingle rank. row_number() over a global ORDER BY would funnel
+    // everything through ONE partition; a distributed sort + zipWithIndex
+    // gives the identical 1-based rank with full parallelism.
+    val distinctSorted = sh.select("sh").distinct().orderBy("sh")
+    val ranks = {
+      val sess = s
+      import sess.implicits._
+      distinctSorted.as[String].rdd.zipWithIndex()
+        .map { case (v, i) => (v, i + 1L) }.toDF("sh", "sid")
+    }
     val hs = Seq((3L, 1L), (5L, 2L), (7L, 3L), (11L, 4L), (13L, 5L), (17L, 6L))
     val withH = sh.join(ranks, "sh")
     val aggs = hs.zipWithIndex.map { case ((a, b), i) =>

@@ -122,10 +122,15 @@ object Dedup {
     * have tiny diameters. Returns (v, component) with component = min id
     * reachable. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the edge list ONCE: it feeds every iteration, and without
+    // this its entire upstream (sketching, LSH, verification joins) would
+    // re-execute per round — measured as the dominant cost of dedupNear.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("component", col("v"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -133,16 +138,17 @@ object Dedup {
         .join(labels.withColumnRenamed("v", "src"), "src")
         .groupBy(col("dst").as("v"))
         .agg(min(col("component")).as("neighborMin"))
+      // carry a changed flag so convergence needs no extra join or job:
+      // the localCheckpoint materializes next, the isEmpty scans it locally.
       val next = labels.join(candidate, Seq("v"), "left")
         .select(col("v"),
           least(col("component"), coalesce(col("neighborMin"),
-            col("component"))).as("component"))
-        .localCheckpoint() // truncate the iterative lineage
-      converged = next.select(col("v"), col("component").as("__nc"))
-        .join(labels.select(col("v"), col("component").as("__oc")), "v")
-        .where(col("__nc") < col("__oc"))
-        .isEmpty
-      labels = next
+            col("component"))).as("component"),
+          (coalesce(col("neighborMin"), col("component")) < col("component"))
+            .as("__changed"))
+        .localCheckpoint()
+      converged = next.where(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     labels
@@ -163,10 +169,18 @@ object Dedup {
     // verification joins the texts back (broadcast the slim id→text pairs of
     // candidates only, not the corpus)
     val texts = df.select(col(idCol), col(textCol))
+    // staged columns: shingle sets and the intersection are each computed
+    // ONCE per pair (inlining nGramJaccard would re-evaluate the shingle
+    // extraction and intersection wherever referenced — no CSE)
     val verified = candidates
       .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
       .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
-      .where(nGramJaccard(col("__ta"), col("__tb"), shingleSize) >= threshold)
+      .withColumn("__sa", distinctShingles(col("__ta"), shingleSize))
+      .withColumn("__sb", distinctShingles(col("__tb"), shingleSize))
+      .withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
+      .where(col("__inter") /
+        (size(col("__sa")) + size(col("__sb")) - col("__inter")) >= threshold)
       .select(col("a"), col("b"))
     val comps = connectedComponents(verified)
     df.join(comps.where(col("v") =!= col("component"))
