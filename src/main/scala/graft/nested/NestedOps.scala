@@ -292,6 +292,14 @@ object NestedOps {
                             value: Column): DataFrame =
     withNestedField(df, nest, field, _ => value)
 
+  /** Set a nested field from a SEPARATE aligned list column of the same row
+    * (reference `set_list_column`, accessor.py:236-491): element i of the
+    * list becomes field `field` of element i of the nest. */
+  def withNestedFieldFromList(df: DataFrame, nest: String, field: String,
+                              listCol: String): DataFrame =
+    df.withColumn(nest, transform(col(nest), (s, i) =>
+      s.withField(field, element_at(col(listCol), i + 1))))
+
   /** Drop fields from a nested column (≥1 must remain, like
     * ext_array.py:1229-1230). Reference: `.nest.drop` (accessor.py:528-562). */
   def dropNestedFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame = {

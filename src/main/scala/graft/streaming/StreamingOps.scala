@@ -28,6 +28,14 @@ object StreamingOps {
       .groupBy(col(key), window(col(tsCol), windowLen))
       .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
 
+  /** Streaming exact dedup: first occurrence per key wins; the watermark
+    * bounds the dedup state (keys older than the watermark are dropped from
+    * state, so memory is O(keys per watermark window), not O(all keys)). */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   case class SessionIn(user_id: Long, ts_ms: Long, value: Double)
   case class SessionOut(user_id: Long, session_start_ms: Long,
                         session_end_ms: Long, n_events: Long, sum_value: Double)

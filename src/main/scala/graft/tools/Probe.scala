@@ -123,3 +123,48 @@ object DialectProbe {
     spark.stop()
   }
 }
+
+/** Scale probe: generateData at ~20M child elements, run the flagship
+  * pack → element-filter → count_nested → reduce chain, print timings. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val nBase = if (args.nonEmpty) args(0).toLong else 1000000L
+    val nLayer = if (args.length > 1) args(1).toInt else 20
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.nested.NestedOps
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val flatPath = "/tmp/graft_scale_flat"
+    time("write flat child parquet") {
+      val nested = graft.sources.NestedParquet.generateData(spark, nBase, nLayer)
+      NestedOps.toFlat(nested, "nested", baseCols = Seq("id"))
+        .write.mode("overwrite").parquet(flatPath)
+    }
+    val child = spark.read.parquet(flatPath)
+    println(s"child rows: ${child.count()}")
+    time("packFlat (groupBy collect_list)") {
+      NestedOps.packFlat(child, Seq("id"), "nested").write.mode("overwrite")
+        .parquet("/tmp/graft_scale_packed")
+    }
+    val packed = spark.read.parquet("/tmp/graft_scale_packed")
+    time("element filter + count_nested + reduce (narrow chain)") {
+      val r = NestedOps.countNested(
+        NestedOps.filterElements(packed, "nested",
+          s => s.getField("flux") > 50.0),
+        "nested", Some("band"), Seq("r", "g"))
+        .agg(sum("n_nested_r"), sum("n_nested_g"),
+          round(avg(NestedOps.elementMean("nested", "t")), 4))
+      r.show(false)
+    }
+    spark.stop()
+  }
+}

@@ -188,4 +188,31 @@ class ExtendedOpsSpec extends SparkSpec {
       NestedOps.sortValues(nf, Seq(("a", true), ("nested.c", true)))
     }
   }
+
+  test("withNestedFieldFromList aligns a separate list column into the nest") {
+    val df = nf.withColumn("extra",
+      expr("transform(nested, s -> s.c * 100)"))
+    val r = NestedOps.withNestedFieldFromList(df, "nested", "e", "extra")
+    val e = r.orderBy($"key").select(expr("nested.e")).as[Seq[Int]].collect()
+    assert(e(0) == Seq(0, 200, 400))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val t0 = 1700000000000L
+    ms.addData(
+      (1L, new java.sql.Timestamp(t0), "a"),
+      (1L, new java.sql.Timestamp(t0), "a-dup"),
+      (2L, new java.sql.Timestamp(t0 + 1000), "b"))
+    val df = ms.toDF().toDF("id", "ts", "payload")
+    val out = StreamingOps.dedupStream(df, "ts", Seq("id"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedupout").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dedupout").as[Long].collect()(0) == 2)
+    } finally q.stop()
+  }
 }
