@@ -55,6 +55,17 @@ object Queries {
       round(NestedOps.elementSum("items", "l_quantity"), 2).as("sum_qty"))
   }
 
+  /** Skew-hardened two-stage salted pack — same results as packFlat,
+    * verified by the same oracle shape as q_pack_flat. */
+  val qPackSalted: Q = (s, dir) => {
+    val packed = NestedOps.packFlatSalted(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items", saltBuckets = 8)
+    packed.select(
+      col("o_orderkey").as("orderkey"),
+      size(col("items")).cast("long").as("n_items"),
+      round(NestedOps.elementSum("items", "l_quantity"), 2).as("sum_qty"))
+  }
+
   /** joinNested left: NULL cells for childless rows count as 0. */
   val qJoinNested: Q = (s, dir) => {
     rd(s, dir, "orders")
@@ -370,6 +381,7 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "q_pack_flat" -> qPackFlat,
+    "q_pack_salted" -> qPackSalted,
     "q_join_nested" -> qJoinNested,
     "q_from_flat" -> qFromFlat,
     "q_lists_roundtrip" -> qListsRoundtrip,
@@ -396,6 +408,10 @@ object Queries {
   ) ++ TrainingQueries.all
 
   val oracles: Map[String, String] = Map(
+    "q_pack_salted" ->
+      """SELECT l_orderkey AS orderkey, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q_pack_flat" ->
       """SELECT l_orderkey AS orderkey, count(*) AS n_items,
         | round(sum(l_quantity), 2) AS sum_qty

@@ -149,8 +149,9 @@ object TrainingQueries {
       Similarity.hyperplaneBucket(col("embedding"), numPlanes = 8, dim = 64)
         .as("bucket"))
 
-  /** LSH-bucketed approximate top-3 (scale path; rows-only check since
-    * result depends on bucket contents, oracle covered via buckets query). */
+  /** LSH-bucketed approximate top-3 (scale path). Fully oracle-checked:
+    * buckets are integer-exact and cosine is a bit-reproducible fold, so the
+    * per-bucket ranking is deterministic in both engines. */
   val qAnnLshTopK: Q = (s, dir) => {
     val e = embs(s, dir)
     Similarity.lshTopK(e.where(col("vec_id") < 50), e, k = 3,
@@ -200,7 +201,10 @@ object TrainingQueries {
     implicit val sp: SparkSession = s
     val withPayload = docs(s, dir)
       .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-    val meta = Multimodal.decodeMeta(withPayload, "doc_id", "payload").toDF()
+    // size partitions by payload bytes before the batched decode
+    val sized = Multimodal.repartitionForMedia(withPayload, "payload",
+      totalBytes = 16L * 1024 * 1024)
+    val meta = Multimodal.decodeMeta(sized, "doc_id", "payload").toDF()
     val (rw, rh) = Multimodal.resizeMeta(col("width"), col("height"), 256)
     meta.select(col("media_id"), col("byte_len"),
         col("width").cast("long").as("width"),
@@ -274,9 +278,10 @@ object TrainingQueries {
          | THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString("(", " + ", ")")
 
-  private val dotSql =
-    """list_sum(list_transform(list_zip(a.ea, b.eb),
-      | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+  private def dotSqlOf(a: String, b: String) =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       | x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+  private val dotSql = dotSqlOf("a.ea", "b.eb")
   private def normSql(v: String) =
     s"""sqrt(list_sum(list_transform($v,
        | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
@@ -397,7 +402,26 @@ object TrainingQueries {
         | CAST((1 + octet_length(encode(text)) % 30 + 2) // 3 AS BIGINT)
         |   AS n_sampled
         |FROM documents""".stripMargin,
-    // q_minhash_pairs, q_simhash_pairs, q_ann_lsh_topk: xxhash64-based →
+    "q_ann_lsh_topk" -> {
+      val sim = s"${dotSqlOf("q.emb", "c.emb")} / " +
+        s"(${normSql("q.emb")} * ${normSql("c.emb")})"
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding AS emb,
+         |    CAST(${bucketSql(8, 64)} AS BIGINT) AS bucket
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $sim AS sim
+         |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id < 50),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+    // q_minhash_pairs, q_simhash_pairs, q_dedup_pipeline: xxhash64-based →
     // rows-only checks (engine hash not reproducible in the oracle).
   )
 }
