@@ -111,6 +111,13 @@ object NestedOps {
     * does not guarantee across shuffles — callers that need determinism pass
     * `sortBy`).
     *
+    * NULL-key semantics (documented delta from the reference, which RAISES on
+    * NaN keys, packer.py:102-117): NULL-key child rows form a NULL-key group
+    * here, and the subsequent equi-join in [[joinNested]] drops it (SQL
+    * `NULL ≠ NULL`) — i.e. NULL-key children silently attach to no row.
+    * Raising would cost a validation scan at 100 TB; filter or assert
+    * upstream if the input can't be trusted.
+    *
     * Physical plan: ObjectHashAggregate(collect_list) — one shuffle on `on`.
     * At 100 TB: the single shuffle of the pipeline; pre-bucketed tables on the
     * key skip it entirely.

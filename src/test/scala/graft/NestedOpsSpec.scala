@@ -189,4 +189,28 @@ class NestedOpsSpec extends SparkSpec {
     val total = q.select(sum(size(col("bad dog")))).as[Long].collect()(0)
     assert(total == 4) // c>2: key0 {4}, key1 {4,3}, key2 {4}
   }
+
+  test("NULL-key children attach to no row (documented delta: ref raises)") {
+    val childWithNull = child.union(
+      Seq((null.asInstanceOf[java.lang.Long], 99, 99))
+        .toDF("key", "c", "d"))
+    val j = base.joinNested(childWithNull, Seq("key"), "nested")
+    assert(j.count() == 3)
+    val total = j.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(total == 9) // the null-key element is dropped, not attached
+  }
+
+  test("len() usable in eval assignment rhs (base layer)") {
+    val r = NestedExpr.evalAssign(nf, "n = nested.len() * 10")
+    assert(r.orderBy($"key").select("n").as[Int].collect().toSeq ==
+      Seq(30, 30, 30))
+  }
+
+  test("empty cell vs NULL cell are distinct after element filter") {
+    // filter empties all cells of key=0 (c values 0,2,4 vs pred c > 10)
+    val q = nf.filterElements("nested", s => s.getField("c") > 10)
+    val sizes = q.orderBy($"key").select(size($"nested")).as[Int].collect()
+    assert(sizes.toSeq == Seq(0, 0, 0)) // empty arrays, NOT nulls
+    assert(q.where($"nested".isNull).count() == 0)
+  }
 }
