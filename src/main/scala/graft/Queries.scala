@@ -104,7 +104,8 @@ object Queries {
 
   /** Hierarchical projection nf["items.l_quantity"] → flat, then agg. */
   val qGetSub: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
     NestedOps.getSubColumn(packed, "items.l_quantity", Seq("o_orderkey"))
       .groupBy("o_orderkey")
       .agg(countDistinct(col("l_quantity")).as("n_distinct_qty"))
@@ -134,7 +135,8 @@ object Queries {
 
   /** split by categorical field into per-value nests. */
   val qSplit: Q = (s, dir) => {
-    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.packFlat(
+      lines(s, dir, "l_linestatus"), Seq("o_orderkey"), "items")
       .splitNested("items", "l_linestatus", Seq("O", "F"))
       .select(col("o_orderkey").as("orderkey"),
         coalesce(size(col("items_O")), lit(0)).cast("long").as("n_open"),
@@ -216,7 +218,8 @@ object Queries {
 
   /** count_nested(by=...) per-row pivot counts. */
   val qCountNestedBy: Q = (s, dir) => {
-    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.packFlat(
+      lines(s, dir, "l_returnflag"), Seq("o_orderkey"), "items")
       .countNested("items", Some("l_returnflag"), Seq("R", "A", "N"))
       .select(col("o_orderkey").as("orderkey"),
         col("n_items_R").cast("long").as("n_r"),
