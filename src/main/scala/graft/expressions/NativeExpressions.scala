@@ -27,6 +27,8 @@ object native {
     EU.column(TextMinHash(EU.expression(text), numHashes, shingleSize))
   def simhash64(text: Column): Column =
     EU.column(TextSimHash64(EU.expression(text)))
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    EU.column(TextNGramJaccard(EU.expression(a), EU.expression(b), n))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in
@@ -150,6 +152,52 @@ case class TextMinHash(child: Expression, numHashes: Int, shingleSize: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** n-gram Jaccard similarity of two strings via byte-shingle hash sets:
+  * one pass per string, no array materialization (the HOF formulation
+  * extracts/distincts/intersects ~300-element string arrays per pair).
+  * Byte shingles == character shingles for ASCII text. Hash-set membership
+  * stands in for string equality — collision probability ~2⁻⁶⁴, fine for a
+  * similarity score. */
+case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expects two strings, got $other")
+    }
+  override def dataType: DataType = DoubleType
+
+  private def shingleHashes(u: UTF8String): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val len = u.numBytes()
+    var i = 0
+    while (i + n <= len) {
+      set.add(XXH64.hashUnsafeBytes(base, off + i, n, 42L))
+      i += 1
+    }
+    set
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = shingleHashes(a.asInstanceOf[UTF8String])
+    val sb = shingleHashes(b.asInstanceOf[UTF8String])
+    val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var inter = 0
+    val it = small.iterator()
+    while (it.hasNext) if (large.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash over a string's distinct whitespace tokens: one pass,

@@ -121,7 +121,48 @@ object Dedup {
     * (edge join + groupBy) — O(diameter) rounds, and LSH star-edge graphs
     * have tiny diameters. Returns (v, component) with component = min id
     * reachable. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** Hybrid connected components: verified near-dup EDGE lists are orders of
+    * magnitude smaller than the corpus (every edge costs a Jaccard pass to
+    * exist), so up to `driverMaxEdges` the components are computed with
+    * driver-side union-find in milliseconds — ~10M edges is a few seconds
+    * and well inside driver memory. Beyond that, fall back to the
+    * distributed min-label loop. Both return (v, component=min id). */
+  def connectedComponents(edges: DataFrame,
+                          driverMaxEdges: Long = 10000000L,
+                          maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val materialized = edges.select(col("a"), col("b")).localCheckpoint()
+    if (materialized.count() <= driverMaxEdges) {
+      val parent = collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = x // path compression
+        while (parent.getOrElse(cur, cur) != root) {
+          val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+        }
+        root
+      }
+      materialized.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id so component == min reachable id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val rows = parent.keys.toSeq.map(v => (v, find(v)))
+      import spark.implicits._
+      return rows.toDF("v", "component")
+    }
+    connectedComponentsDistributed(materialized, maxIter)
+  }
+
+  /** Distributed min-label propagation fallback for edge lists too large for
+    * the driver. */
+  def connectedComponentsDistributed(edges: DataFrame,
+                                     maxIter: Int = 20): DataFrame = {
     // Materialize the edge list ONCE: it feeds every iteration, and without
     // this its entire upstream (sketching, LSH, verification joins) would
     // re-execute per round — measured as the dominant cost of dedupNear.
@@ -169,18 +210,13 @@ object Dedup {
     // verification joins the texts back (broadcast the slim id→text pairs of
     // candidates only, not the corpus)
     val texts = df.select(col(idCol), col(textCol))
-    // staged columns: shingle sets and the intersection are each computed
-    // ONCE per pair (inlining nGramJaccard would re-evaluate the shingle
-    // extraction and intersection wherever referenced — no CSE)
+    // native one-pass jaccard: the HOF formulation (extract + distinct +
+    // intersect ~300-element string arrays per pair) dominated the pipeline
     val verified = candidates
       .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
       .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
-      .withColumn("__sa", distinctShingles(col("__ta"), shingleSize))
-      .withColumn("__sb", distinctShingles(col("__tb"), shingleSize))
-      .withColumn("__inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("double"))
-      .where(col("__inter") /
-        (size(col("__sa")) + size(col("__sb")) - col("__inter")) >= threshold)
+      .where(graft.expressions.native.ngram_jaccard(
+        col("__ta"), col("__tb"), shingleSize) >= threshold)
       .select(col("a"), col("b"))
     val comps = connectedComponents(verified)
     df.join(comps.where(col("v") =!= col("component"))

@@ -70,4 +70,16 @@ class NativeExprSpec extends SparkSpec {
     assert(r(0).isNullAt(0))
     assert(r(1).getDouble(0) == 0.0)
   }
+
+  test("native ngram_jaccard matches the HOF formulation on ASCII text") {
+    val docs = Seq(
+      ("the quick brown fox jumps over the lazy dog",
+       "the quick brown fox jumps over the lazy cat"),
+      ("aaaaa", "aaaaa"),
+      ("abcdefg", "zzzzzzz")).toDF("ta", "tb")
+    val r = docs.select(
+      native.ngram_jaccard($"ta", $"tb", 5).as("nj"),
+      graft.operators.Dedup.nGramJaccard($"ta", $"tb", 5).as("hj")).collect()
+    r.foreach(row => assert(row.getDouble(0) == row.getDouble(1)))
+  }
 }

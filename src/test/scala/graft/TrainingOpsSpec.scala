@@ -131,13 +131,18 @@ class TrainingOpsSpec extends SparkSpec {
     assert(n == 4) // frames 0,3,6,9
   }
 
-  test("connectedComponents labels chains and stars") {
-    // components: {1,2,3,4} (chain), {10,11} (pair), singleton 20 not in edges
+  test("connectedComponents labels chains and stars (both paths agree)") {
+    // components: {1,2,3,4} (chain), {10,11} (pair)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
-    val cc = Dedup.connectedComponents(edges)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    val driverPath = Dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(4L) == 1L)
-    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(driverPath == expected)
+    // force the distributed fallback with driverMaxEdges = 0
+    val distPath = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distPath == expected)
   }
 
   test("dedupNear removes near-dups, keeps min id and unrelated docs") {
