@@ -160,6 +160,17 @@ object TrainingQueries {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF ANN: deterministic k-means coarse quantizer + nprobe search
+    * (rows-only: Lloyd averaging isn't oracle-reproducible cheaply). */
+  val qAnnIvf: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val (assigned, centroids) = Similarity.ivfIndex(e, k = 16, iters = 2)
+    Similarity.ivfTopK(e.where(col("vec_id") < 50), assigned, centroids,
+      nprobe = 4, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   // ---------------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------------
@@ -230,6 +241,7 @@ object TrainingQueries {
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_topk" -> qAnnLshTopK,
+    "q_ann_ivf" -> qAnnIvf,
     "q_token_stats" -> qTokenStats,
     "q_quality" -> qQuality,
     "q_lang_id" -> qLangId,

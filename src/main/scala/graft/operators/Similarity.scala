@@ -76,6 +76,86 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
+  /** IVF (inverted-file) coarse quantizer: deterministic k-means —
+    * centroids seeded from the first k vectors by id, refined with `iters`
+    * Lloyd rounds. Returns the corpus with a `__cid` nearest-centroid
+    * column plus the centroid table. All distributed: centroids broadcast
+    * (k × dim doubles), assignment narrow, update one groupBy per round.
+    * At 100 TB the assigned corpus is written bucketed by __cid so probes
+    * read only nprobe/k of the data. */
+  def ivfIndex(corpus: DataFrame, k: Int, iters: Int = 2,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Array[(Int, Array[Double])]) = {
+    val spark = corpus.sparkSession
+    var centroids: Array[(Int, Array[Double])] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    def assign(df: DataFrame): DataFrame = {
+      val cs = centroids // stable reference for the closure
+      // argmin ||v-c||² == argmin (-2·v·c + ||c||²): the ||v||² term is
+      // constant across cells and would be re-evaluated k times (no CSE).
+      // Linear-size argmin via array_sort — a when-chain reduce duplicates
+      // the accumulated struct per step (2^k expression nodes: OOM at k=16).
+      val cells = cs.map { case (cid, cvec) =>
+        val dist = lit(-2.0) * graft.expressions.native.dot_f(col(vecCol),
+          typedLit(cvec.toSeq)) + lit(cvec.map(x => x * x).sum)
+        struct(dist.as("d"), lit(cid).as("cid"))
+      }
+      df.withColumn("__cid",
+        element_at(array_sort(array(cells: _*)), 1).getField("cid"))
+    }
+    (1 to iters).foreach { _ =>
+      val assigned = assign(corpus)
+      val updated = assigned
+        .select(col("__cid"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy("__cid", "__d").agg(avg(col("__x")).as("__m"))
+        .groupBy("__cid")
+        .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+          .as("__dims"))
+        .select(col("__cid"),
+          expr("transform(__dims, s -> s.__m)").as("__c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // keep seed centroid if a cell emptied
+      val byId = updated.toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, byId.getOrElse(cid, old)) }
+    }
+    (assign(corpus), centroids)
+  }
+
+  /** IVF search: score queries only against corpus vectors in the query's
+    * `nprobe` nearest cells. */
+  def ivfTopK(queries: DataFrame, assignedCorpus: DataFrame,
+              centroids: Array[(Int, Array[Double])], nprobe: Int, k: Int,
+              qId: String = "vec_id", cId: String = "vec_id",
+              qVec: String = "embedding", cVec: String = "embedding")
+      : DataFrame = {
+    // nprobe nearest cells per query, as an exploded (query, cell) list
+    val cellStructs = centroids.map { case (cid, cvec) =>
+      val dist = lit(-2.0) * graft.expressions.native.dot_f(col(qVec),
+        typedLit(cvec.toSeq)) + lit(cvec.map(x => x * x).sum)
+      struct(dist.as("d"), lit(cid).as("cid"))
+    }
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      explode(slice(array_sort(array(cellStructs: _*)), 1, nprobe))
+        .as("__cell"))
+      .select(col("query_id"), col("__qv"), col("__cell.cid").as("__cid"))
+    val c = assignedCorpus.select(col(cId).as("neighbor_id"),
+      col(cVec).as("__cv"), col("__cid"))
+    val scored = q.join(c, Seq("__cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   /** Approximate top-k: score only within the query's hyperplane bucket.
     * The bucket equi-join shuffles both sides by bucket id — at 100 TB this
     * replaces an O(N·Q) scan with O(N·Q/2^planes) per-bucket work. */

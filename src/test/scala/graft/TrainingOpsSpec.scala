@@ -161,4 +161,21 @@ class TrainingOpsSpec extends SparkSpec {
       .orderBy("key").select(expr("n.v")).as[Seq[Int]].collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("IVF index + search finds the planted duplicate") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 200L).map { i =>
+      (i, (0 until 16).map(_ => rnd.nextFloat() - 0.5f))
+    }
+    // plant vec 199 = copy of vec 5
+    val planted = corpus.map { case (i, v) =>
+      if (i == 199L) (i, corpus(5)._2) else (i, v) }
+      .toDF("vec_id", "embedding")
+    val (assigned, centroids) = Similarity.ivfIndex(planted, k = 8, iters = 2)
+    assert(assigned.select("__cid").distinct().count() <= 8)
+    val res = Similarity.ivfTopK(
+      planted.where($"vec_id" === 5), assigned, centroids, nprobe = 2, k = 1)
+    val top = res.select($"neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(199L)) // the duplicate lands in the same cell
+  }
 }
