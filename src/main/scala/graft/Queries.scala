@@ -378,6 +378,34 @@ object Queries {
         round(col("l_extendedprice"), 2).as("min_qty_price"))
   }
 
+  /** rollup / grouping sets over a frame CARRYING a nested column — the
+    * §2.8 claim ("nested columns survive the inherited surface") made
+    * checkable: the nest rides through the rollup via per-row counts. */
+  val qRollup: Q = (s, dir) => {
+    rd(s, dir, "orders")
+      .joinNested(lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items",
+        "inner")
+      .withColumn("n_items", size(col("items")).cast("long"))
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n_items")).as("n_items"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("n_items"))
+  }
+
+  /** set operations (§2.8): parts shipped in BOTH linestatus O and F,
+    * minus a returned-flag exclusion — intersect + except through Spark's
+    * built-ins. */
+  val qSetOps: Q = (s, dir) => {
+    val li = rd(s, dir, "lineitem")
+    val inO = li.where(col("l_linestatus") === "O").select("l_partkey")
+    val inF = li.where(col("l_linestatus") === "F").select("l_partkey")
+    val returned = li.where(col("l_returnflag") === "R" &&
+      col("l_quantity") > 45).select("l_partkey")
+    inO.intersect(inF).except(returned)
+      .withColumnRenamed("l_partkey", "partkey")
+  }
+
   // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
@@ -403,6 +431,8 @@ object Queries {
     "q_sort_head" -> qSortHead,
     "q_map_rows_mean" -> qMapRowsMean,
     "q_sessionize" -> qSessionize,
+    "q_rollup" -> qRollup,
+    "q_set_ops" -> qSetOps,
     "q_map_rows_kernel" -> qMapRowsKernel,
     "q_struct_of_list" -> qStructOfList,
     "q_describe_all" -> qDescribeAll,
@@ -560,5 +590,23 @@ object Queries {
         |          ORDER BY l_quantity, l_extendedprice, l_partkey, l_suppkey,
         |                   l_linenumber) AS rn
         |      FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | count(*) AS n_orders, sum(n_items) AS n_items
+        |FROM (SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |        (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+        |          AS n_items
+        |      FROM orders
+        |      WHERE EXISTS (SELECT 1 FROM lineitem
+        |                    WHERE l_orderkey = o_orderkey))
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_set_ops" ->
+      """SELECT l_partkey AS partkey FROM lineitem WHERE l_linestatus = 'O'
+        |INTERSECT
+        |SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity > 45""".stripMargin,
   ) ++ TrainingQueries.oracles
 }

@@ -213,4 +213,17 @@ class NestedOpsSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(0, 0, 0)) // empty arrays, NOT nulls
     assert(q.where($"nested".isNull).count() == 0)
   }
+
+  test("dialect passes through SQL operators: in / between / and / abs") {
+    assert(NestedExpr.query(nf, "a in (1, 3) and b between 4 and 6").count() == 2)
+    val q = NestedExpr.query(nf, "abs(nested.c - 2) <= 1")
+    val total = q.select(sum(size($"nested"))).as[Long].collect()(0)
+    assert(total == 5) // |c-2|<=1: {2}, {1,3}, {1,1}
+  }
+
+  test("dropColumns drops base and dotted nested columns together") {
+    val r = NestedOps.dropColumns(nf, Seq("b", "nested.d"))
+    assert(r.columns.toSeq == Seq("key", "a", "nested"))
+    assert(NestedOps.subColumns(r, "nested") == Seq("c"))
+  }
 }
