@@ -69,6 +69,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             failures += 1
             continue
+        if len(g) == 0:
+            # an empty result matching an empty oracle proves nothing —
+            # treat as a degenerate query that needs a better predicate
+            print(f"FAIL {name}: oracle matches but result is EMPTY "
+                  f"(degenerate query)")
+            failures += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False,
                                           check_exact=True)
