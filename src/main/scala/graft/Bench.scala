@@ -43,7 +43,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses this line; sbt wraps stdout in [info] noise, so ALSO
+    // write it to bare files it can pick up (round-1 BENCH parsed: null).
+    println(line)
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -46,9 +46,13 @@ object Queries {
   // §2.1 construction / packing
   // ---------------------------------------------------------------------------
 
-  /** packFlat: group-pack lineitem, per-group count + sum via element HOFs. */
+  /** packFlat: group-pack lineitem, per-group count + sum via element HOFs.
+    * Input pruned to the one used field — Catalyst cannot prune through an
+    * explicit struct(allCols) inside collect_list, so an unpruned pack
+    * shuffles whole rows (8× the bytes at 100 TB). */
   val qPackFlat: Q = (s, dir) => {
-    val packed = NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
     packed.select(
       col("o_orderkey").as("orderkey"),
       size(col("items")).cast("long").as("n_items"),
@@ -66,10 +70,12 @@ object Queries {
       round(NestedOps.elementSum("items", "l_quantity"), 2).as("sum_qty"))
   }
 
-  /** joinNested left: NULL cells for childless rows count as 0. */
+  /** joinNested left: NULL cells for childless rows count as 0.
+    * Child pruned to one field before the pack (see qPackFlat). */
   val qJoinNested: Q = (s, dir) => {
     rd(s, dir, "orders")
-      .joinNested(lines(s, dir), Seq("o_orderkey"), "items", "left")
+      .joinNested(lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items",
+        "left")
       .select(col("o_orderkey"),
         round(col("o_totalprice"), 2).as("totalprice"),
         coalesce(size(col("items")), lit(0)).cast("long").as("n_items"))
@@ -227,10 +233,12 @@ object Queries {
         col("n_items_N").cast("long").as("n_n"))
   }
 
-  /** min/max across base cols and nested fields in one aggregate. */
+  /** min/max across base cols and nested fields in one aggregate.
+    * Child pruned to the one aggregated field before the pack. */
   val qMinMax: Q = (s, dir) => {
     rd(s, dir, "orders")
-      .joinNested(lines(s, dir), Seq("o_orderkey"), "items", "inner")
+      .joinNested(lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items",
+        "inner")
       .agg(
         round(min(col("o_totalprice")), 2).as("min_total"),
         round(max(col("o_totalprice")), 2).as("max_total"),
@@ -275,9 +283,12 @@ object Queries {
   // §2.10 map_rows (fused element reduce)
   // ---------------------------------------------------------------------------
 
-  /** The reference's flagship reduce: per-row mean over a nested field. */
+  /** The reference's flagship reduce: per-row mean over a nested field.
+    * Pack input pruned to the two reduced fields. */
   val qMapRowsMean: Q = (s, dir) => {
-    NestedOps.packFlat(lines(s, dir), Seq("o_orderkey"), "items")
+    NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice"), Seq("o_orderkey"),
+      "items")
       .select(col("o_orderkey").as("orderkey"),
         roundSafe(NestedOps.elementMean("items", "l_quantity"), 4).as("mean_qty"),
         round(NestedOps.elementMax("items", "l_extendedprice") -
@@ -291,9 +302,10 @@ object Queries {
   /** Sessionization via lag window: 30-minute gap starts a new session.
     * events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`); all
-    * arithmetic stays in exact integer milliseconds (`DIV`). */
+    * arithmetic stays in exact integer milliseconds (`DIV`).
+    * `spark.sql.legacy.parquet.nanosAsLong` is set in the Bench/Verify/test
+    * session builders (a query must not mutate session conf). */
   val qSessionize: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     rd(s, dir, "events")
       .withColumn("ms", expr("ts DIV 1000000"))
@@ -593,7 +605,7 @@ object Queries {
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         | coalesce(o_orderpriority, 'ALL') AS priority,
-        | count(*) AS n_orders, sum(n_items) AS n_items
+        | count(*) AS n_orders, CAST(sum(n_items) AS BIGINT) AS n_items
         |FROM (SELECT o_orderkey, o_orderstatus, o_orderpriority,
         |        (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey)
         |          AS n_items

@@ -35,9 +35,13 @@ object native {
   * double — bit-identical to the HOF `aggregate(zip_with(...))` formulation
   * (and to DuckDB's list_sum fold), so swapping it in preserves oracle
   * hashes. Whole-stage codegen via doGenCode: the loop inlines into the
-  * surrounding stage. Array elements must be non-null. */
+  * surrounding stage. Array elements must be non-null. Mismatched lengths
+  * return NULL (matching `zip_with`'s null-padding → null sum), never a
+  * silently-truncated partial product. */
 case class DotProductArray(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -84,7 +88,8 @@ case class DotProductArray(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -97,12 +102,16 @@ case class DotProductArray(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-        int n = Math.min($a.numElements(), $b.numElements());
-        double s = 0.0;
-        for (int i = 0; i < n; i++) {
-          s += ${elemAsDouble(left, a)} * ${elemAsDouble(right, b)};
+        int n = $a.numElements();
+        if (n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double s = 0.0;
+          for (int i = 0; i < n; i++) {
+            s += ${elemAsDouble(left, a)} * ${elemAsDouble(right, b)};
+          }
+          ${ev.value} = s;
         }
-        ${ev.value} = s;
       """
     })
 
@@ -192,7 +201,10 @@ case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
     val it = small.iterator()
     while (it.hasNext) if (large.contains(it.next())) inter += 1
     val union = sa.size + sb.size - inter
-    if (union == 0) 1.0 else inter.toDouble / union
+    // Two empty shingle sets (texts shorter than n) are NOT duplicates:
+    // returning 1.0 here made every short doc verify as a near-dup of every
+    // other short doc — silent data loss downstream in dedupNear.
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   override protected def withNewChildrenInternal(

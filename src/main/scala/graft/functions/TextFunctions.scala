@@ -20,21 +20,30 @@ object TextFunctions {
   def distinctTokenCount(c: Column): Column =
     size(array_distinct(tokens(c))).cast("long")
 
-  /** Character n-gram shingles (with duplicates). */
+  /** Character n-gram shingles (with duplicates). Text shorter than `n`
+    * yields an EMPTY array: the naive `sequence(1, length-n+1)` auto-steps
+    * -1 when the end is < 1 (e.g. [1,0]) and would emit phantom shingles
+    * (the whole short text, twice) where the oracle's range() is empty. */
   def charShingles(c: Column, n: Int): Column =
-    transform(sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
-      i => c.substr(i, lit(n)))
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - lit(n - 1)),
+        i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct character n-gram shingles. */
   def distinctShingles(c: Column, n: Int): Column =
     array_distinct(charShingles(c, n))
 
-  /** Word n-grams (token shingles), space-joined. */
+  /** Word n-grams (token shingles), space-joined. Fewer than `n` tokens
+    * yields an EMPTY array (same descending-sequence trap as
+    * [[charShingles]]). */
   def tokenShingles(c: Column, n: Int): Column = {
     val t = tokens(c)
     array_distinct(
-      transform(sequence(lit(0), greatest(size(t) - lit(n), lit(-1))),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - lit(n)),
+          i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Polynomial rolling hash over the characters of `c`:

@@ -74,7 +74,13 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
                         numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val banded = df.select(col(idCol), posexplode(
+    // A document with NO shingles (shorter than the shingle size) carries the
+    // all-Long.MaxValue sentinel signature; every such doc would collide in
+    // every band and verify/delete each other downstream. Exclude them here:
+    // sig[0] can only be MaxValue when no shingle was folded in (real hashes
+    // are h1 + k·h2 < 2^36 << MaxValue).
+    val nonEmpty = df.where(element_at(col(sigCol), 1) =!= lit(Long.MaxValue))
+    val banded = nonEmpty.select(col(idCol), posexplode(
       transform(sequence(lit(0), lit(numBands - 1)),
         b => struct(b.as("band"),
           xxhash64(concat_ws(",",
@@ -228,11 +234,14 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** n-gram Jaccard similarity between two texts' distinct shingle sets. */
+  /** n-gram Jaccard similarity between two texts' distinct shingle sets.
+    * Two empty shingle sets score 0.0 (not duplicates), matching the native
+    * [[graft.expressions.TextNGramJaccard]]. */
   def nGramJaccard(a: Column, b: Column, n: Int = 3): Column = {
     val (sa, sb) = (distinctShingles(a, n), distinctShingles(b, n))
     val inter = size(array_intersect(sa, sb))
     // |A ∪ B| = |A| + |B| − |A ∩ B| (array_union not needed)
-    inter.cast("double") / (size(sa) + size(sb) - inter)
+    val union = size(sa) + size(sb) - inter
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 }

@@ -76,10 +76,44 @@ object Multimodal {
   /** Media partitions must be sized by BYTES, not rows: repartition so each
     * partition holds ~`targetMB` of payload. At 100 TB this is the difference
     * between a working pipeline and OOM: a 1000-row partition of 4K video is
-    * tens of GB. Uses a running estimate from the payload length column. */
+    * tens of GB.
+    *
+    * Total bytes are measured FROM THE DATA (one cheap `sum(length)` agg —
+    * a caller-supplied estimate was the round-1 skew hazard), and rows are
+    * greedily packed into byte-budgeted buckets per input partition: each
+    * task accumulates payload sizes and advances its bucket when the running
+    * sum crosses `targetMB`, so a run of giant rows spills into more buckets
+    * instead of round-robining into the same ones. The bucket id then drives
+    * one hash repartition. A single row larger than `targetMB` still owns a
+    * whole bucket (cannot be subdivided — documented limit). */
   def repartitionForMedia(df: DataFrame, payloadCol: String,
-                          totalBytes: Long, targetMB: Int = 128): DataFrame = {
-    val parts = math.max(1, (totalBytes / (targetMB * 1024L * 1024L)).toInt)
-    df.repartition(parts)
+                          targetMB: Int = 128): DataFrame = {
+    val targetBytes = targetMB * 1024L * 1024L
+    val totalBytes = df.agg(sum(length(col(payloadCol)))).head()
+      .getLong(0)
+    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, LongType}
+    // per-input-partition running byte sum → bucket id (narrow, no driver
+    // data); global spread comes from offsetting by the partition id.
+    val schema = df.schema.add(StructField("__media_bkt", LongType))
+    val bucketed = spark.createDataFrame(
+      df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        var acc = 0L
+        var bkt = 0L
+        val sizeIdx = df.schema.fieldIndex(payloadCol)
+        rows.map { r =>
+          val sz = r.get(sizeIdx) match {
+            case b: Array[Byte] => b.length.toLong
+            case s: String      => s.length.toLong
+            case _              => 0L
+          }
+          acc += sz
+          if (acc > targetBytes) { bkt += 1; acc = sz }
+          Row.fromSeq(r.toSeq :+ (pid.toLong * 100003L + bkt))
+        }
+      }, schema)
+    bucketed.repartition(parts, col("__media_bkt")).drop("__media_bkt")
   }
 }

@@ -30,11 +30,14 @@ object StreamingOps {
 
   /** Streaming exact dedup: first occurrence per key wins; the watermark
     * bounds the dedup state (keys older than the watermark are dropped from
-    * state, so memory is O(keys per watermark window), not O(all keys)). */
+    * state, so memory is O(keys per watermark window), not O(all keys)).
+    * Key-ONLY dedup via dropDuplicatesWithinWatermark: the same key arriving
+    * with a different timestamp is still a duplicate (a plain
+    * dropDuplicates(key :+ ts) would re-admit it). */
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   case class SessionIn(user_id: Long, ts_ms: Long, value: Double)
   case class SessionOut(user_id: Long, session_start_ms: Long,

@@ -69,6 +69,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             failures += 1
             continue
+        # The driver hashes dtypes: int64 vs float64 for the same column is a
+        # hash mismatch even when values are equal (round-1 q_rollup). Flag
+        # any post-canon dtype divergence as a failure.
+        dtype_diff = [c for c in g.columns if str(g[c].dtype) != str(e[c].dtype)]
+        if dtype_diff:
+            print(f"FAIL {name}: dtype mismatch on {dtype_diff}: "
+                  f"spark={[str(g[c].dtype) for c in dtype_diff]} "
+                  f"oracle={[str(e[c].dtype) for c in dtype_diff]}")
+            failures += 1
+            continue
         if len(g) == 0:
             # an empty result matching an empty oracle proves nothing —
             # treat as a degenerate query that needs a better predicate
