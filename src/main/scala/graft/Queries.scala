@@ -450,7 +450,7 @@ object Queries {
     "q_describe_all" -> qDescribeAll,
     "q_explode_aligned" -> qExplodeAligned,
     "q_element_index" -> qElementIndex,
-  ) ++ TrainingQueries.all
+  ) ++ TrainingQueries.all ++ SurfaceQueries.all
 
   val oracles: Map[String, String] = Map(
     "q_pack_salted" ->
@@ -620,5 +620,5 @@ object Queries {
         |EXCEPT
         |SELECT l_partkey FROM lineitem
         |WHERE l_returnflag = 'R' AND l_quantity > 45""".stripMargin,
-  ) ++ TrainingQueries.oracles
+  ) ++ TrainingQueries.oracles ++ SurfaceQueries.oracles
 }

@@ -1,0 +1,333 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.nested.NestedOps
+import graft.nested.syntax._
+
+/** Round-2 coverage queries: oracle checks for the SURVEY §2 rows that
+  * previously rode on unit tests or "builtin" claims only (round-1 verdict:
+  * every §2.x row must map to a green CORRECTNESS row).
+  *
+  * Same contract as [[Queries]]: flat result, columns aliased identically to
+  * the DuckDB oracle, counts cast BIGINT, doubles rounded on both sides.
+  */
+object SurfaceQueries {
+
+  import Queries.Q
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  private def lines(s: SparkSession, dir: String, cols: String*): DataFrame =
+    rd(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+      .select(("o_orderkey" +: cols).map(col): _*)
+
+  /** Element type for the packSeq local constructor (top-level for TypeTag). */
+  case class PSElem(x: Long, y: Double)
+
+  // ---------------------------------------------------------------------------
+  // §2.1 pack_seq — local-data constructor
+  // ---------------------------------------------------------------------------
+
+  /** packSeq: build a nested frame from local sequences incl. a NULL cell,
+    * then reduce per row (reference `pack_seq`, series/packer.py:120-154). */
+  val qPackSeq: Q = (s, _) => {
+    val nf = NestedOps.packSeq(s, Seq(
+      1L -> Some(Seq(PSElem(1, 1.5), PSElem(2, 2.5))),
+      2L -> None,
+      3L -> Some(Seq(PSElem(3, 0.5)))), "nested")
+    nf.select(col("key"),
+      size(col("nested")).cast("long").as("n"),
+      round(NestedOps.elementSum("nested", "y"), 2).as("sum_y"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.2 view_fields — nested-field projection
+  // ---------------------------------------------------------------------------
+
+  /** selectSubFields: project the nest to a 2-field view, then flatten-agg.
+    * (reference `view_fields`, accessor.py:762-801). */
+  val qViewFields: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice", "l_returnflag"),
+      Seq("o_orderkey"), "items")
+    packed.selectSubFields("items", Seq("l_quantity", "l_returnflag"))
+      .toFlat("items")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.2 schema introspection — all/nested/base/sub_columns as data
+  // ---------------------------------------------------------------------------
+
+  /** The introspection quartet surfaced as (kind, name) rows so the oracle can
+    * pin the exact addressable-column surface (reference core.py:85-105). */
+  val qSchemaCols: Q = (s, dir) => {
+    import s.implicits._
+    val nf = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .joinNested(lines(s, dir, "l_quantity", "l_returnflag"),
+        Seq("o_orderkey"), "items", "inner")
+    val rows =
+      NestedOps.baseColumns(nf).map(("base", _)) ++
+      NestedOps.nestedColumns(nf).map(("nested", _)) ++
+      NestedOps.subColumns(nf, "items").map(("sub", _)) ++
+      NestedOps.allColumns(nf).map(("all", _))
+    rows.toDF("kind", "name")
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.4 set_list_column / set_filled_column / scatter-by-mask
+  // ---------------------------------------------------------------------------
+
+  /** withNestedFieldFromList: a separate aligned list column becomes a new
+    * field of each element (reference `set_list_column`). Doubled quantities
+    * land element-by-element, so sum(qty2) == 2 * sum(qty). */
+  val qSetListColumn: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+      .withColumn("qty2",
+        transform(col("items"), e => e.getField("l_quantity") * 2))
+    NestedOps.withNestedFieldFromList(packed, "items", "qty2", "qty2")
+      .select(col("o_orderkey").as("orderkey"),
+        round(NestedOps.elementSum("items", "l_quantity"), 2).as("sum_qty"),
+        round(NestedOps.elementSum("items", "qty2"), 2).as("sum_qty2"))
+  }
+
+  /** scatter-by-mask on a base column (when/otherwise — the reference's
+    * `nf[mask] = value`) + set_filled_column on a nest (constant field). */
+  val qScatterFill: Q = (s, dir) => {
+    val masked = rd(s, dir, "orders")
+      .withColumn("masked_total",
+        when(col("o_orderstatus") === "F", lit(0.0))
+          .otherwise(col("o_totalprice")))
+      .agg(round(sum(col("masked_total")), 2).as("sum_masked"))
+    val filled = NestedOps.withNestedFieldFilled(
+        NestedOps.packFlat(lines(s, dir, "l_quantity"), Seq("o_orderkey"),
+          "items"),
+        "items", "one", lit(1.0))
+      .select(explode(col("items")).as("e"))
+      .agg(round(sum(col("e.one")), 2).as("n_filled"))
+    masked.crossJoin(filled)
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.4 drop (dotted nested sub-column)
+  // ---------------------------------------------------------------------------
+
+  /** dropColumns with a dotted name removes one field from the nest; the
+    * surviving fields still aggregate correctly (reference core.py:745-858). */
+  val qDropFields: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice", "l_returnflag"),
+      Seq("o_orderkey"), "items")
+    val dropped = NestedOps.dropColumns(packed, Seq("items.l_extendedprice"))
+    require(NestedOps.subColumns(dropped, "items") ==
+      Seq("l_quantity", "l_returnflag"))
+    dropped.toFlat("items")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.4 concat + take
+  // ---------------------------------------------------------------------------
+
+  /** concat (unionAll, duplicates kept) then take (total-ordered limit) —
+    * the reference's pd.concat / head inherited surface. */
+  val qConcatTake: Q = (s, dir) => {
+    val orders = rd(s, dir, "orders")
+    val hi = orders.where(col("o_totalprice") > 200000.0)
+    val lo = orders.where(col("o_totalprice") <= 1000.0)
+    NestedOps.sortValues(hi.unionAll(lo),
+        Seq(("o_totalprice", true), ("o_orderkey", true)))
+      .limit(15)
+      .select(col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.7 sort_values base dispatch
+  // ---------------------------------------------------------------------------
+
+  /** sortValues with base-column keys → row sort (desc + tiebreak), head 10. */
+  val qSortBase: Q = (s, dir) => {
+    NestedOps.sortValues(rd(s, dir, "orders"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)))
+      .limit(10)
+      .select(col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.3 row-level cell isna / dropna
+  // ---------------------------------------------------------------------------
+
+  /** NULL-cell handling at ROW level: left join_nested gives childless rows a
+    * NULL cell (≠ empty array); isna/dropna count and remove them. */
+  val qCellDropna: Q = (s, dir) => {
+    val nf = rd(s, dir, "orders")
+      .joinNested(lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items",
+        "left")
+    nf.agg(
+      count(lit(1)).as("n_orders"),
+      sum(when(col("items").isNull, 1L).otherwise(0L)).as("n_childless"),
+      sum(when(col("items").isNotNull, 1L).otherwise(0L)).as("n_after_drop"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.10 apply over a nested series (typed Dataset.map)
+  // ---------------------------------------------------------------------------
+
+  /** apply: arbitrary JVM lambda over each row's element sequence. */
+  val qApply: Q = (s, dir) => {
+    import s.implicits._
+    NestedOps.packFlat(lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+      .select(col("o_orderkey"),
+        transform(col("items"), e => e.getField("l_quantity")).as("qs"))
+      .as[(Long, Seq[Double])]
+      .map { case (k, qs) => (k, qs.count(_ > 25.0).toLong) }
+      .toDF("orderkey", "n_big")
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.1 generate_data — structural oracle
+  // ---------------------------------------------------------------------------
+
+  /** generateData invariants as data: row/element counts exact, every band in
+    * {r, g}, a ∈ [0, 1), b ∈ [0, 2) (generator is seeded-hash deterministic,
+    * not SQL-reproducible — the oracle pins the structural contract). */
+  val qGenerate: Q = (s, _) => {
+    val g = graft.sources.NestedParquet.generateData(s, nBase = 200, nLayer = 5)
+    g.agg(
+      count(lit(1)).as("n_rows"),
+      sum(size(col("nested"))).cast("long").as("n_elems"),
+      sum(size(filter(col("nested"), e =>
+        !e.getField("band").isin("r", "g")))).cast("long").as("n_bad_band"),
+      sum(when(col("a") >= 0.0 && col("a") < 1.0 &&
+               col("b") >= 0.0 && col("b") < 2.0, 0L).otherwise(1L))
+        .as("n_out_of_range"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // §2.11 partial nested read + glob/directory read
+  // ---------------------------------------------------------------------------
+
+  /** read_parquet(columns=["items.l_quantity"]): write a nested file, read it
+    * back with a pruned nest (SchemaPruning reaches the scan), flatten-agg. */
+  val qPartialRead: Q = (s, dir) => {
+    val path = "/tmp/graft_partial_read"
+    NestedOps.packFlat(
+        lines(s, dir, "l_quantity", "l_extendedprice", "l_returnflag"),
+        Seq("o_orderkey"), "items")
+      .write.mode("overwrite").parquet(path)
+    val pruned = graft.sources.NestedParquet.selectColumns(
+      s.read.parquet(path), Seq("o_orderkey", "items.l_quantity"))
+    pruned.toFlat("items", baseCols = Seq("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  /** Directory + glob reads (the remote-fs surface over file://): two parquet
+    * directories under one root, read back with a `*` glob in one scan. */
+  val qReadGlob: Q = (s, dir) => {
+    val root = "/tmp/graft_glob_read"
+    val li = lines(s, dir, "l_quantity", "l_linestatus")
+    li.where(col("l_linestatus") === "O")
+      .write.mode("overwrite").parquet(s"$root/part=o")
+    li.where(col("l_linestatus") =!= "O")
+      .write.mode("overwrite").parquet(s"$root/part=rest")
+    s.read.parquet(s"$root/part=*")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q_pack_seq" -> qPackSeq,
+    "q_view_fields" -> qViewFields,
+    "q_schema_cols" -> qSchemaCols,
+    "q_set_list_column" -> qSetListColumn,
+    "q_scatter_fill" -> qScatterFill,
+    "q_drop_fields" -> qDropFields,
+    "q_concat_take" -> qConcatTake,
+    "q_sort_base" -> qSortBase,
+    "q_cell_dropna" -> qCellDropna,
+    "q_apply" -> qApply,
+    "q_generate" -> qGenerate,
+    "q_partial_read" -> qPartialRead,
+    "q_read_glob" -> qReadGlob,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pack_seq" ->
+      """SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n,
+        | CAST(sum_y AS DOUBLE) AS sum_y
+        |FROM (VALUES (1, 2, 4.0), (2, NULL, NULL), (3, 1, 0.5))
+        |  t(key, n, sum_y)""".stripMargin,
+    "q_view_fields" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_schema_cols" ->
+      """SELECT kind, name FROM (VALUES
+        | ('base', 'o_orderkey'), ('base', 'o_totalprice'),
+        | ('nested', 'items'),
+        | ('sub', 'l_quantity'), ('sub', 'l_returnflag'),
+        | ('all', 'o_orderkey'), ('all', 'o_totalprice'),
+        | ('all', 'items.l_quantity'), ('all', 'items.l_returnflag'))
+        | t(kind, name)""".stripMargin,
+    "q_set_list_column" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_quantity * 2), 2) AS sum_qty2
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_scatter_fill" ->
+      """SELECT
+        | (SELECT round(sum(CASE WHEN o_orderstatus = 'F' THEN 0.0
+        |                        ELSE o_totalprice END), 2) FROM orders)
+        |   AS sum_masked,
+        | (SELECT round(CAST(count(*) AS DOUBLE), 2) FROM lineitem)
+        |   AS n_filled""".stripMargin,
+    "q_drop_fields" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_concat_take" ->
+      """SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 200000
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_totalprice <= 1000)
+        |ORDER BY o_totalprice, o_orderkey LIMIT 15""".stripMargin,
+    "q_sort_base" ->
+      """SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_cell_dropna" ->
+      """SELECT
+        | (SELECT count(*) FROM orders) AS n_orders,
+        | (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |   (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+        |   AS n_childless,
+        | (SELECT count(*) FROM orders WHERE EXISTS
+        |   (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+        |   AS n_after_drop""".stripMargin,
+    "q_apply" ->
+      """SELECT l_orderkey AS orderkey,
+        | count(*) FILTER (WHERE l_quantity > 25) AS n_big
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_generate" ->
+      """SELECT CAST(200 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_elems,
+        | CAST(0 AS BIGINT) AS n_bad_band,
+        | CAST(0 AS BIGINT) AS n_out_of_range""".stripMargin,
+    "q_partial_read" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin,
+    "q_read_glob" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem""".stripMargin,
+  )
+}

@@ -98,11 +98,12 @@ object Multimodal {
     // per-input-partition running byte sum → bucket id (narrow, no driver
     // data); global spread comes from offsetting by the partition id.
     val schema = df.schema.add(StructField("__media_bkt", LongType))
+    // resolved on the driver: the closure must not capture the Dataset
+    val sizeIdx = df.schema.fieldIndex(payloadCol)
     val bucketed = spark.createDataFrame(
       df.rdd.mapPartitionsWithIndex { (pid, rows) =>
         var acc = 0L
         var bkt = 0L
-        val sizeIdx = df.schema.fieldIndex(payloadCol)
         rows.map { r =>
           val sz = r.get(sizeIdx) match {
             case b: Array[Byte] => b.length.toLong
