@@ -244,6 +244,24 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // §2.4 cross-nest + multiline eval assignment
+  // ---------------------------------------------------------------------------
+
+  /** Multiline eval building a NEW nest from one nest, then assigning across
+    * TWO nests + a base column (flat-index aligned) — the reference's
+    * trickiest eval semantics (test_nestedframe.py:2498-2530). */
+  val qEvalCross: Q = (s, dir) => {
+    val nf = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .joinNested(lines(s, dir, "l_extendedprice", "l_discount"),
+        Seq("o_orderkey"), "items", "inner")
+    val r = graft.nested.NestedExpr.eval(nf,
+      """p2.c2 = items.l_extendedprice * 2
+        |p2.d = p2.c2 + items.l_discount * 100 + o_totalprice""".stripMargin)
+    r.select(col("o_orderkey").as("orderkey"),
+      round(NestedOps.elementSum("p2", "d"), 2).as("sum_d"))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
@@ -261,6 +279,7 @@ object SurfaceQueries {
     "q_generate" -> qGenerate,
     "q_partial_read" -> qPartialRead,
     "q_read_glob" -> qReadGlob,
+    "q_eval_cross" -> qEvalCross,
   )
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +348,11 @@ object SurfaceQueries {
     "q_read_glob" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem""".stripMargin,
+    "q_eval_cross" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(sum(2 * l_extendedprice + l_discount * 100 + o_totalprice), 2)
+        |   AS sum_d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
   )
 }

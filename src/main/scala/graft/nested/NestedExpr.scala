@@ -89,15 +89,19 @@ object NestedExpr {
     "and", "or", "not", "in", "is", "null", "true", "false", "like", "rlike",
     "between", "case", "when", "then", "else", "end", "cast", "as", "distinct")
 
-  /** Parse result: rewritten SQL + the set of nests referenced at element
-    * level + whether base columns are referenced. */
-  private case class Analysis(sql: String, nests: Set[String], usesBase: Boolean)
+  /** Parse result: rewritten SQL + the nests referenced at element level (in
+    * first-reference order, distinct) + whether base columns are referenced. */
+  private case class Analysis(sql: String, nests: Seq[String], usesBase: Boolean)
 
+  /** `ref(nest, field)` renders an element-level reference to a nested field;
+    * the default targets a single-lambda-variable context. Cross-nest callers
+    * pass a renderer that distinguishes the anchor nest (`__x`) from other
+    * nests (positional `nest[__i]` access). */
   private def analyze(df: DataFrame, exprStr: String,
-                      lambdaVar: String): Analysis = {
+                      ref: (String, String) => String): Analysis = {
     val nestSet = NestedOps.nestedColumns(df).toSet
     val baseSet = NestedOps.baseColumns(df).toSet
-    var nests = Set.empty[String]
+    val nests = collection.mutable.LinkedHashSet.empty[String]
     var usesBase = false
     val toks = tokenize(exprStr)
     val sql = toks.zipWithIndex.map {
@@ -113,7 +117,7 @@ object NestedExpr {
             s"size(${bq(nest)}) __LEN_CALL"
           case Seq(nest, field) if nestSet.contains(nest) =>
             nests += nest
-            s"$lambdaVar.${bq(field)}"
+            ref(nest, field)
           case Seq(one) if baseSet.contains(one) =>
             usesBase = true; bq(one)
           case Seq(one) if keywords.contains(one.toLowerCase) => one
@@ -127,8 +131,12 @@ object NestedExpr {
     }.mkString
       // drop the () of len() calls: "size(n) __LEN_CALL ()" -> "size(n)"
       .replaceAll("""__LEN_CALL\s*\(\s*\)""", "")
-    Analysis(sql, nests, usesBase)
+    Analysis(sql, nests.toSeq, usesBase)
   }
+
+  private def analyze(df: DataFrame, exprStr: String,
+                      lambdaVar: String): Analysis =
+    analyze(df, exprStr, (_: String, f: String) => s"$lambdaVar.${bq(f)}")
 
   /** Two-level `query`. Base-layer expr → row filter; single-nest expr →
     * element filter keeping all rows. Mixing layers or nests → error, same as
@@ -148,11 +156,53 @@ object NestedExpr {
     }
   }
 
+  /** Render the element-level RHS against an anchor nest: anchor fields come
+    * from the lambda variable `__x`; fields of OTHER nests are read
+    * positionally — `other[__i].f` — i.e. the reference's flat-index
+    * alignment (element i of every RHS nest pairs with element i of the
+    * anchor; core.py:284-340). Base columns stay outer row references
+    * (broadcast per row). */
+  private def analyzeAnchored(df: DataFrame, rhs: String,
+                              anchor: String): Analysis =
+    analyze(df, rhs, (n: String, f: String) =>
+      if (n == anchor) s"__x.${bq(f)}" else s"${bq(n)}[__i].${bq(f)}")
+
+  /** Element-aligned transform of `anchor` producing `named_struct($parts)`
+    * per element, guarded so every OTHER referenced nest is element-aligned
+    * with the anchor (same per-row length) — misalignment raises, as in the
+    * reference. NULL anchor cells pass through as NULL. */
+  private def alignedTransform(df: DataFrame, anchor: String,
+                               others: Seq[String], parts: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{when, assert_true, lit, size => sz}
+    val lambda = if (others.isEmpty) "__x ->" else "(__x, __i) ->"
+    val transformed =
+      expr(s"transform(${bq(anchor)}, $lambda named_struct($parts))")
+    if (others.isEmpty) transformed
+    else {
+      val aligned = others.map { o =>
+        col(anchor).isNull || (sz(col(o)) === sz(col(anchor)))
+      }.reduce(_ && _)
+      // assert_true returns NULL when the condition holds and raises
+      // otherwise — the `when` is always taken or the row errors out.
+      when(assert_true(aligned,
+        lit(s"eval: nests ${others.mkString(", ")} are not element-aligned " +
+          s"with '$anchor'")).isNull, transformed)
+    }
+  }
+
+  private def sq(s: String): String = s"'${s.replace("'", "\\'")}'"
+
   /** `eval` assignment dialect: `"target = rhs"`.
-    *  - `nest.f = <expr over same nest (+ base cols)>` → add/replace field f
-    *    inside each element (core.py:284-340 __setitem__ dotted).
-    *  - `name = <expr over base cols>` → plain withColumn.
-    * Cross-nest assignment is rejected (same single-nest rule). */
+    *  - `nest.f = <expr>` → add/replace field f inside each element; the RHS
+    *    may mix the target nest, OTHER nests (element-aligned on the flat
+    *    index, like the reference), and base columns (broadcast per row)
+    *    (core.py:284-340; test_nestedframe.py:2481-2530).
+    *  - `newnest.f = <expr over ≥1 nests (+ base)>` → create a new nest
+    *    element-aligned with the first referenced nest.
+    *  - `name = <expr over base cols>` → plain withColumn; a nested-layer RHS
+    *    is rejected (it would put element values "between" row labels).
+    * One nesting level only: `nest.f.inner = ...` raises. */
   def evalAssign(df: DataFrame, stmt: String): DataFrame = {
     val m = """(?s)^\s*(.*?)\s*=(?!=)\s*(.*)$""".r
     stmt match {
@@ -160,38 +210,49 @@ object NestedExpr {
         val lhsToks = tokenize(lhs)
         val target = lhsToks.collectFirst { case Ident(p) => p }.getOrElse(
           throw new IllegalArgumentException(s"Bad assignment target: $lhs"))
-        val a = analyze(df, rhs, "__x")
         target match {
           case Seq(nest, field) if NestedOps.nestedColumns(df).contains(nest) =>
-            require(a.nests.subsetOf(Set(nest)),
-              s"Assignment to $nest.$field references other nests: ${a.nests}")
-            // No SQL syntax for withField → rebuild the struct with
-            // named_struct, replacing or appending the target field.
+            // Existing nest: anchor the RHS on the TARGET nest.
+            val a = analyzeAnchored(df, rhs, nest)
+            val others = a.nests.filterNot(_ == nest)
             val existing = NestedOps.subColumns(df, nest)
             val fields = if (existing.contains(field)) existing
                          else existing :+ field
             val parts = fields.map { f =>
               val v = if (f == field) a.sql else s"__x.${bq(f)}"
-              s"'${f.replace("'", "\\'")}', $v"
+              s"${sq(f)}, $v"
             }.mkString(", ")
-            df.withColumn(nest, expr(
-              s"transform(${bq(nest)}, __x -> named_struct($parts))"))
-          // New-nest creation from a single-source-nest expression
-          // (reference: eval assignment creating nests,
-          // tests/nested_pandas/nestedframe/test_nestedframe.py:2448-2540):
-          // `newnest.f = items.a * 2` builds newnest element-aligned to items.
-          case Seq(newNest, field) if a.nests.size == 1 =>
-            val src = a.nests.head
-            df.withColumn(newNest, expr(
-              s"transform(${bq(src)}, __x -> named_struct('${field.replace("'", "\\'")}', ${a.sql}))"))
+            df.withColumn(nest, alignedTransform(df, nest, others, parts))
+          // New-nest creation (reference test_nestedframe.py:2448-2540):
+          // `newnest.f = <expr>` builds newnest element-aligned with the
+          // first nest the RHS references.
+          case Seq(newNest, field) =>
+            val a = analyzeAnchored(df, rhs,
+              analyze(df, rhs, "__x").nests.headOption.getOrElse(""))
+            require(a.nests.nonEmpty,
+              s"Assignment to new nest '$newNest.$field' needs ≥1 nested " +
+                s"reference on the RHS (got a base-only expression)")
+            val anchor = a.nests.head
+            df.withColumn(newNest, alignedTransform(df, anchor,
+              a.nests.tail, s"${sq(field)}, ${a.sql}"))
           case Seq(name) =>
+            val a = analyze(df, rhs, "__x")
             require(a.nests.isEmpty,
               s"Assignment of nested-layer expression to base column '$name'")
             df.withColumn(name, expr(a.sql))
           case other => throw new IllegalArgumentException(
-            s"Bad assignment target: ${other.mkString(".")}")
+            s"Bad assignment target: ${other.mkString(".")} " +
+              "(only one nesting level is supported)")
         }
       case _ => throw new IllegalArgumentException(s"Not an assignment: $stmt")
     }
   }
+
+  /** Multi-statement eval: one assignment per non-empty line, executed in
+    * order — line N sees every column line N−1 created (the reference's
+    * GH#159 semantics, test_nestedframe.py:2512-2530). */
+  def eval(df: DataFrame, program: String): DataFrame =
+    program.split('\n').map(_.trim)
+      .filter(s => s.nonEmpty && !s.startsWith("#"))
+      .foldLeft(df)(evalAssign)
 }

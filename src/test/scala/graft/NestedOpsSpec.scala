@@ -226,4 +226,95 @@ class NestedOpsSpec extends SparkSpec {
     assert(r.columns.toSeq == Seq("key", "a", "nested"))
     assert(NestedOps.subColumns(r, "nested") == Seq("c"))
   }
+
+  // --- cross-nest / multiline eval assignment -------------------------------
+  // Ports of the reference's test_eval_assignment
+  // (tests/nested_pandas/nestedframe/test_nestedframe.py:2448-2545).
+
+  private def flat(df: org.apache.spark.sql.DataFrame, nest: String,
+                   field: String): Seq[Double] =
+    df.orderBy($"key")
+      .select(explode(col(s"$nest.$field")).as("v"))
+      .select($"v".cast("double")).as[Double].collect().toSeq
+
+  test("eval creates a new nest from a single-nest rhs") {
+    val r = NestedExpr.evalAssign(nf, "p2.c2 = nested.c * 2")
+    assert(r.nestedColumns.toSet == Set("nested", "p2"))
+    assert(NestedOps.subColumns(r, "p2") == Seq("c2"))
+    assert(flat(r, "p2", "c2") == flat(nf, "nested", "c").map(_ * 2))
+  }
+
+  test("eval assigns across two different nests, element-aligned, plus base") {
+    val r2 = NestedExpr.evalAssign(nf, "p2.c2 = nested.c * 2")
+    val r3 = NestedExpr.evalAssign(r2, "p2.d = p2.c2 + nested.d * 2 + b")
+    assert(NestedOps.subColumns(r3, "p2") == Seq("c2", "d"))
+    val expect = r2.orderBy($"key")
+      .select(explode(arrays_zip($"p2", $"nested")).as("e"), $"b")
+      .select(($"e.p2.c2" + $"e.nested.d" * 2 + $"b").cast("double"))
+      .as[Double].collect().toSeq
+    assert(flat(r3, "p2", "d") == expect)
+  }
+
+  test("eval creates a new nest from another nest + base columns") {
+    val r = NestedExpr.evalAssign(nf, "p2.e = nested.d * 2 + a")
+    val expect = nf.orderBy($"key")
+      .select(explode($"nested.d").as("d"), $"a")
+      .select(($"d" * 2 + $"a").cast("double")).as[Double].collect().toSeq
+    assert(flat(r, "p2", "e") == expect)
+  }
+
+  test("multiline eval: each line sees the previous line's columns (GH#159)") {
+    val r = NestedExpr.eval(nf,
+      """
+      c = a + b
+      nested.e = nested.d * 2
+      p2.e = nested.e + c
+      p2.f = p2.e + b
+      """)
+    assert(r.nestedColumns.toSet == Set("nested", "p2"))
+    assert(NestedOps.subColumns(r, "nested") == Seq("c", "d", "e"))
+    assert(NestedOps.subColumns(r, "p2") == Seq("e", "f"))
+    val expectE = nf.orderBy($"key")
+      .select(explode($"nested.d").as("d"), ($"a" + $"b").as("c"))
+      .select(($"d" * 2 + $"c").cast("double")).as[Double].collect().toSeq
+    assert(flat(r, "p2", "e") == expectE)
+    val expectF = nf.orderBy($"key")
+      .select(explode($"nested.d").as("d"), $"a", $"b")
+      .select(($"d" * 2 + $"a" + $"b" + $"b").cast("double"))
+      .as[Double].collect().toSeq
+    assert(flat(r, "p2", "f") == expectF)
+  }
+
+  test("cross-nest eval raises when nests are not element-aligned") {
+    // p3 has fewer elements than nested (filtered), so alignment must fail
+    val p3 = NestedExpr.evalAssign(nf, "p3.c = nested.c + 1")
+      .filterElements("p3", e => e.getField("c") > 1)
+    val bad = NestedExpr.evalAssign(p3, "nested.x = nested.c + p3.c")
+    val e = intercept[Exception] { bad.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("element-aligned")))
+  }
+
+  test("eval rejects base target with nested rhs and >1 nesting level") {
+    intercept[IllegalArgumentException] {
+      NestedExpr.evalAssign(nf, "g = nested.c * 2")
+    }
+    intercept[IllegalArgumentException] {
+      NestedExpr.evalAssign(nf, "nested.c.inner = nested.c * 2")
+    }
+  }
+
+  test("backticked targets and fields with special characters") {
+    val b = Seq((0L, 1), (1L, 2), (2L, 3)).toDF("key", "dog")
+    val c = Seq((0L, 0, 5), (0L, 2, 4), (1L, 1, 5), (2L, 4, 3))
+      .toDF("key", "n/a", "n/b")
+    val packed = b.joinNested(c, Seq("key"), "bad dog",
+      sortBy = Seq(("n/a", true), ("n/b", true)))
+    val r = NestedExpr.evalAssign(packed,
+      "`bad dog`.`n/c` = `bad dog`.`n/b` + 2.5")
+    assert(NestedOps.subColumns(r, "bad dog") == Seq("n/a", "n/b", "n/c"))
+    val got = flat(r, "bad dog", "n/c")
+    assert(got == Seq(7.5, 6.5, 7.5, 5.5))
+  }
 }
