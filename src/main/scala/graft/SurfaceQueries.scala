@@ -262,6 +262,32 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // §2.10 map_rows infer_nesting
+  // ---------------------------------------------------------------------------
+
+  /** mapRows with dotted output names repacked into a NEW nest
+    * (reference `infer_nesting`, core.py:2511-2531): per-order kernel emits
+    * two aligned arrays (2×qty and qty−min), zipped into `norm`, reduced. */
+  val qMapRowsNested: Q = (s, dir) => {
+    import org.apache.spark.sql.types._
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+    val out = graft.nested.MapRows.mapRows(packed,
+      Seq("o_orderkey", "items.l_quantity"),
+      StructType(Seq(
+        StructField("orderkey", LongType),
+        StructField("norm.q2", ArrayType(DoubleType)),
+        StructField("norm.r", ArrayType(DoubleType)))),
+      inferNesting = true) { case Seq(k, qs) =>
+      val q = qs.asInstanceOf[Seq[Double]]
+      Seq(k, q.map(_ * 2), q.map(_ - q.min))
+    }
+    out.select(col("orderkey"),
+      round(NestedOps.elementSum("norm", "q2"), 2).as("sum_q2"),
+      round(NestedOps.elementSum("norm", "r"), 2).as("sum_r"))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
@@ -280,6 +306,7 @@ object SurfaceQueries {
     "q_partial_read" -> qPartialRead,
     "q_read_glob" -> qReadGlob,
     "q_eval_cross" -> qEvalCross,
+    "q_map_rows_nested" -> qMapRowsNested,
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,6 +380,14 @@ object SurfaceQueries {
         | round(sum(2 * l_extendedprice + l_discount * 100 + o_totalprice), 2)
         |   AS sum_d
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey""".stripMargin,
+    "q_map_rows_nested" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(sum(l_quantity * 2), 2) AS sum_q2,
+        | round(sum(l_quantity - mn), 2) AS sum_r
+        |FROM (SELECT l_orderkey, l_quantity,
+        |        min(l_quantity) OVER (PARTITION BY l_orderkey) AS mn
+        |      FROM lineitem)
         |GROUP BY l_orderkey""".stripMargin,
   )
 }

@@ -41,6 +41,57 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(r.toSeq == Seq(7, 5, 9))
   }
 
+  test("mapRows infer_nesting packs dotted outputs into a new nest") {
+    val out = MapRows.mapRows(nf, Seq("key", "nested.c"),
+      StructType(Seq(
+        StructField("key", LongType),
+        StructField("norm.c2", ArrayType(IntegerType)),
+        StructField("norm.r", ArrayType(IntegerType)))),
+      inferNesting = true) { case Seq(k, cs) =>
+      val c = cs.asInstanceOf[Seq[Int]]
+      Seq(k, c.map(_ * 2), c.map(_ - c.min))
+    }
+    assert(out.columns.toSeq == Seq("key", "norm"))
+    assert(NestedOps.subColumns(out, "norm") == Seq("c2", "r"))
+    val r = out.orderBy("key")
+      .select(explode($"norm").as("e")).select($"e.c2", $"e.r")
+      .as[(Int, Int)].collect().toSeq
+    assert(r == Seq((0, 0), (4, 2), (8, 4),    // key 0: c = 0,2,4
+                    (2, 0), (6, 2), (8, 3),    // key 1: c = 1,3,4
+                    (2, 0), (2, 0), (8, 3)))   // key 2: c = 1,1,4
+  }
+
+  test("mapRowsAppend appends dotted outputs into the EXISTING nest") {
+    val out = MapRows.mapRowsAppend(nf, "key", Seq("nested.c"),
+      StructType(Seq(
+        StructField("nested.c2", ArrayType(IntegerType)),
+        StructField("total", IntegerType)))) { case Seq(cs) =>
+      val c = cs.asInstanceOf[Seq[Int]]
+      Seq(c.map(_ * 10), c.sum)
+    }
+    assert(out.columns.toSeq == Seq("key", "a", "b", "nested", "total"))
+    assert(NestedOps.subColumns(out, "nested") == Seq("c", "d", "c2"))
+    val r = out.orderBy("key")
+      .select(explode($"nested").as("e")).select($"e.c", $"e.c2")
+      .as[(Int, Int)].collect().toSeq
+    assert(r.forall { case (c, c2) => c2 == c * 10 })
+    val totals = out.orderBy("key").select("total").as[Int].collect().toSeq
+    assert(totals == Seq(6, 8, 6))
+  }
+
+  test("mapRowsAppend + inferNesting creates a NEW nest alongside") {
+    val out = MapRows.mapRowsAppend(nf, "key", Seq("nested.d"),
+      StructType(Seq(StructField("extra.dd", ArrayType(IntegerType)))),
+      inferNesting = true) { case Seq(ds) =>
+      Seq(ds.asInstanceOf[Seq[Int]].map(_ + 1))
+    }
+    assert(out.nestedColumns.toSet == Set("nested", "extra"))
+    val sums = out.orderBy("key")
+      .select(aggregate($"extra.dd", lit(0), (acc, x) => acc + x))
+      .as[Int].collect().toSeq
+    assert(sums == Seq(5 + 4 + 7 + 3, 5 + 3 + 1 + 3, 9 + 3 + 4 + 3))
+  }
+
   test("struct-of-list parquet round-trip (reference on-disk format)") {
     val dir = Files.createTempDirectory("sol").toString + "/t.parquet"
     NestedParquet.writeStructOfList(nf, dir)
