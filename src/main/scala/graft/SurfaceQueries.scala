@@ -288,6 +288,69 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // §2.6 describe / min-max option parity; §2.3 dropna how/thresh
+  // ---------------------------------------------------------------------------
+
+  /** describe with CUSTOM percentiles (10%/90%) over base + nested numeric
+    * columns in one pass per layer (reference `percentiles=`). */
+  val qDescribePct: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+      .withColumn("n_items", size(col("items")).cast("double"))
+      .drop("o_orderkey")
+    NestedOps.describeAll(packed, percentiles = Seq(0.1, 0.9))
+      .select(col("column"), col("stat"),
+        round(col("value") + lit(1e-9), 4).as("value"))
+  }
+
+  /** Non-numeric describe: count/unique/top/freq for a base string column
+    * and a nested string field (reference `describe(include='all')`). */
+  val qDescribeStr: Q = (s, dir) => {
+    val nf = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      .joinNested(lines(s, dir, "l_returnflag"), Seq("o_orderkey"), "items",
+        "inner")
+    NestedOps.describeNonNumeric(nf)
+      .select(col("column"), col("cnt"), col("n_unique"), col("top"),
+        col("top_freq"))
+  }
+
+  /** min/max with the reference's flags: strings minimize lexicographically
+    * by default; numericOnly drops them; excludeNest keeps base only. */
+  val qMinMaxFlags: Q = (s, dir) => {
+    val nf = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      .joinNested(lines(s, dir, "l_quantity", "l_returnflag"),
+        Seq("o_orderkey"), "items", "inner")
+    val full = NestedOps.aggAllColumns(nf.drop("o_orderkey"), "min")
+      .select(col("o_orderpriority").as("min_priority"),
+        col("`items.l_quantity`").cast("double").as("min_qty"),
+        col("`items.l_returnflag`").as("min_flag"))
+    val baseOnly = NestedOps.aggAllColumns(nf, "max", excludeNest = true)
+      .select(col("o_orderkey").cast("long").as("max_key"))
+    full.crossJoin(baseOnly)
+  }
+
+  /** dropna how=all / thresh over nested elements: nulls synthesized in two
+    * fields, then element counts after each policy. */
+  val qDropnaOpts: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_discount"), Seq("o_orderkey"), "items")
+      .withNestedField("items", "d1",
+        e => when(e.getField("l_discount") < 0.03, lit(null))
+          .otherwise(e.getField("l_discount")))
+      .withNestedField("items", "d2",
+        e => when(e.getField("l_quantity") > 40.0, lit(null))
+          .otherwise(e.getField("l_quantity")))
+    val anyN = NestedOps.dropNaElements(packed, "items", Seq("d1", "d2"))
+    val allN = NestedOps.dropNaElements(packed, "items", Seq("d1", "d2"),
+      how = "all")
+    val th1 = NestedOps.dropNaElements(packed, "items", Seq("d1", "d2"),
+      thresh = Some(1))
+    anyN.agg(sum(size(col("items"))).cast("long").as("n_any"))
+      .crossJoin(allN.agg(sum(size(col("items"))).cast("long").as("n_all")))
+      .crossJoin(th1.agg(sum(size(col("items"))).cast("long").as("n_thresh1")))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
@@ -307,6 +370,10 @@ object SurfaceQueries {
     "q_read_glob" -> qReadGlob,
     "q_eval_cross" -> qEvalCross,
     "q_map_rows_nested" -> qMapRowsNested,
+    "q_describe_pct" -> qDescribePct,
+    "q_describe_str" -> qDescribeStr,
+    "q_min_max_flags" -> qMinMaxFlags,
+    "q_dropna_opts" -> qDropnaOpts,
   )
 
   val oracles: Map[String, String] = Map(
@@ -389,5 +456,60 @@ object SurfaceQueries {
         |        min(l_quantity) OVER (PARTITION BY l_orderkey) AS mn
         |      FROM lineitem)
         |GROUP BY l_orderkey""".stripMargin,
+    "q_describe_pct" -> {
+      def statsOver(src: String, c: String, outName: String) = Seq(
+        s"SELECT '$outName' AS \"column\", 'count' AS stat, " +
+          s"round(CAST(count($c) AS DOUBLE) + 1e-9, 4) AS value FROM $src",
+        s"SELECT '$outName', 'mean', round(avg($c) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'std', round(stddev_samp($c) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'min', round(CAST(min($c) AS DOUBLE) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', '10%', round(quantile_cont($c, 0.1) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', '90%', round(quantile_cont($c, 0.9) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'max', round(CAST(max($c) AS DOUBLE) + 1e-9, 4) FROM $src",
+      ).mkString(" UNION ALL ")
+      statsOver(
+        "(SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem GROUP BY l_orderkey)",
+        "n", "n_items") + " UNION ALL " +
+      statsOver("lineitem", "l_quantity", "items.l_quantity")
+    },
+    "q_describe_str" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS value FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)),
+        |nested AS (SELECT l_returnflag AS value FROM lineitem),
+        |pairs AS (
+        |  SELECT 'o_orderstatus' AS "column", value FROM base
+        |  UNION ALL
+        |  SELECT 'items.l_returnflag', value FROM nested),
+        |counts AS (
+        |  SELECT "column", value, count(*) AS cnt FROM pairs
+        |  WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY "column"
+        |    ORDER BY cnt DESC, value) AS rn FROM counts)
+        |SELECT c."column", c.cnt, c.n_unique, r.value AS top,
+        |  r.cnt AS top_freq
+        |FROM (SELECT "column", CAST(sum(cnt) AS BIGINT) AS cnt,
+        |        count(*) AS n_unique
+        |      FROM counts GROUP BY 1) c
+        |JOIN ranked r ON r."column" = c."column" AND r.rn = 1""".stripMargin,
+    "q_min_max_flags" ->
+      """SELECT
+        | (SELECT min(o_orderpriority) FROM orders WHERE EXISTS
+        |   (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+        |   AS min_priority,
+        | (SELECT round(min(l_quantity), 2) FROM lineitem) AS min_qty,
+        | (SELECT min(l_returnflag) FROM lineitem) AS min_flag,
+        | (SELECT max(o_orderkey) FROM orders WHERE EXISTS
+        |   (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey))
+        |   AS max_key""".stripMargin,
+    "q_dropna_opts" ->
+      """SELECT
+        | (SELECT count(*) FROM lineitem
+        |   WHERE l_discount >= 0.03 AND l_quantity <= 40) AS n_any,
+        | (SELECT count(*) FROM lineitem
+        |   WHERE NOT (l_discount < 0.03 AND l_quantity > 40)) AS n_all,
+        | (SELECT count(*) FROM lineitem
+        |   WHERE NOT (l_discount < 0.03 AND l_quantity > 40)) AS n_thresh1""".stripMargin,
   )
 }

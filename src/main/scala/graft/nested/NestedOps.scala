@@ -264,12 +264,29 @@ object NestedOps {
     filterElements(df, nest, pred).where(size(col(nest)) > 0)
 
   /** Drop elements with NULLs in `subset` fields (all fields if empty).
-    * Reference: `dropna(on_nested=...)` (core.py:1699-1849). */
+    * Reference: `dropna(on_nested=...)` (core.py:1699-1849) with pandas'
+    * `how`/`thresh` pass-through:
+    *  - `how="any"` (default): drop an element if ANY subset field is null;
+    *  - `how="all"`: drop only if ALL subset fields are null;
+    *  - `thresh=Some(n)`: keep elements with ≥ n non-null subset fields
+    *    (overrides `how`, like pandas). */
   def dropNaElements(df: DataFrame, nest: String,
-                     subset: Seq[String] = Nil): DataFrame = {
+                     subset: Seq[String] = Nil, how: String = "any",
+                     thresh: Option[Int] = None): DataFrame = {
     val fields = if (subset.nonEmpty) subset else subColumns(df, nest)
-    filterElements(df, nest, s => fields.map(f => s.getField(f).isNotNull)
-      .reduce(_ && _))
+    def nonNullCount(s: Column): Column =
+      fields.map(f => when(s.getField(f).isNotNull, 1).otherwise(0))
+        .reduce(_ + _)
+    val keep: Column => Column = thresh match {
+      case Some(t) => s => nonNullCount(s) >= t
+      case None => how match {
+        case "any" => s => fields.map(f => s.getField(f).isNotNull).reduce(_ && _)
+        case "all" => s => fields.map(f => s.getField(f).isNotNull).reduce(_ || _)
+        case other => throw new IllegalArgumentException(
+          s"dropna how= must be 'any' or 'all', got '$other'")
+      }
+    }
+    filterElements(df, nest, keep)
   }
 
   /** Fill NULLs in nested fields with per-field constants.
@@ -452,8 +469,12 @@ object NestedOps {
   }
 
   /** Column-wise min/max over base columns and nested fields (dotted names).
-    * Reference: `NestedFrame.min/max` (core.py:949-1097). One global agg. */
-  def aggAllColumns(df: DataFrame, fn: String): DataFrame = {
+    * Reference: `NestedFrame.min/max` (core.py:949-1097) incl. its flags:
+    * `excludeNest` restricts to base columns; `numericOnly` keeps only
+    * numeric/boolean columns (default includes strings, which minimize
+    * lexicographically — Spark's native string min/max). One global agg. */
+  def aggAllColumns(df: DataFrame, fn: String, excludeNest: Boolean = false,
+                    numericOnly: Boolean = false): DataFrame = {
     def scalarAgg(c: Column) = fn match {
       case "min" => min(c); case "max" => max(c)
       case other => throw new IllegalArgumentException(s"unsupported: $other")
@@ -462,15 +483,24 @@ object NestedOps {
       // array_min/array_max ignore nulls inside; min/max over rows ignore null cells
       case "min" => min(array_min(c)); case "max" => max(array_max(c))
     }
+    def keep(dt: DataType): Boolean = dt match {
+      case _: NumericType | BooleanType => true
+      case _                            => !numericOnly
+    }
     val aggs = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
+        case ArrayType(s: StructType, _) if excludeNest => Nil
         case ArrayType(s: StructType, _) =>
-          s.fieldNames.toSeq.map(sf =>
-            arrayAgg(transform(col(f.name), e => e.getField(sf)))
-              .as(s"${f.name}.$sf"))
-        case _ => Seq(scalarAgg(col(f.name)).as(f.name))
+          s.fields.toSeq.collect {
+            case sf if keep(sf.dataType) =>
+              arrayAgg(transform(col(f.name), e => e.getField(sf.name)))
+                .as(s"${f.name}.${sf.name}")
+          }
+        case dt if keep(dt) => Seq(scalarAgg(col(f.name)).as(f.name))
+        case _              => Nil
       }
     }
+    require(aggs.nonEmpty, "No columns left to aggregate after filtering")
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -525,50 +555,131 @@ object NestedOps {
     df.withColumn(nest, transform(col(nest), (s, i) =>
       s.withField(idxField, i.cast("long"))))
 
-  /** describe: count / mean / std / min / 25% / 50% / 75% / max for every
-    * numeric base column and nested numeric field (reference
-    * `NestedFrame.describe`, core.py:1099-1219). Long format
-    * (column, stat, value); one aggregate per layer. Exact percentiles
-    * (matching pandas' interpolation), so at extreme scale swap
-    * `percentile` for `percentile_approx`. */
-  def describeAll(df: DataFrame): DataFrame = {
+  /** describe: count / mean / std / min / percentiles / max for every numeric
+    * base column and nested numeric field (reference `NestedFrame.describe`,
+    * core.py:1099-1219, incl. `percentiles=` and `exclude_nest=`).
+    *
+    * Long format (column, stat, value). ONE aggregate per LAYER — all columns
+    * of a layer share a single scan/agg (N columns used to cost N scans),
+    * which at 100 TB is the difference between 1 job and N jobs. Exact
+    * percentiles (pandas interpolation); at extreme scale swap `percentile`
+    * for `percentile_approx`. */
+  def describeAll(df: DataFrame,
+                  percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                  excludeNest: Boolean = false): DataFrame = {
+    require(percentiles.forall(p => p >= 0 && p <= 1),
+      s"percentiles must be in [0,1]: $percentiles")
     val numeric: DataType => Boolean = {
       case _: NumericType => true
       case _              => false
     }
-    def statsFor(src: DataFrame, c: String, outName: String): DataFrame = {
-      val x = col(c)
-      src.agg(
-        count(x).cast("double").as("count"),
-        avg(x).as("mean"),
-        stddev_samp(x).as("std"),
-        min(x).cast("double").as("min"),
-        expr(s"percentile(`$c`, 0.25)").as("p25"),
-        expr(s"percentile(`$c`, 0.5)").as("p50"),
-        expr(s"percentile(`$c`, 0.75)").as("p75"),
-        max(x).cast("double").as("max"))
-        .select(lit(outName).as("column"), explode(map(
-          lit("count"), col("count"), lit("mean"), col("mean"),
-          lit("std"), col("std"), lit("min"), col("min"),
-          lit("25%"), col("p25"), lit("50%"), col("p50"),
-          lit("75%"), col("p75"), lit("max"), col("max")))
-          .as(Seq("stat", "value")))
-    }
-    val baseStats = df.schema.fields.toSeq.collect {
-      case f if numeric(f.dataType) => statsFor(df, f.name, f.name)
-    }
-    val nestedStats = df.schema.fields.toSeq.flatMap { f =>
-      f.dataType match {
-        case ArrayType(s: StructType, _) =>
-          val flat = df.select(inline(col(f.name)))
-          s.fields.toSeq.collect {
-            case sf if numeric(sf.dataType) =>
-              statsFor(flat, sf.name, s"${f.name}.${sf.name}")
+    def pctName(p: Double): String =
+      BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString + "%"
+    def bqn(n: String) = "`" + n.replace("`", "``") + "`"
+    /** All stats for all `cols` of one layer in a single aggregate, then
+      * exploded to (column, stat, value) rows. */
+    def layerStats(src: DataFrame, cols: Seq[String],
+                   prefix: String): Option[DataFrame] = {
+      if (cols.isEmpty) None
+      else {
+        def a(c: String, stat: String) = s"__${c}__$stat"
+        val aggs = cols.flatMap { c =>
+          Seq(count(col(bqn(c))).cast("double").as(a(c, "count")),
+              avg(col(bqn(c))).as(a(c, "mean")),
+              stddev_samp(col(bqn(c))).as(a(c, "std")),
+              min(col(bqn(c))).cast("double").as(a(c, "min")),
+              max(col(bqn(c))).cast("double").as(a(c, "max"))) ++
+            percentiles.zipWithIndex.map { case (p, i) =>
+              expr(s"percentile(${bqn(c)}, $p)").as(a(c, s"pct$i"))
+            }
+        }
+        // pandas stat order: count mean std min <percentiles> max
+        val statNames = Seq("count", "mean", "std", "min") ++
+          percentiles.indices.map(i => s"pct$i") :+ "max"
+        val entries = cols.flatMap { c =>
+          statNames.map { sn =>
+            val label = if (sn.startsWith("pct"))
+              pctName(percentiles(sn.drop(3).toInt)) else sn
+            struct(lit(prefix + c).as("column"), lit(label).as("stat"),
+              col(a(c, sn)).as("value"))
           }
-        case _ => Nil
+        }
+        Some(src.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(entries: _*)).as("e"))
+          .select(col("e.column"), col("e.stat"), col("e.value")))
       }
     }
-    (baseStats ++ nestedStats).reduce(_ unionAll _)
+    val baseCols = df.schema.fields.toSeq.collect {
+      case f if numeric(f.dataType) => f.name
+    }
+    val parts = layerStats(df, baseCols, "").toSeq ++ (
+      if (excludeNest) Nil
+      else df.schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case ArrayType(s: StructType, _) =>
+            val fields = s.fields.toSeq.collect {
+              case sf if numeric(sf.dataType) => sf.name
+            }
+            layerStats(df.select(inline(col(f.name))), fields, s"${f.name}.")
+          case _ => None
+        }
+      })
+    require(parts.nonEmpty, "describe: no numeric columns")
+    parts.reduce(_ unionAll _)
+  }
+
+  /** Non-numeric describe: count / unique / top / freq for every string base
+    * column and nested string field (the reference's `describe(include=
+    * 'all')` object-dtype block, core.py:1099-1219). Wide format, one row per
+    * column: (column, cnt, n_unique, top, top_freq); `top` ties break to the
+    * lexicographically smallest value (deterministic).
+    *
+    * Scale: all string columns of all layers unpivot into ONE (column, value)
+    * frame — one shuffle on (column, value) + one on column, regardless of
+    * how many columns are described. */
+  def describeNonNumeric(df: DataFrame, excludeNest: Boolean = false)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pairsOf(src: DataFrame, cols: Seq[String], prefix: String) =
+      if (cols.isEmpty) None
+      else Some(src.select(explode(array(cols.map(c =>
+        struct(lit(prefix + c).as("column"),
+          col(c).cast("string").as("value"))): _*)).as("e"))
+        .select(col("e.column"), col("e.value")))
+    val stringy: DataType => Boolean = {
+      case StringType => true
+      case _          => false
+    }
+    val basePairs = pairsOf(df,
+      df.schema.fields.toSeq.collect {
+        case f if stringy(f.dataType) => f.name }, "")
+    val nestPairs =
+      if (excludeNest) Nil
+      else df.schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case ArrayType(s: StructType, _) =>
+            pairsOf(df.select(inline(col(f.name))),
+              s.fields.toSeq.collect {
+                case sf if stringy(sf.dataType) => sf.name }, s"${f.name}.")
+          case _ => None
+        }
+      }
+    val parts = basePairs.toSeq ++ nestPairs
+    require(parts.nonEmpty, "describeNonNumeric: no string columns")
+    val pairs = parts.reduce(_ unionAll _).where(col("value").isNotNull)
+    val counts = pairs.groupBy("column", "value")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("column")
+      .orderBy(col("cnt").desc, col("value").asc)
+    val tops = counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("column"), col("value").as("top"),
+        col("cnt").as("top_freq"))
+    counts.groupBy("column")
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_unique"))
+      .join(tops, Seq("column"))
+      .select(col("column"), col("cnt"), col("n_unique"), col("top"),
+        col("top_freq"))
   }
 }
 
