@@ -39,6 +39,23 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** EVENT-TIME session windows via Spark's native `session_window`
+    * aggregation: a session closes when the WATERMARK passes its end + gap
+    * (not wall-clock silence), and late events beyond the watermark are
+    * dropped — exact event-time semantics, robust to replay/backfill, unlike
+    * the ProcessingTimeTimeout variant below. State is keyed and
+    * watermark-bounded; the same call works on a batch frame. */
+  def sessionizeEventTime(events: DataFrame, key: String, tsCol: String,
+                          gap: String = "30 minutes",
+                          watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(key), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(key),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   case class SessionIn(user_id: Long, ts_ms: Long, value: Double)
   case class SessionOut(user_id: Long, session_start_ms: Long,
                         session_end_ms: Long, n_events: Long, sum_value: Double)

@@ -248,6 +248,38 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(e(0) == Seq(0, 200, 400))
   }
 
+  test("event-time sessionize: watermark closes sessions, late events drop") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val t0 = 1700000000000L
+    def ts(ms_ : Long) = new java.sql.Timestamp(ms_)
+    val df = ms.toDF().toDF("user_id", "ts", "value")
+    val out = StreamingOps.sessionizeEventTime(df, "user_id", "ts",
+      gap = "30 minutes", watermark = "30 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("etsess").start()
+    try {
+      // batch 1: one session for user 1 (2 events, 1 min apart)
+      ms.addData((1L, ts(t0), 1.0), (1L, ts(t0 + 60000), 2.0))
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark past session 1
+      ms.addData((1L, ts(t0 + 3 * 3600 * 1000L), 3.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event inside session 1's window — behind the
+      // watermark, must be DROPPED, not merged or re-opened
+      ms.addData((1L, ts(t0 + 30000), 9.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, CAST(session_start AS LONG) * 1000, " +
+          "CAST(session_end AS LONG) * 1000, n_events FROM etsess")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // exactly ONE closed session: [t0, t0+60s+gap), n_events=2 (late event
+      // dropped); the 3h-later session is still open (not emitted)
+      assert(rows == Seq((1L, t0, t0 + 60000 + 1800000, 2L)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
