@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -124,9 +124,13 @@ case class DotProductArray(left: Expression, right: Expression)
   * `numHashes`, sig[k] = min over shingles of (h1 + k*h2) with 31-bit base
   * hashes (Kirsch–Mitzenmacher). One pass over the UTF-8 bytes, zero
   * allocation per shingle (hashes unsafe byte slices in place) — measured
-  * ~20× over the HOF fold. Byte shingles == character shingles for ASCII. */
+  * ~20× over the HOF fold. Byte shingles == character shingles for ASCII.
+  *
+  * Codegen: the kernel stays a compiled JVM method invoked from generated
+  * code via `addReferenceObj` — whole-stage codegen is NOT broken (a
+  * CodegenFallback here forced the entire stage into interpreted mode). */
 case class TextMinHash(child: Expression, numHashes: Int, shingleSize: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -136,8 +140,8 @@ case class TextMinHash(child: Expression, numHashes: Int, shingleSize: Int)
 
   private final val M = 2147483647L
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  /** The tight loop, shared by interpreted eval and generated code. */
+  def kernel(u: UTF8String): ArrayData = {
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val len = u.numBytes()
@@ -159,6 +163,16 @@ case class TextMinHash(child: Expression, numHashes: Int, shingleSize: Int)
     new GenericArrayData(sig)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textMinHash", this,
+      classOf[TextMinHash].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.kernel($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -170,7 +184,7 @@ case class TextMinHash(child: Expression, numHashes: Int, shingleSize: Int)
   * stands in for string equality — collision probability ~2⁻⁶⁴, fine for a
   * similarity score. */
 case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -193,9 +207,10 @@ case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
     set
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val sa = shingleHashes(a.asInstanceOf[UTF8String])
-    val sb = shingleHashes(b.asInstanceOf[UTF8String])
+  /** The pairwise kernel, shared by interpreted eval and generated code. */
+  def kernel(ua: UTF8String, ub: UTF8String): Double = {
+    val sa = shingleHashes(ua)
+    val sb = shingleHashes(ub)
     val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
     var inter = 0
     val it = small.iterator()
@@ -205,6 +220,16 @@ case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
     // returning 1.0 here made every short doc verify as a near-dup of every
     // other short doc — silent data loss downstream in dedupNear.
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textNGramJaccard", this,
+      classOf[TextNGramJaccard].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.kernel($a, $b);")
   }
 
   override protected def withNewChildrenInternal(
@@ -217,7 +242,7 @@ case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
   * hash set of token hashes (dedup by hash — collision-safe enough for a
   * sketch). */
 case class TextSimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case _: StringType => TypeCheckResult.TypeCheckSuccess
@@ -225,8 +250,8 @@ case class TextSimHash64(child: Expression)
   }
   override def dataType: DataType = LongType
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val u = input.asInstanceOf[UTF8String]
+  /** The tokenizing/voting loop, shared by interpreted eval and codegen. */
+  def kernel(u: UTF8String): Long = {
     val base = u.getBaseObject
     val off = u.getBaseOffset
     val len = u.numBytes()
@@ -256,6 +281,16 @@ case class TextSimHash64(child: Expression)
       b += 1
     }
     out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textSimHash64", this,
+      classOf[TextSimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.kernel($c);")
   }
 
   private def isSpace(b: Byte): Boolean =
