@@ -43,8 +43,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // headline = the round-1 battery (coverage queries added later excluded)
+    // so the total stays comparable round over round as the surface grows
+    val headline = results
+      .filterNot { case (k, _) => SurfaceQueries.all.contains(k) }
+      .map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"queries":$qs,"sf":"$sfDir"}"""
     // The driver parses this line; sbt wraps stdout in [info] noise, so ALSO
     // write it to bare files it can pick up (round-1 BENCH parsed: null).
     println(line)

@@ -351,6 +351,25 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // §2.12 streaming surface, batch-checked
+  // ---------------------------------------------------------------------------
+
+  /** sessionizeEventTime on a BATCH frame: Spark's session_window gives the
+    * same event-time sessions in batch and streaming, so the streaming
+    * operator's semantics are oracle-checkable here (gaps-and-islands in
+    * DuckDB). events.ts is a ns epoch long (nanosAsLong). */
+  val qSessionWindow: Q = (s, dir) => {
+    val ev = rd(s, dir, "events")
+      .withColumn("ets", expr("timestamp_micros(ts DIV 1000)"))
+    graft.streaming.StreamingOps.sessionizeEventTime(
+        ev, "user_id", "ets", gap = "30 minutes", watermark = "0 seconds")
+      .select(col("user_id"),
+        expr("unix_millis(session_start)").as("start_ms"),
+        expr("unix_millis(session_end)").as("end_ms"),
+        col("n_events"))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
@@ -374,6 +393,7 @@ object SurfaceQueries {
     "q_describe_str" -> qDescribeStr,
     "q_min_max_flags" -> qMinMaxFlags,
     "q_dropna_opts" -> qDropnaOpts,
+    "q_session_window" -> qSessionWindow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -511,5 +531,20 @@ object SurfaceQueries {
         |   WHERE NOT (l_discount < 0.03 AND l_quantity > 40)) AS n_all,
         | (SELECT count(*) FROM lineitem
         |   WHERE NOT (l_discount < 0.03 AND l_quantity > 40)) AS n_thresh1""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |m AS (SELECT user_id, ms,
+        |        CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0
+        |          END AS brk
+        |      FROM (SELECT user_id, ms,
+        |              lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+        |            FROM e)),
+        |sess AS (SELECT user_id, ms,
+        |           sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |             ROWS UNBOUNDED PRECEDING) AS sid
+        |         FROM m)
+        |SELECT user_id, min(ms) AS start_ms,
+        |  max(ms) + 1800000 AS end_ms, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
   )
 }

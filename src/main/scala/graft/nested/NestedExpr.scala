@@ -122,8 +122,21 @@ object NestedExpr {
             usesBase = true; bq(one)
           case Seq(one) if keywords.contains(one.toLowerCase) => one
           case Seq(one) if nestSet.contains(one) => usesBase = true; bq(one)
-          // unknown single token: assume SQL function name (abs, sqrt, ...)
-          case Seq(one) => one
+          // unknown single token: a SQL function CALL (followed by `(`) passes
+          // through to Spark's parser; anything else is a typo'd column —
+          // fail HERE with a clear message instead of deep in analysis
+          case Seq(one) if toks.drop(idx + 1).headOption.exists {
+              case Text(t) => t.trim.startsWith("("); case _ => false } => one
+          // scientific-notation tail: "1e-9" tokenizes as Text("1"),
+          // Ident("e"), Text("-9") — not a column reference
+          case Seq(one) if one.matches("[eE][0-9]*") && idx > 0 &&
+              (toks(idx - 1) match {
+                case Text(t) => t.nonEmpty && t.last.isDigit
+                case _       => false }) => one
+          case Seq(one) =>
+            throw new IllegalArgumentException(
+              s"Unknown column '$one' in: $exprStr " +
+                s"(known: ${(baseSet ++ nestSet).toSeq.sorted.mkString(", ")})")
           case other =>
             throw new IllegalArgumentException(
               s"Unresolvable column path '${other.mkString(".")}' in: $exprStr")

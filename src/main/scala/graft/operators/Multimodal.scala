@@ -92,15 +92,26 @@ object Multimodal {
     val totalBytes = df.agg(sum(length(col(payloadCol)))).head()
       .getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    assignMediaBuckets(df, payloadCol, targetMB)
+      .repartition(parts, col("__media_bkt")).drop("__media_bkt")
+  }
+
+  /** The greedy byte-packing pass behind [[repartitionForMedia]], exposed so
+    * its invariant is testable: each task accumulates payload sizes and
+    * advances its `__media_bkt` when the running sum crosses the budget, so
+    * every bucket holds ≤ targetBytes + one payload (the deterministic
+    * guarantee; the subsequent hash repartition balances buckets across
+    * partitions in expectation). Narrow — no shuffle, no driver data. */
+  def assignMediaBuckets(df: DataFrame, payloadCol: String,
+                         targetMB: Int): DataFrame = {
+    val targetBytes = targetMB * 1024L * 1024L
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StructField, LongType}
-    // per-input-partition running byte sum → bucket id (narrow, no driver
-    // data); global spread comes from offsetting by the partition id.
     val schema = df.schema.add(StructField("__media_bkt", LongType))
     // resolved on the driver: the closure must not capture the Dataset
     val sizeIdx = df.schema.fieldIndex(payloadCol)
-    val bucketed = spark.createDataFrame(
+    spark.createDataFrame(
       df.rdd.mapPartitionsWithIndex { (pid, rows) =>
         var acc = 0L
         var bkt = 0L
@@ -115,6 +126,5 @@ object Multimodal {
           Row.fromSeq(r.toSeq :+ (pid.toLong * 100003L + bkt))
         }
       }, schema)
-    bucketed.repartition(parts, col("__media_bkt")).drop("__media_bkt")
   }
 }

@@ -131,6 +131,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(n == 4) // frames 0,3,6,9
   }
 
+  test("media byte-packing bounds bucket bytes under skew") {
+    implicit val s = spark
+    // skewed corpus: a few giant payloads among many small ones
+    val rows = (0L until 200L).map { i =>
+      val sz = if (i % 50 == 0) 400000 else 1000 // 4 × 400KB + 196 × 1KB
+      (i, Array.fill[Byte](sz)((i % 127).toByte))
+    }
+    val df = rows.toDF("id", "payload").repartition(4)
+    val target = 1 // MB
+    val bucketed = Multimodal.assignMediaBuckets(df, "payload", target)
+    val perBucket = bucketed.groupBy("__media_bkt")
+      .agg(sum(length($"payload")).as("bytes"))
+      .select("bytes").as[Long].collect()
+    assert(perBucket.sum == rows.map(_._2.length.toLong).sum)
+    // the greedy invariant: every bucket ≤ budget + one payload (a single
+    // payload larger than the budget owns its whole bucket)
+    val bound = target * 1024L * 1024L + 400000L
+    assert(perBucket.forall(_ <= bound),
+      s"bucket byte sums ${perBucket.toSeq} exceed bound $bound")
+    // and the end-to-end path actually spreads the data over partitions
+    val out = Multimodal.repartitionForMedia(df, "payload", targetMB = target)
+    assert(out.rdd.getNumPartitions >= 1 && out.count() == 200)
+  }
+
   test("connectedComponents labels chains and stars (both paths agree)") {
     // components: {1,2,3,4} (chain), {10,11} (pair)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
