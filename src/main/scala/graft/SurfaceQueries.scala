@@ -235,10 +235,10 @@ object SurfaceQueries {
     val root = "/tmp/graft_glob_read"
     val li = lines(s, dir, "l_quantity", "l_linestatus")
     li.where(col("l_linestatus") === "O")
-      .write.mode("overwrite").parquet(s"$root/part=o")
+      .write.mode("overwrite").parquet(s"$root/open")
     li.where(col("l_linestatus") =!= "O")
-      .write.mode("overwrite").parquet(s"$root/part=rest")
-    s.read.parquet(s"$root/part=*")
+      .write.mode("overwrite").parquet(s"$root/rest")
+    s.read.parquet(s"$root/*")
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
