@@ -22,7 +22,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val orders = read(spark, dir, "orders")
+    // prune the child to the used fields BEFORE the pack: the collect_list
+    // shuffle must carry 3 leaves, not all 16 lineitem columns
     val lineitem = read(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
     orders
       .joinNested(lineitem, Seq("l_orderkey" -> "o_orderkey"), "lines")
       .filterElements("lines", s => s.getField("l_quantity") > 10.0)

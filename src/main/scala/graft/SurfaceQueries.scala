@@ -351,6 +351,28 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // §2.9 eval reductions (non-assignment eval)
+  // ---------------------------------------------------------------------------
+
+  /** The reference's Series-returning eval with element reductions
+    * (`nest.f.median()` etc., test_nestedframe.py:2440-2446) — all narrow
+    * array expressions, no explode/shuffle. */
+  val qEvalReduce: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+    val e = graft.nested.NestedExpr
+    val r = e.evalSelect(
+      e.evalSelect(
+        e.evalSelect(packed, "items.l_quantity.median()", "med"),
+        "items.l_quantity.mean()", "mn"),
+      "items.l_quantity.std()", "sd")
+    r.select(col("o_orderkey").as("orderkey"),
+      round(col("med") + lit(1e-9), 4).as("med"),
+      round(col("mn") + lit(1e-9), 4).as("mn"),
+      round(col("sd") + lit(1e-9), 4).as("sd"))
+  }
+
+  // ---------------------------------------------------------------------------
   // §2.12 streaming surface, batch-checked
   // ---------------------------------------------------------------------------
 
@@ -394,6 +416,7 @@ object SurfaceQueries {
     "q_min_max_flags" -> qMinMaxFlags,
     "q_dropna_opts" -> qDropnaOpts,
     "q_session_window" -> qSessionWindow,
+    "q_eval_reduce" -> qEvalReduce,
   )
 
   val oracles: Map[String, String] = Map(
@@ -546,5 +569,11 @@ object SurfaceQueries {
         |SELECT user_id, min(ms) AS start_ms,
         |  max(ms) + 1800000 AS end_ms, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q_eval_reduce" ->
+      """SELECT l_orderkey AS orderkey,
+        | round(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS med,
+        | round(avg(l_quantity) + 1e-9, 4) AS mn,
+        | round(stddev_samp(l_quantity) + 1e-9, 4) AS sd
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
   )
 }

@@ -89,6 +89,38 @@ object NestedExpr {
     "and", "or", "not", "in", "is", "null", "true", "false", "like", "rlike",
     "between", "case", "when", "then", "else", "end", "cast", "as", "distinct")
 
+  /** Element reductions usable as `nest.field.agg()` in eval expressions —
+    * row-level values computed over each cell (reference eval semantics,
+    * test_nestedframe.py:2440-2446 `a + packed.c.median()`). All are narrow
+    * array expressions (no shuffle, no explode). */
+  private val reductionAggs = Set(
+    "mean", "median", "sum", "min", "max", "count", "std")
+
+  private def reductionSql(nest: String, field: String, agg: String): String = {
+    val arr = s"transform(${bq(nest)}, __r -> __r.${bq(field)})"
+    val vals = s"filter($arr, __v -> __v is not null)"
+    def n = s"size($vals)"
+    def sumOf(a: String) = s"aggregate($a, cast(0.0 as double), (__a, __v) -> __a + __v)"
+    agg match {
+      case "count" => s"cast($n as bigint)"
+      case "sum"   => sumOf(vals)
+      case "min"   => s"array_min($vals)"
+      case "max"   => s"array_max($vals)"
+      case "mean"  => s"(case when $n = 0 then null else ${sumOf(vals)} / $n end)"
+      case "median" =>
+        val sorted = s"array_sort($vals)"
+        s"""(case when $n = 0 then null else
+           | (element_at($sorted, cast(($n + 1) / 2 as int)) +
+           |  element_at($sorted, cast($n / 2 as int) + 1)) / 2.0 end)"""
+          .stripMargin.replace("\n", " ")
+      case "std" =>
+        val sq = s"aggregate($vals, cast(0.0 as double), (__a, __v) -> __a + __v * __v)"
+        s"""(case when $n <= 1 then null else
+           | sqrt(greatest(0.0, ($sq - ${sumOf(vals)} * ${sumOf(vals)} / $n)
+           |   / ($n - 1))) end)""".stripMargin.replace("\n", " ")
+    }
+  }
+
   /** Parse result: rewritten SQL + the nests referenced at element level (in
     * first-reference order, distinct) + whether base columns are referenced. */
   private case class Analysis(sql: String, nests: Seq[String], usesBase: Boolean)
@@ -115,6 +147,13 @@ object NestedExpr {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
             s"size(${bq(nest)}) __LEN_CALL"
+          // nest.field.agg() — row-level element reduction
+          case Seq(nest, field, agg) if nestSet.contains(nest) &&
+              reductionAggs.contains(agg) &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
+            usesBase = true
+            reductionSql(nest, field, agg) + " __LEN_CALL"
           case Seq(nest, field) if nestSet.contains(nest) =>
             nests += nest
             ref(nest, field)
@@ -186,11 +225,17 @@ object NestedExpr {
     * reference. NULL anchor cells pass through as NULL. */
   private def alignedTransform(df: DataFrame, anchor: String,
                                others: Seq[String], parts: String)
+      : org.apache.spark.sql.Column =
+    alignedTransformRaw(df, anchor, others, s"named_struct($parts)")
+
+  /** Like [[alignedTransform]] but with a raw per-element value body. */
+  private def alignedTransformRaw(df: DataFrame, anchor: String,
+                                  others: Seq[String], body: String)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{when, assert_true, lit, size => sz}
     val lambda = if (others.isEmpty) "__x ->" else "(__x, __i) ->"
     val transformed =
-      expr(s"transform(${bq(anchor)}, $lambda named_struct($parts))")
+      expr(s"transform(${bq(anchor)}, $lambda $body)")
     if (others.isEmpty) transformed
     else {
       val aligned = others.map { o =>
@@ -268,4 +313,23 @@ object NestedExpr {
     program.split('\n').map(_.trim)
       .filter(s => s.nonEmpty && !s.startsWith("#"))
       .foldLeft(df)(evalAssign)
+
+  /** Non-assignment eval (the reference's `nf.eval("a + packed.c.median()")`
+    * Series-returning form, test_nestedframe.py:2440-2446):
+    *  - base-layer expression (reductions like `nest.f.mean()` count as
+    *    base-layer) → new row-level column `outName`;
+    *  - element-layer expression → ARRAY column `outName` aligned with the
+    *    first referenced nest (the flat-index Series of the reference);
+    *    mixed nests must be element-aligned, misalignment raises. */
+  def evalSelect(df: DataFrame, exprStr: String,
+                 outName: String = "result"): DataFrame = {
+    val probe = analyze(df, exprStr, "__x")
+    if (probe.nests.isEmpty) df.withColumn(outName, expr(probe.sql))
+    else {
+      val anchor = probe.nests.head
+      val a = analyzeAnchored(df, exprStr, anchor)
+      df.withColumn(outName,
+        alignedTransformRaw(df, anchor, a.nests.filterNot(_ == anchor), a.sql))
+    }
+  }
 }

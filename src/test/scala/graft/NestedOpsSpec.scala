@@ -305,6 +305,43 @@ class NestedOpsSpec extends SparkSpec {
     }
   }
 
+  test("eval reductions: nest.field.agg() is a row-level value") {
+    // cells (sorted by c,d): [0,2,4], [1,3,4], [1,1,4]
+    val r = NestedExpr.evalSelect(nf, "a + nested.c.median()", "m")
+    assert(r.orderBy($"key").select($"m".cast("double")).as[Double]
+      .collect().toSeq == Seq(1 + 2.0, 2 + 3.0, 3 + 1.0))
+    val s2 = NestedExpr.evalSelect(nf, "nested.c.sum()", "s")
+    assert(s2.orderBy($"key").select($"s".cast("double")).as[Double]
+      .collect().toSeq == Seq(6.0, 8.0, 6.0))
+    val mx = NestedExpr.evalSelect(nf, "nested.d.max() - nested.d.min()", "r")
+    assert(mx.orderBy($"key").select($"r".cast("double")).as[Double]
+      .collect().toSeq == Seq(3.0, 4.0, 6.0))
+    val cnt = NestedExpr.evalSelect(nf, "nested.c.count()", "n")
+    assert(cnt.orderBy($"key").select($"n").as[Long].collect().toSeq ==
+      Seq(3L, 3L, 3L))
+    // reductions are base-layer: assignable to a base column
+    val b = NestedExpr.evalAssign(nf, "cmean = nested.c.mean()")
+    assert(b.orderBy($"key").select($"cmean".cast("double")).as[Double]
+      .collect().toSeq == Seq(2.0, 8.0 / 3, 2.0))
+  }
+
+  test("evalSelect element-layer returns an aligned array column") {
+    val r = NestedExpr.evalSelect(nf, "a + nested.c", "v")
+    val got = r.orderBy($"key").select($"v").as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(1, 3, 5), Seq(3, 5, 6), Seq(4, 4, 7)))
+  }
+
+  test("len() and reductions usable inside an element-layer eval rhs") {
+    val r = NestedExpr.evalAssign(nf,
+      "nested.frac = nested.c / nested.c.sum()")
+    val got = flat(r, "nested", "frac")
+    assert(got == Seq(0.0, 2 / 6.0, 4 / 6.0, 1 / 8.0, 3 / 8.0, 4 / 8.0,
+      1 / 6.0, 1 / 6.0, 4 / 6.0))
+    val l = NestedExpr.evalAssign(nf, "nested.ln = nested.c * nested.len()")
+    assert(flat(l, "nested", "ln") ==
+      Seq(0.0, 6, 12, 3, 9, 12, 3, 3, 12))
+  }
+
   test("backticked targets and fields with special characters") {
     val b = Seq((0L, 1), (1L, 2), (2L, 3)).toDF("key", "dog")
     val c = Seq((0L, 0, 5), (0L, 2, 4), (1L, 1, 5), (2L, 4, 3))
