@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, Multimodal}
+import graft.operators.{Dedup, Similarity, Multimodal, Sampling}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, minhash-LSH, simhash, n-gram jaccard, embedding cosine),
@@ -239,6 +239,58 @@ object TrainingQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // sampling / splits / keep-policy / embedding storage (round 2)
+  // ---------------------------------------------------------------------------
+
+  /** Deterministic train/val/test split: stateless affine-mod bucket of the
+    * id — reproducible across reruns, engines, cluster sizes (no RNG state,
+    * no shuffle). */
+  val qSplitAssign: Q = (s, dir) =>
+    docs(s, dir)
+      .withColumn("split", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Per-language stratified sampling: keep rate by stratum (en 50%, zh 20%,
+    * others 10%) — a pure filter, prunes at the scan. */
+  val qStratified: Q = (s, dir) =>
+    docs(s, dir)
+      .where(Sampling.stratifiedFilter(col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.2), defaultRate = 0.1))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Per-source document cap (pretraining-mix control): top 15 per source by
+    * (n_chars desc, doc_id) — WindowGroupLimit prunes beyond-k map-side. */
+  val qPerKeyCap: Q = (s, dir) =>
+    Sampling.capPerKey(docs(s, dir), "source", 15,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Exact dedup with a keep policy: group by a 40-char content prefix, keep
+    * the LONGEST doc (ties → min id) — one max_by aggregation, no window. */
+  val qDedupKeepBest: Q = (s, dir) =>
+    Dedup.exactKeepBest(
+        docs(s, dir).withColumn("k", substring(col("text"), 1, 40)),
+        "doc_id", Seq(col("k")), col("n_chars"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** L2 normalization at ingest (downstream cosine becomes a dot product)
+    * + symmetric int8 quantization (4× smaller storage for ANN). */
+  val qEmbedNorm: Q = (s, dir) => {
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val (scale, quant) = Similarity.quantizeInt8(col("embedding"))
+    e.select(col("vec_id"),
+      round(Similarity.norm(col("embedding")) + lit(1e-9), 4).as("nrm"),
+      round(element_at(Similarity.l2Normalize(col("embedding")), 1)
+        + lit(1e-9), 6).as("e1n"),
+      round(scale + lit(1e-9), 4).as("scale"),
+      element_at(quant, 1).as("q1"))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry + oracles
   // ---------------------------------------------------------------------------
 
@@ -259,6 +311,11 @@ object TrainingQueries {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_split_assign" -> qSplitAssign,
+    "q_stratified" -> qStratified,
+    "q_per_key_cap" -> qPerKeyCap,
+    "q_dedup_keep_best" -> qDedupKeepBest,
+    "q_embed_norm" -> qEmbedNorm,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -447,5 +504,46 @@ object TrainingQueries {
     },
     // q_minhash_pairs, q_simhash_pairs, q_dedup_pipeline: xxhash64-based →
     // rows-only checks (engine hash not reproducible in the oracle).
+    "q_split_assign" ->
+      """SELECT CASE WHEN (doc_id * 37 + 11) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 37 + 11) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_stratified" ->
+      """SELECT lang, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (doc_id * 37 + 11) % 100 <
+        |  CASE lang WHEN 'en' THEN 50.0 WHEN 'zh' THEN 20.0 ELSE 10.0 END
+        |GROUP BY lang""".stripMargin,
+    "q_per_key_cap" ->
+      """SELECT source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT source, n_chars,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 15 GROUP BY source""".stripMargin,
+    "q_dedup_keep_best" ->
+      """SELECT keep_id, n_copies
+        |FROM (SELECT doc_id AS keep_id,
+        |        row_number() OVER (PARTITION BY substr(text, 1, 40)
+        |          ORDER BY n_chars DESC, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY substr(text, 1, 40)) AS n_copies
+        |      FROM documents)
+        |WHERE rn = 1""".stripMargin,
+    "q_embed_norm" -> {
+      val nrm = normSql("embedding")
+      val maxAbs =
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+      s"""SELECT vec_id,
+         | round($nrm + 1e-9, 4) AS nrm,
+         | round(CAST(embedding[1] AS DOUBLE) / $nrm + 1e-9, 6) AS e1n,
+         | round(127.0 / $maxAbs + 1e-9, 4) AS scale,
+         | CAST(round(CAST(embedding[1] AS DOUBLE) * (127.0 / $maxAbs))
+         |   AS INT) AS q1
+         |FROM embeddings""".stripMargin
+    },
   )
 }

@@ -24,6 +24,18 @@ object Dedup {
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with a KEEP POLICY: within each duplicate group, keep the
+    * row maximizing `preferBy` (e.g. quality score, length), ties broken by
+    * MIN id (deterministic). One aggregation — `max_by` over a struct, no
+    * window, no second shuffle. Returns (keep_id, n_copies) per group. */
+  def exactKeepBest(df: DataFrame, idCol: String, keyCols: Seq[Column],
+                    preferBy: Column): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(
+        max_by(col(idCol), struct(preferBy.as("p"), (-col(idCol)).as("nid")))
+          .as("keep_id"),
+        count(lit(1)).as("n_copies"))
+
   /** MinHash signature as an array column, NO shuffle: for each of
     * `numHashes` seeded xxhash64 functions, the min over the document's
     * distinct character shingles.

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling / splitting for training-data pipelines —
+  * net-new relative to the reference (which has no sampling surface).
+  *
+  * Everything here is a STATELESS narrow expression over a key column:
+  * no RNG state, no driver coordination, no shuffle (except the per-key cap,
+  * which is one window) — the properties that make a split reproducible
+  * across reruns, engines, and cluster sizes at 100 TB.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets) from a numeric id column.
+    * Affine-mod keeps it reproducible in ANY engine (the DuckDB oracle
+    * replays it verbatim); use [[hashBucket]] when ids are adversarial
+    * (sequential ids land in contiguous buckets under affine-mod). */
+  def bucket(id: Column, buckets: Int = 100): Column =
+    pmod(id * 37 + 11, lit(buckets))
+
+  /** xxhash64-based bucket — production default: uniform for ANY id
+    * distribution (engine-specific hash, so driver checks are rows-only). */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(xxhash64(id), lit(buckets))
+
+  /** Assign a split label from cumulative weight boundaries, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Deterministic in
+    * the id — the same row lands in the same split on every rerun. */
+  def splitColumn(id: Column, weights: Seq[(String, Double)],
+                  buckets: Int = 100): Column = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $weights")
+    val b = bucket(id, buckets)
+    val bounds = weights.scanLeft(0.0)(_ + _._2).tail
+      .map(w => math.round(w * buckets).toInt)
+    weights.zip(bounds).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), hi), tail) => when(b < hi, name).otherwise(tail)
+    }
+  }
+
+  /** Per-stratum sampling rates: keep a row iff its bucket falls under the
+    * stratum's rate (deterministic analog of `sampleBy`). Unknown strata use
+    * `defaultRate`. Pure filter — the scan prunes everything else. */
+  def stratifiedFilter(id: Column, stratum: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0,
+                       buckets: Int = 100): Column = {
+    val b = bucket(id, buckets)
+    val rate = rates.foldRight(lit(defaultRate): Column) {
+      case ((k, r), tail) => when(stratum === k, r).otherwise(tail)
+    }
+    b < rate * buckets
+  }
+
+  /** Cap rows per key (e.g. max N documents per domain/source — the
+    * standard pretraining-mix control): keep the top `k` per key by
+    * `orderBy`. One hash shuffle on the key + WindowGroupLimit pushdown
+    * (Spark prunes beyond-k rows map-side before the shuffle). */
+  def capPerKey(df: DataFrame, keyCol: String, k: Int,
+                orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

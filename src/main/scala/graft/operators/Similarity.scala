@@ -32,6 +32,25 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** L2-normalize an embedding to unit length (double elements); NULL for a
+    * zero vector. Normalizing once at ingest turns every downstream cosine
+    * into a plain dot product — at 100 TB that halves the FLOPs of every
+    * similarity join. Narrow transform. */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n > 0, transform(a, x => x.cast("double") / n))
+  }
+
+  /** Symmetric int8 quantization: scale = 127 / max|x| (NULL for a zero
+    * vector), values round-to-nearest into [-127, 127]. 4× smaller than
+    * float32 — the standard storage/bandwidth lever for ANN at scale.
+    * Returns (scale, quantized array<int>); dequantize with x / scale. */
+  def quantizeInt8(a: Column): (Column, Column) = {
+    val maxAbs = array_max(transform(a, x => abs(x.cast("double"))))
+    val scale = when(maxAbs > 0, lit(127.0) / maxAbs)
+    (scale, transform(a, x => round(x.cast("double") * scale).cast("int")))
+  }
+
   /** Cosine similarity; NULL if either norm is zero. */
   def cosine(a: Column, b: Column): Column = {
     val (na, nb) = (norm(a), norm(b))

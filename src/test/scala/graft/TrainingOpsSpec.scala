@@ -155,6 +155,58 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= 1 && out.count() == 200)
   }
 
+  test("deterministic splits: stable, complete, and weight-proportional") {
+    import graft.operators.Sampling
+    val ids = spark.range(10000).toDF("id")
+    val split = ids.withColumn("s", Sampling.splitColumn(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 10000)
+    assert(counts("train") == 8000 && counts("val") == 1000 &&
+      counts("test") == 1000) // affine-mod over a full range is exact
+    // rerun → identical assignment (no RNG state)
+    val again = ids.withColumn("s", Sampling.splitColumn(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(split.except(again).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("capPerKey keeps exactly top-k per key in order") {
+    import graft.operators.Sampling
+    val df = Seq(("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20),
+      ("b", 4L, 5)).toDF("k", "id", "score")
+    val kept = Sampling.capPerKey(df, "k", 2,
+      Seq(col("score").desc, col("id").asc))
+    val got = kept.orderBy("k", "id").select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 4L)) // a: top-2 by score = ids 2,3; b: all
+  }
+
+  test("exactKeepBest keeps the preferred row, ties to min id") {
+    val df = Seq((1L, "x", 5.0), (2L, "x", 9.0), (3L, "x", 9.0),
+      (4L, "y", 1.0)).toDF("id", "k", "q")
+    val kept = Dedup.exactKeepBest(df, "id", Seq(col("k")), col("q"))
+      .orderBy("keep_id").select("keep_id", "n_copies")
+      .as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((2L, 3L), (4L, 1L))) // max q wins, tie → min id
+  }
+
+  test("l2Normalize and int8 quantization round-trip") {
+    val df = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("id", "v")
+    val n = df.select($"id", Similarity.l2Normalize($"v").as("nv"))
+      .orderBy("id").collect()
+    val nv = n(0).getSeq[Double](1)
+    assert(math.abs(nv(0) - 0.6) < 1e-9 && math.abs(nv(1) - 0.8) < 1e-9)
+    assert(n(1).isNullAt(1)) // zero vector → NULL, not NaN
+    val (scale, quant) = Similarity.quantizeInt8($"v")
+    val q = df.select($"id", scale.as("s"), quant.as("q")).orderBy("id")
+      .collect()
+    assert(q(0).getDouble(1) == 127.0 / 4.0)
+    assert(q(0).getSeq[Int](2) == Seq(95, 127)) // round(3*31.75), 127
+  }
+
   test("connectedComponents labels chains and stars (both paths agree)") {
     // components: {1,2,3,4} (chain), {10,11} (pair)
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
