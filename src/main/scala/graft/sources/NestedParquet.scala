@@ -35,12 +35,16 @@ object NestedParquet {
 
   /** Read parquet, transposing any struct-of-list columns into nested
     * (array-of-struct) columns — the `from_pyarrow` auto-cast
-    * (io.py:498-572). */
-  def readCompat(spark: SparkSession, path: String): DataFrame = {
+    * (io.py:498-572). Columns named in `rejectNesting` keep their on-disk
+    * struct-of-list shape (the reference's `reject_nesting` opt-out,
+    * io.py:93-101). */
+  def readCompat(spark: SparkSession, path: String,
+                 rejectNesting: Seq[String] = Nil): DataFrame = {
     val raw = spark.read.parquet(path)
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
-        case s: StructType if isStructOfList(f.dataType) =>
+        case s: StructType if isStructOfList(f.dataType) &&
+            !rejectNesting.contains(f.name) =>
           val zipped = arrays_zip(
             s.fieldNames.toSeq.map(n => col(s"${f.name}.$n").as(n)): _*)
           df.withColumn(f.name, zipped)

@@ -219,6 +219,24 @@ class TrainingOpsSpec extends SparkSpec {
     val distPath = Dedup.connectedComponents(edges, driverMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(distPath == expected)
+    // min-label propagation agrees with both
+    val labelPath = Dedup.connectedComponentsDistributed(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labelPath == expected)
+  }
+
+  test("star-contraction CC handles hubs, long chains, and singleton pairs") {
+    // a 40-node chain (worst case for label propagation), a 30-spoke hub,
+    // and an isolated pair
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val hub = (101L to 130L).map(i => (100L, i))
+    val edges = (chain ++ hub ++ Seq((500L, 501L))).toDF("a", "b")
+    val got = Dedup.connectedComponentsStars(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 40L).forall(got(_) == 1L))
+    assert((100L to 130L).forall(got(_) == 100L))
+    assert(got(500L) == 500L && got(501L) == 500L)
+    assert(got.size == 40 + 31 + 2)
   }
 
   test("dedupNear removes near-dups, keeps min id and unrelated docs") {
