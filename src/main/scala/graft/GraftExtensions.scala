@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductArray, TextMinHash, TextSimHash64}
+import graft.expressions.{DotProductArray, TextMinHash, TextNGramJaccard, TextSimHash64}
 
 /** SQL registration of the native graft expressions.
   *
@@ -34,7 +34,12 @@ object GraftExtensions {
           TextMinHash(es(0), intArg(es(1)), intArg(es(2)))),
       ("graft_simhash64",
         new ExpressionInfo(classOf[TextSimHash64].getName, "graft_simhash64"),
-        (es: Seq[Expression]) => TextSimHash64(es(0))))
+        (es: Seq[Expression]) => TextSimHash64(es(0))),
+      ("graft_ngram_jaccard",
+        new ExpressionInfo(classOf[TextNGramJaccard].getName,
+          "graft_ngram_jaccard"),
+        (es: Seq[Expression]) =>
+          TextNGramJaccard(es(0), es(1), intArg(es(2)))))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -275,7 +275,8 @@ object Dedup {
     * Returns the deduplicated frame (adds nothing, drops near-dups). */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
                 threshold: Double = 0.8, numHashes: Int = 16,
-                rowsPerBand: Int = 4, shingleSize: Int = 5): DataFrame = {
+                rowsPerBand: Int = 4, shingleSize: Int = 5,
+                preferBy: Option[DataFrame => Column] = None): DataFrame = {
     val withSig = df.select(col(idCol),
       minHashSignaturesNative(col(textCol), numHashes, shingleSize).as("sig"))
     val candidates = lshCandidatePairs(withSig, idCol, "sig",
@@ -292,9 +293,28 @@ object Dedup {
         col("__ta"), col("__tb"), shingleSize) >= threshold)
       .select(col("a"), col("b"))
     val comps = connectedComponents(verified)
-    df.join(comps.where(col("v") =!= col("component"))
-        .select(col("v").as(idCol)),
-      Seq(idCol), "left_anti")
+    preferBy match {
+      case None =>
+        // default policy: keep the min id = the component label itself
+        df.join(comps.where(col("v") =!= col("component"))
+            .select(col("v").as(idCol)),
+          Seq(idCol), "left_anti")
+      case Some(pref) =>
+        // keep-best policy: within each near-dup component keep the row
+        // maximizing `pref` (ties → min id); rows outside any component
+        // always survive. One extra broadcast-sized join (components are
+        // the dup minority) + one max_by agg.
+        val member = df.join(comps.withColumnRenamed("v", idCol), Seq(idCol),
+          "left")
+        val keep = member.where(col("component").isNotNull)
+          .groupBy(col("component"))
+          .agg(max_by(col(idCol),
+            struct(pref(member).as("p"), (-col(idCol)).as("nid")))
+            .as("__keep"))
+          .select(col("__keep").as(idCol))
+        member.where(col("component").isNull).drop("component")
+          .unionByName(df.join(keep, Seq(idCol), "left_semi"))
+    }
   }
 
   /** Hamming distance between two 64-bit signatures. */

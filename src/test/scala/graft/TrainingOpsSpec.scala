@@ -244,6 +244,11 @@ class TrainingOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     // jaccard(0,1)=0.857 at 5-gram shingles → component {0,1,3}, keep 0
     assert(r == Set(0L, 2L))
+    // keep-best policy: prefer the HIGHEST doc_id in the component instead
+    val best = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.8,
+        preferBy = Some(d => d("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(3L, 2L)) // component {0,1,3} → keep 3
   }
 
   test("packFlatSalted equals packFlat after sort") {
