@@ -29,6 +29,8 @@ object native {
     EU.column(TextSimHash64(EU.expression(text)))
   def ngram_jaccard(a: Column, b: Column, n: Int): Column =
     EU.column(TextNGramJaccard(EU.expression(a), EU.expression(b), n))
+  def hyperplane_bucket(v: Column, numPlanes: Int, dim: Int): Column =
+    EU.column(HyperplaneBucket(EU.expression(v), numPlanes, dim))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in
@@ -235,6 +237,69 @@ case class TextNGramJaccard(left: Expression, right: Expression, n: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Hyperplane-LSH bucket id: one bit per plane = sign of <v, plane_j>, with
+  * the deterministic integer plane weights of
+  * [[graft.operators.Similarity]] (`((j*64+d)*2654435761 % 97) - 48`).
+  * Per-plane projections accumulate as a sequential left-fold in double —
+  * bit-identical to both the Column formulation (512 chained `element_at`
+  * terms for 8×64) and the DuckDB `list_sum` oracle, but ONE tight loop:
+  * the Column form made codegen carry 512 expression nodes per row.
+  * Codegen via the addReferenceObj kernel pattern (stage stays codegen'd). */
+case class HyperplaneBucket(child: Expression, numPlanes: Int, dim: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expects a numeric array, got $other")
+  }
+  override def dataType: DataType = LongType
+
+  private def weight(j: Int, d: Int): Double =
+    (((j.toLong * 64L + d.toLong) * 2654435761L % 97L) - 48L).toDouble
+
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)(weight)
+
+  @transient private lazy val readElem: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_bucket: unsupported element type $other")
+    }
+
+  /** The projection loop, shared by interpreted eval and generated code. */
+  def kernel(a: ArrayData): Long = {
+    val n = math.min(dim, a.numElements())
+    var out = 0L
+    var j = 0
+    while (j < numPlanes) {
+      val w = weights(j)
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += readElem(a, d) * w(d); d += 1 }
+      if (s > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBucket", this,
+      classOf[HyperplaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash over a string's distinct whitespace tokens: one pass,

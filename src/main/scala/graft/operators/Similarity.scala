@@ -86,8 +86,14 @@ object Similarity {
   private def planeWeight(j: Int, d: Int): Long =
     ((j.toLong * 64L + d.toLong) * 2654435761L % 97L) - 48L
 
-  /** LSH bucket id: one bit per hyperplane = sign of <v, plane_j>. */
+  /** LSH bucket id: one bit per hyperplane = sign of <v, plane_j>.
+    * Native kernel (one loop per row); the Column formulation below carried
+    * numPlanes×dim expression nodes through codegen. Bit-identical. */
   def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    graft.expressions.native.hyperplane_bucket(vec, numPlanes, dim)
+
+  /** Column-expression formulation kept for cross-checking the kernel. */
+  def hyperplaneBucketHof(vec: Column, numPlanes: Int, dim: Int): Column =
     (0 until numPlanes).map { j =>
       val proj = (0 until dim).map { d =>
         element_at(vec, d + 1).cast("double") * lit(planeWeight(j, d).toDouble)

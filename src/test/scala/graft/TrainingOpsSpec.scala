@@ -155,6 +155,15 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions >= 1 && out.count() == 200)
   }
 
+  test("native hyperplane bucket is bit-identical to the Column formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val both = e.select(
+      Similarity.hyperplaneBucket($"embedding", 8, 64).as("native"),
+      Similarity.hyperplaneBucketHof($"embedding", 8, 64).as("hof"))
+    assert(both.where($"native" =!= $"hof").count() == 0)
+    assert(both.select(countDistinct($"native")).as[Long].collect()(0) > 1)
+  }
+
   test("deterministic splits: stable, complete, and weight-proportional") {
     import graft.operators.Sampling
     val ids = spark.range(10000).toDF("id")
