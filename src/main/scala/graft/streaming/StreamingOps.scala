@@ -39,6 +39,21 @@ object StreamingOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup suppression: drop documents whose 64-bit SimHash
+    * matches an earlier document's within the watermark. Exact-signature
+    * collision is the streaming-budget version of near-dup detection —
+    * boilerplate/templated near-identical texts collide on the full
+    * signature; batch `dedupNear` remains the recall path. State is one
+    * 64-bit key per signature per watermark window. */
+  def dedupNearStream(docs: DataFrame, tsCol: String, textCol: String,
+                      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__simhash",
+        graft.operators.Dedup.simHash64Native(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__simhash"))
+      .drop("__simhash")
+
   /** EVENT-TIME session windows via Spark's native `session_window`
     * aggregation: a session closes when the WATERMARK passes its end + gap
     * (not wall-clock silence), and late events beyond the watermark are

@@ -280,6 +280,29 @@ class ExtendedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupNearStream suppresses same-simhash docs, keeps distinct ones") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val t0 = 1700000000000L
+    ms.addData(
+      (1L, new java.sql.Timestamp(t0), "the quick brown fox jumps high"),
+      (2L, new java.sql.Timestamp(t0 + 1000),
+        "the quick brown fox jumps high"), // exact dup → same simhash
+      (3L, new java.sql.Timestamp(t0 + 2000),
+        "completely different text with other words entirely"))
+    val df = ms.toDF().toDF("id", "ts", "text")
+    val out = StreamingOps.dedupNearStream(df, "ts", "text")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardedup").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM neardedup").as[Long]
+        .collect().toSet
+      assert(ids == Set(1L, 3L)) // dup id=2 suppressed
+    } finally q.stop()
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
