@@ -185,8 +185,8 @@ object Dedup {
     * partial min, not a 10⁷-element collect. This is the 100 TB path.
     *
     * Returns (v, component) where component = min id reachable from v. */
-  def connectedComponentsStars(edges: DataFrame,
-                               maxIter: Int = 30): DataFrame = {
+  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 30,
+                               verbose: Boolean = false): DataFrame = {
     def canon(e: DataFrame) =
       e.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
@@ -211,7 +211,23 @@ object Dedup {
         .union(m.select(col("u").as("a"), col("m").as("b")))
         .where(col("a") =!= col("b"))
     }
-    var cur = canon(edges).localCheckpoint()
+    // Materialize a round's edges as a FRESH RDD-backed frame with default
+    // stats. A plain Dataset.localCheckpoint carries the child plan's
+    // sizeInBytes estimate into its LogicalRDD, and each round's joins
+    // MULTIPLY those estimates — after ~10 rounds the compounded BigInt has
+    // millions of digits and Catalyst's stats visitor spends minutes in
+    // BigInteger.multiply (observed: round time 0.7s → 28s). Typed-tuple
+    // round-trip resets the estimate every round.
+    val spark = edges.sparkSession
+    import spark.implicits._
+    def materialize(e: DataFrame): DataFrame = {
+      val rdd = e.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].rdd
+      rdd.localCheckpoint()
+      rdd.count() // force materialization; truncates lineage
+      spark.createDataset(rdd).toDF("a", "b")
+    }
+    var cur = materialize(canon(edges))
     // (count, hash-XOR) signature: one cheap agg per round decides
     // convergence without a set-difference join (XOR can't overflow)
     def sig(e: DataFrame) =
@@ -220,10 +236,14 @@ object Dedup {
     var done = false
     var curSig = sig(cur)
     while (iter < maxIter && !done) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+      val t0 = System.nanoTime()
+      val next = materialize(canon(smallStar(largeStar(cur))))
       val nextSig = sig(next)
       done = nextSig == curSig
       cur = next; curSig = nextSig; iter += 1
+      if (verbose)
+        println(f"[ccStars] round $iter: edges=${nextSig.getLong(0)} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     // fixed point is a star forest: every edge is (root=min, member)
     cur.select(col("b").as("v"), col("a").as("component"))
