@@ -274,6 +274,10 @@ object Dedup {
         .agg(min(col("component")).as("neighborMin"))
       // carry a changed flag so convergence needs no extra join or job:
       // the localCheckpoint materializes next, the isEmpty scans it locally.
+      // NOTE the tuple round-trip after the checkpoint: localCheckpoint
+      // preserves the child's sizeInBytes estimate and iterative joins
+      // compound it into astronomically large BigInts (same pathology as
+      // connectedComponentsStars — see its comment).
       val next = labels.join(candidate, Seq("v"), "left")
         .select(col("v"),
           least(col("component"), coalesce(col("neighborMin"),
@@ -282,7 +286,12 @@ object Dedup {
             .as("__changed"))
         .localCheckpoint()
       converged = next.where(col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      val spark = next.sparkSession
+      import spark.implicits._
+      val slim = next.drop("__changed")
+        .select(col("v").cast("long"), col("component").cast("long"))
+        .as[(Long, Long)].rdd
+      labels = spark.createDataset(slim).toDF("v", "component")
       iter += 1
     }
     labels
