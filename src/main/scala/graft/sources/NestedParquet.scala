@@ -101,6 +101,19 @@ object NestedParquet {
     df.select(outCols: _*)
   }
 
+  /** Write a child table BUCKETED by the pack key: a subsequent
+    * `packFlat`/`joinNested` on that key reads the buckets as a satisfying
+    * hash distribution and SKIPS the collect_list shuffle entirely — the
+    * "pre-bucketed tables skip it" claim of [[graft.nested.NestedOps]],
+    * verified plan-level in ExtendedOpsSpec. At 100 TB this turns the one
+    * heavy shuffle of the nested data model into a free scan property.
+    * (Bucketed tables go through the catalog — `saveAsTable`.) */
+  def writeBucketedTable(df: DataFrame, table: String, key: String,
+                         buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Toy dataset generator — the reference's `generate_data`
     * (datasets/generation.py:6-57): base (id, a, b) + nested
     * (t, flux, flux_error, band), `nLayer` elements per base row,

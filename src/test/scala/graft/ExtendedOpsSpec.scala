@@ -92,6 +92,26 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(sums == Seq(5 + 4 + 7 + 3, 5 + 3 + 1 + 3, 9 + 3 + 4 + 3))
   }
 
+  test("bucketed child table packs WITHOUT a shuffle") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    NestedParquet.writeBucketedTable(li, "li_bucketed", "l_orderkey", 4)
+    try {
+      val bucketed = spark.table("li_bucketed")
+      val packed = NestedOps.packFlat(bucketed, Seq("l_orderkey"), "items")
+      val plan = packed.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed pack should not shuffle:\n$plan")
+      // and the result is still correct
+      val n = packed.select(sum(size($"items"))).as[Long].collect()(0)
+      assert(n == li.count())
+      // control: the same pack over the unbucketed frame DOES shuffle
+      val unbucketed = NestedOps.packFlat(li, Seq("l_orderkey"), "items")
+      assert(unbucketed.queryExecution.executedPlan.toString
+        .contains("Exchange"))
+    } finally spark.sql("DROP TABLE IF EXISTS li_bucketed")
+  }
+
   test("struct-of-list parquet round-trip (reference on-disk format)") {
     val dir = Files.createTempDirectory("sol").toString + "/t.parquet"
     NestedParquet.writeStructOfList(nf, dir)
