@@ -242,6 +242,14 @@ object TrainingQueries {
   // sampling / splits / keep-policy / embedding storage (round 2)
   // ---------------------------------------------------------------------------
 
+  /** BPE-ish token counting next to whitespace counting: the per-document
+    * "LLM token cost" estimate for training-mix budgeting. Pure regex column
+    * expressions — run inside the scan stage. */
+  val qBpeTokens: Q = (s, dir) =>
+    docs(s, dir).select(col("doc_id"),
+      TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+      TextFunctions.tokenCount(col("text")).as("n_ws"))
+
   /** Deterministic train/val/test split: stateless affine-mod bucket of the
     * id — reproducible across reruns, engines, cluster sizes (no RNG state,
     * no shuffle). */
@@ -311,6 +319,7 @@ object TrainingQueries {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_bpe_tokens" -> qBpeTokens,
     "q_split_assign" -> qSplitAssign,
     "q_stratified" -> qStratified,
     "q_per_key_cap" -> qPerKeyCap,
@@ -504,6 +513,14 @@ object TrainingQueries {
     },
     // q_minhash_pairs, q_simhash_pairs, q_dedup_pipeline: xxhash64-based →
     // rows-only checks (engine hash not reproducible in the oracle).
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |   AS BIGINT) AS n_bpe,
+        | CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   AS n_ws
+        |FROM documents""".stripMargin,
     "q_split_assign" ->
       """SELECT CASE WHEN (doc_id * 37 + 11) % 100 < 80 THEN 'train'
         |            WHEN (doc_id * 37 + 11) % 100 < 90 THEN 'val'

@@ -20,6 +20,19 @@ object TextFunctions {
   def distinctTokenCount(c: Column): Column =
     size(array_distinct(tokens(c))).cast("long")
 
+  /** BPE-style pre-tokenizer pattern (the public GPT-2 pattern with the
+    * trailing-space lookahead dropped so RE2-based engines — and the DuckDB
+    * oracle — replay it identically): contractions, space-prefixed
+    * letter/digit runs, punctuation runs, whitespace runs. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token count under the BPE-ish pre-tokenizer — the cheap proxy for "how
+    * many LLM tokens is this document" that a training-mix controller needs;
+    * a real BPE merge table would refine, not replace, this split. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpePattern), lit(0))).cast("long")
+
   /** Character n-gram shingles (with duplicates). Text shorter than `n`
     * yields an EMPTY array: the naive `sequence(1, length-n+1)` auto-steps
     * -1 when the end is < 1 (e.g. [1,0]) and would emit phantom shingles
