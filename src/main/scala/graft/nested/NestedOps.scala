@@ -325,17 +325,29 @@ object NestedOps {
       s.withField(field, element_at(col(listCol), i + 1))))
 
   /** Drop fields from a nested column (≥1 must remain, like
-    * ext_array.py:1229-1230). Reference: `.nest.drop` (accessor.py:528-562). */
+    * ext_array.py:1229-1230; missing fields raise, like accessor drop —
+    * tests/series/test_accessor.py:517-548). Reference: `.nest.drop`
+    * (accessor.py:528-562). */
   def dropNestedFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame = {
-    val remaining = subColumns(df, nest).filterNot(fields.contains)
+    val existing = subColumns(df, nest)
+    val missing = fields.filterNot(existing.contains)
+    require(missing.isEmpty,
+      s"No fields ${missing.mkString(", ")} in nested column '$nest' " +
+        s"(has: ${existing.mkString(", ")})")
+    val remaining = existing.filterNot(fields.contains)
     require(remaining.nonEmpty, s"Cannot drop all fields of nested column '$nest'")
     selectSubFields(df, nest, remaining)
   }
 
   /** Drop base columns and/or dotted nested sub-columns in one call.
-    * Reference: `NestedFrame.drop` (core.py:745-858). */
+    * Unknown names raise (the reference's KeyError, core.py:745-858) —
+    * Spark's own `drop` silently ignores them. */
   def dropColumns(df: DataFrame, names: Seq[String]): DataFrame = {
     val (dotted, base) = names.partition(n => resolveDotted(df, n)._1.isDefined)
+    val unknown = base.filterNot(df.columns.contains)
+    require(unknown.isEmpty,
+      s"No columns ${unknown.mkString(", ")} in frame " +
+        s"(has: ${allColumns(df).mkString(", ")})")
     val byNest = dotted.groupBy(n => resolveDotted(df, n)._1.get)
     val afterNested = byNest.foldLeft(df) { case (acc, (nest, ns)) =>
       dropNestedFields(acc, nest, ns.map(n => resolveDotted(df, n)._2))

@@ -124,6 +124,41 @@ class ReferenceParitySpec extends SparkSpec {
       child.agg(sum($"c")).as[Long].collect()(0))
   }
 
+  test("drop raises for missing columns and fields (ref accessor :517-548)") {
+    intercept[IllegalArgumentException] {
+      NestedOps.dropNestedFields(nf, "nested", Seq("zzz"))
+    }
+    intercept[IllegalArgumentException] {
+      NestedOps.dropColumns(nf, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      NestedOps.dropColumns(nf, Seq("nested.zzz"))
+    }
+  }
+
+  test("query to an empty result keeps schema and empty cells (ref :575-615)") {
+    val q = NestedExpr.query(nf, "nested.c > 1000")
+    assert(q.count() == 3) // rows kept, cells emptied
+    assert(q.select(sum(size($"nested"))).as[Long].collect()(0) == 0)
+    val dropEmpty = NestedOps.filterElementsDropEmpty(nf, "nested",
+      s => s.getField("c") > 1000)
+    assert(dropEmpty.count() == 0)
+    assert(dropEmpty.schema == nf.schema) // schema survives emptiness
+  }
+
+  test("to_flat through a double nest (ref accessor :290)") {
+    val byParity = NestedOps.packFlat(
+      nf.withColumn("grp", $"key" % 2), Seq("grp"), "outer")
+    // outer elements contain the inner nested column; flatten outer first
+    val flatOuter = byParity.toFlat("outer", baseCols = Seq("grp"))
+    assert(flatOuter.count() == 3)
+    assert(flatOuter.columns.contains("nested"))
+    val fullyFlat = flatOuter.toFlat("nested", baseCols = Seq("grp", "key"))
+    assert(fullyFlat.count() == 9)
+    assert(fullyFlat.agg(sum($"c")).as[Long].collect()(0) ==
+      child.agg(sum($"c")).as[Long].collect()(0))
+  }
+
   test("min/max lexicographic strings + numeric_only excludes them (ref :1863)") {
     val tagged = nf.withNestedField("nested", "band",
       s => when(s.getField("c") > 1, "g").otherwise("r"))
