@@ -469,15 +469,42 @@ object NestedOps {
   /** Per-row count of elements, optionally one count column per value of a
     * categorical field. Reference: `count_nested` (utils/utils.py:8-102).
     * All counts are narrow `size(filter(...))` expressions — the per-row
-    * "group-by/pivot" of the reference costs no shuffle here. */
+    * "group-by/pivot" of the reference costs no shuffle here.
+    *
+    * NULL by-values: like the reference (GH#494), the first count column
+    * RAISES when an element's by-field is null, so nulls are reported
+    * rather than silently dropped; pass `dropNa = true` to ignore them.
+    * The guard is a narrow per-row predicate (no validation scan). */
   def countNested(df: DataFrame, nest: String, by: Option[String] = None,
-                  values: Seq[String] = Nil): DataFrame = by match {
+                  values: Seq[String] = Nil,
+                  dropNa: Boolean = false): DataFrame = by match {
     case None => df.withColumn(s"n_$nest", coalesce(size(col(nest)), lit(0)))
     case Some(field) =>
-      values.foldLeft(df) { (acc, v) =>
-        acc.withColumn(s"n_${nest}_$v",
-          coalesce(size(filter(col(nest), s => s.getField(field) === lit(v))), lit(0)))
+      val noNulls = !coalesce(
+        size(filter(col(nest), s => s.getField(field).isNull)) > 0,
+        lit(false))
+      def guard(c: Column): Column =
+        if (dropNa) c
+        else when(assert_true(noNulls,
+          lit(s"count_nested: null values in by-column '$field' " +
+            "(pass dropNa = true to ignore them)")).isNull, c)
+      values.zipWithIndex.foldLeft(df) { case (acc, (v, i)) =>
+        val cnt = coalesce(
+          size(filter(col(nest), s => s.getField(field) === lit(v))), lit(0))
+        acc.withColumn(s"n_${nest}_$v", if (i == 0) guard(cnt) else cnt)
       }
+  }
+
+  /** countNested with by-values discovered from the data (driver-side
+    * distinct, like [[splitNestedAuto]] — use explicit `values` for large
+    * domains at scale). */
+  def countNestedAuto(df: DataFrame, nest: String, by: String,
+                      dropNa: Boolean = false): DataFrame = {
+    val values = df.select(explode(col(s"$nest.$by")).as("v"))
+      .where(col("v").isNotNull)
+      .distinct().orderBy("v")
+      .collect().map(_.get(0).toString).toSeq
+    countNested(df, nest, Some(by), values, dropNa)
   }
 
   /** Column-wise min/max over base columns and nested fields (dotted names).
@@ -742,7 +769,8 @@ object syntax {
     def sortElements(nest: String, keys: (String, Boolean)*): DataFrame =
       NestedOps.sortElements(df, nest, keys)
     def countNested(nest: String, by: Option[String] = None,
-                    values: Seq[String] = Nil): DataFrame =
-      NestedOps.countNested(df, nest, by, values)
+                    values: Seq[String] = Nil,
+                    dropNa: Boolean = false): DataFrame =
+      NestedOps.countNested(df, nest, by, values, dropNa)
   }
 }

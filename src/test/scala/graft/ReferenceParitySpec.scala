@@ -159,6 +159,29 @@ class ReferenceParitySpec extends SparkSpec {
       child.agg(sum($"c")).as[Long].collect()(0))
   }
 
+  test("count_nested by-column nulls raise unless dropNa (ref GH#494)") {
+    val withNullBand = nf.withNestedField("nested", "band",
+      s => when(s.getField("c") === 0, lit(null))
+        .otherwise(when(s.getField("c") > 1, "g").otherwise("r")))
+    val counted = NestedOps.countNested(withNullBand, "nested",
+      Some("band"), Seq("g", "r"))
+    val e = intercept[Exception] { counted.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("null values")))
+    // dropNa ignores the null band; remaining bands tally normally
+    val ok = NestedOps.countNested(withNullBand, "nested",
+        Some("band"), Seq("g", "r"), dropNa = true)
+      .orderBy("key")
+      .select($"n_nested_g".cast("long"), $"n_nested_r".cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    assert(ok == Seq((2L, 0L), (2L, 1L), (1L, 2L)))
+    // auto-discovery matches the explicit-values call
+    val auto = NestedOps.countNestedAuto(withNullBand, "nested", "band",
+      dropNa = true)
+    assert(auto.columns.count(_.startsWith("n_nested_")) == 2)
+  }
+
   test("min/max lexicographic strings + numeric_only excludes them (ref :1863)") {
     val tagged = nf.withNestedField("nested", "band",
       s => when(s.getField("c") > 1, "g").otherwise("r"))
