@@ -60,6 +60,16 @@ object MapRows {
     if (inferNesting) packDotted(flat) else flat
   }
 
+  /** `row_container='dict'` flavor of [[mapRows]]: the kernel receives a
+    * name→value Map instead of a positional Seq (reference map_rows input
+    * packaging, core.py:2207-2545). */
+  def mapRowsDict(df: DataFrame, columns: Seq[String],
+                  outputSchema: StructType, inferNesting: Boolean = false)
+                 (fn: Map[String, Any] => Seq[Any]): DataFrame =
+    mapRows(df, columns, outputSchema, inferNesting) { args =>
+      fn(columns.zip(args).toMap)
+    }
+
   /** Zip literally-dotted columns (`layer.field`, each array-typed) into one
     * `array<struct>` nested column per layer prefix; non-dotted columns pass
     * through. Narrow (arrays_zip), no shuffle. */

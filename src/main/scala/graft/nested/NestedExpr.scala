@@ -60,7 +60,10 @@ object NestedExpr {
       if (c == '\'' || c == '"') {
         flushText()
         val quote = c; val start = i; i += 1
-        while (i < s.length && s(i) != quote) i += 1
+        // honor backslash escapes (\' \\ …) like the SQL parser will
+        while (i < s.length && s(i) != quote) {
+          if (s(i) == '\\' && i + 1 < s.length) i += 2 else i += 1
+        }
         require(i < s.length, s"Unclosed quote in expression: $s")
         i += 1
         out += Str(s.substring(start, i))
@@ -316,13 +319,42 @@ object NestedExpr {
     }
   }
 
+  /** Substitute pandas-style `@name` local-variable references with SQL
+    * literals (strings quoted/escaped, numbers verbatim) — the reference's
+    * `eval(..., local_dict)` environment resolution. */
+  private def substituteLocals(exprStr: String,
+                               locals: Map[String, Any]): String =
+    if (locals.isEmpty) exprStr
+    else """@([A-Za-z_][A-Za-z0-9_]*)""".r.replaceAllIn(exprStr, m => {
+      val name = m.group(1)
+      val v = locals.getOrElse(name, throw new IllegalArgumentException(
+        s"Undefined local '@$name' in: $exprStr " +
+          s"(locals: ${locals.keys.mkString(", ")})"))
+      val sql = v match {
+        case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        case b: Boolean => b.toString
+        case n: Number => n.toString
+        case other => throw new IllegalArgumentException(
+          s"Unsupported local type for '@$name': ${other.getClass}")
+      }
+      scala.util.matching.Regex.quoteReplacement(sql)
+    })
+
   /** Multi-statement eval: one assignment per non-empty line, executed in
     * order — line N sees every column line N−1 created (the reference's
-    * GH#159 semantics, test_nestedframe.py:2512-2530). */
-  def eval(df: DataFrame, program: String): DataFrame =
+    * GH#159 semantics, test_nestedframe.py:2512-2530). `locals` resolves
+    * pandas-style `@name` references to literals. */
+  def eval(df: DataFrame, program: String,
+           locals: Map[String, Any] = Map.empty): DataFrame =
     program.split('\n').map(_.trim)
       .filter(s => s.nonEmpty && !s.startsWith("#"))
-      .foldLeft(df)(evalAssign)
+      .foldLeft(df)((acc, stmt) =>
+        evalAssign(acc, substituteLocals(stmt, locals)))
+
+  /** query with `@name` locals (see [[eval]]). */
+  def query(df: DataFrame, exprStr: String,
+            locals: Map[String, Any]): DataFrame =
+    query(df, substituteLocals(exprStr, locals))
 
   /** Non-assignment eval (the reference's `nf.eval("a + packed.c.median()")`
     * Series-returning form, test_nestedframe.py:2440-2446):

@@ -182,6 +182,34 @@ class ReferenceParitySpec extends SparkSpec {
     assert(auto.columns.count(_.startsWith("n_nested_")) == 2)
   }
 
+  test("@local references in query and eval resolve to literals") {
+    val hi = NestedExpr.query(nf, "b > @cut", Map("cut" -> 3))
+    assert(hi.select("key").as[Long].collect().toSet == Set(2L)) // b=2,3,4
+    val e = NestedExpr.eval(nf,
+      """scaled = a * @factor
+        |tag = @label""".stripMargin,
+      Map("factor" -> 10, "label" -> "it's x"))
+    assert(e.orderBy($"key").select($"scaled").as[Int].collect().toSeq ==
+      Seq(10, 20, 20)) // a = 1, 2, 2
+    assert(e.select($"tag").as[String].head() == "it's x")
+    intercept[IllegalArgumentException] {
+      NestedExpr.query(nf, "a > @nope", Map("cut" -> 1))
+    }
+  }
+
+  test("map_rows dict packaging delivers name-keyed inputs (ref :2207)") {
+    import org.apache.spark.sql.types._
+    val out = graft.nested.MapRows.mapRowsDict(nf, Seq("a", "nested.c"),
+      StructType(Seq(StructField("a2", IntegerType),
+        StructField("sum_c", IntegerType)))) { in =>
+      val a = in("a").asInstanceOf[Int]
+      val cs = in("nested.c").asInstanceOf[Seq[Int]]
+      Seq(a * 2, cs.sum)
+    }
+    val r = out.as[(Int, Int)].collect().toSet
+    assert(r == Set((2, 6), (4, 8), (4, 6))) // a = 1, 2, 2
+  }
+
   test("min/max lexicographic strings + numeric_only excludes them (ref :1863)") {
     val tagged = nf.withNestedField("nested", "band",
       s => when(s.getField("c") > 1, "g").otherwise("r"))
