@@ -392,6 +392,31 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // flagship end-to-end chain (the reference's performance.ipynb workflow)
+  // ---------------------------------------------------------------------------
+
+  /** The whole reference workflow in ONE oracle-checked query: join_nested →
+    * element-level query dialect → count_nested pivot → per-row element mean
+    * → row filter. One pack shuffle; everything after is narrow. */
+  val qFlagship: Q = (s, dir) => {
+    val nf = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .joinNested(lines(s, dir, "l_quantity", "l_extendedprice",
+        "l_returnflag"), Seq("o_orderkey"), "items", "inner")
+    val filtered = graft.nested.NestedExpr.query(nf,
+      "items.l_quantity > 10.0")
+    val counted = NestedOps.countNested(filtered, "items",
+      Some("l_returnflag"), Seq("R", "A", "N"))
+    counted.where(col("n_items_R") > 0)
+      .select(col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        col("n_items_R").cast("long").as("n_r"),
+        col("n_items_A").cast("long").as("n_a"),
+        col("n_items_N").cast("long").as("n_n"),
+        round(NestedOps.elementMean("items", "l_extendedprice")
+          + lit(1e-9), 2).as("mean_price"))
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
@@ -417,6 +442,7 @@ object SurfaceQueries {
     "q_dropna_opts" -> qDropnaOpts,
     "q_session_window" -> qSessionWindow,
     "q_eval_reduce" -> qEvalReduce,
+    "q_flagship" -> qFlagship,
   )
 
   val oracles: Map[String, String] = Map(
@@ -575,5 +601,16 @@ object SurfaceQueries {
         | round(avg(l_quantity) + 1e-9, 4) AS mn,
         | round(stddev_samp(l_quantity) + 1e-9, 4) AS sd
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q_flagship" ->
+      """SELECT o_orderkey AS orderkey,
+        | round(o_totalprice, 2) AS totalprice,
+        | count(*) FILTER (WHERE l_returnflag = 'R') AS n_r,
+        | count(*) FILTER (WHERE l_returnflag = 'A') AS n_a,
+        | count(*) FILTER (WHERE l_returnflag = 'N') AS n_n,
+        | round(avg(l_extendedprice) + 1e-9, 2) AS mean_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_quantity > 10
+        |GROUP BY o_orderkey, o_totalprice
+        |HAVING count(*) FILTER (WHERE l_returnflag = 'R') > 0""".stripMargin,
   )
 }
