@@ -708,17 +708,15 @@ object NestedOps {
     val pairs = parts.reduce(_ unionAll _).where(col("value").isNotNull)
     val counts = pairs.groupBy("column", "value")
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("column")
-      .orderBy(col("cnt").desc, col("value").asc)
-    val tops = counts.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col("column"), col("value").as("top"),
-        col("cnt").as("top_freq"))
+    // ONE aggregation for totals, uniques AND the mode: min_by over
+    // (-cnt, value) picks the highest count with lexicographic tie-break —
+    // the window + self-rejoin it replaces re-executed the whole unpivot.
     counts.groupBy("column")
-      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_unique"))
-      .join(tops, Seq("column"))
-      .select(col("column"), col("cnt"), col("n_unique"), col("top"),
-        col("top_freq"))
+      .agg(sum(col("cnt")).as("cnt"), count(lit(1)).as("n_unique"),
+        min_by(struct(col("value"), col("cnt")),
+          struct((-col("cnt")).as("nc"), col("value").as("v"))).as("__best"))
+      .select(col("column"), col("cnt"), col("n_unique"),
+        col("__best.value").as("top"), col("__best.cnt").as("top_freq"))
   }
 }
 
