@@ -210,6 +210,50 @@ class ReferenceParitySpec extends SparkSpec {
     assert(r == Set((2, 6), (4, 8), (4, 6))) // a = 1, 2, 2
   }
 
+  test("fillna across base and multiple nests with per-key values (ref :2326)") {
+    val b = Seq((0L, Option.empty[Double], Some(2.0)),
+        (1L, Option.empty[Double], Option.empty[Double]),
+        (2L, Some(3.0), Some(6.0))).toDF("key", "a", "b")
+    val n1 = Seq((0L, Some(0.0), Option.empty[Double]),
+      (0L, Some(2.0), Some(4.0)), (0L, Option.empty[Double], Option.empty[Double]),
+      (1L, Some(1.0), Some(5.0)), (2L, Option.empty[Double], Some(3.0)))
+      .toDF("key", "c", "d")
+    val n2 = Seq((0L, Option.empty[Double], Some(5.0)),
+      (1L, Some(1.0), Some(5.0)), (2L, Some(4.0), Some(3.0)))
+      .toDF("key", "e", "f")
+    val nf2 = b.joinNested(n1, Seq("key"), "nested",
+        sortBy = Seq(("c", true), ("d", true)))
+      .joinNested(n2, Seq("key"), "nested2")
+    // base fill + per-field nested fills across BOTH nests in one flow
+    val filled = NestedOps.fillNaElements(
+      NestedOps.fillNaElements(
+        nf2.na.fill(Map("a" -> 0.0, "b" -> 1.0)),
+        "nested", Map("c" -> 2.0, "d" -> 3.0)),
+      "nested2", Map("e" -> 9.0))
+    assert(filled.orderBy($"key").select($"a").as[Double].collect().toSeq ==
+      Seq(0.0, 0.0, 3.0))
+    assert(filled.where($"key" === 1).select($"b").as[Double].head() == 1.0)
+    val cSum = filled.select(explode($"nested.c").as("v"))
+      .agg(sum($"v")).as[Double].head()
+    assert(cSum == 0.0 + 2.0 + 2.0 + 1.0 + 2.0) // nulls → 2.0
+    val eVals = filled.orderBy($"key").select($"nested2.e").as[Seq[Double]]
+      .collect().flatten.toSeq
+    assert(eVals == Seq(9.0, 1.0, 4.0)) // null e → 9.0
+  }
+
+  test("explode aligned base list columns (ref :2176)") {
+    val df = Seq(
+      (0L, Seq(1, 2, 3), Seq("x1", "x2", "x3")),
+      (1L, Seq(4), Seq("y")),
+      (2L, Seq(5, 6), Seq("z1", "z2"))).toDF("key", "a", "c")
+    val r = NestedOps.explodeAligned(df, Seq("a", "c"))
+    assert(r.count() == 6)
+    val got = r.orderBy($"key", $"a").select($"a", $"c")
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "x1"), (2, "x2"), (3, "x3"), (4, "y"),
+      (5, "z1"), (6, "z2")))
+  }
+
   test("min/max lexicographic strings + numeric_only excludes them (ref :1863)") {
     val tagged = nf.withNestedField("nested", "band",
       s => when(s.getField("c") > 1, "g").otherwise("r"))
