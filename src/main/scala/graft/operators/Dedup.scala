@@ -84,7 +84,9 @@ object Dedup {
     * not O(n²) — the difference between a working and a dead job at 100 TB.
     * (The all-pairs variant ran 7× slower on the dense synthetic corpus.) */
   def lshCandidatePairs(df: DataFrame, idCol: String, sigCol: String,
-                        numHashes: Int, rowsPerBand: Int): DataFrame = {
+                        numHashes: Int, rowsPerBand: Int,
+                        allPairsCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val numBands = numHashes / rowsPerBand
     // A document with NO shingles (shorter than the shingle size) carries the
     // all-Long.MaxValue sentinel signature; every such doc would collide in
@@ -99,13 +101,39 @@ object Dedup {
             slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))), b)
             .as("bucket")))))
       .select(col(idCol), col("col.band"), col("col.bucket"))
-    val grouped = banded.groupBy("band", "bucket")
+    // Edge emission per bucket — RECALL vs blow-up:
+    //  - buckets ≤ allPairsCap emit ALL pairs (≤ cap²/2 each, so per-doc
+    //    candidates stay ≤ bands × cap): pure star edges silently LOST
+    //    moderate-similarity pairs whose bucket min was NOT similar to both
+    //    (verification pruned the min's edges and CC never connected them —
+    //    found by DedupProbe on a repetitive corpus);
+    //  - bigger buckets (boilerplate clusters) emit star + CHAIN edges —
+    //    linear in bucket size, computed with windows so a hot bucket never
+    //    materializes an id array on one task.
+    val w = Window.partitionBy("band", "bucket").orderBy(col(idCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val annotated = banded
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__n") >= 2)
+      .withColumn("__min", min(col(idCol)).over(wAll))
+      .withColumn("__next", lead(col(idCol), 1).over(w))
+    val big = annotated.where(col("__n") > allPairsCap)
+    val star = big.where(col(idCol) =!= col("__min"))
+      .select(col("__min").as("a"), col(idCol).as("b"))
+    val chain = big.where(col("__next").isNotNull)
+      .select(col(idCol).as("a"), col("__next").as("b"))
+    val smallPairs = annotated.where(col("__n") <= allPairsCap)
+      .groupBy("band", "bucket")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) >= 2)
-    grouped
-      .select(element_at(col("ids"), 1).as("a"),
-        explode(slice(col("ids"), lit(2), size(col("ids")))).as("b"))
-      .distinct()
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1), i ->
+          |  transform(slice(ids, i + 1, size(ids) - i), x ->
+          |    named_struct('a', element_at(ids, i), 'b', x))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+    smallPairs.unionAll(star).unionAll(chain)
+      .where(col("a") =!= col("b")).distinct()
   }
 
   /** 64-bit SimHash of the document's distinct tokens, NO shuffle: per bit,
