@@ -98,13 +98,25 @@ object TrainingQueries {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
         .as("members"))
       .where(size(col("members")) >= 2)
-    grouped.select(
+    // star edges (min→member) PLUS chain edges (consecutive members):
+    // star-only lost pairs whose bucket min wasn't within Hamming range of
+    // both (same recall hole DedupProbe exposed for MinHash-LSH); both edge
+    // families stay linear in bucket size.
+    val star = grouped.select(
         element_at(col("members"), 1).getField("doc_id").as("a"),
         element_at(col("members"), 1).getField("sig").as("siga"),
         explode(slice(col("members"), lit(2), size(col("members")))).as("m"))
       .select(col("a"), col("m.doc_id").as("b"),
         Dedup.hamming64(col("siga"), col("m.sig")).as("hamming"))
-      .where(col("hamming") <= 3)
+    val chain = grouped.select(explode(expr(
+        """transform(sequence(1, size(members) - 1), i ->
+          |  named_struct('x', element_at(members, i),
+          |               'y', element_at(members, i + 1)))""".stripMargin))
+        .as("p"))
+      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
+        Dedup.hamming64(col("p.x.sig"), col("p.y.sig")).as("hamming"))
+    star.unionAll(chain)
+      .where(col("hamming") <= 3 && col("a") =!= col("b"))
       .distinct()
   }
 
