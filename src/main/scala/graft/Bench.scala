@@ -10,6 +10,26 @@ import org.apache.spark.sql.SparkSession
   * the 200 default — local[32] wants 32).
   */
 object Bench {
+  /** The round-1 battery, pinned EXPLICITLY: Queries core + the round-1
+    * TrainingQueries. Later additions (SurfaceQueries, round-2+ training
+    * queries) are deliberately excluded so headline_total measures the same
+    * work every round. */
+  val headlineKeys: Set[String] = Set(
+    // Queries core (round 1)
+    "q_pack_flat", "q_pack_salted", "q_join_nested", "q_from_flat",
+    "q_lists_roundtrip", "q_get_sub", "q_explode", "q_flatten_inner",
+    "q_split", "q_nest_filter", "q_query_dialect", "q_dropna_fillna",
+    "q_with_field", "q_eval_assign", "q_count_nested_by", "q_min_max",
+    "q_describe", "q_sort_head", "q_map_rows_mean", "q_sessionize",
+    "q_rollup", "q_set_ops", "q_map_rows_kernel", "q_struct_of_list",
+    "q_describe_all", "q_explode_aligned", "q_element_index",
+    // TrainingQueries (round 1)
+    "q_dedup_exact", "q_dedup_pipeline", "q_minhash_rank", "q_minhash_pairs",
+    "q_simhash_pairs", "q_jaccard_pairs", "q_embed_cosine_pairs",
+    "q_ann_brute", "q_ann_lsh_buckets", "q_ann_lsh_topk", "q_ann_ivf",
+    "q_token_stats", "q_quality", "q_lang_id", "q_fingerprint",
+    "q_multimodal_meta")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -43,20 +63,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // headline = the round-1 battery (coverage queries added later excluded)
-    // so the total stays comparable round over round as the surface grows
+    // headline = the PINNED round-1 battery (explicit key set, frozen) so the
+    // metric stays comparable round over round as the query surface grows.
     val headline = results
-      .filterNot { case (k, _) => SurfaceQueries.all.contains(k) }
+      .filter { case (k, _) => headlineKeys.contains(k) }
       .map(_._2).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"queries":$qs,"sf":"$sfDir"}"""
-    // The driver parses this line; sbt wraps stdout in [info] noise, so ALSO
-    // write it to bare files it can pick up (round-1 BENCH parsed: null).
-    println(line)
+    // Full per-query detail goes to files (the complete record).
     try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), line + "\n")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), fullLine + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     } catch { case _: Throwable => () }
+    println(fullLine)
+    // The driver reads a bounded TAIL window of stdout: the ~4 KB full line
+    // was clipped mid-JSON two rounds running (BENCH parsed: null). Emit a
+    // COMPACT line — totals + 10 most expensive queries — as the very LAST
+    // stdout line so it always fits the window intact.
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

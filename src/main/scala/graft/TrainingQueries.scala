@@ -79,45 +79,17 @@ object TrainingQueries {
       numHashes = 16, rowsPerBand = 4)
   }
 
-  /** Production 64-bit SimHash near-dup STAR edges (xxhash64; rows-only
-    * check): banded by 16-bit blocks, Hamming-verified at distance ≤ 3.
-    * Buckets emit bucket-min→member edges (linear in bucket size) instead of
-    * the all-pairs self-join (quadratic — a boilerplate-heavy corpus makes a
-    * hot block a dead task at 100 TB); union-find over star edges yields the
-    * same duplicate groups. */
+  /** Production 64-bit SimHash near-dup pairs (xxhash64; rows-only check):
+    * banded by 16-bit blocks, Hamming-verified inline at distance ≤ 3.
+    * Blocks ≤ 32 members emit ALL pairs (full recall where it's cheap);
+    * bigger boilerplate blocks emit window-computed star + chain edges —
+    * linear in block size, never a per-bucket member array on one task.
+    * See [[graft.operators.Dedup.simhashCandidatePairs]]. */
   val qSimhashPairs: Q = (s, dir) => {
     val sigs = docs(s, dir)
       .select(col("doc_id"), Dedup.simHash64Native(col("text")).as("sig"))
-    // band on 16-bit blocks: near-dups agree on ≥1 block with high prob.
-    val banded = sigs.select(col("doc_id"), col("sig"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))
-          .as("block"))): _*)).as("e"))
-      .select(col("doc_id"), col("sig"), col("e.band"), col("e.block"))
-    val grouped = banded.groupBy("band", "block")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
-        .as("members"))
-      .where(size(col("members")) >= 2)
-    // star edges (min→member) PLUS chain edges (consecutive members):
-    // star-only lost pairs whose bucket min wasn't within Hamming range of
-    // both (same recall hole DedupProbe exposed for MinHash-LSH); both edge
-    // families stay linear in bucket size.
-    val star = grouped.select(
-        element_at(col("members"), 1).getField("doc_id").as("a"),
-        element_at(col("members"), 1).getField("sig").as("siga"),
-        explode(slice(col("members"), lit(2), size(col("members")))).as("m"))
-      .select(col("a"), col("m.doc_id").as("b"),
-        Dedup.hamming64(col("siga"), col("m.sig")).as("hamming"))
-    val chain = grouped.select(explode(expr(
-        """transform(sequence(1, size(members) - 1), i ->
-          |  named_struct('x', element_at(members, i),
-          |               'y', element_at(members, i + 1)))""".stripMargin))
-        .as("p"))
-      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
-        Dedup.hamming64(col("p.x.sig"), col("p.y.sig")).as("hamming"))
-    star.unionAll(chain)
-      .where(col("hamming") <= 3 && col("a") =!= col("b"))
-      .distinct()
+    Dedup.simhashCandidatePairs(sigs, "doc_id", "sig",
+      numBands = 4, bitsPerBand = 16, maxHamming = 3)
   }
 
   /** Full near-dup removal pipeline: sigs → LSH candidates → jaccard

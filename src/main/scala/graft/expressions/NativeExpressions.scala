@@ -54,18 +54,18 @@ case class DotProductArray(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
 
-  /** Java source for "element i of `a` as double" — covers every numeric
+  /** Java source for "element `i` of `a` as double" — covers every numeric
     * element type incl. DECIMAL (what SQL literals like array(1.0) infer). */
-  private def elemAsDouble(e: Expression, a: String): String =
+  private def elemAsDouble(e: Expression, a: String, i: String): String =
     e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType   => s"(double)$a.getFloat(i)"
-      case DoubleType  => s"$a.getDouble(i)"
-      case IntegerType => s"(double)$a.getInt(i)"
-      case LongType    => s"(double)$a.getLong(i)"
-      case ShortType   => s"(double)$a.getShort(i)"
-      case ByteType    => s"(double)$a.getByte(i)"
+      case FloatType   => s"(double)$a.getFloat($i)"
+      case DoubleType  => s"$a.getDouble($i)"
+      case IntegerType => s"(double)$a.getInt($i)"
+      case LongType    => s"(double)$a.getLong($i)"
+      case ShortType   => s"(double)$a.getShort($i)"
+      case ByteType    => s"(double)$a.getByte($i)"
       case d: DecimalType =>
-        s"$a.getDecimal(i, ${d.precision}, ${d.scale}).toDouble()"
+        s"$a.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
       case other => throw new IllegalArgumentException(
         s"dot_f: unsupported element type $other")
     }
@@ -103,16 +103,23 @@ case class DotProductArray(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName for EVERY local: several dot_f calls can land in the same
+      // codegen scope (cosine = dot + two norms in one projection) and raw
+      // names collide — janino "Redefinition of local variable", which threw
+      // the whole stage back to interpreted mode on the write path.
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
       s"""
-        int n = $a.numElements();
-        if (n != $b.numElements()) {
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
           ${ev.isNull} = true;
         } else {
-          double s = 0.0;
-          for (int i = 0; i < n; i++) {
-            s += ${elemAsDouble(left, a)} * ${elemAsDouble(right, b)};
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += ${elemAsDouble(left, a, i)} * ${elemAsDouble(right, b, i)};
           }
-          ${ev.value} = s;
+          ${ev.value} = $s;
         }
       """
     })
@@ -273,29 +280,39 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, dim: Int)
         s"hyperplane_bucket: unsupported element type $other")
     }
 
-  /** The projection loop, shared by interpreted eval and generated code. */
+  // A vector SHORTER than `dim` yields NULL, never a truncated projection:
+  // silently bucketing a malformed embedding on a partial dot product would
+  // group it with arbitrary neighbors. (Extra trailing dims are ignored —
+  // the planes are only defined on the first `dim`.)
+  override def nullable: Boolean = true
+
+  /** The projection loop, shared by interpreted eval and generated code.
+    * Caller guarantees a.numElements() >= dim. */
   def kernel(a: ArrayData): Long = {
-    val n = math.min(dim, a.numElements())
     var out = 0L
     var j = 0
     while (j < numPlanes) {
       val w = weights(j)
       var s = 0.0
       var d = 0
-      while (d < n) { s += readElem(a, d) * w(d); d += 1 }
+      while (d < dim) { s += readElem(a, d) * w(d); d += 1 }
       if (s > 0) out |= (1L << j)
       j += 1
     }
     out
   }
 
-  override protected def nullSafeEval(input: Any): Any =
-    kernel(input.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < dim) null else kernel(a)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("hyperplaneBucket", this,
       classOf[HyperplaneBucket].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() < $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $ref.kernel($c); }""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -136,6 +136,68 @@ object Dedup {
       .where(col("a") =!= col("b")).distinct()
   }
 
+  /** Banded SimHash candidate pairs with inline Hamming verification: the
+    * 64-bit signature is banded into `numBands` blocks of `bitsPerBand` bits;
+    * documents sharing any block value are candidates (near-dups agree on ≥1
+    * block with high probability at small Hamming distance).
+    *
+    * Edge emission mirrors [[lshCandidatePairs]] exactly:
+    *  - blocks ≤ `allPairsCap` members emit ALL pairs (cap² is tiny) — full
+    *    recall where it's cheap; star-only/chain-only emission loses a valid
+    *    pair (x,y) whenever neither the block min nor a consecutive chain
+    *    link passes the Hamming filter (e.g. members [1,2,3,4] where only
+    *    (2,4) is within range);
+    *  - bigger blocks (boilerplate clusters) emit window-computed star +
+    *    chain edges — linear in block size, and a hot block never
+    *    materializes a member array on one task.
+    * Signatures travel WITH the window rows, so the Hamming check is inline —
+    * no join back to the corpus. Returns (a, b, hamming), a < b. */
+  def simhashCandidatePairs(sigs: DataFrame, idCol: String, sigCol: String,
+                            numBands: Int = 4, bitsPerBand: Int = 16,
+                            maxHamming: Int = 3,
+                            allPairsCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << bitsPerBand) - 1L
+    val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
+      explode(array((0 until numBands).map(b => struct(lit(b).as("band"),
+        shiftright(col(sigCol), b * bitsPerBand).bitwiseAND(lit(mask))
+          .as("block"))): _*)).as("e"))
+      .select(col(idCol), col("__sig"), col("e.band"), col("e.block"))
+    val w = Window.partitionBy("band", "block").orderBy(col(idCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val annotated = banded
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__n") >= 2)
+      .withColumn("__min", min(col(idCol)).over(wAll))
+      .withColumn("__minsig", first(col("__sig")).over(wAll))
+      .withColumn("__next", lead(col(idCol), 1).over(w))
+      .withColumn("__nextsig", lead(col("__sig"), 1).over(w))
+    val big = annotated.where(col("__n") > allPairsCap)
+    val star = big.where(col(idCol) =!= col("__min"))
+      .select(col("__min").as("a"), col(idCol).as("b"),
+        hamming64(col("__minsig"), col("__sig")).as("hamming"))
+    val chain = big.where(col("__next").isNotNull)
+      .select(col(idCol).as("a"), col("__next").as("b"),
+        hamming64(col("__sig"), col("__nextsig")).as("hamming"))
+    val small = annotated.where(col("__n") <= allPairsCap)
+      .groupBy("band", "block")
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("__sig").as("sig")))).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1), i ->
+          |  transform(slice(ms, i + 1, size(ms) - i), x ->
+          |    named_struct('a', element_at(ms, i).id,
+          |                 'siga', element_at(ms, i).sig,
+          |                 'b', x.id, 'sigb', x.sig))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a"), col("p.b"),
+        hamming64(col("p.siga"), col("p.sigb")).as("hamming"))
+    small.unionAll(star).unionAll(chain)
+      .where(col("hamming") <= maxHamming && col("a") =!= col("b"))
+      .distinct()
+  }
+
   /** 64-bit SimHash of the document's distinct tokens, NO shuffle: per bit,
     * sign of the sum of ±1 votes from each token's xxhash64 bit.
     *
@@ -273,7 +335,12 @@ object Dedup {
         println(f"[ccStars] round $iter: edges=${nextSig.getLong(0)} " +
           f"${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    // fixed point is a star forest: every edge is (root=min, member)
+    // The closing select below is ONLY valid at the fixpoint (star forest:
+    // every edge is (root=min, member)). A non-converged edge set would
+    // silently mislabel members — fail loudly instead; callers raise maxIter.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge in $maxIter rounds " +
+        s"(${curSig.getLong(0)} edges remain); raise maxIter")
     cur.select(col("b").as("v"), col("a").as("component"))
       .union(cur.select(col("a").as("v"), col("a").as("component")))
       .distinct()

@@ -89,7 +89,10 @@ object Multimodal {
   def repartitionForMedia(df: DataFrame, payloadCol: String,
                           targetMB: Int = 128): DataFrame = {
     val targetBytes = targetMB * 1024L * 1024L
-    val totalBytes = df.agg(sum(length(col(payloadCol)))).head()
+    // coalesce: sum() over zero rows (or all-null payloads) is NULL — an
+    // empty frame must degrade to 1 partition, not NPE on getLong.
+    val totalBytes = df
+      .agg(coalesce(sum(length(col(payloadCol))), lit(0L))).head()
       .getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     assignMediaBuckets(df, payloadCol, targetMB)

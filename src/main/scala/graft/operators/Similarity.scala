@@ -92,14 +92,18 @@ object Similarity {
   def hyperplaneBucket(vec: Column, numPlanes: Int, dim: Int): Column =
     graft.expressions.native.hyperplane_bucket(vec, numPlanes, dim)
 
-  /** Column-expression formulation kept for cross-checking the kernel. */
-  def hyperplaneBucketHof(vec: Column, numPlanes: Int, dim: Int): Column =
-    (0 until numPlanes).map { j =>
+  /** Column-expression formulation kept for cross-checking the kernel.
+    * Guarded on size >= dim so short vectors yield NULL (matching the native
+    * kernel) instead of a 0 bucket via element_at null-propagation. */
+  def hyperplaneBucketHof(vec: Column, numPlanes: Int, dim: Int): Column = {
+    val bucket = (0 until numPlanes).map { j =>
       val proj = (0 until dim).map { d =>
         element_at(vec, d + 1).cast("double") * lit(planeWeight(j, d).toDouble)
       }.reduce[Column](_ + _)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
+    when(size(vec) >= dim, bucket)
+  }
 
   /** IVF (inverted-file) coarse quantizer: deterministic k-means —
     * centroids seeded from the first k vectors by id, refined with `iters`

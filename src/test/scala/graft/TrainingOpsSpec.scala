@@ -270,6 +270,73 @@ class TrainingOpsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("simhashCandidatePairs recovers a NON-ADJACENT pair in a small block") {
+    // Four sigs sharing block 0 (low 16 bits = 0), sorted members [1,2,3,4];
+    // ONLY (2,4) is within Hamming ≤ 3. Star edges (min=1 → each) and chain
+    // edges (1-2, 2-3, 3-4) all fail the Hamming filter, so a star+chain-only
+    // path loses the pair; the all-pairs small-block path must find it.
+    def bits(bs: Int*): Long = bs.map(1L << _).reduce(_ | _)
+    val sigs = Seq(
+      (1L, bits(16, 17, 18, 19, 20, 21, 22, 23)),
+      (2L, bits(32, 33, 34, 35)),
+      (3L, bits(48, 49, 50, 51, 52, 53, 54, 55)),
+      (4L, bits(32, 33, 34, 35, 36))).toDF("id", "sig")
+    val pairs = Dedup.simhashCandidatePairs(sigs, "id", "sig")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 4L)))
+  }
+
+  test("simhashCandidatePairs hot block: star+chain connect all members") {
+    // 10 identical sigs with allPairsCap=4 force the big-block window path:
+    // star (min→each) + chain (consecutive) edges, never an all-pairs clique.
+    val sigs = (1L to 10L).map(i => (i, 0xABCDL)).toDF("id", "sig")
+    val pairs = Dedup.simhashCandidatePairs(sigs, "id", "sig",
+        allPairsCap = 4)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val star = (2L to 10L).map(j => (1L, j)).toSet
+    val chain = (1L to 9L).map(i => (i, i + 1)).toSet
+    assert(pairs == (star ++ chain))
+    // and on real text: the exact dup (0,3) from the docs corpus is found
+    val real = docs.select($"doc_id",
+      Dedup.simHash64Native($"text").as("sig"))
+    val realPairs = Dedup.simhashCandidatePairs(real, "doc_id", "sig")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(realPairs.contains((0L, 3L)))
+  }
+
+  test("star-contraction CC throws instead of mislabeling at maxIter") {
+    // a 64-node chain cannot reach the star-forest fixpoint in one round;
+    // the old behavior silently emitted wrong labels from the final select
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStars(edges, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("hyperplane bucket: short vector → NULL, native and HOF agree") {
+    val vecs = Seq((1L, Seq(1.0f, 2.0f)),
+      (2L, (0 until 64).map(i => math.sin(i).toFloat)))
+      .toDF("id", "v")
+    val r = vecs.select($"id",
+        Similarity.hyperplaneBucket($"v", 8, 64).as("native"),
+        Similarity.hyperplaneBucketHof($"v", 8, 64).as("hof"))
+      .orderBy("id").collect()
+    assert(r(0).isNullAt(1) && r(0).isNullAt(2)) // short → NULL, not bucket 0
+    assert(!r(1).isNullAt(1) && r(1).getLong(1) == r(1).getLong(2))
+  }
+
+  test("repartitionForMedia degrades to 1 partition on empty/all-null input") {
+    implicit val s = spark
+    val empty = Seq.empty[(Long, Array[Byte])].toDF("id", "payload")
+    val out = Multimodal.repartitionForMedia(empty, "payload", targetMB = 1)
+    assert(out.count() == 0 && out.rdd.getNumPartitions == 1)
+    val nulls = Seq((1L, null: Array[Byte]), (2L, null: Array[Byte]))
+      .toDF("id", "payload")
+    val out2 = Multimodal.repartitionForMedia(nulls, "payload", targetMB = 1)
+    assert(out2.count() == 2 && out2.rdd.getNumPartitions == 1)
+  }
+
   test("IVF index + search finds the planted duplicate") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 200L).map { i =>
