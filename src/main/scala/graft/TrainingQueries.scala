@@ -43,7 +43,15 @@ object TrainingQueries {
     * oracle-parity artifact, not a scale path — the cap keeps it out of the
     * bench hot set (it was 13% of round-1 bench time) while staying fully
     * hash-checked. */
-  val qMinhashRank: Q = (s, dir) => {
+  /** The six (a, b) affine hash params shared by the rank-based minhash
+    * queries and their oracles. */
+  private val rankHs =
+    Seq((3L, 1L), (5L, 2L), (7L, 3L), (11L, 4L), (13L, 5L), (17L, 6L))
+
+  /** Rank-based minhash signatures, wide form (doc_id, sig0..sig5) for
+    * doc_id < 200 — the oracle-exact sig computation shared by
+    * q_minhash_rank and q_dedup_pipeline_exact. */
+  private def rankSigsWide(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(col("doc_id") < 200)
     val sh = d.select(col("doc_id"),
       explode(TextFunctions.distinctShingles(col("text"), 5)).as("sh"))
@@ -57,14 +65,52 @@ object TrainingQueries {
       distinctSorted.as[String].rdd.zipWithIndex()
         .map { case (v, i) => (v, i + 1L) }.toDF("sh", "sid")
     }
-    val hs = Seq((3L, 1L), (5L, 2L), (7L, 3L), (11L, 4L), (13L, 5L), (17L, 6L))
     val withH = sh.join(ranks, "sh")
-    val aggs = hs.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = rankHs.zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % 100003L).as(s"sig$i") }
-    val sigs = withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    sigs.select(col("doc_id"), explode(array(hs.indices.map(i =>
-        struct(lit(i.toLong).as("hidx"), col(s"sig$i").as("sig"))): _*)).as("e"))
+    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  val qMinhashRank: Q = (s, dir) =>
+    rankSigsWide(s, dir)
+      .select(col("doc_id"), explode(array(rankHs.indices.map(i =>
+        struct(lit(i.toLong).as("hidx"), col(s"sig$i").as("sig"))): _*))
+        .as("e"))
       .select(col("doc_id"), col("e.hidx"), col("e.sig"))
+
+  /** FULLY oracle-checked end-to-end near-dup pipeline on the id-capped
+    * corpus: rank-based minhash sigs → 3 bands × 2 rows banding on the RAW
+    * sig values (no engine hash) → all-pairs candidates per bucket →
+    * character-5-gram Jaccard ≥ 0.8 verification → connected components →
+    * keep the min id per component. DuckDB replays every stage, including
+    * CC via a recursive reachability CTE. The production path
+    * (q_dedup_pipeline) keeps xxhash64 sketches + star/chain buckets; this
+    * variant pins the SEMANTICS (verify-then-union, keep-min policy) with a
+    * value-hash check. All-pairs banding is an oracle artifact, acceptable
+    * only under the id cap. */
+  val qDedupPipelineExact: Q = (s, dir) => {
+    val sigsWide = rankSigsWide(s, dir)
+    val banded = sigsWide.select(col("doc_id"), explode(array(
+        (0 until 3).map(b => struct(lit(b).as("band"),
+          col(s"sig${2 * b}").as("s1"), col(s"sig${2 * b + 1}").as("s2")))
+          : _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.s1"), col("e.s2"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.s1") === col("y.s1") &&
+          col("x.s2") === col("y.s2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val texts = docs(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val verified = cand
+      .join(texts.select(col("doc_id").as("a"), col("text").as("__ta")), "a")
+      .join(texts.select(col("doc_id").as("b"), col("text").as("__tb")), "b")
+      .where(Dedup.nGramJaccard(col("__ta"), col("__tb"), 5) >= 0.8)
+      .select(col("a"), col("b"))
+    val comps = Dedup.connectedComponents(verified)
+    docs(s, dir).where(col("doc_id") < 200)
+      .join(comps.where(col("v") =!= col("component"))
+        .select(col("v").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
   }
 
   /** Production MinHash+LSH candidate pairs (xxhash64; rows-only check).
@@ -155,11 +201,17 @@ object TrainingQueries {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** IVF ANN: deterministic k-means coarse quantizer + nprobe search
-    * (rows-only: Lloyd averaging isn't oracle-reproducible cheaply). */
+  /** IVF ANN: coarse quantizer + nprobe search, FULLY oracle-checked.
+    * The checked query uses the deterministic seed centroids (iters = 0 —
+    * the first k vectors by id), because Lloyd's averaging sums floats in
+    * shuffle order and is not bit-reproducible across engines; the entire
+    * SEARCH path (exact-arithmetic −2·v·c + ‖c‖² cell argmin, nprobe cell
+    * selection, per-cell cosine ranking) is replayed exactly in DuckDB.
+    * The k-means refinement itself is spec-covered (planted-duplicate and
+    * recall probes at iters = 2). */
   val qAnnIvf: Q = (s, dir) => {
     val e = embs(s, dir)
-    val (assigned, centroids) = Similarity.ivfIndex(e, k = 16, iters = 2)
+    val (assigned, centroids) = Similarity.ivfIndex(e, k = 16, iters = 0)
     Similarity.ivfTopK(e.where(col("vec_id") < 50), assigned, centroids,
       nprobe = 4, k = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -289,6 +341,7 @@ object TrainingQueries {
   val all: Map[String, Q] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_pipeline" -> qDedupPipeline,
+    "q_dedup_pipeline_exact" -> qDedupPipelineExact,
     "q_minhash_rank" -> qMinhashRank,
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,
@@ -496,7 +549,100 @@ object TrainingQueries {
          |FROM ranked WHERE rank <= 3""".stripMargin
     },
     // q_minhash_pairs, q_simhash_pairs, q_dedup_pipeline: xxhash64-based →
-    // rows-only checks (engine hash not reproducible in the oracle).
+    // rows-only checks (engine hash not reproducible in the oracle); the
+    // pipeline SEMANTICS are value-hash-checked by q_dedup_pipeline_exact.
+    "q_dedup_pipeline_exact" -> {
+      val sigCols = rankHs.zipWithIndex.map { case ((a, b), i) =>
+        s"min((sid * $a + $b) % 100003) AS sig$i" }.mkString(", ")
+      val bandRows = (0 until 3).map(b =>
+        s"SELECT doc_id, $b AS band, sig${2 * b} AS s1, sig${2 * b + 1} AS s2 " +
+          "FROM sigs").mkString(" UNION ALL ")
+      val inter = "len(list_intersect(ta.sh, tb.sh))"
+      val jac = s"CAST($inter AS DOUBLE) / (len(ta.sh) + len(tb.sh) - $inter)"
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |ranks AS (
+         |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+         |  FROM (SELECT DISTINCT sh FROM sh)),
+         |sigs AS (
+         |  SELECT doc_id, $sigCols
+         |  FROM sh JOIN ranks USING (sh) GROUP BY doc_id),
+         |banded AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.s1 = y.s1 AND x.s2 = y.s2
+         |      AND x.doc_id < y.doc_id),
+         |t AS (SELECT doc_id, ${duckShingles(5)} AS sh
+         |      FROM documents WHERE doc_id < 200),
+         |verified AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN t ta ON ta.doc_id = c.a
+         |  JOIN t tb ON tb.doc_id = c.b
+         |  WHERE $jac >= 0.8),
+         |nodes AS (SELECT a AS v FROM verified
+         |          UNION SELECT b AS v FROM verified),
+         |sym AS (SELECT a, b FROM verified
+         |        UNION SELECT b AS a, a AS b FROM verified),
+         |reach(v, r) AS (
+         |  SELECT v, v AS r FROM nodes
+         |  UNION
+         |  SELECT s.b AS v, reach.r
+         |  FROM reach JOIN sym s ON s.a = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id < 200 AND d.doc_id NOT IN
+         |  (SELECT v FROM comp WHERE v <> component)""".stripMargin
+    },
+    "q_ann_ivf" -> {
+      // Replays the FULL IVF search: seed centroids from the table itself
+      // (first 16 vectors by id — matching ivfIndex(iters=0)), corpus cell
+      // assignment by exact-arithmetic argmin of −2·v·c + ‖c‖² (tie → min
+      // cid, mirroring Spark's array_sort on struct(d, cid)), nprobe=4 cell
+      // selection per query, per-cell cosine top-3.
+      val dotEC = """list_sum(list_transform(list_zip(e.embedding, cc.c),
+        | x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      val dotQC = """list_sum(list_transform(list_zip(q.embedding, cc.c),
+        | x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      val sim = s"${dotSqlOf("q.qe", "c.emb")} / " +
+        s"(${normSql("q.qe")} * ${normSql("c.emb")})"
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |    AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |cent2 AS (
+         |  SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS c2
+         |  FROM cent),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, cc.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY -2.0 * $dotEC + cc.c2, cc.cid) AS rn
+         |  FROM embeddings e CROSS JOIN cent2 cc),
+         |corpus AS (
+         |  SELECT vec_id, embedding AS emb, cid FROM assigned WHERE rn = 1),
+         |qcells AS (
+         |  SELECT q.vec_id, q.embedding, cc.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY -2.0 * $dotQC + cc.c2, cc.cid) AS rn
+         |  FROM embeddings q CROSS JOIN cent2 cc WHERE q.vec_id < 50),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS qe, cid
+         |  FROM qcells WHERE rn <= 4),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, $sim AS sim
+         |  FROM probes q JOIN corpus c
+         |    ON q.cid = c.cid AND q.query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
     "q_bpe_tokens" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text,
