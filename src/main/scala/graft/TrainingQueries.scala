@@ -211,7 +211,9 @@ object TrainingQueries {
     * recall probes at iters = 2). */
   val qAnnIvf: Q = (s, dir) => {
     val e = embs(s, dir)
-    val (assigned, centroids) = Similarity.ivfIndex(e, k = 16, iters = 0)
+    // persist=false: this query probes the index exactly once
+    val (assigned, centroids) = Similarity.ivfIndex(e, k = 16, iters = 0,
+      persist = false)
     Similarity.ivfTopK(e.where(col("vec_id") < 50), assigned, centroids,
       nprobe = 4, k = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

@@ -113,7 +113,8 @@ object Similarity {
     * At 100 TB the assigned corpus is written bucketed by __cid so probes
     * read only nprobe/k of the data. */
   def ivfIndex(corpus: DataFrame, k: Int, iters: Int = 2,
-               idCol: String = "vec_id", vecCol: String = "embedding")
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               persist: Boolean = true)
       : (DataFrame, Array[(Int, Array[Double])]) = {
     val spark = corpus.sparkSession
     var centroids: Array[(Int, Array[Double])] = corpus
@@ -152,7 +153,15 @@ object Similarity {
       centroids = centroids.map { case (cid, old) =>
         (cid, byId.getOrElse(cid, old)) }
     }
-    (assign(corpus), centroids)
+    // The index is built once and probed many times: persist the assigned
+    // corpus so repeated ivfTopK calls reuse the materialized assignment
+    // instead of re-running the scan + argmin per probe (the k-means itself
+    // already runs only here — centroids are a driver-side array).
+    val assigned = assign(corpus)
+    (if (persist) assigned.persist(
+       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+     else assigned,
+     centroids)
   }
 
   /** IVF search: score queries only against corpus vectors in the query's

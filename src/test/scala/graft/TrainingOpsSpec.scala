@@ -352,5 +352,12 @@ class TrainingOpsSpec extends SparkSpec {
       planted.where($"vec_id" === 5), assigned, centroids, nprobe = 2, k = 1)
     val top = res.select($"neighbor_id").as[Long].collect()
     assert(top.toSeq == Seq(199L)) // the duplicate lands in the same cell
+    // the index is persisted: repeated probes reuse the materialized
+    // assignment instead of re-running scan + argmin per probe
+    assert(assigned.storageLevel.useMemory || assigned.storageLevel.useDisk)
+    val again = Similarity.ivfTopK(
+      planted.where($"vec_id" === 5), assigned, centroids, nprobe = 2, k = 1)
+    assert(again.select($"neighbor_id").as[Long].collect().toSeq == Seq(199L))
+    assigned.unpersist()
   }
 }
