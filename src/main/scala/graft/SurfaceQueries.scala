@@ -314,6 +314,53 @@ object SurfaceQueries {
         col("top_freq"))
   }
 
+  /** describe with the reference's `include=` dtype filter: only DOUBLE
+    * columns participate (the BIGINT base key and nested linenumber are
+    * filtered out), across both layers in one pass each
+    * (reference core.py:1099-1219 include/exclude). */
+  val qDescribeIncl: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_linenumber"), Seq("o_orderkey"), "items")
+      .withColumn("n_items", size(col("items")).cast("double"))
+    NestedOps.describeAll(packed, include = Some(Seq("double")))
+      .select(col("column"), col("stat"),
+        round(col("value") + lit(1e-9), 4).as("value"))
+  }
+
+  /** sort_values with pandas `na_position="last"` on an ASCENDING key —
+    * the engine default puts nulls FIRST ascending, so the null rows this
+    * query synthesizes would otherwise head the result. Total order via the
+    * key tie-break. */
+  val qSortNapos: Q = (s, dir) => {
+    val withNulls = rd(s, dir, "orders")
+      .withColumn("np",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("o_totalprice")))
+    NestedOps.sortValues(withNulls,
+        Seq(("np", true), ("o_orderkey", true)), naPosition = Some("last"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("np"), 2).as("np"))
+  }
+
+  /** set_flat_column from an EXTERNAL flat frame (one row per element):
+    * values are joined back by (key, element ordinal) and set positionally
+    * without exploding the nest (reference accessor.py:236-491 flat-series
+    * form). The oracle checks the end-to-end per-key reduction. */
+  val qSetFlatFrom: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_linenumber"), Seq("o_orderkey"), "items")
+    val flat = packed.select(col("o_orderkey"),
+        posexplode(col("items")).as(Seq("idx", "e")))
+      .select(col("o_orderkey"), col("idx"),
+        (col("e.l_quantity") * 2).as("value"))
+    NestedOps.setFlatColumnFrom(packed, "items", "qty2", flat,
+        Seq("o_orderkey"))
+      .select(col("o_orderkey"),
+        size(col("items")).cast("long").as("n"),
+        round(NestedOps.elementSum("items", "qty2") + lit(1e-9), 2)
+          .as("sum_q2"))
+  }
+
   /** min/max with the reference's flags: strings minimize lexicographically
     * by default; numericOnly drops them; excludeNest keeps base only. */
   val qMinMaxFlags: Q = (s, dir) => {
@@ -437,6 +484,9 @@ object SurfaceQueries {
     "q_eval_cross" -> qEvalCross,
     "q_map_rows_nested" -> qMapRowsNested,
     "q_describe_pct" -> qDescribePct,
+    "q_describe_incl" -> qDescribeIncl,
+    "q_sort_napos" -> qSortNapos,
+    "q_set_flat_from" -> qSetFlatFrom,
     "q_describe_str" -> qDescribeStr,
     "q_min_max_flags" -> qMinMaxFlags,
     "q_dropna_opts" -> qDropnaOpts,
@@ -541,6 +591,35 @@ object SurfaceQueries {
         "n", "n_items") + " UNION ALL " +
       statsOver("lineitem", "l_quantity", "items.l_quantity")
     },
+    "q_describe_incl" -> {
+      def statsOver(src: String, c: String, outName: String) = Seq(
+        s"SELECT '$outName' AS \"column\", 'count' AS stat, " +
+          s"round(CAST(count($c) AS DOUBLE) + 1e-9, 4) AS value FROM $src",
+        s"SELECT '$outName', 'mean', round(avg($c) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'std', round(stddev_samp($c) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'min', round(CAST(min($c) AS DOUBLE) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', '25%', round(quantile_cont($c, 0.25) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', '50%', round(quantile_cont($c, 0.5) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', '75%', round(quantile_cont($c, 0.75) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'max', round(CAST(max($c) AS DOUBLE) + 1e-9, 4) FROM $src",
+      ).mkString(" UNION ALL ")
+      statsOver(
+        "(SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem GROUP BY l_orderkey)",
+        "n", "n_items") + " UNION ALL " +
+      statsOver("lineitem", "l_quantity", "items.l_quantity")
+    },
+    "q_sort_napos" ->
+      """SELECT o_orderkey,
+        |  round(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |        ELSE o_totalprice END, 2) AS np
+        |FROM orders
+        |ORDER BY (CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |          ELSE o_totalprice END) ASC NULLS LAST, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_set_flat_from" ->
+      """SELECT l_orderkey AS o_orderkey, count(*) AS n,
+        |  round(2 * sum(l_quantity) + 1e-9, 2) AS sum_q2
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_describe_str" ->
       """WITH base AS (
         |  SELECT o_orderstatus AS value FROM orders

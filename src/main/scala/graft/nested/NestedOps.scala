@@ -86,16 +86,27 @@ object NestedOps {
   // ---------------------------------------------------------------------------
 
   /** Comparator Column for `array_sort(expr, (l, r) => ...)` over struct
-    * elements, ordering by `keys` (field name, ascending?) with nulls first on
-    * ascending keys (Spark default ordering). */
+    * elements, ordering by `keys` (field name, ascending?). Null placement:
+    * `naPosition = None` keeps Spark's default ordering (nulls first on
+    * ascending keys, last on descending); `Some("first")`/`Some("last")`
+    * force pandas-style placement regardless of direction
+    * (`sort_values(na_position=)`, core.py:1851-1942). */
   private def structComparator(l: Column, r: Column,
-                               keys: Seq[(String, Boolean)]): Column = {
+                               keys: Seq[(String, Boolean)],
+                               naPosition: Option[String] = None): Column = {
     keys.foldRight(lit(0)) { case ((field, asc), tail) =>
       val (lf, rf) = (l.getField(field), r.getField(field))
       val (lt, gt) = if (asc) (lit(-1), lit(1)) else (lit(1), lit(-1))
+      val nullsFirst = naPosition match {
+        case None      => asc // Spark default: asc→first, desc→last
+        case Some("first") => true
+        case Some("last")  => false
+        case Some(other) => throw new IllegalArgumentException(
+          s"na_position must be 'first' or 'last', got '$other'")
+      }
       when(lf.isNull && rf.isNull, tail)
-        .when(lf.isNull, if (asc) lit(-1) else lit(1))
-        .when(rf.isNull, if (asc) lit(1) else lit(-1))
+        .when(lf.isNull, if (nullsFirst) lit(-1) else lit(1))
+        .when(rf.isNull, if (nullsFirst) lit(1) else lit(-1))
         .when(lf < rf, lt)
         .when(lf > rf, gt)
         .otherwise(tail)
@@ -324,6 +335,37 @@ object NestedOps {
     df.withColumn(nest, transform(col(nest), (s, i) =>
       s.withField(field, element_at(col(listCol), i + 1))))
 
+  /** Set a nested field from an EXTERNAL FLAT frame of per-element values —
+    * the reference's `set_flat_column` flat-series form (accessor.py:236-491,
+    * ext_array.py:1072-1122), where the values arrive as one row per element
+    * rather than as an aligned list column.
+    *
+    * `flat` must carry the base key columns plus an element ordinal `idxCol`
+    * (0-based within the cell — the reference aligns on `get_list_index()`)
+    * and the value in `valueCol`. Plan: group `flat` into a per-key
+    * idx-keyed MAP (one shuffle of the SLIM (key, idx, value) frame only —
+    * the nest itself is never exploded or reshuffled), equi-join on the key,
+    * then a narrow per-element map lookup. The map (not a positional array)
+    * keeps alignment correct when the flat frame is SPARSE: elements without
+    * a matching (key, idx) row get a NULL field value, never a value shifted
+    * up from a later ordinal. Duplicate (key, idx) rows raise (Spark's map
+    * key dedup policy). NULL cells stay NULL. */
+  def setFlatColumnFrom(df: DataFrame, nest: String, field: String,
+                        flat: DataFrame, keyCols: Seq[String],
+                        idxCol: String = "idx",
+                        valueCol: String = "value"): DataFrame = {
+    val packed = flat
+      .groupBy(keyCols.map(col): _*)
+      .agg(map_from_entries(collect_list(struct(
+        col(idxCol).cast("long").as("i"), col(valueCol).as("v"))))
+        .as("__fv"))
+    df.join(packed, keyCols, "left")
+      .withColumn(nest, transform(col(nest), (s, i) =>
+        // try_element_at: NULL (never an error) for a missing ordinal
+        s.withField(field, try_element_at(col("__fv"), i.cast("long")))))
+      .drop("__fv")
+  }
+
   /** Drop fields from a nested column (≥1 must remain, like
     * ext_array.py:1229-1230; missing fields raise, like accessor drop —
     * tests/series/test_accessor.py:517-548). Reference: `.nest.drop`
@@ -413,20 +455,37 @@ object NestedOps {
 
   /** sort_values with layer dispatch (reference core.py:1851-1975): base
     * column keys → row sort; dotted keys of ONE nest → within-cell element
-    * sort; mixing layers is rejected like the reference (core.py:1926-1928). */
-  def sortValues(df: DataFrame, by: Seq[(String, Boolean)]): DataFrame = {
+    * sort; mixing layers is rejected like the reference (core.py:1926-1928).
+    *
+    * `naPosition`: `None` keeps the engine default null ordering (nulls
+    * first ascending / last descending); `Some("first")`/`Some("last")`
+    * force pandas `na_position=` placement on every key, both layers.
+    * The reference's `kind=` (quicksort/mergesort) has no Spark analog —
+    * stability is obtained by supplying a total key order instead. */
+  def sortValues(df: DataFrame, by: Seq[(String, Boolean)],
+                 naPosition: Option[String] = None): DataFrame = {
     val resolved = by.map { case (name, asc) =>
       (resolveDotted(df, name), asc)
     }
     val nests = resolved.collect { case ((Some(n), _), _) => n }.toSet
     if (nests.isEmpty)
       df.orderBy(resolved.map { case ((_, c), asc) =>
-        if (asc) col(c).asc else col(c).desc }: _*)
+        (asc, naPosition) match {
+          case (true,  None)          => col(c).asc
+          case (false, None)          => col(c).desc
+          case (true,  Some("first")) => col(c).asc_nulls_first
+          case (true,  Some("last"))  => col(c).asc_nulls_last
+          case (false, Some("first")) => col(c).desc_nulls_first
+          case (false, Some("last"))  => col(c).desc_nulls_last
+          case (_, Some(other)) => throw new IllegalArgumentException(
+            s"na_position must be 'first' or 'last', got '$other'")
+        }
+      }: _*)
     else {
       require(nests.size == 1 && !resolved.exists(_._1._1.isEmpty),
         s"sort_values keys must target one layer; got nests=$nests plus base keys")
       sortElements(df, nests.head,
-        resolved.map { case ((_, f), asc) => (f, asc) })
+        resolved.map { case ((_, f), asc) => (f, asc) }, naPosition)
     }
   }
 
@@ -458,9 +517,10 @@ object NestedOps {
     * the outer sort key (core.py:1949-1956); here rows are untouched.
     * Narrow `array_sort` with a struct comparator — no explode/shuffle. */
   def sortElements(df: DataFrame, nest: String,
-                   keys: Seq[(String, Boolean)]): DataFrame =
+                   keys: Seq[(String, Boolean)],
+                   naPosition: Option[String] = None): DataFrame =
     df.withColumn(nest,
-      array_sort(col(nest), (l, r) => structComparator(l, r, keys)))
+      array_sort(col(nest), (l, r) => structComparator(l, r, keys, naPosition)))
 
   // ---------------------------------------------------------------------------
   // Aggregations (reference: core.py min/max/describe, utils/utils.py count_nested)
@@ -596,7 +656,17 @@ object NestedOps {
 
   /** describe: count / mean / std / min / percentiles / max for every numeric
     * base column and nested numeric field (reference `NestedFrame.describe`,
-    * core.py:1099-1219, incl. `percentiles=` and `exclude_nest=`).
+    * core.py:1099-1219, incl. `percentiles=`, `exclude_nest=`, and the
+    * `include=`/`exclude=` dtype filters).
+    *
+    * `include`/`exclude` select columns by type name — a Spark
+    * `DataType.simpleString` ("double", "bigint", "int", …) or the group
+    * alias "number" (any numeric type, the analog of the reference's
+    * `np.number`). `include = None` keeps the default numeric-only
+    * selection; these filters choose WHICH numeric columns participate
+    * (the reference's object-dtype describe block is the separate
+    * [[describeNonNumeric]]). Like the reference, an empty selection
+    * raises rather than returning an empty frame.
     *
     * Long format (column, stat, value). ONE aggregate per LAYER — all columns
     * of a layer share a single scan/agg (N columns used to cost N scans),
@@ -605,12 +675,22 @@ object NestedOps {
     * for `percentile_approx`. */
   def describeAll(df: DataFrame,
                   percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
-                  excludeNest: Boolean = false): DataFrame = {
+                  excludeNest: Boolean = false,
+                  include: Option[Seq[String]] = None,
+                  exclude: Seq[String] = Nil): DataFrame = {
     require(percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
-    val numeric: DataType => Boolean = {
-      case _: NumericType => true
-      case _              => false
+    def typeNames(dt: DataType): Set[String] = dt match {
+      case _: NumericType => Set(dt.simpleString, "number")
+      case _              => Set(dt.simpleString)
+    }
+    val numeric: DataType => Boolean = { dt =>
+      val isNum = dt.isInstanceOf[NumericType]
+      val inOk = include match {
+        case None       => true
+        case Some(incl) => incl.exists(typeNames(dt).contains)
+      }
+      isNum && inOk && !exclude.exists(typeNames(dt).contains)
     }
     def pctName(p: Double): String =
       BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString + "%"

@@ -163,6 +163,55 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(d.count() == 4 * 8)
   }
 
+  test("describeAll include/exclude dtype filters; empty selection raises") {
+    val df = Seq((1L, 2.0, "x"), (2L, 4.0, "y")).toDF("k", "v", "s")
+    val onlyDouble = NestedOps.describeAll(df, include = Some(Seq("double")))
+      .select("column").distinct().as[String].collect().toSet
+    assert(onlyDouble == Set("v"))
+    val noDouble = NestedOps.describeAll(df, exclude = Seq("double"))
+      .select("column").distinct().as[String].collect().toSet
+    assert(noDouble == Set("k"))
+    val number = NestedOps.describeAll(df, include = Some(Seq("number")))
+      .select("column").distinct().as[String].collect().toSet
+    assert(number == Set("k", "v"))
+    intercept[IllegalArgumentException] {
+      NestedOps.describeAll(df, include = Some(Seq("string")))
+    }
+  }
+
+  test("sortValues na_position=last on a nested target puts null fields last") {
+    val df = Seq((1L, Seq((Some(3.0), "a"), (None: Option[Double], "b"),
+        (Some(1.0), "c")))).toDF("k", "nested")
+      .withColumn("nested", expr(
+        "transform(nested, e -> named_struct('v', e._1, 'tag', e._2))"))
+    def tags(out: org.apache.spark.sql.DataFrame) =
+      out.select(expr("transform(nested, e -> e.tag)")).as[Seq[String]]
+        .collect()(0)
+    // engine default: nulls FIRST on ascending
+    assert(tags(NestedOps.sortValues(df, Seq(("nested.v", true))))
+      == Seq("b", "c", "a"))
+    // pandas default placement: nulls LAST
+    assert(tags(NestedOps.sortValues(df, Seq(("nested.v", true)),
+      naPosition = Some("last"))) == Seq("c", "a", "b"))
+  }
+
+  test("setFlatColumnFrom aligns external flat values; missing rows → NULL") {
+    val packed = Seq(
+      (1L, Seq(10.0, 20.0, 30.0)),
+      (2L, Seq(40.0))).toDF("k", "nested")
+      .withColumn("nested", expr(
+        "transform(nested, v -> named_struct('q', v))"))
+    // flat frame covers key 1 only, and only elements 0 and 2
+    val flat = Seq((1L, 0, 100.0), (1L, 2, 300.0)).toDF("k", "idx", "value")
+    val out = NestedOps.setFlatColumnFrom(packed, "nested", "f", flat,
+      Seq("k"))
+    val got = out.orderBy("k")
+      .select(expr("transform(nested, e -> e.f)")).as[Seq[Option[Double]]]
+      .collect().toSeq
+    assert(got == Seq(Seq(Some(100.0), None, Some(300.0)), Seq(None)))
+    // positional, not value-based: element 1 got NULL, not 300.0 shifted up
+  }
+
   test("generateData is deterministic and nested-shaped") {
     val d1 = NestedParquet.generateData(spark, 10, 5)
     assert(d1.count() == 10)
