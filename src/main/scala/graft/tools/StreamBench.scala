@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+/** Streaming micro-bench: drives packStream and dedupNearStream from a rate
+  * source for a fixed wall-clock window and reports the sustained
+  * processedRowsPerSecond from the query progress telemetry (the same number
+  * a production monitor would alert on). Results are recorded in SCALING.md.
+  *
+  * Usage: runMain graft.tools.StreamBench [seconds] [rowsPerSec]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val runSecs = args.headOption.map(_.toInt).getOrElse(20)
+    val rate = args.drop(1).headOption.map(_.toInt).getOrElse(500000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def measure(name: String, mode: String = "update")
+               (build: => org.apache.spark.sql.DataFrame): Unit = {
+      val q = build.writeStream.format("noop").outputMode(mode).start()
+      Thread.sleep(runSecs * 1000L)
+      val progress = q.recentProgress.toSeq
+      q.stop()
+      // skip the first batch (cold start); report median + max sustained rate
+      val rates = progress.drop(1).map(_.processedRowsPerSecond)
+        .filterNot(_.isNaN).sorted
+      if (rates.isEmpty) println(s"STREAM_BENCH $name: no progress recorded")
+      else println(f"STREAM_BENCH $name: median=${rates(rates.size / 2)}%.0f " +
+        f"max=${rates.last}%.0f rows/s over ${progress.size} batches " +
+        f"(source rate $rate rows/s)")
+    }
+
+    val src = spark.readStream.format("rate")
+      .option("rowsPerSecond", rate).option("numPartitions", cpus).load()
+
+    measure("packStream") {
+      StreamingOps.packStream(
+        src.withColumn("key", col("value") % 10000)
+           .withColumn("v", (col("value") % 97).cast("double")),
+        "key", "timestamp", Seq("v"), "nested",
+        windowLen = "5 seconds", watermark = "5 seconds")
+    }
+    measure("dedupNearStream") {
+      StreamingOps.dedupNearStream(
+        src.withColumn("text",
+          concat(lit("sample document body text number "),
+            (col("value") % 50000).cast("string"),
+            lit(" with shared boilerplate tail for realism"))),
+        "timestamp", "text", watermark = "30 seconds")
+    }
+    measure("sessionizeEventTime", mode = "append") {
+      StreamingOps.sessionizeEventTime(
+        src.withColumn("user", col("value") % 5000),
+        "user", "timestamp", gap = "5 seconds", watermark = "5 seconds")
+    }
+    spark.stop()
+  }
+}
