@@ -264,4 +264,79 @@ class ReferenceParitySpec extends SparkSpec {
       numericOnly = true).columns.toSeq
     assert(!cols.contains("nested.band"))
   }
+
+  test("describe dtype blocks + percentile interpolation (ref :2018)") {
+    // the reference's base_mix + nested_num + nested_mix fixture. Our port
+    // splits describe into the numeric block (describeAll) and the
+    // object block (describeNonNumeric) — include='all' is their union.
+    val baseMix = Seq((0L, 1L, "2", "x"), (1L, 2L, "4", "y"),
+      (2L, 3L, "6", "z")).toDF("key", "a", "b", "c")
+    val nestedNum = Seq((0L, 10L, 1L), (0L, 11L, 2L), (1L, 20L, 3L),
+      (1L, 21L, 4L), (1L, 3L, 5L), (2L, 31L, 6L), (2L, 32L, 7L))
+      .toDF("key", "d", "y")
+    val nestedMix = Seq((0L, "A", 5L), (0L, "B", 4L), (0L, "C", 7L),
+      (1L, "A", 5L), (1L, "E", 1L), (2L, "A", 9L), (2L, "A", 3L),
+      (2L, "B", 4L)).toDF("key", "e", "f")
+    val frame = baseMix.joinNested(nestedNum, Seq("key"), "nested_num")
+      .joinNested(nestedMix, Seq("key"), "nested_mix").drop("key")
+    // r11: default numeric describe covers a + both numeric nested fields
+    val num = NestedOps.describeAll(frame)
+    val numCols = num.select("column").distinct().as[String].collect().toSet
+    assert(numCols ==
+      Set("a", "nested_num.d", "nested_num.y", "nested_mix.f"))
+    def stat(df: org.apache.spark.sql.DataFrame, c: String, s: String) =
+      df.where($"column" === c && $"stat" === s)
+        .select("value").as[Double].collect()(0)
+    assert(stat(num, "a", "mean") == 2.0)             // r0
+    assert(stat(num, "nested_mix.f", "min") == 1.0)   // r11
+    // r12: object block — b, c, and (unlike pandas' pyarrow-string quirk,
+    // which silently skips nested strings on include=object) nested_mix.e
+    val obj = NestedOps.describeNonNumeric(frame)
+    val objCols = obj.select("column").distinct().as[String].collect().toSet
+    assert(objCols == Set("b", "c", "nested_mix.e"))
+    assert(obj.where($"column" === "b").select("n_unique")
+      .as[Long].collect()(0) == 3)                    // r12 unique
+    assert(obj.where($"column" === "nested_mix.e").select("top", "top_freq")
+      .as[(String, Long)].collect()(0) == ("A", 4L))  // freq block
+    // r15: exclude_nest keeps base only
+    val baseOnly = NestedOps.describeAll(frame, excludeNest = true)
+      .select("column").distinct().as[String].collect().toSet
+    assert(baseOnly == Set("a"))
+    // r16: pandas linear percentile interpolation: 10% of [1,2,3] = 1.2
+    val pct = NestedOps.describeAll(frame, percentiles = Seq(0.1, 0.5, 0.9))
+    assert(math.abs(stat(pct, "a", "10%") - 1.2) < 1e-12)
+    // ValueError analogs: empty selection raises
+    intercept[IllegalArgumentException] {
+      NestedOps.describeAll(frame, exclude = Seq("number"))
+    }
+    intercept[IllegalArgumentException] {
+      NestedOps.describeNonNumeric(frame.select("a")) // no object columns
+    }
+  }
+
+  test("sort_values on base and nested layers, mixed directions (ref :1082)") {
+    val b = Seq((0L, 1L, 2L), (1L, 2L, 3L), (2L, 3L, 6L)).toDF("key", "a", "b")
+    val n = Seq((0L, 0L, 5L), (0L, 2L, 4L), (0L, 4L, 7L),
+      (1L, 1L, 5L), (1L, 4L, 3L), (1L, 3L, 1L),
+      (2L, 1L, 9L), (2L, 4L, 3L), (2L, 1L, 4L)).toDF("key", "c", "d")
+    val packed = b.joinNested(n, Seq("key"), "nested")
+    def row0d(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.where($"key" === 0)
+        .select(expr("transform(nested, e -> e.d)")).as[Seq[Long]]
+        .collect()(0)
+    // base sort preserves the key order of the fixture
+    assert(NestedOps.sortValues(packed, Seq(("b", true)))
+      .select("key").as[Long].collect().toSeq == Seq(0L, 1L, 2L))
+    // nested ascending / descending / multi-key mixed directions
+    assert(row0d(NestedOps.sortValues(packed, Seq(("nested.d", true))))
+      == Seq(4L, 5L, 7L))
+    assert(row0d(NestedOps.sortValues(packed, Seq(("nested.d", false))))
+      == Seq(7L, 5L, 4L))
+    assert(row0d(NestedOps.sortValues(packed,
+      Seq(("nested.d", false), ("nested.c", true)))) == Seq(7L, 5L, 4L))
+    // multi-layer mixing raises (ref ValueError)
+    intercept[IllegalArgumentException] {
+      NestedOps.sortValues(packed, Seq(("a", true), ("nested.c", true)))
+    }
+  }
 }
