@@ -220,6 +220,21 @@ object TrainingQueries {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Product-quantization ANN, FULLY oracle-checked: seed codebooks
+    * (iters = 0 — same rationale as q_ann_ivf: Lloyd averaging is not
+    * cross-engine bit-reproducible; refinement is spec-covered), exact
+    * argmin encode, ADC top-3. DuckDB replays the codebook construction
+    * from the table, the per-subspace encode, and the ADC sum. */
+  val qPqTopK: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val books = Similarity.pqTrain(e, m = 8, k = 16, iters = 0)
+    val encoded = e.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), books).as("__codes"))
+    Similarity.pqTopK(e.where(col("vec_id") < 20), encoded, books, k = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("score"), 6).as("score"))
+  }
+
   // ---------------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------------
@@ -353,6 +368,7 @@ object TrainingQueries {
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
     "q_ann_lsh_topk" -> qAnnLshTopK,
     "q_ann_ivf" -> qAnnIvf,
+    "q_pq_topk" -> qPqTopK,
     "q_token_stats" -> qTokenStats,
     "q_quality" -> qQuality,
     "q_lang_id" -> qLangId,
@@ -553,6 +569,59 @@ object TrainingQueries {
     // q_minhash_pairs, q_simhash_pairs, q_dedup_pipeline: xxhash64-based →
     // rows-only checks (engine hash not reproducible in the oracle); the
     // pipeline SEMANTICS are value-hash-checked by q_dedup_pipeline_exact.
+    "q_pq_topk" -> {
+      // Replays PQ end-to-end: 8 subspaces × 16 seed centroids from the
+      // table (first 16 vectors' slices), exact-arithmetic encode argmin
+      // (tie → min code), ADC score = Σ_j dot(q_slice_j, book_j[code_j])
+      // accumulated left-to-right like the Spark unroll.
+      val m = 8; val sub = 8
+      def sliceOf(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+      def dotD(a: String, b: String) =
+        s"""list_sum(list_transform(list_zip($a, $b),
+           | x -> CAST(x[1] AS DOUBLE) * x[2]))""".stripMargin
+      val centCtes = (0 until m).map { j =>
+        s"""cent$j AS (
+           |  SELECT cid,
+           |    list_transform(${sliceOf("embedding", j)},
+           |      x -> CAST(x AS DOUBLE)) AS c
+           |  FROM cent),
+           |cent2_$j AS (
+           |  SELECT cid, c, list_sum(list_transform(c, x -> x * x)) AS c2
+           |  FROM cent$j),
+           |assign$j AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT e.vec_id, cc.c,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY -2.0 * ${dotD(s"${sliceOf("e.embedding", j)}", "cc.c")}
+           |          + cc.c2, cc.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cent2_$j cc)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val joins = (1 until m).map(j =>
+        s"JOIN assign$j a$j ON a$j.vec_id = a0.vec_id").mkString(" ")
+      val adc = (0 until m).map(j =>
+        dotD(sliceOf("q.embedding", j), s"a$j.c")).mkString(" + ")
+      s"""WITH cent AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |    AS cid, embedding
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 16)),
+         |$centCtes,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, a0.vec_id AS neighbor_id,
+         |    ($adc) AS score
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        WHERE vec_id < 20) q
+         |  CROSS JOIN assign0 a0 $joins
+         |  WHERE q.vec_id <> a0.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
+         |FROM ranked WHERE rank <= 3""".stripMargin
+    },
     "q_dedup_pipeline_exact" -> {
       val sigCols = rankHs.zipWithIndex.map { case ((a, b), i) =>
         s"min((sid * $a + $b) % 100003) AS sig$i" }.mkString(", ")

@@ -194,6 +194,85 @@ object Similarity {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Product-quantization codebooks (Jégou, Douze, Schmid — "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+    * algorithm): the vector is split into `m` subspaces of dim/m dims; each
+    * subspace gets its own k-entry codebook. Training REUSES [[ivfIndex]]'s
+    * deterministic k-means per subspace (seeds = the first k corpus vectors'
+    * slices, `iters` Lloyd rounds — iters=0 keeps the oracle-replayable
+    * seed codebooks). Returns books(j)(c) = centroid array of length dim/m.
+    *
+    * Storage math at 100 TB: m=8 codes of 1 byte replace 64 float32s —
+    * 32× smaller than raw, 8× smaller than int8, with ADC scoring below. */
+  def pqTrain(corpus: DataFrame, m: Int, k: Int, iters: Int = 0,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      val sliced = corpus.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as("__sv"))
+      val (_, centroids) =
+        ivfIndex(sliced, k, iters, idCol, "__sv", persist = false)
+      centroids.sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** PQ encode: array of m codebook indices (one per subspace), each the
+    * exact-arithmetic argmin of −2·v·c + ‖c‖² with ties to the smallest
+    * code — the same deterministic cell rule as [[ivfIndex]]. Narrow,
+    * zero-shuffle; this is the column you'd write bucketed at ingest. */
+  def pqEncode(vec: Column,
+               books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val sub = books(0)(0).length
+    array((0 until m).map { j =>
+      val s = slice(vec, j * sub + 1, sub)
+      val cells = books(j).zipWithIndex.map { case (cvec, cid) =>
+        struct((lit(-2.0) * graft.expressions.native.dot_f(s,
+          typedLit(cvec.toSeq)) + lit(cvec.map(x => x * x).sum)).as("d"),
+          lit(cid).as("cid"))
+      }
+      element_at(array_sort(array(cells.toIndexedSeq: _*)), 1)
+        .getField("cid")
+    }: _*)
+  }
+
+  /** PQ search by asymmetric distance computation (ADC): the query stays
+    * full-precision; each candidate contributes Σ_j q_slice_j · book_j[code_j]
+    * — an approximate dot product read from the codes alone, never touching
+    * the original vectors. Queries broadcast; the encoded corpus (m bytes
+    * per vector) is scanned once, never shuffled. `corpus` must carry the
+    * [[pqEncode]] column named `codesCol`. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             books: Array[Array[Array[Double]]], k: Int,
+             qId: String = "vec_id", cId: String = "vec_id",
+             qVec: String = "embedding",
+             codesCol: String = "__codes"): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val cb = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(codesCol))
+    // static unroll over subspaces: left-to-right + chain, the same
+    // accumulation order the SQL oracle replays
+    val score = (0 until m).map { j =>
+      graft.expressions.native.dot_f(
+        slice(col("__qv"), j * sub + 1, sub),
+        element_at(element_at(cb, j + 1),
+          element_at(col(codesCol), j + 1) + 1))
+    }.reduce[Column](_ + _)
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** Approximate top-k: score only within the query's hyperplane bucket.
     * The bucket equi-join shuffles both sides by bucket id — at 100 TB this
     * replaces an O(N·Q) scan with O(N·Q/2^planes) per-bucket work. */

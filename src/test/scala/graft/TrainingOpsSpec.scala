@@ -337,6 +337,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out2.count() == 2 && out2.rdd.getNumPartitions == 1)
   }
 
+  test("PQ codebooks encode compactly and ADC retrieves the planted dup") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 300L).map { i =>
+      (i, (0 until 64).map(_ => rnd.nextFloat() - 0.5f))
+    }
+    // plant vec 299 = copy of vec 7: ADC distance is exact for identical
+    // codes, so the duplicate must rank first
+    val planted = corpus.map { case (i, v) =>
+      if (i == 299L) (i, corpus(7)._2) else (i, v) }
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(planted, m = 8, k = 16, iters = 1)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val encoded = planted.select($"vec_id",
+      Similarity.pqEncode($"embedding", books).as("__codes"))
+    // codes: m small ints per vector — the 32× compression claim's shape
+    val codes = encoded.select($"__codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val dupCodes = encoded.where($"vec_id" === 7 || $"vec_id" === 299)
+      .select($"__codes").as[Seq[Int]].collect()
+    assert(dupCodes(0) == dupCodes(1)) // identical vectors → identical codes
+    val top = Similarity.pqTopK(
+      planted.where($"vec_id" === 7), encoded, books, k = 1)
+      .select($"neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(299L))
+  }
+
   test("IVF index + search finds the planted duplicate") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 200L).map { i =>
