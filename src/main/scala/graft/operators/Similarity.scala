@@ -209,7 +209,13 @@ object Similarity {
               dim: Int = 64): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
+    if (iters == 0) {
+      // seed codebooks need ONE k-row collect, sliced driver-side —
+      // not m separate jobs through ivfIndex
+      val seeds = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      Array.tabulate(m, k)((j, c) => seeds(c).slice(j * sub, (j + 1) * sub))
+    } else (0 until m).toArray.map { j =>
       val sliced = corpus.select(col(idCol),
         slice(col(vecCol), j * sub + 1, sub).as("__sv"))
       val (_, centroids) =
