@@ -31,6 +31,8 @@ object native {
     EU.column(TextNGramJaccard(EU.expression(a), EU.expression(b), n))
   def hyperplane_bucket(v: Column, numPlanes: Int, dim: Int): Column =
     EU.column(HyperplaneBucket(EU.expression(v), numPlanes, dim))
+  def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    EU.column(PqEncodeArray(EU.expression(v), books))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in
@@ -312,6 +314,84 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, dim: Int)
       classOf[HyperplaneBucket].getName)
     nullSafeCodeGen(ctx, ev, c =>
       s"""if ($c.numElements() < $dim) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $ref.kernel($c); }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Product-quantization encode: for each of the m codebooks, the index of
+  * the centroid minimizing −2·v·c + ‖c‖² over the vector's j-th subspace
+  * slice (ties → smallest code) — one tight loop per row instead of the
+  * Column formulation's m×k struct cells + array_sort (measured 30k vecs/s
+  * HOF vs the kernel; see SCALING.md). Arithmetic is ORDER-IDENTICAL to the
+  * Column form (sequential dot fold, (−2·dot)+‖c‖², first-wins ties), so
+  * the oracle hash of q_pq_topk is unchanged. Vectors shorter than m×sub
+  * yield NULL (same contract as HyperplaneBucket). */
+case class PqEncodeArray(child: Expression,
+                         books: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects a numeric array, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val m = books.length
+  @transient private lazy val sub = books(0)(0).length
+  @transient private lazy val cNormSq: Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x * x).sum))
+
+  @transient private lazy val readElem: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"pq_encode: unsupported element type $other")
+    }
+
+  /** Caller guarantees a.numElements() >= m * sub. */
+  def kernel(a: ArrayData): GenericArrayData = {
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      val book = books(j)
+      val norms = cNormSq(j)
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < book.length) {
+        val cv = book(c)
+        var dot = 0.0
+        var d = 0
+        while (d < sub) { dot += readElem(a, base + d) * cv(d); d += 1 }
+        val dist = -2.0 * dot + norms(c)
+        if (dist < best) { best = dist; bestC = c } // strict < : ties → min c
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    if (a.numElements() < m * sub) null else kernel(a)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this,
+      classOf[PqEncodeArray].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($c.numElements() < ${m * sub}) { ${ev.isNull} = true; }
          |else { ${ev.value} = $ref.kernel($c); }""".stripMargin)
   }
 

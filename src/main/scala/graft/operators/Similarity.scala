@@ -164,6 +164,31 @@ object Similarity {
      centroids)
   }
 
+  /** Persist an IVF-assigned corpus PARTITIONED BY CELL: probes against the
+    * written table scan only the `nprobe` matching directories (Spark
+    * partition pruning), i.e. nprobe/k of the bytes — the property that
+    * makes IVF pay at 100 TB. The repartition on __cid before the
+    * partitionBy write is load-bearing: without it every task writes a
+    * file into every cell directory (tasks × cells small files — measured
+    * as the dominant probe cost), with it each cell is one file per
+    * owning task. Pair with [[ivfTopKFromBucketed]]. */
+  def writeIvfBucketed(assigned: DataFrame, path: String): Unit =
+    assigned.repartition(col("__cid"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(path)
+
+  /** IVF probe against a [[writeIvfBucketed]] table: the `__cid IN (cells)`
+    * filter lands in the scan's PartitionFilters, so only the probed cell
+    * directories are read (verified by spec via the executed plan). */
+  def ivfTopKFromBucketed(spark: org.apache.spark.sql.SparkSession,
+                          queries: DataFrame, path: String,
+                          centroids: Array[(Int, Array[Double])],
+                          nprobe: Int, k: Int,
+                          qId: String = "vec_id", cId: String = "vec_id",
+                          qVec: String = "embedding",
+                          cVec: String = "embedding"): DataFrame =
+    ivfTopK(queries, spark.read.parquet(path), centroids, nprobe, k,
+      qId, cId, qVec, cVec)
+
   /** IVF search: score queries only against corpus vectors in the query's
     * `nprobe` nearest cells. */
   def ivfTopK(queries: DataFrame, assignedCorpus: DataFrame,
@@ -183,7 +208,10 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("__cell.cid").as("__cid"))
     val c = assignedCorpus.select(col(cId).as("neighbor_id"),
       col(cVec).as("__cv"), col("__cid"))
-    val scored = q.join(c, Seq("__cid"))
+    // broadcast the (small by contract) exploded query side: a shuffle
+    // join on the LOW-CARDINALITY cell key would funnel the whole corpus
+    // into k partitions — guaranteed skew at scale
+    val scored = broadcast(q).join(c, Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -227,12 +255,20 @@ object Similarity {
   /** PQ encode: array of m codebook indices (one per subspace), each the
     * exact-arithmetic argmin of −2·v·c + ‖c‖² with ties to the smallest
     * code — the same deterministic cell rule as [[ivfIndex]]. Narrow,
-    * zero-shuffle; this is the column you'd write bucketed at ingest. */
-  def pqEncode(vec: Column,
-               books: Array[Array[Array[Double]]]): Column = {
+    * zero-shuffle; this is the column you'd write bucketed at ingest.
+    * Native kernel (one loop/row); [[pqEncodeHof]] is the bit-identical
+    * Column cross-check (m×k struct cells + array_sort — ~100× slower). */
+  def pqEncode(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    graft.expressions.native.pq_encode(vec, books)
+
+  /** Column-expression formulation kept for cross-checking the kernel.
+    * Guarded on size >= m·sub so short vectors yield NULL like the native
+    * form. */
+  def pqEncodeHof(vec: Column,
+                  books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val sub = books(0)(0).length
-    array((0 until m).map { j =>
+    val codes = array((0 until m).map { j =>
       val s = slice(vec, j * sub + 1, sub)
       val cells = books(j).zipWithIndex.map { case (cvec, cid) =>
         struct((lit(-2.0) * graft.expressions.native.dot_f(s,
@@ -242,6 +278,7 @@ object Similarity {
       element_at(array_sort(array(cells.toIndexedSeq: _*)), 1)
         .getField("cid")
     }: _*)
+    when(size(vec) >= m * sub, codes)
   }
 
   /** PQ search by asymmetric distance computation (ADC): the query stays
@@ -269,6 +306,51 @@ object Similarity {
           element_at(col(codesCol), j + 1) + 1))
     }.reduce[Column](_ + _)
     val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** IVF-PQ search (the FAISS-style pairing, public technique): the IVF
+    * coarse quantizer prunes candidates to the query's `nprobe` cells, and
+    * PQ/ADC scores the survivors from their m-byte codes — at 100 TB the
+    * scan reads nprobe/k of the PARTITIONS (see [[writeIvfBucketed]]) and
+    * m bytes per candidate instead of the full vector. `corpus` must carry
+    * both `__cid` ([[ivfIndex]]) and `codesCol` ([[pqEncode]]). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                centroids: Array[(Int, Array[Double])],
+                books: Array[Array[Array[Double]]],
+                nprobe: Int, k: Int,
+                qId: String = "vec_id", cId: String = "vec_id",
+                qVec: String = "embedding",
+                codesCol: String = "__codes"): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val cb = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val cellStructs = centroids.map { case (cid, cvec) =>
+      val dist = lit(-2.0) * graft.expressions.native.dot_f(col(qVec),
+        typedLit(cvec.toSeq)) + lit(cvec.map(x => x * x).sum)
+      struct(dist.as("d"), lit(cid).as("cid"))
+    }
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
+      explode(slice(array_sort(array(cellStructs.toIndexedSeq: _*)), 1,
+        nprobe)).as("__cell"))
+      .select(col("query_id"), col("__qv"), col("__cell.cid").as("__cid"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(codesCol),
+      col("__cid"))
+    val score = (0 until m).map { j =>
+      graft.expressions.native.dot_f(
+        slice(col("__qv"), j * sub + 1, sub),
+        element_at(element_at(cb, j + 1),
+          element_at(col(codesCol), j + 1) + 1))
+    }.reduce[Column](_ + _)
+    // broadcast: see ivfTopK — never shuffle the corpus on the cell key
+    val scored = broadcast(q).join(c, Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score)
     val w = Window.partitionBy(col("query_id"))

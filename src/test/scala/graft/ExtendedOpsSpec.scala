@@ -210,6 +210,18 @@ class ExtendedOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(got == Seq(Seq(Some(100.0), None, Some(300.0)), Seq(None)))
     // positional, not value-based: element 1 got NULL, not 300.0 shifted up
+
+    // replacing an EXISTING field may change its dtype — the reference's
+    // test_set_flat_column swaps doubles for strings (test_accessor.py:377)
+    val strFlat = Seq((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"),
+      (2L, 0, "d")).toDF("k", "idx", "value")
+    val swapped = NestedOps.setFlatColumnFrom(packed, "nested", "q",
+      strFlat, Seq("k"))
+    assert(swapped.schema("nested").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]("q").dataType == StringType)
+    assert(swapped.orderBy("k")
+      .select(expr("transform(nested, e -> e.q)")).as[Seq[String]]
+      .collect().toSeq == Seq(Seq("a", "b", "c"), Seq("d")))
   }
 
   test("generateData is deterministic and nested-shaped") {

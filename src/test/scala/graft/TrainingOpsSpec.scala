@@ -337,6 +337,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out2.count() == 2 && out2.rdd.getNumPartitions == 1)
   }
 
+  test("IVF bucketed write: probes prune to the probed cell partitions") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assigned, centroids) =
+      Similarity.ivfIndex(e, k = 8, iters = 0, persist = false)
+    val path = "/tmp/ivf_bucketed_spec"
+    Similarity.writeIvfBucketed(assigned, path)
+    // the written layout is one directory per cell
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__cid=")).length
+    assert(dirs > 1 && dirs <= 8)
+    val res = Similarity.ivfTopKFromBucketed(spark,
+      e.where($"vec_id" < 5), path, centroids, nprobe = 2, k = 3)
+    assert(res.count() > 0)
+    // the cell equi-join must reach the scan as a partition-level prune
+    // (dynamic partition pruning on the __cid directory column)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on __cid; plan:\n${plan.take(3000)}")
+  }
+
   test("PQ codebooks encode compactly and ADC retrieves the planted dup") {
     val rnd = new scala.util.Random(11)
     val corpus = (0L until 300L).map { i =>
@@ -362,6 +383,27 @@ class TrainingOpsSpec extends SparkSpec {
       planted.where($"vec_id" === 7), encoded, books, k = 1)
       .select($"neighbor_id").as[Long].collect()
     assert(top.toSeq == Seq(299L))
+    // native kernel is bit-identical to the Column formulation, and both
+    // NULL short vectors instead of encoding a truncated slice
+    val both = planted.select(
+      Similarity.pqEncode($"embedding", books).as("n"),
+      Similarity.pqEncodeHof($"embedding", books).as("h"))
+    assert(both.where(expr("n <> h")).count() == 0)
+    val short = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "embedding")
+      .select(Similarity.pqEncode($"embedding", books).as("n"),
+        Similarity.pqEncodeHof($"embedding", books).as("h")).collect()(0)
+    assert(short.isNullAt(0) && short.isNullAt(1))
+    // IVF-PQ: coarse cells prune candidates, ADC ranks the survivors —
+    // the identical-code duplicate shares the cell and wins
+    val (assigned, centroids) =
+      Similarity.ivfIndex(planted, k = 8, iters = 1, persist = false)
+    val cellsAndCodes = assigned.select($"vec_id", $"__cid",
+      Similarity.pqEncode($"embedding", books).as("__codes"))
+    val ivfpq = Similarity.ivfPqTopK(
+      planted.where($"vec_id" === 7), cellsAndCodes, centroids, books,
+      nprobe = 2, k = 1)
+      .select($"neighbor_id").as[Long].collect()
+    assert(ivfpq.toSeq == Seq(299L))
   }
 
   test("IVF index + search finds the planted duplicate") {
