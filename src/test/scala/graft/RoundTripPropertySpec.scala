@@ -1,0 +1,105 @@
+package graft
+
+import graft.nested.{NestedOps, NestedExpr, syntax}
+import syntax._
+import org.apache.spark.sql.functions._
+
+/** Randomized (seeded, deterministic) round-trip properties over the core
+  * operators — the invariants that must hold for ANY data, not just the
+  * fixtures: pack∘unpack identity, element-filter ≡ explode-filter-repack,
+  * within-cell sort is a per-cell permutation, per-row reductions agree
+  * with their exploded groupBy equivalents. */
+class RoundTripPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomChild(seed: Int, nKeys: Int = 40, maxPerKey: Int = 6) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until nKeys).flatMap { k =>
+      (0 until rnd.nextInt(maxPerKey + 1)).map { _ =>
+        (k.toLong, rnd.nextInt(100), rnd.nextDouble() * 10,
+          if (rnd.nextInt(5) == 0) null else s"s${rnd.nextInt(8)}")
+      }
+    }
+    rnd.shuffle(rows).toDF("key", "c", "d", "tag")
+  }
+
+  test("property: packFlat then toFlat is a multiset identity") {
+    for (seed <- Seq(1, 7, 42)) {
+      val flat = randomChild(seed)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val back = packed.toFlat("n", baseCols = Seq("key"))
+      // multiset equality both directions (ignores order, catches dup/loss)
+      assert(back.exceptAll(flat).isEmpty && flat.exceptAll(back).isEmpty,
+        s"round-trip multiset mismatch at seed=$seed")
+    }
+  }
+
+  test("property: filterElements ≡ explode → filter → repack") {
+    for (seed <- Seq(2, 13)) {
+      val flat = randomChild(seed)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val viaHof = NestedOps.filterElements(packed, "n",
+          e => e.getField("c") >= 50)
+        .toFlat("n", baseCols = Seq("key"))
+      val viaExplode = flat.where($"c" >= 50)
+      assert(viaHof.exceptAll(viaExplode).isEmpty &&
+        viaExplode.exceptAll(viaHof).isEmpty,
+        s"filterElements semantics mismatch at seed=$seed")
+    }
+  }
+
+  test("property: sortElements emits a per-cell sorted permutation") {
+    for (seed <- Seq(3, 21)) {
+      val packed = NestedOps.packFlat(randomChild(seed), Seq("key"), "n")
+      val sorted = NestedOps.sortElements(packed, "n",
+        Seq(("c", true), ("d", false)))
+      val rows = sorted.select($"key",
+          expr("transform(n, e -> struct(e.c, e.d))").as("cells"))
+        .as[(Long, Seq[(Int, Double)])].collect()
+      val orig = packed.select($"key",
+          expr("transform(n, e -> struct(e.c, e.d))").as("cells"))
+        .as[(Long, Seq[(Int, Double)])].collect().toMap
+      rows.foreach { case (k, cells) =>
+        // sorted by (c asc, d desc)...
+        val expected = orig(k).sortBy { case (c, d) => (c, -d) }
+        assert(cells == expected, s"cell sort mismatch key=$k seed=$seed")
+      }
+    }
+  }
+
+  test("property: per-row element reductions agree with exploded groupBy") {
+    for (seed <- Seq(5, 31)) {
+      val flat = randomChild(seed)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val viaRow = packed.select($"key",
+          round(NestedOps.elementSum("n", "d"), 6).as("s"),
+          round(NestedOps.elementMean("n", "d"), 6).as("m"))
+        .where($"s".isNotNull)
+      val viaGroup = flat.groupBy("key")
+        .agg(round(sum($"d"), 6).as("s"), round(avg($"d"), 6).as("m"))
+      // sum order differs (fold vs partial agg) — compare at 1e-6 rounding
+      assert(viaRow.exceptAll(viaGroup).isEmpty &&
+        viaGroup.exceptAll(viaRow).isEmpty,
+        s"reduction mismatch at seed=$seed")
+    }
+  }
+
+  test("property: eval reductions match SQL aggregates on exploded data") {
+    for (seed <- Seq(8, 19)) {
+      val flat = randomChild(seed).where($"tag".isNotNull)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val viaEval = NestedExpr.evalSelect(
+          NestedExpr.evalSelect(packed, "n.d.std()", "sd"),
+          "n.d.median()", "md")
+        .where($"sd".isNotNull)
+        .select($"key", round($"sd", 6).as("sd"), round($"md", 6).as("md"))
+      val viaSql = flat.groupBy("key")
+        .agg(round(stddev_samp($"d"), 6).as("sd"),
+          round(expr("percentile(d, 0.5)"), 6).as("md"))
+        .where($"sd".isNotNull)
+      assert(viaEval.exceptAll(viaSql).isEmpty &&
+        viaSql.exceptAll(viaEval).isEmpty,
+        s"eval reduction mismatch at seed=$seed")
+    }
+  }
+}
