@@ -265,6 +265,37 @@ object TrainingQueries {
     docs(s, dir).select(col("doc_id"),
       TextFunctions.rollingHash(col("text")).as("fp"))
 
+  /** Gopher-style quality signals + PII pattern counts per document —
+    * the filtering/routing features of a pretraining cleanup pass. All
+    * narrow in-scan expressions. The corpus text is single-line with no
+    * PII, so the query first ENRICHES it deterministically (newlines,
+    * bullets, duplicate lines, synthetic emails/IPs, symbol runs) with
+    * the identical construction in the oracle — otherwise every signal
+    * is zero and the parity check proves nothing. */
+  val qQualitySignals: Q = (s, dir) => {
+    val t2 = concat(
+      regexp_replace(
+        regexp_replace(col("text"), lit(" join "), lit("\nline one\n")),
+        lit(" data "), lit("\n- ")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" u"), (col("doc_id") % 7).cast("string"),
+          lit("@ex.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".1"))).otherwise(lit("")),
+      lit(" "), expr("repeat('#', CAST(doc_id % 4 AS INT))"))
+    docs(s, dir).withColumn("t2", t2).select(col("doc_id"),
+      roundSafe(TextFunctions.duplicateLineFraction(col("t2")), 4)
+        .as("dup_line"),
+      roundSafe(TextFunctions.bulletLineFraction(col("t2")), 4)
+        .as("bullet"),
+      roundSafe(TextFunctions.alphaWordFraction(col("t2")), 4)
+        .as("alpha"),
+      roundSafe(TextFunctions.symbolWordRatio(col("t2")), 4).as("sym"),
+      TextFunctions.emailCount(col("t2")).as("n_email"),
+      TextFunctions.ipv4Count(col("t2")).as("n_ip"))
+  }
+
   // ---------------------------------------------------------------------------
   // Multimodal plumbing (decode STUBBED — see Multimodal.fakeDecode)
   // ---------------------------------------------------------------------------
@@ -373,6 +404,7 @@ object TrainingQueries {
     "q_quality" -> qQuality,
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
+    "q_quality_signals" -> qQualitySignals,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_bpe_tokens" -> qBpeTokens,
     "q_split_assign" -> qSplitAssign,
@@ -522,6 +554,49 @@ object TrainingQueries {
          | CAST(${langScoreSql("en")} AS BIGINT) AS en_score,
          | CAST(${langScoreSql("de")} AS BIGINT) AS de_score
          |FROM documents""".stripMargin,
+    "q_quality_signals" ->
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    replace(replace(text, ' join ', chr(10) || 'line one' ||
+         |        chr(10)), ' data ', chr(10) || '- ')
+         |    || (CASE WHEN doc_id % 3 = 0
+         |        THEN ' u' || CAST(doc_id % 7 AS VARCHAR) || '@ex.com'
+         |        ELSE '' END)
+         |    || (CASE WHEN doc_id % 5 = 0
+         |        THEN ' 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.1'
+         |        ELSE '' END)
+         |    || ' ' || repeat('#', CAST(doc_id % 4 AS INT)) AS text
+         |  FROM documents),
+         |t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(str_split(text, chr(10)),
+         |      l -> length(trim(l)) > 0) AS ls,
+         |    regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM e)
+         |SELECT doc_id,
+         |  round(CASE WHEN len(ls) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)
+         |    ELSE 0.0 END + 1e-9, 4) AS dup_line,
+         |  round(CASE WHEN len(ls) > 0
+         |    THEN CAST(len(list_filter(ls, l -> list_contains(
+         |      ['-', '*', '•'], substr(trim(l), 1, 1)))) AS DOUBLE) / len(ls)
+         |    ELSE 0.0 END + 1e-9, 4) AS bullet,
+         |  round(CASE WHEN len(ws) > 0
+         |    THEN CAST(len(list_filter(ws,
+         |      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ws)
+         |    END + 1e-9, 4) AS alpha,
+         |  round(CAST(
+         |      (length(text) - length(replace(text, '#', '')))
+         |    + (length(text) - length(replace(text, '...', ''))) // 3
+         |    + (length(text) - length(replace(text, '…', '')))
+         |    AS DOUBLE) / len(ws) + 1e-9, 4) AS sym,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+         |    AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+         |    AS BIGINT) AS n_ip
+         |FROM t""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(CAST(0 AS BIGINT),

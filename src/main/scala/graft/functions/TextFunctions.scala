@@ -130,4 +130,74 @@ object TextFunctions {
     typeTokenRatio(c) * lit(0.5) +
       least(stopwordRatio(c) * lit(4.0), lit(1.0)) * lit(0.3) +
       when(meanTokenLength(c).between(3.0, 8.0), lit(0.2)).otherwise(lit(0.0))
+
+  // -------------------------------------------------------------------------
+  // Gopher-style document signals (Rae et al. 2021, "Scaling Language
+  // Models" appendix A — public filtering heuristics) + PII pattern counts
+  // -------------------------------------------------------------------------
+
+  /** Non-empty lines (trimmed length > 0) of the document. */
+  def lines(c: Column): Column =
+    filter(split(c, "\n"), l => length(trim(l)) > 0)
+
+  /** Fraction of non-empty lines that duplicate an earlier line — the
+    * boilerplate/template signal. 0.0 for line-less docs. */
+  def duplicateLineFraction(c: Column): Column = {
+    val ls = lines(c)
+    when(size(ls) > 0,
+      lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-empty lines starting (after trim) with a bullet
+    * marker — list-heavy pages are poor prose training data. */
+  def bulletLineFraction(c: Column): Column = {
+    val ls = lines(c)
+    val bullets = filter(ls, l =>
+      substring(trim(l), 1, 1).isin("-", "*", "•"))
+    when(size(ls) > 0, size(bullets).cast("double") / size(ls))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens containing at least one ASCII letter (Gopher's
+    * 80%-alpha-words rule). NULL for token-less docs. */
+  def alphaWordFraction(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) > 0,
+      size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") / size(t))
+  }
+
+  /** Symbol-to-word ratio: '#' and ellipsis occurrences per token
+    * (Gopher uses the same two marker symbols). */
+  def symbolWordRatio(c: Column): Column =
+    (occurrences(c, "#") + occurrences(c, "...") + occurrences(c, "…"))
+      .cast("double") / tokenCount(c)
+
+  /** Fraction of tokens that duplicate an earlier token (1 − TTR) — the
+    * repetition signal Gopher thresholds per n-gram; the unigram case. */
+  def duplicateWordFraction(c: Column): Column =
+    lit(1.0) - typeTokenRatio(c)
+
+  // PII pattern counts — the DETECTION half of a scrubbing pass (counts
+  // drive filtering/routing decisions; replacement is `regexp_replace`
+  // with the same patterns). Conservative regex subset that Java and RE2
+  // (the DuckDB oracle) interpret identically.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhonePattern =
+    "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  def emailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0))).cast("long")
+  def ipv4Count(c: Column): Column =
+    size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0))).cast("long")
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhonePattern), lit(0))).cast("long")
+
+  /** Redact every match of `pattern` with `token` — the scrubbing pass
+    * itself (narrow, in-scan). */
+  def redact(c: Column, pattern: String,
+             token: String = "[REDACTED]"): Column =
+    regexp_replace(c, pattern, token)
 }

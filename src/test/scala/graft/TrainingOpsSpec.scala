@@ -98,6 +98,38 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hit.toSeq == Seq(1L))
   }
 
+  test("gopher signals + PII counts on crafted documents") {
+    val crafted = Seq(
+      (1L, "line one\nline one\nline two\n\n- bullet a\n* bullet b"),
+      (2L, "contact me at user.name+tag@example.com or 10.0.0.1 today"),
+      (3L, "### symbols ... everywhere # 1234 5678"),
+      (4L, "")).toDF("doc_id", "text")
+    val r = crafted.select($"doc_id",
+        TextFunctions.duplicateLineFraction($"text").as("dl"),
+        TextFunctions.bulletLineFraction($"text").as("bl"),
+        TextFunctions.alphaWordFraction($"text").as("aw"),
+        TextFunctions.emailCount($"text").as("em"),
+        TextFunctions.ipv4Count($"text").as("ip"),
+        TextFunctions.phoneCount($"text").as("ph"))
+      .orderBy("doc_id").collect()
+    // doc 1: 5 non-empty lines, "line one" twice → 1/5 dup; 2/5 bullets
+    assert(math.abs(r(0).getDouble(1) - 0.2) < 1e-9)
+    assert(math.abs(r(0).getDouble(2) - 0.4) < 1e-9)
+    // doc 2: one email, one IPv4
+    assert(r(1).getLong(4) == 1 && r(1).getLong(5) == 1)
+    // doc 3: symbol-heavy, "1234 5678" matches the phone pattern
+    assert(r(2).getLong(6) == 1)
+    assert(r(2).getDouble(3) < 0.6) // under half the tokens are alphabetic
+    // doc 4 (empty): fractions 0, alpha NULL (no tokens... one empty token)
+    assert(r(3).getDouble(1) == 0.0 && r(3).getDouble(2) == 0.0)
+    // redaction replaces the matches in place
+    val red = crafted.where($"doc_id" === 2).select(
+      TextFunctions.redact(TextFunctions.redact($"text",
+        TextFunctions.EmailPattern), TextFunctions.Ipv4Pattern).as("t"))
+      .as[String].collect()(0)
+    assert(red == "contact me at [REDACTED] or [REDACTED] today")
+  }
+
   test("language id + quality are deterministic and sane") {
     val r = docs.orderBy("doc_id").select(
       TextFunctions.predictLang($"text").as("l"),
