@@ -172,6 +172,16 @@ object TrainingQueries {
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Decontamination: documents sharing ≥1 distinct 3-token n-gram with
+    * the "benchmark" slice (doc_id ≥ 480 stands in for an eval set).
+    * Exact string arithmetic — fully oracle-checked. */
+  val qContamination: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.contamination(
+      d.where(col("doc_id") < 480), "doc_id", "text",
+      d.where(col("doc_id") >= 480), "text", n = 3)
+  }
+
   // ---------------------------------------------------------------------------
   // Similarity search
   // ---------------------------------------------------------------------------
@@ -394,6 +404,7 @@ object TrainingQueries {
     "q_minhash_pairs" -> qMinhashPairs,
     "q_simhash_pairs" -> qSimhashPairs,
     "q_jaccard_pairs" -> qJaccardPairs,
+    "q_contamination" -> qContamination,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -554,6 +565,25 @@ object TrainingQueries {
          | CAST(${langScoreSql("en")} AS BIGINT) AS en_score,
          | CAST(${langScoreSql("de")} AS BIGINT) AS de_score
          |FROM documents""".stripMargin,
+    "q_contamination" -> {
+      // distinct 3-token shingles, space-joined — matches
+      // TextFunctions.tokenShingles exactly
+      val grams = """list_distinct([array_to_string(ws[i:i+2], ' ')
+        | for i in range(1, greatest(len(ws) - 2, 0) + 1)])""".stripMargin
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |dg AS (
+         |  SELECT doc_id, unnest($grams) AS g
+         |  FROM w WHERE doc_id < 480),
+         |bg AS (
+         |  SELECT DISTINCT unnest($grams) AS g
+         |  FROM w WHERE doc_id >= 480)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM dg JOIN bg USING (g)
+         |GROUP BY doc_id""".stripMargin
+    },
     "q_quality_signals" ->
       s"""WITH e AS (
          |  SELECT doc_id,

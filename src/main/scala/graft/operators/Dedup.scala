@@ -441,6 +441,28 @@ object Dedup {
     }
   }
 
+  /** Benchmark-contamination check — the DECONTAMINATION pass of a
+    * pretraining pipeline: for each document, the number of its distinct
+    * word n-grams that appear anywhere in the benchmark set's n-grams.
+    * Docs with n_hits > 0 are candidates for exclusion (their text leaks
+    * eval data). The benchmark side is tiny by nature (eval sets) →
+    * broadcast; the corpus is NEVER shuffled — only matched (doc, gram)
+    * pairs reach the per-doc count, so at 100 TB the cost is one scan +
+    * a broadcast hash probe per gram. Returns (idCol, n_hits), hits > 0
+    * only. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(tokenShingles(col(textCol), n)).as("__g"))
+    val benchGrams = bench.select(
+        explode(tokenShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    grams.join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -98,6 +98,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hit.toSeq == Seq(1L))
   }
 
+  test("contamination counts shared n-grams against a benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"),     // shares "the quick brown"
+      (2L, "totally unrelated words here now"),
+      (3L, "quick brown fox jumps over fences")   // shares 2 grams
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox ran away")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    // doc 1: "the quick brown", "quick brown fox" → 2; doc 3: "quick brown
+    // fox" → 1; doc 2 clean (absent from the result)
+    assert(hits == Map(1L -> 2L, 3L -> 1L))
+  }
+
   test("gopher signals + PII counts on crafted documents") {
     val crafted = Seq(
       (1L, "line one\nline one\nline two\n\n- bullet a\n* bullet b"),
