@@ -332,6 +332,32 @@ object TrainingQueries {
           .as("n_sampled"))
   }
 
+  /** End-to-end CURATION pipeline, fully oracle-checked — the composition a
+    * real pretraining cleanup runs, each stage exact so DuckDB replays the
+    * whole chain: quality gate (score + min length) → exact dedup with
+    * keep-longest policy → decontamination vs the benchmark slice →
+    * deterministic split assignment → per-(split, lang) accounting. */
+  val qCurate: Q = (s, dir) => {
+    val d = docs(s, dir).where(col("doc_id") < 480)
+    val quality = d.where(
+      TextFunctions.qualityScore(col("text")) > 0.5 &&
+        TextFunctions.tokenCount(col("text")) >= 30)
+    val kept = Dedup.exactKeepBest(
+        quality.withColumn("k", substring(col("text"), 1, 40)),
+        "doc_id", Seq(col("k")), col("n_chars"))
+      .select(col("keep_id").as("doc_id"))
+    val deduped = quality.join(kept, Seq("doc_id"), "left_semi")
+    val bench = docs(s, dir).where(col("doc_id") >= 480)
+    val dirty = Dedup.contamination(deduped, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id")
+    deduped.join(dirty, Seq("doc_id"), "left_anti")
+      .withColumn("split", Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   // ---------------------------------------------------------------------------
   // sampling / splits / keep-policy / embedding storage (round 2)
   // ---------------------------------------------------------------------------
@@ -405,6 +431,7 @@ object TrainingQueries {
     "q_simhash_pairs" -> qSimhashPairs,
     "q_jaccard_pairs" -> qJaccardPairs,
     "q_contamination" -> qContamination,
+    "q_curate" -> qCurate,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_ann_brute" -> qAnnBrute,
     "q_ann_lsh_buckets" -> qAnnLshBuckets,
@@ -565,6 +592,47 @@ object TrainingQueries {
          | CAST(${langScoreSql("en")} AS BIGINT) AS en_score,
          | CAST(${langScoreSql("de")} AS BIGINT) AS de_score
          |FROM documents""".stripMargin,
+    "q_curate" -> {
+      val toks = """regexp_split_to_array(trim(text), '\s+')"""
+      val nTok = s"len($toks)"
+      val nDist = s"len(list_distinct($toks))"
+      val meanLen = s"CAST(list_sum(list_transform($toks, w -> length(w))) " +
+        s"AS DOUBLE) / $nTok"
+      val stopR = s"CAST(${langScoreSql("en")} AS DOUBLE) / $nTok"
+      val ttr = s"CAST($nDist AS DOUBLE) / $nTok"
+      val qual = s"($ttr * 0.5 + least($stopR * 4.0, 1.0) * 0.3 + " +
+        s"(CASE WHEN $meanLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END))"
+      val grams = """list_distinct([array_to_string(ws[i:i+2], ' ')
+        | for i in range(1, greatest(len(ws) - 2, 0) + 1)])""".stripMargin
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang, n_chars,
+         |    regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents
+         |  WHERE doc_id < 480 AND $qual > 0.5 AND $nTok >= 30),
+         |kept AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY substr(text, 1, 40)
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |    FROM q) WHERE rn = 1),
+         |dd AS (SELECT q.* FROM q JOIN kept USING (doc_id)),
+         |bg AS (
+         |  SELECT DISTINCT unnest($grams) AS g
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+         |        FROM documents WHERE doc_id >= 480)),
+         |dirty AS (
+         |  SELECT DISTINCT doc_id
+         |  FROM (SELECT doc_id, unnest($grams) AS g FROM dd)
+         |  JOIN bg USING (g)),
+         |clean AS (
+         |  SELECT * FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+         |SELECT CASE WHEN (doc_id * 37 + 11) % 100 < 80 THEN 'train'
+         |            WHEN (doc_id * 37 + 11) % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM clean GROUP BY 1, 2""".stripMargin
+    },
     "q_contamination" -> {
       // distinct 3-token shingles, space-joined — matches
       // TextFunctions.tokenShingles exactly

@@ -157,6 +157,13 @@ object Dedup {
                             maxHamming: Int = 3,
                             allPairsCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(bitsPerBand >= 1 && bitsPerBand < 64 &&
+      numBands * bitsPerBand <= 64,
+      s"simhash banding must fit a 64-bit signature: " +
+        s"$numBands bands × $bitsPerBand bits")
+    // guaranteed-recall note: maxHamming < numBands ⇒ a pair within the
+    // budget always shares ≥1 band (pigeonhole); above that recall is
+    // probabilistic
     val mask = (1L << bitsPerBand) - 1L
     val banded = sigs.select(col(idCol), col(sigCol).as("__sig"),
       explode(array((0 until numBands).map(b => struct(lit(b).as("band"),

@@ -122,6 +122,8 @@ object Similarity {
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    require(centroids.length == k,
+      s"ivfIndex: corpus has only ${centroids.length} rows, need k=$k seeds")
     def assign(df: DataFrame): DataFrame = {
       val cs = centroids // stable reference for the closure
       // argmin ||v-c||² == argmin (-2·v·c + ||c||²): the ||v||² term is
@@ -242,6 +244,8 @@ object Similarity {
       // not m separate jobs through ivfIndex
       val seeds = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
         .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      require(seeds.length == k,
+        s"pqTrain: corpus has only ${seeds.length} rows, need k=$k seeds")
       Array.tabulate(m, k)((j, c) => seeds(c).slice(j * sub, (j + 1) * sub))
     } else (0 until m).toArray.map { j =>
       val sliced = corpus.select(col(idCol),
