@@ -173,13 +173,14 @@ object TrainingQueries {
   }
 
   /** Decontamination: documents sharing ≥1 distinct 3-token n-gram with
-    * the "benchmark" slice (doc_id ≥ 480 stands in for an eval set).
+    * the "benchmark" slice (the doc_id % 25 == 0 slice stands in for an eval set).
     * Exact string arithmetic — fully oracle-checked. */
   val qContamination: Q = (s, dir) => {
     val d = docs(s, dir)
+    // 4% benchmark slice by modulo so the split scales with the table
     Dedup.contamination(
-      d.where(col("doc_id") < 480), "doc_id", "text",
-      d.where(col("doc_id") >= 480), "text", n = 3)
+      d.where(col("doc_id") % 25 =!= 0), "doc_id", "text",
+      d.where(col("doc_id") % 25 === 0), "text", n = 3)
   }
 
   // ---------------------------------------------------------------------------
@@ -338,7 +339,7 @@ object TrainingQueries {
     * keep-longest policy → decontamination vs the benchmark slice →
     * deterministic split assignment → per-(split, lang) accounting. */
   val qCurate: Q = (s, dir) => {
-    val d = docs(s, dir).where(col("doc_id") < 480)
+    val d = docs(s, dir).where(col("doc_id") % 25 =!= 0)
     val quality = d.where(
       TextFunctions.qualityScore(col("text")) > 0.5 &&
         TextFunctions.tokenCount(col("text")) >= 30)
@@ -347,7 +348,7 @@ object TrainingQueries {
         "doc_id", Seq(col("k")), col("n_chars"))
       .select(col("keep_id").as("doc_id"))
     val deduped = quality.join(kept, Seq("doc_id"), "left_semi")
-    val bench = docs(s, dir).where(col("doc_id") >= 480)
+    val bench = docs(s, dir).where(col("doc_id") % 25 === 0)
     val dirty = Dedup.contamination(deduped, "doc_id", "text",
         bench, "text", n = 3)
       .select("doc_id")
@@ -608,7 +609,7 @@ object TrainingQueries {
          |  SELECT doc_id, text, lang, n_chars,
          |    regexp_split_to_array(trim(text), '\\s+') AS ws
          |  FROM documents
-         |  WHERE doc_id < 480 AND $qual > 0.5 AND $nTok >= 30),
+         |  WHERE doc_id % 25 <> 0 AND $qual > 0.5 AND $nTok >= 30),
          |kept AS (
          |  SELECT doc_id FROM (
          |    SELECT doc_id, row_number() OVER (
@@ -619,7 +620,7 @@ object TrainingQueries {
          |bg AS (
          |  SELECT DISTINCT unnest($grams) AS g
          |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
-         |        FROM documents WHERE doc_id >= 480)),
+         |        FROM documents WHERE doc_id % 25 = 0)),
          |dirty AS (
          |  SELECT DISTINCT doc_id
          |  FROM (SELECT doc_id, unnest($grams) AS g FROM dd)
@@ -644,10 +645,10 @@ object TrainingQueries {
          |  FROM documents),
          |dg AS (
          |  SELECT doc_id, unnest($grams) AS g
-         |  FROM w WHERE doc_id < 480),
+         |  FROM w WHERE doc_id % 25 <> 0),
          |bg AS (
          |  SELECT DISTINCT unnest($grams) AS g
-         |  FROM w WHERE doc_id >= 480)
+         |  FROM w WHERE doc_id % 25 = 0)
          |SELECT doc_id, count(*) AS n_hits
          |FROM dg JOIN bg USING (g)
          |GROUP BY doc_id""".stripMargin
