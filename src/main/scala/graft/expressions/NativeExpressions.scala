@@ -33,6 +33,8 @@ object native {
     EU.column(HyperplaneBucket(EU.expression(v), numPlanes, dim))
   def pq_encode(v: Column, books: Array[Array[Array[Double]]]): Column =
     EU.column(PqEncodeArray(EU.expression(v), books))
+  def token_ngrams(text: Column, n: Int): Column =
+    EU.column(TextTokenNGrams(EU.expression(text), n))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in
@@ -315,6 +317,58 @@ case class HyperplaneBucket(child: Expression, numPlanes: Int, dim: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"""if ($c.numElements() < $dim) { ${ev.isNull} = true; }
          |else { ${ev.value} = $ref.kernel($c); }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams (token shingles), space-joined, in first-occurrence
+  * order — the native twin of `TextFunctions.tokenShingles`
+  * (`array_distinct(transform(sequence..., concat_ws(slice(split(trim)))))`),
+  * whose interpreted HOF chain allocated a slice + join per gram and
+  * dominated the contamination queries. EXACT semantic parity with the HOF
+  * form (spec-checked): spaces-only trim (what Spark's `trim` does), then
+  * `String.split("\\s+", -1)` — the same Java regex split the built-in
+  * `split` runs — then LinkedHashSet dedup (= `array_distinct`'s
+  * first-occurrence order). */
+case class TextTokenNGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_ngrams expects a string, got $other")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def kernel(u: UTF8String): GenericArrayData = {
+    // UTF8String.trim() trims ASCII spaces only — identical to Spark trim
+    val toks = u.trim().toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenNGrams", this,
+      classOf[TextTokenNGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -47,10 +47,17 @@ object TextFunctions {
   def distinctShingles(c: Column, n: Int): Column =
     array_distinct(charShingles(c, n))
 
-  /** Word n-grams (token shingles), space-joined. Fewer than `n` tokens
-    * yields an EMPTY array (same descending-sequence trap as
-    * [[charShingles]]). */
-  def tokenShingles(c: Column, n: Int): Column = {
+  /** Distinct word n-grams (token shingles), space-joined, first-occurrence
+    * order. Fewer than `n` tokens yields an EMPTY array. Native kernel —
+    * the HOF form below allocated a slice + concat per gram (interpreted)
+    * and dominated the contamination queries; [[tokenShinglesHof]] is the
+    * semantically-identical cross-check. */
+  def tokenShingles(c: Column, n: Int): Column =
+    graft.expressions.native.token_ngrams(c, n)
+
+  /** Pure-built-in formulation kept for cross-checking the kernel (same
+    * descending-sequence trap as [[charShingles]]). */
+  def tokenShinglesHof(c: Column, n: Int): Column = {
     val t = tokens(c)
     array_distinct(
       when(size(t) >= n,

@@ -38,6 +38,29 @@ class NativeExprSpec extends SparkSpec {
     assert(sigs(0L).forall(_ >= 0))
   }
 
+  test("native token_ngrams matches the HOF formulation on edge cases") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "the quick brown fox jumps",            // plain
+      "the the the quick the the quick the",  // duplicate grams
+      "  leading and trailing spaces   ",     // space trim
+      "tabs\tand\nnewlines mixedhere",  // non-space whitespace
+      "\ttab first",                          // leading empty token case
+      "one two",                              // fewer tokens than n
+      "")                                     // empty
+      .toDF("t")
+    val both = docs.select(
+      TextFunctions.tokenShingles($"t", 3).as("n"),
+      TextFunctions.tokenShinglesHof($"t", 3).as("h"))
+    assert(both.where(expr("n <> h")).count() == 0)
+    // and the order/dedup contract: first occurrence wins
+    val grams = docs.where($"t".startsWith("the the"))
+      .select(TextFunctions.tokenShingles($"t", 3)).as[Seq[String]]
+      .collect()(0)
+    assert(grams == Seq("the the the", "the the quick", "the quick the",
+      "quick the the"))
+  }
+
   test("native simhash64: dup identical, near-dup closer than unrelated") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
