@@ -265,6 +265,35 @@ class ReferenceParitySpec extends SparkSpec {
     assert(!cols.contains("nested.band"))
   }
 
+  test("from_flat of an empty frame keeps the nested schema (ref issue348)") {
+    val empty = Seq.empty[(Long, Double)].toDF("key", "x")
+    val nf = NestedOps.fromFlat(empty, Nil, Seq("x"), Seq("key"), "new")
+    assert(nf.count() == 0)
+    assert(nf.schema("new").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    assert(nf.subColumns("new") == Seq("x"))
+  }
+
+  test("concat of nested frames then cross-layer assignment (ref issue294)") {
+    val srt = Seq(("c", true), ("d", true))
+    val a = base.joinNested(child, Seq("key"), "nested", "left", srt)
+    val b = base.withColumn("key", $"key" + 10).joinNested(
+      child.withColumn("key", $"key" + 10), Seq("key"), "nested", "left", srt)
+    val nf = a.unionByName(b).withColumn("c", $"key" * 2)
+    // base column broadcast INTO the nest after a union (the chunked-array
+    // case that failed in the reference), plus an element-level transform
+    val out = NestedExpr.evalAssign(
+      NestedExpr.evalAssign(nf, "nested.c2 = nested.c + c"),
+      "nested.dd = nested.d * 2")
+    assert(out.count() == 8)
+    val r = out.where($"key" === 11)
+      .select(expr("transform(nested, e -> e.c2)"),
+        expr("transform(nested, e -> e.dd)"))
+      .as[(Seq[Long], Seq[Int])].collect()(0)
+    // key 11: c = 22, children c=[1,3,4] (sorted by (c,d)), d=[5,1,3]
+    assert(r._1 == Seq(23L, 25L, 26L) && r._2 == Seq(10, 2, 6))
+  }
+
   test("describe dtype blocks + percentile interpolation (ref :2018)") {
     // the reference's base_mix + nested_num + nested_mix fixture. Our port
     // splits describe into the numeric block (describeAll) and the
