@@ -349,8 +349,12 @@ object TrainingQueries {
       .select(col("keep_id").as("doc_id"))
     val deduped = quality.join(kept, Seq("doc_id"), "left_semi")
     val bench = docs(s, dir).where(col("doc_id") % 25 === 0)
+    // 8-token grams: the decontamination window real pipelines use —
+    // word-soup corpora share many spurious 3-grams (at sf0.1 EVERY doc
+    // collided and the curated set emptied), while an exact 8-token span
+    // only matches a genuine copy
     val dirty = Dedup.contamination(deduped, "doc_id", "text",
-        bench, "text", n = 3)
+        bench, "text", n = 8)
       .select("doc_id")
     deduped.join(dirty, Seq("doc_id"), "left_anti")
       .withColumn("split", Sampling.splitColumn(col("doc_id"),
@@ -603,8 +607,8 @@ object TrainingQueries {
       val ttr = s"CAST($nDist AS DOUBLE) / $nTok"
       val qual = s"($ttr * 0.5 + least($stopR * 4.0, 1.0) * 0.3 + " +
         s"(CASE WHEN $meanLen BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END))"
-      val grams = """list_distinct([array_to_string(ws[i:i+2], ' ')
-        | for i in range(1, greatest(len(ws) - 2, 0) + 1)])""".stripMargin
+      val grams = """list_distinct([array_to_string(ws[i:i+7], ' ')
+        | for i in range(1, greatest(len(ws) - 7, 0) + 1)])""".stripMargin
       s"""WITH q AS (
          |  SELECT doc_id, text, lang, n_chars,
          |    regexp_split_to_array(trim(text), '\\s+') AS ws
