@@ -35,6 +35,9 @@ object native {
     EU.column(PqEncodeArray(EU.expression(v), books))
   def token_ngrams(text: Column, n: Int): Column =
     EU.column(TextTokenNGrams(EU.expression(text), n))
+  def topk_by(score: Column, id: Column, k: Int): Column =
+    EU.column(BoundedTopK(EU.expression(score), EU.expression(id), k)
+      .toAggregateExpression())
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in

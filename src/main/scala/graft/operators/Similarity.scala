@@ -17,6 +17,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Top-k rows per query from a scored candidate set, ranked
+    * `scoreCol DESC NULLS LAST, neighbor_id ASC` — via the bounded-heap
+    * aggregate [[graft.expressions.BoundedTopK]], NOT a window. The window
+    * form (`row_number() OVER (PARTITION BY query_id ORDER BY …) <= k`)
+    * shuffles and sorts EVERY scored candidate; the aggregate keeps O(k)
+    * state per query with map-side partial aggregation, so the shuffle
+    * carries ≤ queries×k rows no matter how large the candidate set is —
+    * the load-bearing difference at 100 TB. Result-identical to the window
+    * form (spec-checked, incl. NULL scores and score ties). */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int,
+                                  scoreCol: String): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.native
+        .topk_by(col(scoreCol), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"), (col("__pos") + 1).cast("long").as("rank"),
+        col("__t.id").as("neighbor_id"), col("__t.score").as(scoreCol))
+
+  /** The window formulation, kept ONLY as the cross-check twin of
+    * [[topKPerQuery]] (specs assert equality on adversarial inputs). */
+  private[graft] def topKPerQueryWindow(scored: DataFrame, k: Int,
+                                        scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col(scoreCol))
+  }
+
   /** Dot product of two equal-length numeric arrays, accumulated
     * sequentially in double. Native codegen'd expression — same fold order
     * as the HOF formulation (bit-identical results, verified by the oracle),
@@ -72,12 +102,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k, "sim")
   }
 
   /** Deterministic integer hyperplane weight for (plane j, dimension d):
@@ -216,12 +241,7 @@ object Similarity {
     val scored = broadcast(q).join(c, Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k, "sim")
   }
 
   /** Product-quantization codebooks (Jégou, Douze, Schmid — "Product
@@ -312,12 +332,7 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("score"))
+    topKPerQuery(scored, k, "score")
   }
 
   /** IVF-PQ search (the FAISS-style pairing, public technique): the IVF
@@ -357,12 +372,7 @@ object Similarity {
     val scored = broadcast(q).join(c, Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("score"))
+    topKPerQuery(scored, k, "score")
   }
 
   /** Approximate top-k: score only within the query's hyperplane bucket.
@@ -380,11 +390,6 @@ object Similarity {
     val scored = q.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("sim"))
+    topKPerQuery(scored, k, "sim")
   }
 }

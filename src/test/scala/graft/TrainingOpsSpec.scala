@@ -476,4 +476,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again.select($"neighbor_id").as[Long].collect().toSeq == Seq(199L))
     assigned.unpersist()
   }
+
+  test("bounded top-k aggregate ≡ window form on ties, NULLs, short groups") {
+    // Adversarial scored set: duplicate scores (tie → id asc), NULL scores
+    // (rank last, by id), a group with fewer than k candidates, NaN and
+    // ±0.0 (Spark ordering: NaN largest, -0.0 == 0.0).
+    val scored = Seq(
+      (1L, 10L, Some(0.9)), (1L, 11L, Some(0.9)), (1L, 12L, Some(0.95)),
+      (1L, 13L, None), (1L, 14L, Some(0.1)), (1L, 15L, None),
+      (2L, 20L, None), (2L, 21L, Some(Double.NaN)), (2L, 22L, Some(1.0)),
+      (3L, 30L, Some(-0.0)), (3L, 31L, Some(0.0)),
+      (4L, 40L, Some(0.5))
+    ).toDF("query_id", "neighbor_id", "sim")
+    for (k <- Seq(1, 3, 10)) {
+      val agg = Similarity.topKPerQuery(scored, k, "sim")
+        .orderBy("query_id", "rank").collect().toSeq
+      val win = Similarity.topKPerQueryWindow(scored, k, "sim")
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(agg == win, s"k=$k")
+    }
+    // Partial aggregation is actually planned: two ObjectHashAggregate
+    // nodes (partial below the exchange, final above) and NO Sort/Window —
+    // the property that bounds the shuffle to queries×k rows at scale.
+    val plan = Similarity.topKPerQuery(scored, 3, "sim")
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }
