@@ -307,6 +307,39 @@ object TrainingQueries {
       TextFunctions.ipv4Count(col("t2")).as("n_ip"))
   }
 
+  /** Corpus-wide paragraph dedup (C4/RefinedWeb boilerplate removal). The
+    * corpus is single-line, so the query first ENRICHES it deterministically
+    * into multi-paragraph docs with a cross-doc hot boilerplate paragraph
+    * (every ` join ` occurrence) and an intra-doc repeat (docs ≡ 0 mod 10)
+    * — identical construction in the oracle. The boilerplate survives at
+    * exactly ONE (doc, position) across the whole corpus. */
+  val qParaDedup: Q = (s, dir) => {
+    val t2 = concat(
+      regexp_replace(
+        regexp_replace(col("text"), lit(" join "),
+          lit("\nshared boilerplate line\n")),
+        lit(" data "), lit("\n")),
+      when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
+        .otherwise(lit("")))
+    Dedup.dedupParagraphs(
+      docs(s, dir).select(col("doc_id"), t2.as("text")), "doc_id", "text")
+  }
+
+  /** WITHIN-doc repeated-paragraph removal — zero-shuffle narrow form
+    * (`array_distinct` keeps first occurrences in order). Same enrichment
+    * as [[qParaDedup]]. */
+  val qParaDedupDoc: Q = (s, dir) => {
+    val t2 = concat(
+      regexp_replace(
+        regexp_replace(col("text"), lit(" join "),
+          lit("\nshared boilerplate line\n")),
+        lit(" data "), lit("\n")),
+      when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
+        .otherwise(lit("")))
+    docs(s, dir).select(col("doc_id"),
+      Dedup.dedupParagraphsInDoc(t2).as("clean_text"))
+  }
+
   // ---------------------------------------------------------------------------
   // Multimodal plumbing (decode STUBBED — see Multimodal.fakeDecode)
   // ---------------------------------------------------------------------------
@@ -455,6 +488,8 @@ object TrainingQueries {
     "q_per_key_cap" -> qPerKeyCap,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_embed_norm" -> qEmbedNorm,
+    "q_para_dedup" -> qParaDedup,
+    "q_para_dedup_doc" -> qParaDedupDoc,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -941,5 +976,61 @@ object TrainingQueries {
          |   AS INT) AS q1
          |FROM embeddings""".stripMargin
     },
+    "q_para_dedup" ->
+      // eligibility (len(trim) >= 2) is a function of the paragraph string,
+      // so each window partition is homogeneous and the CASE override for
+      // ineligible paragraphs never interleaves with ranked ones
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    replace(replace(text, ' join ', chr(10) ||
+         |        'shared boilerplate line' || chr(10)), ' data ', chr(10))
+         |    || (CASE WHEN doc_id % 10 = 0
+         |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
+         |      AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM e),
+         |occ AS (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'p': ls[i]}
+         |    for i in range(1, len(ls) + 1)]) AS o
+         |  FROM sp),
+         |ranked AS (
+         |  SELECT doc_id, o.pos AS pos, o.p AS p,
+         |    CASE WHEN length(trim(o.p)) >= 2 THEN
+         |      row_number() OVER (PARTITION BY o.p ORDER BY doc_id, o.pos)
+         |    ELSE 1 END AS rn
+         |  FROM occ),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(p, chr(10) ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM ranked WHERE rn = 1 GROUP BY doc_id)
+         |SELECT e.doc_id,
+         |  coalesce(a.clean_text, '') AS clean_text,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  len(str_split(e.text, chr(10))) - coalesce(a.n_kept, 0)
+         |    AS n_dropped
+         |FROM e LEFT JOIN agg a ON e.doc_id = a.doc_id""".stripMargin,
+    "q_para_dedup_doc" ->
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    replace(replace(text, ' join ', chr(10) ||
+         |        'shared boilerplate line' || chr(10)), ' data ', chr(10))
+         |    || (CASE WHEN doc_id % 10 = 0
+         |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
+         |      AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM e),
+         |occ AS (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'p': ls[i]}
+         |    for i in range(1, len(ls) + 1)]) AS o
+         |  FROM sp),
+         |ranked AS (
+         |  SELECT doc_id, o.pos AS pos, o.p AS p,
+         |    row_number() OVER (PARTITION BY doc_id, o.p ORDER BY o.pos)
+         |      AS rn
+         |  FROM occ)
+         |SELECT doc_id,
+         |  string_agg(p, chr(10) ORDER BY pos) AS clean_text
+         |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
   )
 }

@@ -484,4 +484,66 @@ object Dedup {
     val union = size(sa) + size(sb) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
+
+  /** WITHIN-document repeated-paragraph removal (the Gopher/CCNet
+    * "repetition removal" cleanup): keep each paragraph's FIRST occurrence
+    * in its document, in order. Pure narrow expression — `array_distinct`
+    * preserves first-occurrence order — so this is zero-shuffle at any
+    * scale. */
+  def dedupParagraphsInDoc(text: Column, sep: String = "\n"): Column =
+    concat_ws(sep, array_distinct(split(text, java.util.regex.Pattern
+      .quote(sep))))
+
+  /** CORPUS-WIDE paragraph dedup (the C4/RefinedWeb boilerplate-removal
+    * pass): a paragraph survives only at its globally FIRST occurrence —
+    * minimal (id, position) over every document containing it — so
+    * repeated boilerplate ("subscribe to our newsletter", license
+    * headers) is kept exactly once across the whole corpus. Paragraphs
+    * shorter than `minChars` after trimming are exempt (blank separators
+    * and stray punctuation are not boilerplate; deduping "" would delete
+    * every blank line in the corpus).
+    *
+    * Returns (idCol, clean text, n_kept, n_dropped) — docs reassembled in
+    * paragraph order; a doc whose every paragraph was dropped keeps an
+    * empty string.
+    *
+    * Scale shape (100 TB): three keyed shuffles, no driver state —
+    *  1. groupBy(paragraph) min(struct(id, pos)): partial-aggregated, so
+    *     a paragraph duplicated 10⁹× combines map-side;
+    *  2. join occurrences back on the paragraph (keeper side is one row
+    *     per distinct paragraph; a mega-hot key is 1:N probe-side only —
+    *     AQE skew split applies);
+    *  3. groupBy(id) to reassemble (per-doc fan-in is bounded by the
+    *     document's own paragraph count, never corpus-sized).
+    * Keys are the paragraph STRINGS so external engines replay the result
+    * exactly; a production variant can key shuffles 1-2 on
+    * xxhash64(paragraph) to shrink shuffle bytes (collision ~2⁻⁶⁴). */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n", minChars: Int = 2): DataFrame = {
+    val paras = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__p")))
+      .withColumn("__eligible", length(trim(col("__p"))) >= minChars)
+    val keepers = paras.where(col("__eligible"))
+      .groupBy(col("__p"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = paras.join(keepers, Seq("__p"), "left")
+      .where(!col("__eligible") ||
+        (col("__first.__id") === col("__id") &&
+         col("__first.__pos") === col("__pos")))
+    val reassembled = kept.groupBy(col("__id"))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__p")))),
+          s => s.getField("__p"))).as("__clean"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("__id"),
+        size(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .cast("long").as("__total"))
+      .join(reassembled, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
 }

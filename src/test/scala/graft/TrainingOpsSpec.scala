@@ -477,6 +477,32 @@ class TrainingOpsSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("paragraph dedup: in-doc keeps first occurrences; global keeps one") {
+    val df = Seq(
+      (1L, "alpha\nboiler\nbeta\nboiler"),   // intra-doc repeat
+      (2L, "boiler\ngamma"),                 // cross-doc repeat, later doc
+      (3L, "x\n\ndelta\n\nx"),               // short paras "x"/"" exempt
+      (4L, "")                               // empty doc
+    ).toDF("doc_id", "text")
+    // in-doc: array_distinct semantics, first occurrence in order
+    val inDoc = df.select($"doc_id",
+        operators.Dedup.dedupParagraphsInDoc($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(inDoc(1L) == "alpha\nboiler\nbeta")
+    assert(inDoc(2L) == "boiler\ngamma")
+    assert(inDoc(3L) == "x\n\ndelta") // in-doc HAS no exemption: dedups x,""
+    assert(inDoc(4L) == "")
+    // global: boiler survives only at (doc 1, pos 1); sub-minChars "x"/""
+    // are exempt everywhere
+    val g = operators.Dedup.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(g(1L) == ("alpha\nboiler\nbeta", 3L, 1L))
+    assert(g(2L) == ("gamma", 1L, 1L))
+    assert(g(3L) == ("x\n\ndelta\n\nx", 5L, 0L))
+    assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
+  }
+
   test("bounded top-k aggregate ≡ window form on ties, NULLs, short groups") {
     // Adversarial scored set: duplicate scores (tie → id asc), NULL scores
     // (rank last, by id), a group with fewer than k candidates, NaN and
