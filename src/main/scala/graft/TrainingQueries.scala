@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Similarity, Multimodal, Sampling}
+import graft.operators.{Dedup, Similarity, Multimodal, Sampling, Chunking}
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, minhash-LSH, simhash, n-gram jaccard, embedding cosine),
@@ -340,6 +340,16 @@ object TrainingQueries {
       Dedup.dedupParagraphsInDoc(t2).as("clean_text"))
   }
 
+  /** Sequence packing (concat-then-chunk, capacity 512) across 8 hash-bucket
+    * groups — every (doc, chunk) overlap with exact in-doc token offsets. */
+  val qSeqPack: Q = (s, dir) =>
+    Chunking.packSequences(docs(s, dir), "doc_id", "text", 512,
+      col("doc_id") % 8)
+
+  /** Per-doc sliding token windows (64 tokens, stride 48). */
+  val qChunkWindows: Q = (s, dir) =>
+    Chunking.slidingWindows(docs(s, dir), "doc_id", "text", 64, 48)
+
   // ---------------------------------------------------------------------------
   // Multimodal plumbing (decode STUBBED — see Multimodal.fakeDecode)
   // ---------------------------------------------------------------------------
@@ -490,6 +500,8 @@ object TrainingQueries {
     "q_embed_norm" -> qEmbedNorm,
     "q_para_dedup" -> qParaDedup,
     "q_para_dedup_doc" -> qParaDedupDoc,
+    "q_seq_pack" -> qSeqPack,
+    "q_chunk_windows" -> qChunkWindows,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1032,5 +1044,40 @@ object TrainingQueries {
          |SELECT doc_id,
          |  string_agg(p, chr(10) ORDER BY pos) AS clean_text
          |FROM ranked WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS grp,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY grp
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS strt
+         |  FROM t),
+         |x AS (
+         |  SELECT grp, doc_id, n_tokens, strt,
+         |    unnest(range(strt // 512, (strt + n_tokens - 1) // 512 + 1))
+         |      AS chunk_id
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT grp, chunk_id, doc_id, n_tokens,
+         |  greatest(chunk_id * 512, strt) - strt AS off_start,
+         |  least((chunk_id + 1) * 512, strt + n_tokens)
+         |    - greatest(chunk_id * 512, strt) AS off_len
+         |FROM x""".stripMargin,
+    "q_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+         |    unnest(range(0, len(ws), 48)) AS tok_start
+         |  FROM t)
+         |SELECT doc_id, tok_start // 48 AS win_id, tok_start,
+         |  least(64, n - tok_start) AS tok_len,
+         |  array_to_string(ws[tok_start + 1 :
+         |    tok_start + least(64, n - tok_start)], ' ') AS chunk
+         |FROM x""".stripMargin,
   )
 }

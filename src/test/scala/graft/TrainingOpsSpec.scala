@@ -503,6 +503,48 @@ class TrainingOpsSpec extends SparkSpec {
     assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
   }
 
+  test("sequence packing: exact concat-then-chunk spans, nothing dropped") {
+    // capacity 5; group 0 docs: 3 + 7 + 4 tokens → stream of 14 tokens
+    //   doc 1 [0,3) → chunk 0
+    //   doc 2 [3,10) → chunks 0 (off 0 len 2), 1 (off 2 len 5)  [straddles]
+    //   doc 3 [10,14) → chunk 2
+    val df = Seq(
+      (1L, "a b c"), (2L, "d e f g h i j"), (3L, "k l m n")
+    ).toDF("doc_id", "text")
+    val out = operators.Chunking
+      .packSequences(df, "doc_id", "text", 5, lit(0L))
+      .orderBy("doc_id", "chunk_id")
+      .select("chunk_id", "doc_id", "off_start", "off_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 1L, 0L, 3L), (0L, 2L, 0L, 2L), (1L, 2L, 2L, 5L),
+      (2L, 3L, 0L, 4L)))
+    // invariant on real data: per-doc off_len sums to the doc's token count,
+    // and each (grp, chunk) holds exactly `capacity` tokens except the last
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val packed = operators.Chunking
+      .packSequences(docs, "doc_id", "text", 512, $"doc_id" % 8)
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("off_len").as("s"), first("n_tokens").as("n"))
+      .where($"s" =!= $"n").count()
+    assert(perDoc == 0)
+    val badChunks = packed.groupBy("grp", "chunk_id")
+      .agg(sum("off_len").as("s"), max($"chunk_id").as("c"))
+      .join(packed.groupBy("grp").agg(max("chunk_id").as("last")), "grp")
+      .where($"s" =!= 512 && $"chunk_id" =!= $"last").count()
+    assert(badChunks == 0)
+  }
+
+  test("sliding windows: stride starts, truncated tail, text slices") {
+    val df = Seq((1L, "  a b c d e  "), (2L, "x")).toDF("doc_id", "text")
+    val out = operators.Chunking.slidingWindows(df, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "win_id")
+      .select("doc_id", "win_id", "tok_start", "tok_len", "chunk")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 3L, "a b c"), (1L, 1L, 2L, 3L, "c d e"),
+      (1L, 2L, 4L, 1L, "e"), (2L, 0L, 0L, 1L, "x")))
+  }
+
   test("bounded top-k aggregate ≡ window form on ties, NULLs, short groups") {
     // Adversarial scored set: duplicate scores (tie → id asc), NULL scores
     // (rank last, by id), a group with fewer than k candidates, NaN and
