@@ -340,6 +340,26 @@ object TrainingQueries {
       Dedup.dedupParagraphsInDoc(t2).as("clean_text"))
   }
 
+  /** Semantic (embedding-space) dedup — SemDeDup-style. The corpus has no
+    * natural near-dup pairs (max all-pairs cosine 0.48), so the query PLANTS
+    * exact copies with asymmetric ids: negative ids (planted copy WINS
+    * keep-min, original dropped) and +100000 ids (original wins, copy
+    * dropped) — identical construction in the oracle, which replays the
+    * full bucket → cosine-verify → CC → keep-min pipeline. */
+  val qSemanticDedup: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val planted = e
+      .unionByName(e.where(col("vec_id") % 40 === 0)
+        .select((-col("vec_id") - 1).as("vec_id"), col("embedding"),
+          col("label")))
+      .unionByName(e.where(col("vec_id") % 40 === 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label")))
+    Dedup.dedupSemantic(planted, "vec_id", "embedding",
+        threshold = 0.99, numPlanes = 8, dim = 64)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+  }
+
   /** Sequence packing (concat-then-chunk, capacity 512) across 8 hash-bucket
     * groups — every (doc, chunk) overlap with exact in-doc token offsets. */
   val qSeqPack: Q = (s, dir) =>
@@ -502,6 +522,7 @@ object TrainingQueries {
     "q_para_dedup_doc" -> qParaDedupDoc,
     "q_seq_pack" -> qSeqPack,
     "q_chunk_windows" -> qChunkWindows,
+    "q_semantic_dedup" -> qSemanticDedup,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1079,5 +1100,57 @@ object TrainingQueries {
          |  array_to_string(ws[tok_start + 1 :
          |    tok_start + least(64, n - tok_start)], ' ') AS chunk
          |FROM x""".stripMargin,
+    "q_semantic_dedup" -> {
+      def cosOf(a: String, b: String) =
+        s"${dotSqlOf(a, b)} / (${normSql(a)} * ${normSql(b)})"
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  UNION ALL
+         |  SELECT -vec_id - 1, embedding, label FROM embeddings
+         |  WHERE vec_id % 40 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding, label FROM embeddings
+         |  WHERE vec_id % 40 = 20),
+         |bk AS (
+         |  SELECT vec_id, embedding, ${bucketSql(8, 64)} AS bucket
+         |  FROM base WHERE len(embedding) >= 64),
+         |ann AS (
+         |  SELECT vec_id, embedding, bucket,
+         |    count(*) OVER (PARTITION BY bucket) AS n,
+         |    min(vec_id) OVER (PARTITION BY bucket) AS mn,
+         |    first_value(embedding) OVER (PARTITION BY bucket
+         |      ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND UNBOUNDED FOLLOWING) AS mnv,
+         |    lead(vec_id) OVER (PARTITION BY bucket ORDER BY vec_id) AS nxt,
+         |    lead(embedding) OVER (PARTITION BY bucket ORDER BY vec_id)
+         |      AS nxtv
+         |  FROM bk QUALIFY n >= 2),
+         |pairs AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${cosOf("x.embedding", "y.embedding")} AS sim
+         |  FROM ann x JOIN ann y
+         |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE x.n <= 32
+         |  UNION ALL
+         |  SELECT mn, vec_id, ${cosOf("mnv", "embedding")}
+         |  FROM ann WHERE n > 32 AND vec_id <> mn
+         |  UNION ALL
+         |  SELECT vec_id, nxt, ${cosOf("embedding", "nxtv")}
+         |  FROM ann WHERE n > 32 AND nxt IS NOT NULL),
+         |verified AS (SELECT DISTINCT a, b FROM pairs WHERE sim >= 0.99),
+         |nodes AS (SELECT a AS v FROM verified
+         |          UNION SELECT b AS v FROM verified),
+         |sym AS (SELECT a, b FROM verified
+         |        UNION SELECT b AS a, a AS b FROM verified),
+         |reach(v, r) AS (
+         |  SELECT v, v AS r FROM nodes
+         |  UNION
+         |  SELECT s.b AS v, reach.r
+         |  FROM reach JOIN sym s ON s.a = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+         |SELECT b.vec_id, CAST(b.label AS BIGINT) AS label FROM base b
+         |WHERE b.vec_id NOT IN
+         |  (SELECT v FROM comp WHERE v <> component)""".stripMargin
+    },
   )
 }

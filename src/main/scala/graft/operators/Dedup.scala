@@ -485,6 +485,63 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 
+  /** SEMANTIC near-duplicate removal over an embedding column (the
+    * SemDeDup-style pass of a pretraining pipeline, public technique):
+    * hyperplane-LSH buckets gate candidate generation, cosine ≥ `threshold`
+    * verifies, connected components group, min id per group survives.
+    *
+    * Edge emission mirrors [[lshCandidatePairs]]: buckets ≤ `allPairsCap`
+    * self-join all pairs (≤ cap²/2 each — the cap IS the blow-up guard);
+    * bigger buckets emit window-computed star + chain edges with the
+    * vectors carried alongside, so verification is inline and a hot bucket
+    * never materializes a member array on one task. Same recall contract
+    * as the text LSH path: a pair is only found inside a shared bucket
+    * (exact copies and scaled copies always share — the bucket is
+    * sign-of-projection, scale-invariant); above the cap, star+chain
+    * narrows recall on moderate-similarity members. Short vectors (bucket
+    * NULL) are never candidates. */
+  def dedupSemantic(embs: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, numPlanes: Int, dim: Int,
+                    allPairsCap: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = embs.select(col(idCol), col(vecCol).as("__v"),
+        Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim)
+          .as("__bucket"))
+      .where(col("__bucket").isNotNull)
+    val w = Window.partitionBy("__bucket").orderBy(col(idCol))
+    val wAll = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val annotated = b
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__n") >= 2)
+      .withColumn("__min", min(col(idCol)).over(wAll))
+      .withColumn("__minv", first(col("__v")).over(wAll))
+      .withColumn("__next", lead(col(idCol), 1).over(w))
+      .withColumn("__nextv", lead(col("__v"), 1).over(w))
+    val big = annotated.where(col("__n") > allPairsCap)
+    val star = big.where(col(idCol) =!= col("__min"))
+      .select(col("__min").as("a"), col(idCol).as("b"),
+        Similarity.cosine(col("__minv"), col("__v")).as("__sim"))
+    val chain = big.where(col("__next").isNotNull)
+      .select(col(idCol).as("a"), col("__next").as("b"),
+        Similarity.cosine(col("__v"), col("__nextv")).as("__sim"))
+    val small = annotated.where(col("__n") <= allPairsCap)
+      .select(col("__bucket"), col(idCol), col("__v"))
+    val smallPairs = small
+      .select(col("__bucket"), col(idCol).as("a"), col("__v").as("__va"))
+      .join(small.select(col("__bucket"), col(idCol).as("b"),
+        col("__v").as("__vb")), Seq("__bucket"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("__sim"))
+    val verified = smallPairs.unionAll(star).unionAll(chain)
+      .where(col("__sim") >= threshold)
+      .select(col("a"), col("b")).distinct()
+    val comps = connectedComponents(verified)
+    embs.join(comps.where(col("v") =!= col("component"))
+      .select(col("v").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** WITHIN-document repeated-paragraph removal (the Gopher/CCNet
     * "repetition removal" cleanup): keep each paragraph's FIRST occurrence
     * in its document, in order. Pure narrow expression — `array_distinct`

@@ -503,6 +503,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
   }
 
+  test("semantic dedup: keep-min over planted copies, big-bucket path") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 5).map { i =>
+      (i.toLong, (0 until 64).map(_ => rnd.nextFloat() - 0.5f)) }
+    // 40 copies of vec 0 (ids 100..139): one bucket with n=40 > cap=32
+    // exercises the window star+chain path; distinct vectors survive
+    val copies = (0 until 40).map(j => (100L + j, base(0)._2))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = operators.Dedup
+      .dedupSemantic(df, "vec_id", "embedding", 0.99, 8, 64)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L)) // min of the copy component = 0
+    // a short (un-bucketable) vector is never a candidate, always kept
+    val withShort = df.unionByName(
+      Seq((999L, Seq.fill(3)(0.1f))).toDF("vec_id", "embedding"))
+    val kept2 = operators.Dedup
+      .dedupSemantic(withShort, "vec_id", "embedding", 0.99, 8, 64)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept2 == Set(0L, 1L, 2L, 3L, 4L, 999L))
+  }
+
   test("sequence packing: exact concat-then-chunk spans, nothing dropped") {
     // capacity 5; group 0 docs: 3 + 7 + 4 tokens → stream of 14 tokens
     //   doc 1 [0,3) → chunk 0
