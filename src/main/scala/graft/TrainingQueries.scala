@@ -340,6 +340,14 @@ object TrainingQueries {
       Dedup.dedupParagraphsInDoc(t2).as("clean_text"))
   }
 
+  /** Corpus-derived unigram LM log-probability per doc (CCNet-style
+    * perplexity-proxy quality filter). avg(ln count) − ln total is
+    * division-derived → epsilon-rounded for oracle parity. */
+  val qUnigramLp: Q = (s, dir) =>
+    graft.operators.Quality.unigramLogProb(docs(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_toks"),
+        roundSafe(col("avg_logp"), 4).as("avg_logp"))
+
   /** Semantic (embedding-space) dedup — SemDeDup-style. The corpus has no
     * natural near-dup pairs (max all-pairs cosine 0.48), so the query PLANTS
     * exact copies with asymmetric ids: negative ids (planted copy WINS
@@ -523,6 +531,7 @@ object TrainingQueries {
     "q_seq_pack" -> qSeqPack,
     "q_chunk_windows" -> qChunkWindows,
     "q_semantic_dedup" -> qSemanticDedup,
+    "q_unigram_lp" -> qUnigramLp,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1152,5 +1161,16 @@ object TrainingQueries {
          |WHERE b.vec_id NOT IN
          |  (SELECT v FROM comp WHERE v <> component)""".stripMargin
     },
+    "q_unigram_lp" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM toks)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  round(avg(ln(CAST(c AS DOUBLE))) - ln(T) + 1e-9, 4) AS avg_logp
+         |FROM toks JOIN vocab USING (tok), tot
+         |GROUP BY doc_id, T""".stripMargin,
   )
 }

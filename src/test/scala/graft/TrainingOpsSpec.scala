@@ -503,6 +503,25 @@ class TrainingOpsSpec extends SparkSpec {
     assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
   }
 
+  test("unigram LM: corpus-trained scores and broadcast vocab OOV floor") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // counts: a=3, b=1, c=1; T=5
+    val r = operators.Quality.unigramLogProb(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    val ln = (x: Double) => math.log(x)
+    assert(r(1L)._1 == 3L)
+    assert(math.abs(r(1L)._2 - (2 * ln(3) / 3 - ln(5))) < 1e-9)
+    assert(math.abs(r(2L)._2 - (ln(3) / 2 - ln(5))) < 1e-9)
+    // pre-trained vocab {a:2, b:1}, total 3; OOV token d floors at 1/(3+1)
+    val vocab = Seq(("a", 2L), ("b", 1L)).toDF("token", "count")
+    val s = operators.Quality.scoreWithVocab(
+        Seq((9L, "a d")).toDF("doc_id", "text"),
+        "doc_id", "text", vocab, total = 3.0)
+      .collect().head
+    assert(math.abs(s.getDouble(2) - (ln(2.0 / 4) + ln(1.0 / 4)) / 2) < 1e-9)
+  }
+
   test("semantic dedup: keep-min over planted copies, big-bucket path") {
     val rnd = new scala.util.Random(11)
     val base = (0 until 5).map { i =>
