@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{DotProductArray, TextMinHash, TextNGramJaccard, TextSimHash64}
+import graft.expressions.{BoundedTopK, DotProductArray, TextMinHash, TextNGramJaccard, TextSimHash64, TextTokenNGrams}
 
 /** SQL registration of the native graft expressions.
   *
@@ -39,7 +39,15 @@ object GraftExtensions {
         new ExpressionInfo(classOf[TextNGramJaccard].getName,
           "graft_ngram_jaccard"),
         (es: Seq[Expression]) =>
-          TextNGramJaccard(es(0), es(1), intArg(es(2)))))
+          TextNGramJaccard(es(0), es(1), intArg(es(2)))),
+      ("graft_token_ngrams",
+        new ExpressionInfo(classOf[TextTokenNGrams].getName,
+          "graft_token_ngrams"),
+        (es: Seq[Expression]) => TextTokenNGrams(es(0), intArg(es(1)))),
+      ("graft_topk_by",
+        new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk_by"),
+        (es: Seq[Expression]) =>
+          BoundedTopK(es(0), es(1), intArg(es(2))).toAggregateExpression()))
 
   /** Register on an existing session (temp functions). */
   def register(spark: SparkSession): Unit =

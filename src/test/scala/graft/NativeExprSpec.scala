@@ -83,6 +83,16 @@ class NativeExprSpec extends SparkSpec {
     val sh = spark.sql(
       "SELECT graft_simhash64('a b c'), graft_minhash('hello world', 4, 3)")
     assert(sh.collect().length == 1)
+    val ng = spark.sql("SELECT graft_token_ngrams('a b c d', 2) AS g")
+      .as[Seq[String]].collect()(0)
+    assert(ng == Seq("a b", "b c", "c d"))
+    // aggregate registration: top-2 by score within one group
+    val tk = spark.sql(
+      """SELECT graft_topk_by(s, i, 2) AS t FROM VALUES
+        |  (1.0D, 10L), (3.0D, 30L), (2.0D, 20L) AS tab(s, i)""".stripMargin)
+      .selectExpr("transform(t, x -> x.id) AS ids")
+      .as[Seq[Long]].collect()(0)
+    assert(tk == Seq(30L, 20L))
   }
 
   test("dot_f null array → null; empty arrays → 0.0") {
