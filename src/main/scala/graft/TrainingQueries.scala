@@ -48,10 +48,25 @@ object TrainingQueries {
   private val rankHs =
     Seq((3L, 1L), (5L, 2L), (7L, 3L), (11L, 4L), (13L, 5L), (17L, 6L))
 
+  /** Large odd multipliers for the agreement-based incremental dedup: with
+    * the SMALL rankHs multipliers, min((sid·a+b) mod M) is nearly monotone
+    * in sid — every doc containing the lexicographically smallest shingles
+    * shares the same sig values, and sig agreement stops estimating
+    * Jaccard (measured: 120 of 133 batch docs "matched" the index). Large
+    * multipliers wrap mod M many times per step → behave as a proper
+    * pseudo-random permutation (measured: agreement ≥ 5/6 selects exactly
+    * the 5 ground-truth Jaccard ≥ 0.8 near-dups). sid < 10⁵, so sid·a
+    * stays < 2⁴⁸ — exact in Long AND in any SQL BIGINT. */
+  private val rankHsBig = Seq(
+    (2654435761L, 17L), (2246822519L, 31L), (3266489917L, 47L),
+    (668265263L, 61L), (374761393L, 79L), (2147483647L, 97L))
+
   /** Rank-based minhash signatures, wide form (doc_id, sig0..sig5) for
     * doc_id < 200 — the oracle-exact sig computation shared by
-    * q_minhash_rank and q_dedup_pipeline_exact. */
-  private def rankSigsWide(s: SparkSession, dir: String): DataFrame = {
+    * q_minhash_rank, q_dedup_pipeline_exact, and (with the big
+    * multipliers) q_dedup_incremental. */
+  private def rankSigsWide(s: SparkSession, dir: String,
+                           hs: Seq[(Long, Long)] = rankHs): DataFrame = {
     val d = docs(s, dir).where(col("doc_id") < 200)
     val sh = d.select(col("doc_id"),
       explode(TextFunctions.distinctShingles(col("text"), 5)).as("sh"))
@@ -66,7 +81,7 @@ object TrainingQueries {
         .map { case (v, i) => (v, i + 1L) }.toDF("sh", "sid")
     }
     val withH = sh.join(ranks, "sh")
-    val aggs = rankHs.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = hs.zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % 100003L).as(s"sig$i") }
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -340,6 +355,22 @@ object TrainingQueries {
       Dedup.dedupParagraphsInDoc(t2).as("clean_text"))
   }
 
+  /** Incremental dedup of a "new batch" (doc_id % 3 ≠ 0) against the
+    * signature index of the "existing corpus" (doc_id % 3 = 0) — rank-based
+    * sigs so the oracle replays banding AND the agreement estimate exactly.
+    * Production uses the engine-hash signatures (minHashSignaturesNative). */
+  val qDedupIncremental: Q = (s, dir) => {
+    val asArr = rankSigsWide(s, dir, rankHsBig).select(col("doc_id"),
+      array(rankHsBig.indices.map(i => col(s"sig$i")): _*).as("sig"))
+    val kept = Dedup.dedupAgainstIndex(
+      asArr.where(col("doc_id") % 3 =!= 0),
+      asArr.where(col("doc_id") % 3 === 0),
+      "doc_id", "sig", numHashes = rankHsBig.length, rowsPerBand = 2,
+      minAgree = 0.8)
+    kept.join(docs(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Corpus-derived unigram LM log-probability per doc (CCNet-style
     * perplexity-proxy quality filter). avg(ln count) − ln total is
     * division-derived → epsilon-rounded for oracle parity. */
@@ -532,6 +563,7 @@ object TrainingQueries {
     "q_chunk_windows" -> qChunkWindows,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_unigram_lp" -> qUnigramLp,
+    "q_dedup_incremental" -> qDedupIncremental,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1172,5 +1204,38 @@ object TrainingQueries {
          |  round(avg(ln(CAST(c AS DOUBLE))) - ln(T) + 1e-9, 4) AS avg_logp
          |FROM toks JOIN vocab USING (tok), tot
          |GROUP BY doc_id, T""".stripMargin,
+    "q_dedup_incremental" -> {
+      val sigCols = rankHsBig.zipWithIndex.map { case ((a, b), i) =>
+        s"min((sid * $a + $b) % 100003) AS sig$i" }.mkString(", ")
+      val bandRows = (0 until 3).map(b =>
+        s"SELECT doc_id, $b AS band, sig${2 * b} AS s1, " +
+          s"sig${2 * b + 1} AS s2 FROM sigs").mkString(" UNION ALL ")
+      val est = (0 until 6).map(i =>
+        s"(CASE WHEN sb.sig$i = si.sig$i THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", ")")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |ranks AS (
+         |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+         |  FROM (SELECT DISTINCT sh FROM sh)),
+         |sigs AS (
+         |  SELECT doc_id, $sigCols
+         |  FROM sh JOIN ranks USING (sh) GROUP BY doc_id),
+         |banded AS ($bandRows),
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS bd, i.doc_id AS ix
+         |  FROM banded b JOIN banded i
+         |    ON b.band = i.band AND b.s1 = i.s1 AND b.s2 = i.s2
+         |  WHERE b.doc_id % 3 <> 0 AND i.doc_id % 3 = 0),
+         |matched AS (
+         |  SELECT DISTINCT c.bd FROM cand c
+         |  JOIN sigs sb ON sb.doc_id = c.bd
+         |  JOIN sigs si ON si.doc_id = c.ix
+         |  WHERE CAST($est AS DOUBLE) / 6 >= 0.8)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE d.doc_id < 200 AND d.doc_id % 3 <> 0
+         |  AND d.doc_id NOT IN (SELECT bd FROM matched)""".stripMargin
+    },
   )
 }

@@ -485,6 +485,43 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 
+  /** INCREMENTAL near-dup filtering: drop batch documents that near-match
+    * an EXISTING corpus's signature index — the daily-ingest shape of a
+    * pretraining pipeline, where the crawled batch is deduped against
+    * everything already kept WITHOUT touching the corpus text. Both sides
+    * carry a MinHash signature array; candidates share any band (the raw
+    * `rowsPerBand`-slice of the signature is the join key — no engine
+    * hashing, so external engines replay it exactly), and a candidate
+    * match is confirmed when the fraction of agreeing signature components
+    * ≥ `minAgree` (the standard MinHash Jaccard estimate — no text join).
+    * Returns the batch rows that survive.
+    *
+    * Scale shape: one keyed shuffle join per side on (band, slice); the
+    * index is ~1 row per kept doc × bands, written once and reused per
+    * batch; the batch is the small side by nature — Catalyst broadcasts it
+    * when stats allow. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
+                        sigCol: String, numHashes: Int, rowsPerBand: Int,
+                        minAgree: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    def banded(df: DataFrame, outId: String, outSig: String): DataFrame =
+      df.select(col(idCol).as(outId), col(sigCol).as(outSig),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band"),
+            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))
+              .as("key")))).as("e"))
+        .select(col(outId), col(outSig), col("e.band"), col("e.key"))
+    val agree = aggregate(
+      zip_with(col("__bsig"), col("__isig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    val matched = banded(batch, "__bid", "__bsig")
+      .join(banded(index, "__iid", "__isig"), Seq("band", "key"))
+      .where(agree >= minAgree)
+      .select(col("__bid").as(idCol)).distinct()
+    batch.join(matched, Seq(idCol), "left_anti")
+  }
+
   /** SEMANTIC near-duplicate removal over an embedding column (the
     * SemDeDup-style pass of a pretraining pipeline, public technique):
     * hyperplane-LSH buckets gate candidate generation, cosine ≥ `threshold`

@@ -503,6 +503,20 @@ class TrainingOpsSpec extends SparkSpec {
     assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
   }
 
+  test("incremental dedup vs index: band gate + agreement threshold") {
+    val index = Seq((100L, Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+      .toDF("doc_id", "sig")
+    val batch = Seq(
+      (1L, Seq(1L, 2L, 9L, 9L, 9L, 9L)), // shares band 0, agree 2/6 → kept
+      (2L, Seq(1L, 2L, 3L, 4L, 7L, 8L)), // bands 0+1, agree 4/6 → dropped
+      (3L, Seq(9L, 9L, 9L, 9L, 9L, 9L))  // no shared band → kept
+    ).toDF("doc_id", "sig")
+    val kept = operators.Dedup.dedupAgainstIndex(batch, index,
+        "doc_id", "sig", numHashes = 6, rowsPerBand = 2, minAgree = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("unigram LM: corpus-trained scores and broadcast vocab OOV floor") {
     val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     // counts: a=3, b=1, c=1; T=5
