@@ -54,6 +54,57 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("__simhash"))
       .drop("__simhash")
 
+  /** Pre-aggregated band table for [[dedupAgainstIndexStream]]: one STATIC
+    * row per (band, signature-slice bucket) carrying the candidate
+    * signatures. `candCap` bounds a boilerplate-hot bucket (smallest sigs
+    * win, deterministically) so no bucket array is unbounded. Build once,
+    * write to parquet, reuse every micro-batch. */
+  def indexBandTable(index: DataFrame, idCol: String, sigCol: String,
+                     numHashes: Int, rowsPerBand: Int,
+                     candCap: Int = 1024): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    index.select(col(sigCol).as("__sig"),
+        explode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => struct(b.as("band"),
+            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))
+              .as("key")))).as("e"))
+      .select(col("__sig"), col("e.band"), col("e.key"))
+      .groupBy(col("band"), col("key"))
+      .agg(slice(array_sort(collect_list(col("__sig"))), 1, candCap)
+        .as("cands"))
+  }
+
+  /** Streaming INCREMENTAL dedup against a STATIC corpus index — the
+    * streaming twin of `Dedup.dedupAgainstIndex`: a doc is dropped when
+    * its signature agreement with any indexed doc in a shared band bucket
+    * reaches `minAgree`. Fully STATELESS on the stream: one 1:1
+    * stream–static equi-join per band (the stream side never aggregates —
+    * a stream-side distinct + anti-join would be an unsupported
+    * stream–stream join) and a row-local `exists` over the bucket's
+    * candidates. `bandTable` comes from [[indexBandTable]]. */
+  def dedupAgainstIndexStream(stream: DataFrame, bandTable: DataFrame,
+                              idCol: String, sigCol: String,
+                              numHashes: Int, rowsPerBand: Int,
+                              minAgree: Double = 0.8): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val joined = (0 until numBands).foldLeft(stream) { (df, b) =>
+      val bt = bandTable.where(col("band") === b)
+        .select(col("key").as(s"__k$b"), col("cands").as(s"__c$b"))
+      df.join(bt,
+        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
+          === col(s"__k$b"), "left")
+    }
+    val matchAny = (0 until numBands).map { b =>
+      coalesce(exists(col(s"__c$b"), c =>
+        aggregate(zip_with(col(sigCol), c,
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes
+          >= minAgree), lit(false))
+    }.reduce[org.apache.spark.sql.Column](_ || _)
+    joined.where(!matchAny)
+      .drop((0 until numBands).flatMap(b => Seq(s"__k$b", s"__c$b")): _*)
+  }
+
   /** EVENT-TIME session windows via Spark's native `session_window`
     * aggregation: a session closes when the WATERMARK passes its end + gap
     * (not wall-clock silence), and late events beyond the watermark are

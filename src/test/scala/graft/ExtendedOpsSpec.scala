@@ -384,6 +384,39 @@ class ExtendedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstIndexStream filters a stream vs a static band table") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val index = Seq((100L, Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+      .toDF("doc_id", "sig")
+    val bt = StreamingOps.indexBandTable(index, "doc_id", "sig",
+      numHashes = 6, rowsPerBand = 2)
+    val ms = MemoryStream[(Long, Seq[Long])](spark)
+    ms.addData(
+      (1L, Seq(1L, 2L, 9L, 9L, 9L, 9L)), // band 0 shared, agree 2/6 → kept
+      (2L, Seq(1L, 2L, 3L, 4L, 5L, 8L)), // agree 5/6 ≥ 0.8 → dropped
+      (3L, Seq(9L, 9L, 9L, 9L, 9L, 9L))) // no shared band → kept
+    val out = StreamingOps.dedupAgainstIndexStream(
+      ms.toDF().toDF("doc_id", "sig"), bt, "doc_id", "sig",
+      numHashes = 6, rowsPerBand = 2, minAgree = 0.8)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("incdedup").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM incdedup").as[Long]
+        .collect().toSet
+      assert(ids == Set(1L, 3L))
+    } finally q.stop()
+    // batch parity: the same frames through the batch operator agree
+    val batchKept = operators.Dedup.dedupAgainstIndex(
+        Seq((1L, Seq(1L, 2L, 9L, 9L, 9L, 9L)),
+          (2L, Seq(1L, 2L, 3L, 4L, 5L, 8L)),
+          (3L, Seq(9L, 9L, 9L, 9L, 9L, 9L))).toDF("doc_id", "sig"),
+        index, "doc_id", "sig", 6, 2, minAgree = 0.8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L, 3L))
+  }
+
   test("dedupStream drops duplicate keys within the watermark") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
