@@ -66,4 +66,18 @@ object Sampling {
       .where(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Write the frame as `nShards` deterministic hash shards
+    * (`__shard=N/part-*.parquet`) — the layout training jobs consume
+    * (each data-loader rank reads its own shard directories). The
+    * repartition on the shard key BEFORE partitionBy is load-bearing:
+    * without it every task writes a file into every shard directory
+    * (tasks × shards small files — the writeIvfBucketed lesson); with it
+    * each shard is one file per owning task and a shard's rows are
+    * co-located for downstream per-shard packing. */
+  def writeShards(df: DataFrame, path: String, nShards: Int,
+                  idCol: String): Unit =
+    df.withColumn("__shard", hashBucket(col(idCol), nShards))
+      .repartition(col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
 }

@@ -503,6 +503,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
   }
 
+  test("writeShards: shard directories, no cross-shard files, roundtrip") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    operators.Sampling.writeShards(docs, dir, nShards = 4, idCol = "doc_id")
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("__shard=")).map(_.getName).sorted
+    assert(shardDirs.length == 4)
+    // repartition-first → each shard dir holds ONE parquet file
+    shardDirs.foreach { d =>
+      val files = new java.io.File(s"$dir/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // shard assignment is the deterministic hash bucket
+    assert(back.where(operators.Sampling.hashBucket($"doc_id", 4)
+      =!= $"__shard").count() == 0)
+  }
+
   test("incremental dedup vs index: band gate + agreement threshold") {
     val index = Seq((100L, Seq(1L, 2L, 3L, 4L, 5L, 6L)))
       .toDF("doc_id", "sig")
