@@ -371,6 +371,35 @@ object TrainingQueries {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  /** End-to-end curation v2 — composes the round-4 second-half operators
+    * as one replayed chain: enrich (multi-paragraph corpus) → corpus-wide
+    * paragraph dedup → deterministic split assignment → sequence packing
+    * (capacity 256 per split) → per-split shard accounting. Every stage is
+    * exact, so DuckDB replays the WHOLE pipeline and hash-checks the
+    * accounting. */
+  val qCurateFull: Q = (s, dir) => {
+    val t2 = concat(
+      regexp_replace(
+        regexp_replace(col("text"), lit(" join "),
+          lit("\nshared boilerplate line\n")),
+        lit(" data "), lit("\n")),
+      when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
+        .otherwise(lit("")))
+    val cleaned = Dedup.dedupParagraphs(
+      docs(s, dir).select(col("doc_id"), t2.as("text")), "doc_id", "text")
+    val withSplit = cleaned.select(col("doc_id"),
+      col("clean_text").as("text"),
+      Sampling.splitColumn(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    Chunking.packSequences(withSplit, "doc_id", "text", 256, col("split"))
+      .groupBy(col("grp").as("split"))
+      .agg(countDistinct(col("chunk_id")).as("n_chunks"),
+        count(lit(1)).as("n_doc_spans"),
+        sum(col("off_len")).as("n_tokens"))
+      .select(col("split"), col("n_chunks"), col("n_doc_spans"),
+        col("n_tokens"))
+  }
+
   /** Corpus-derived unigram LM log-probability per doc (CCNet-style
     * perplexity-proxy quality filter). avg(ln count) − ln total is
     * division-derived → epsilon-rounded for oracle parity. */
@@ -564,6 +593,7 @@ object TrainingQueries {
     "q_semantic_dedup" -> qSemanticDedup,
     "q_unigram_lp" -> qUnigramLp,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_curate_full" -> qCurateFull,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1237,5 +1267,56 @@ object TrainingQueries {
          |WHERE d.doc_id < 200 AND d.doc_id % 3 <> 0
          |  AND d.doc_id NOT IN (SELECT bd FROM matched)""".stripMargin
     },
+    "q_curate_full" ->
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |    replace(replace(text, ' join ', chr(10) ||
+         |        'shared boilerplate line' || chr(10)), ' data ', chr(10))
+         |    || (CASE WHEN doc_id % 10 = 0
+         |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
+         |      AS text
+         |  FROM documents),
+         |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM e),
+         |occ AS (
+         |  SELECT doc_id, unnest([{'pos': i - 1, 'p': ls[i]}
+         |    for i in range(1, len(ls) + 1)]) AS o
+         |  FROM sp),
+         |ranked AS (
+         |  SELECT doc_id, o.pos AS pos, o.p AS p,
+         |    CASE WHEN length(trim(o.p)) >= 2 THEN
+         |      row_number() OVER (PARTITION BY o.p ORDER BY doc_id, o.pos)
+         |    ELSE 1 END AS rn
+         |  FROM occ),
+         |agg AS (
+         |  SELECT doc_id,
+         |    string_agg(p, chr(10) ORDER BY pos) AS clean_text
+         |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+         |docs2 AS (
+         |  SELECT e.doc_id, coalesce(a.clean_text, '') AS text,
+         |    CASE WHEN (e.doc_id * 37 + 11) % 100 < 80 THEN 'train'
+         |         WHEN (e.doc_id * 37 + 11) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM e LEFT JOIN agg a ON e.doc_id = a.doc_id),
+         |t AS (
+         |  SELECT doc_id, split,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens
+         |  FROM docs2),
+         |c AS (
+         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY split
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS strt
+         |  FROM t),
+         |x AS (
+         |  SELECT split, doc_id, n_tokens, strt,
+         |    unnest(range(strt // 256, (strt + n_tokens - 1) // 256 + 1))
+         |      AS chunk_id
+         |  FROM c WHERE n_tokens > 0)
+         |SELECT split, count(DISTINCT chunk_id) AS n_chunks,
+         |  count(*) AS n_doc_spans,
+         |  CAST(sum(least((chunk_id + 1) * 256, strt + n_tokens)
+         |    - greatest(chunk_id * 256, strt)) AS BIGINT) AS n_tokens
+         |FROM x GROUP BY split""".stripMargin,
   )
 }
