@@ -102,4 +102,58 @@ class RoundTripPropertySpec extends SparkSpec {
         s"eval reduction mismatch at seed=$seed")
     }
   }
+
+  test("property: corpus paragraph dedup keeps each eligible para exactly once") {
+    import graft.operators.{Dedup => D}
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      // small paragraph vocabulary → guaranteed cross-doc repeats
+      val vocab = (0 until 12).map(i => s"para $i ${"x" * rnd.nextInt(4)}")
+      val docs = (0L until 50L).map { id =>
+        (id, (0 until 1 + rnd.nextInt(5))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+      }.toDF("doc_id", "text")
+      val out = D.dedupParagraphs(docs, "doc_id", "text")
+      val keptParas = out.select(explode(split($"clean_text", "\n")).as("p"))
+        .where(length(trim($"p")) >= 2)
+        .groupBy($"p").count().collect()
+      // exactly-once corpus-wide
+      assert(keptParas.forall(_.getLong(1) == 1L), s"seed=$seed")
+      // every vocab para that appeared anywhere survives somewhere
+      val appeared = docs.select(explode(split($"text", "\n")).as("p"))
+        .distinct().count()
+      assert(keptParas.length.toLong == appeared, s"seed=$seed")
+      // per-doc: kept paragraphs are a subsequence of the original
+      val pairs = docs.join(out, "doc_id")
+        .select($"text", $"clean_text").as[(String, String)].collect()
+      pairs.foreach { case (orig, clean) =>
+        val o = orig.split("\n", -1)
+        val c = clean.split("\n", -1).filter(_.nonEmpty)
+        var i = 0
+        c.foreach { p =>
+          val j = o.indexWhere(_ == p, i)
+          assert(j >= 0, s"'$p' out of order, seed=$seed")
+          i = j + 1
+        }
+      }
+    }
+  }
+
+  test("property: in-doc paragraph dedup ≡ per-doc keep-first") {
+    import graft.operators.{Dedup => D}
+    for (seed <- Seq(9, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 40L).map { id =>
+        (id, (0 until 1 + rnd.nextInt(6))
+          .map(_ => s"p${rnd.nextInt(4)}").mkString("\n"))
+      }.toDF("doc_id", "text")
+      val got = docs.select($"doc_id",
+          D.dedupParagraphsInDoc($"text").as("t"))
+        .as[(Long, String)].collect().toMap
+      docs.as[(Long, String)].collect().foreach { case (id, t) =>
+        val expected = t.split("\n", -1).distinct.mkString("\n")
+        assert(got(id) == expected, s"doc=$id seed=$seed")
+      }
+    }
+  }
 }
