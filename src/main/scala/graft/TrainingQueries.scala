@@ -322,38 +322,35 @@ object TrainingQueries {
       TextFunctions.ipv4Count(col("t2")).as("n_ip"))
   }
 
+  /** The ONE multi-paragraph enrichment shared by qParaDedup,
+    * qParaDedupDoc, and qCurateFull (their oracles replay [[paraEnrichSql]]
+    * — a single definition per side so the three queries cannot drift):
+    * every ` join ` becomes a cross-doc hot boilerplate paragraph, every
+    * ` data ` a paragraph break, docs ≡ 0 mod 10 get an intra-doc repeat. */
+  private def paraEnrich: org.apache.spark.sql.Column = concat(
+    regexp_replace(
+      regexp_replace(col("text"), lit(" join "),
+        lit("\nshared boilerplate line\n")),
+      lit(" data "), lit("\n")),
+    when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
+      .otherwise(lit("")))
+
   /** Corpus-wide paragraph dedup (C4/RefinedWeb boilerplate removal). The
     * corpus is single-line, so the query first ENRICHES it deterministically
-    * into multi-paragraph docs with a cross-doc hot boilerplate paragraph
-    * (every ` join ` occurrence) and an intra-doc repeat (docs ≡ 0 mod 10)
-    * — identical construction in the oracle. The boilerplate survives at
-    * exactly ONE (doc, position) across the whole corpus. */
-  val qParaDedup: Q = (s, dir) => {
-    val t2 = concat(
-      regexp_replace(
-        regexp_replace(col("text"), lit(" join "),
-          lit("\nshared boilerplate line\n")),
-        lit(" data "), lit("\n")),
-      when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
-        .otherwise(lit("")))
+    * into multi-paragraph docs ([[paraEnrich]]) — identical construction in
+    * the oracle. The boilerplate survives at exactly ONE (doc, position)
+    * across the whole corpus. */
+  val qParaDedup: Q = (s, dir) =>
     Dedup.dedupParagraphs(
-      docs(s, dir).select(col("doc_id"), t2.as("text")), "doc_id", "text")
-  }
+      docs(s, dir).select(col("doc_id"), paraEnrich.as("text")),
+      "doc_id", "text")
 
   /** WITHIN-doc repeated-paragraph removal — zero-shuffle narrow form
     * (`array_distinct` keeps first occurrences in order). Same enrichment
     * as [[qParaDedup]]. */
-  val qParaDedupDoc: Q = (s, dir) => {
-    val t2 = concat(
-      regexp_replace(
-        regexp_replace(col("text"), lit(" join "),
-          lit("\nshared boilerplate line\n")),
-        lit(" data "), lit("\n")),
-      when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
-        .otherwise(lit("")))
+  val qParaDedupDoc: Q = (s, dir) =>
     docs(s, dir).select(col("doc_id"),
-      Dedup.dedupParagraphsInDoc(t2).as("clean_text"))
-  }
+      Dedup.dedupParagraphsInDoc(paraEnrich).as("clean_text"))
 
   /** Incremental dedup of a "new batch" (doc_id % 3 ≠ 0) against the
     * signature index of the "existing corpus" (doc_id % 3 = 0) — rank-based
@@ -378,15 +375,9 @@ object TrainingQueries {
     * exact, so DuckDB replays the WHOLE pipeline and hash-checks the
     * accounting. */
   val qCurateFull: Q = (s, dir) => {
-    val t2 = concat(
-      regexp_replace(
-        regexp_replace(col("text"), lit(" join "),
-          lit("\nshared boilerplate line\n")),
-        lit(" data "), lit("\n")),
-      when(col("doc_id") % 10 === 0, lit("\nshared boilerplate line"))
-        .otherwise(lit("")))
     val cleaned = Dedup.dedupParagraphs(
-      docs(s, dir).select(col("doc_id"), t2.as("text")), "doc_id", "text")
+      docs(s, dir).select(col("doc_id"), paraEnrich.as("text")),
+      "doc_id", "text")
     val withSplit = cleaned.select(col("doc_id"),
       col("clean_text").as("text"),
       Sampling.splitColumn(col("doc_id"),
@@ -597,6 +588,20 @@ object TrainingQueries {
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
+
+  /** DuckDB twin of [[paraEnrich]] — the ONE enrichment definition shared
+    * by the q_para_dedup / q_para_dedup_doc / q_curate_full oracles.
+    * NOTE: embedded into s-interpolated strings whose .stripMargin runs
+    * AFTER interpolation — no line here may begin with `|` (a leading `||`
+    * concat would lose its first pipe), so the operators sit at line ends. */
+  private val paraEnrichSql: String =
+    """SELECT doc_id,
+      |    replace(replace(text, ' join ', chr(10) ||
+      |        'shared boilerplate line' || chr(10)), ' data ', chr(10)) ||
+      |    (CASE WHEN doc_id % 10 = 0
+      |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
+      |      AS text
+      |  FROM documents""".stripMargin
 
   /** DuckDB: distinct char n-gram shingles of text as a list. */
   private def duckShingles(n: Int): String =
@@ -1085,13 +1090,7 @@ object TrainingQueries {
       // so each window partition is homogeneous and the CASE override for
       // ineligible paragraphs never interleaves with ranked ones
       s"""WITH e AS (
-         |  SELECT doc_id,
-         |    replace(replace(text, ' join ', chr(10) ||
-         |        'shared boilerplate line' || chr(10)), ' data ', chr(10))
-         |    || (CASE WHEN doc_id % 10 = 0
-         |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
-         |      AS text
-         |  FROM documents),
+         |  $paraEnrichSql),
          |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM e),
          |occ AS (
          |  SELECT doc_id, unnest([{'pos': i - 1, 'p': ls[i]}
@@ -1116,13 +1115,7 @@ object TrainingQueries {
          |FROM e LEFT JOIN agg a ON e.doc_id = a.doc_id""".stripMargin,
     "q_para_dedup_doc" ->
       s"""WITH e AS (
-         |  SELECT doc_id,
-         |    replace(replace(text, ' join ', chr(10) ||
-         |        'shared boilerplate line' || chr(10)), ' data ', chr(10))
-         |    || (CASE WHEN doc_id % 10 = 0
-         |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
-         |      AS text
-         |  FROM documents),
+         |  $paraEnrichSql),
          |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM e),
          |occ AS (
          |  SELECT doc_id, unnest([{'pos': i - 1, 'p': ls[i]}
@@ -1265,17 +1258,15 @@ object TrainingQueries {
          |  WHERE CAST($est AS DOUBLE) / 6 >= 0.8)
          |SELECT d.doc_id, d.n_chars FROM documents d
          |WHERE d.doc_id < 200 AND d.doc_id % 3 <> 0
+         |  AND length(d.text) >= 5
          |  AND d.doc_id NOT IN (SELECT bd FROM matched)""".stripMargin
+      // length >= 5: a doc with no 5-char shingle never gets a signature
+      // on the Spark side (rankSigsWide's explode drops it), so the batch
+      // frame cannot contain it — the oracle must exclude it too
     },
     "q_curate_full" ->
       s"""WITH e AS (
-         |  SELECT doc_id,
-         |    replace(replace(text, ' join ', chr(10) ||
-         |        'shared boilerplate line' || chr(10)), ' data ', chr(10))
-         |    || (CASE WHEN doc_id % 10 = 0
-         |        THEN chr(10) || 'shared boilerplate line' ELSE '' END)
-         |      AS text
-         |  FROM documents),
+         |  $paraEnrichSql),
          |sp AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM e),
          |occ AS (
          |  SELECT doc_id, unnest([{'pos': i - 1, 'p': ls[i]}

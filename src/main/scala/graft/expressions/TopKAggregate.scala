@@ -115,9 +115,12 @@ case class BoundedTopK(
   }
 
   override def eval(buf: java.util.PriorityQueue[TopKEntry]): Any = {
-    val arr = new Array[TopKEntry](buf.size)
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = buf.poll(); i -= 1 } // drain worst→best
+    // NON-destructive: running-frame window evaluation calls eval on the
+    // SAME buffer once per output row (update…eval…update…eval) — polling
+    // the live queue here would empty it and corrupt every later frame.
+    val arr = buf.toArray(new Array[TopKEntry](buf.size))
+    java.util.Arrays.sort(arr, (a: TopKEntry, b: TopKEntry) =>
+      if (before(a, b)) -1 else if (before(b, a)) 1 else 0) // best first
     new GenericArrayData(arr.map { e =>
       InternalRow(if (e.nullScore) null else e.score, e.id)
     }: Array[Any])

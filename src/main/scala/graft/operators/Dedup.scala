@@ -500,24 +500,38 @@ object Dedup {
     * index is ~1 row per kept doc × bands, written once and reused per
     * batch; the batch is the small side by nature — Catalyst broadcasts it
     * when stats allow. */
+  /** Per-band signature slice used as the candidate-gate join key — the
+    * ONE definition shared by the batch and streaming incremental dedup
+    * (editing the banding in one twin cannot silently diverge the other). */
+  private[graft] def sigBandKey(sig: Column, band: Column,
+                                rowsPerBand: Int): Column =
+    slice(sig, band * rowsPerBand + 1, lit(rowsPerBand))
+
+  /** (band, key) rows of a signature array, one per band. */
+  private[graft] def sigBanded(sig: Column, numBands: Int,
+                               rowsPerBand: Int): Column =
+    explode(transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"), sigBandKey(sig, b, rowsPerBand).as("key"))))
+
+  /** Fraction of agreeing signature components — the MinHash Jaccard
+    * estimate. Shared by the batch and streaming twins. */
+  private[graft] def sigAgreement(a: Column, b: Column,
+                                  numHashes: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
                         sigCol: String, numHashes: Int, rowsPerBand: Int,
                         minAgree: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
     def banded(df: DataFrame, outId: String, outSig: String): DataFrame =
       df.select(col(idCol).as(outId), col(sigCol).as(outSig),
-        explode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => struct(b.as("band"),
-            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))
-              .as("key")))).as("e"))
+        sigBanded(col(sigCol), numBands, rowsPerBand).as("e"))
         .select(col(outId), col(outSig), col("e.band"), col("e.key"))
-    val agree = aggregate(
-      zip_with(col("__bsig"), col("__isig"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
     val matched = banded(batch, "__bid", "__bsig")
       .join(banded(index, "__iid", "__isig"), Seq("band", "key"))
-      .where(agree >= minAgree)
+      .where(sigAgreement(col("__bsig"), col("__isig"), numHashes)
+        >= minAgree)
       .select(col("__bid").as(idCol)).distinct()
     batch.join(matched, Seq(idCol), "left_anti")
   }

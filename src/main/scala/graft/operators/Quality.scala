@@ -34,8 +34,9 @@ object Quality {
     val vocab = toks.groupBy(col("__tok"))
       .agg(count(lit(1)).as("__c"))
     // the corpus total is ONE row — stays in-plan via a broadcast cross
-    // join, no driver round-trip
-    val total = toks.agg(count(lit(1)).cast("double").as("__T"))
+    // join, no driver round-trip; summed from the (tiny) vocab aggregate
+    // rather than a third full tokenize-and-scan of the corpus
+    val total = vocab.agg(sum(col("__c")).cast("double").as("__T"))
     toks.join(vocab, Seq("__tok"))
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))

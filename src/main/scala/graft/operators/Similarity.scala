@@ -25,7 +25,9 @@ object Similarity {
     * state per query with map-side partial aggregation, so the shuffle
     * carries ≤ queries×k rows no matter how large the candidate set is —
     * the load-bearing difference at 100 TB. Result-identical to the window
-    * form (spec-checked, incl. NULL scores and score ties). */
+    * form (spec-checked, incl. NULL scores and score ties). Contract: a
+    * NULL neighbor_id is not rankable and is skipped by BOTH forms (the
+    * aggregate cannot represent it; the window twin filters it). */
   private[graft] def topKPerQuery(scored: DataFrame, k: Int,
                                   scoreCol: String): DataFrame =
     scored.groupBy(col("query_id"))
@@ -41,7 +43,8 @@ object Similarity {
                                         scoreCol: String): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col(scoreCol).desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.where(col("neighbor_id").isNotNull) // match the aggregate form
+      .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col(scoreCol))

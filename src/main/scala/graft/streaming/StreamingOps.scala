@@ -64,10 +64,8 @@ object StreamingOps {
                      candCap: Int = 1024): DataFrame = {
     val numBands = numHashes / rowsPerBand
     index.select(col(sigCol).as("__sig"),
-        explode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => struct(b.as("band"),
-            slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))
-              .as("key")))).as("e"))
+        graft.operators.Dedup
+          .sigBanded(col(sigCol), numBands, rowsPerBand).as("e"))
       .select(col("__sig"), col("e.band"), col("e.key"))
       .groupBy(col("band"), col("key"))
       .agg(slice(array_sort(collect_list(col("__sig"))), 1, candCap)
@@ -91,14 +89,12 @@ object StreamingOps {
       val bt = bandTable.where(col("band") === b)
         .select(col("key").as(s"__k$b"), col("cands").as(s"__c$b"))
       df.join(bt,
-        slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)
+        graft.operators.Dedup.sigBandKey(col(sigCol), lit(b), rowsPerBand)
           === col(s"__k$b"), "left")
     }
     val matchAny = (0 until numBands).map { b =>
       coalesce(exists(col(s"__c$b"), c =>
-        aggregate(zip_with(col(sigCol), c,
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes
+        graft.operators.Dedup.sigAgreement(col(sigCol), c, numHashes)
           >= minAgree), lit(false))
     }.reduce[org.apache.spark.sql.Column](_ || _)
     joined.where(!matchAny)

@@ -93,6 +93,17 @@ class NativeExprSpec extends SparkSpec {
       .selectExpr("transform(t, x -> x.id) AS ids")
       .as[Seq[Long]].collect()(0)
     assert(tk == Seq(30L, 20L))
+    // RUNNING-frame window use: eval runs on the SAME buffer once per
+    // output row — a destructive eval (draining the heap) returned only
+    // the rows added since the previous frame
+    val run = spark.sql(
+      """SELECT t, transform(graft_topk_by(s, i, 2) OVER (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  x -> x.id) AS ids
+        |FROM VALUES (1, 5.0D, 1L), (2, 3.0D, 2L), (3, 4.0D, 3L)
+        |  AS tab(t, s, i) ORDER BY t""".stripMargin)
+      .select($"ids").as[Seq[Long]].collect().toSeq
+    assert(run == Seq(Seq(1L), Seq(1L, 2L), Seq(1L, 3L)))
   }
 
   test("dot_f null array → null; empty arrays → 0.0") {

@@ -624,11 +624,15 @@ class TrainingOpsSpec extends SparkSpec {
     // (rank last, by id), a group with fewer than k candidates, NaN and
     // ±0.0 (Spark ordering: NaN largest, -0.0 == 0.0).
     val scored = Seq(
-      (1L, 10L, Some(0.9)), (1L, 11L, Some(0.9)), (1L, 12L, Some(0.95)),
-      (1L, 13L, None), (1L, 14L, Some(0.1)), (1L, 15L, None),
-      (2L, 20L, None), (2L, 21L, Some(Double.NaN)), (2L, 22L, Some(1.0)),
-      (3L, 30L, Some(-0.0)), (3L, 31L, Some(0.0)),
-      (4L, 40L, Some(0.5))
+      (1L, Some(10L), Some(0.9)), (1L, Some(11L), Some(0.9)),
+      (1L, Some(12L), Some(0.95)),
+      (1L, Some(13L), None), (1L, Some(14L), Some(0.1)),
+      (1L, Some(15L), None),
+      (2L, Some(20L), None), (2L, Some(21L), Some(Double.NaN)),
+      (2L, Some(22L), Some(1.0)),
+      (3L, Some(30L), Some(-0.0)), (3L, Some(31L), Some(0.0)),
+      (4L, Some(40L), Some(0.5)),
+      (5L, Option.empty[Long], Some(0.9)) // NULL id: skipped by contract
     ).toDF("query_id", "neighbor_id", "sim")
     for (k <- Seq(1, 3, 10)) {
       val agg = Similarity.topKPerQuery(scored, k, "sim")
