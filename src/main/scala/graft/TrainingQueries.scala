@@ -322,6 +322,20 @@ object TrainingQueries {
       TextFunctions.ipv4Count(col("t2")).as("n_ip"))
   }
 
+  /** Gopher repetition signals: top/duplicated word-n-gram character
+    * fractions for n ∈ {2, 3} (native one-pass kernel; the max is over
+    * count×chars products so no tie-break is needed — deterministic and
+    * SQL-replayable). */
+  val qNgramRepetition: Q = (s, dir) => {
+    val b = graft.expressions.native.ngram_repetition(col("text"), 2)
+    val t = graft.expressions.native.ngram_repetition(col("text"), 3)
+    docs(s, dir).select(col("doc_id"),
+      roundSafe(b.getField("top_frac"), 4).as("top2"),
+      roundSafe(b.getField("dup_frac"), 4).as("dup2"),
+      roundSafe(t.getField("top_frac"), 4).as("top3"),
+      roundSafe(t.getField("dup_frac"), 4).as("dup3"))
+  }
+
   /** The ONE multi-paragraph enrichment shared by qParaDedup,
     * qParaDedupDoc, and qCurateFull (their oracles replay [[paraEnrichSql]]
     * — a single definition per side so the three queries cannot drift):
@@ -585,6 +599,7 @@ object TrainingQueries {
     "q_unigram_lp" -> qUnigramLp,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_curate_full" -> qCurateFull,
+    "q_ngram_repetition" -> qNgramRepetition,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1309,5 +1324,43 @@ object TrainingQueries {
          |  CAST(sum(least((chunk_id + 1) * 256, strt + n_tokens)
          |    - greatest(chunk_id * 256, strt)) AS BIGINT) AS n_tokens
          |FROM x GROUP BY split""".stripMargin,
+    "q_ngram_repetition" -> {
+      def gramAgg(n: Int, tag: String) =
+        s"""g$tag AS (
+           |  SELECT doc_id, unnest([array_to_string(ws[i:i+${n - 1}], ' ')
+           |    for i in range(1, greatest(len(ws) - ${n - 1}, 0) + 1)])
+           |    AS gram
+           |  FROM t),
+           |c$tag AS (
+           |  SELECT doc_id, gram, count(*) AS c,
+           |    length(gram) - ${n - 1} AS chars
+           |  FROM g$tag GROUP BY doc_id, gram),
+           |a$tag AS (
+           |  SELECT doc_id, max(c * chars) AS top,
+           |    sum(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS dup
+           |  FROM c$tag GROUP BY doc_id)""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |tot AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(ws,
+         |    w -> length(w))) AS DOUBLE) AS total
+         |  FROM t),
+         |${gramAgg(2, "2")},
+         |${gramAgg(3, "3")}
+         |SELECT t.doc_id,
+         |  round(coalesce(a2.top / nullif(tot.total, 0), 0) + 1e-9, 4)
+         |    AS top2,
+         |  round(coalesce(a2.dup / nullif(tot.total, 0), 0) + 1e-9, 4)
+         |    AS dup2,
+         |  round(coalesce(a3.top / nullif(tot.total, 0), 0) + 1e-9, 4)
+         |    AS top3,
+         |  round(coalesce(a3.dup / nullif(tot.total, 0), 0) + 1e-9, 4)
+         |    AS dup3
+         |FROM t
+         |JOIN tot ON t.doc_id = tot.doc_id
+         |LEFT JOIN a2 ON t.doc_id = a2.doc_id
+         |LEFT JOIN a3 ON t.doc_id = a3.doc_id""".stripMargin
+    },
   )
 }

@@ -38,6 +38,8 @@ object native {
   def topk_by(score: Column, id: Column, k: Int): Column =
     EU.column(BoundedTopK(EU.expression(score), EU.expression(id), k)
       .toAggregateExpression())
+  def ngram_repetition(text: Column, n: Int): Column =
+    EU.column(TextNGramRepetition(EU.expression(text), n))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in
@@ -450,6 +452,76 @@ case class PqEncodeArray(child: Expression,
     nullSafeCodeGen(ctx, ev, c =>
       s"""if ($c.numElements() < ${m * sub}) { ${ev.isNull} = true; }
          |else { ${ev.value} = $ref.kernel($c); }""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Gopher-style word-n-gram repetition signals (public technique — Rae et
+  * al. 2021 §A1.1): per document,
+  *   top_frac = max over n-grams of count × charLen / totalTokenChars
+  *   dup_frac = Σ over n-grams with count ≥ 2 of count × charLen / total
+  * where charLen is the n-gram's token characters (no separator spaces)
+  * and totalTokenChars the document's. `max(count × charLen)` needs no
+  * tie-break — the PRODUCT is maximized, so the definition is
+  * deterministic and replayable in plain SQL (group by gram string).
+  * Tokenization matches [[TextTokenNGrams]] (trim, `\\s+` split). Docs
+  * with fewer than n tokens or zero token chars score (0, 0). One counting
+  * pass per row (hash map of gram → count) vs an O(g²) HOF formulation. */
+case class TextNGramRepetition(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_repetition expects a string, got $other")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_frac", DoubleType, nullable = false),
+    StructField("dup_frac", DoubleType, nullable = false)))
+
+  def kernel(u: UTF8String): InternalRow = {
+    val toks = u.trim().toString.split("\\s+", -1)
+    var total = 0L
+    var i = 0
+    while (i < toks.length) { total += toks(i).length; i += 1 }
+    if (toks.length < n || total == 0L) return InternalRow(0.0, 0.0)
+    // char length of gram starting at i = prefix(i+n) - prefix(i)
+    val prefix = new Array[Long](toks.length + 1)
+    i = 0
+    while (i < toks.length) {
+      prefix(i + 1) = prefix(i) + toks(i).length; i += 1 }
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      val chars = prefix(i + n) - prefix(i)
+      val cell = counts.computeIfAbsent(sb.toString, _ => Array(0L, chars))
+      cell(0) += 1
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cell = it.next()
+      val covered = cell(0) * cell(1)
+      if (covered > top) top = covered
+      if (cell(0) >= 2) dup += covered
+    }
+    InternalRow(top.toDouble / total, dup.toDouble / total)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramRepetition", this,
+      classOf[TextNGramRepetition].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -106,6 +106,28 @@ class NativeExprSpec extends SparkSpec {
     assert(run == Seq(Seq(1L), Seq(1L, 2L), Seq(1L, 3L)))
   }
 
+  test("ngram_repetition: closed-form fractions, degenerate docs score 0") {
+    import graft.expressions.native
+    val df = Seq(
+      // tokens: a b a b a → bigrams "a b"×2 (4 chars covered), "b a"×2 (4)
+      // total chars 5; top = max(2·2, 2·2)=4/5; dup = (4+4)/5
+      (1L, "a b a b a"),
+      (2L, "xyz"),    // single token → (0, 0)
+      (3L, ""),       // empty → (0, 0)
+      (4L, "aa bb cc")// all unique bigrams: top = 1·4/6, dup = 0
+    ).toDF("id", "text")
+    val r = df.select($"id", native.ngram_repetition($"text", 2).as("r"))
+      .select($"id", $"r.top_frac", $"r.dup_frac")
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, t, d) =>
+        id -> (math.rint(t * 1e6) / 1e6, math.rint(d * 1e6) / 1e6) }
+      .toMap
+    assert(r(1L) == ((0.8, 1.6)))
+    assert(r(2L) == ((0.0, 0.0)))
+    assert(r(3L) == ((0.0, 0.0)))
+    assert(r(4L) == ((math.rint(4.0 / 6 * 1e6) / 1e6, 0.0)))
+  }
+
   test("dot_f null array → null; empty arrays → 0.0") {
     val df = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]]),
       (Some(Seq.empty[Float]), Some(Seq.empty[Float])))
