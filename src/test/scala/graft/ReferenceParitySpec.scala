@@ -368,4 +368,55 @@ class ReferenceParitySpec extends SparkSpec {
       NestedOps.sortValues(packed, Seq(("a", true), ("nested.c", true)))
     }
   }
+
+  test("query: scientific-notation constants (ref test_scientific_notation)") {
+    val df = Seq((0L, 1.0), (1L, 1e-2), (2L, 3.0)).toDF("key", "a")
+    val sel = NestedExpr.query(df, "a > 1e-1")
+    assert(sel.select($"key").as[Long].collect().toSet == Set(0L, 2L))
+    // negative exponent with explicit sign inside a compound predicate
+    assert(NestedExpr.query(df, "a > 1e-1 and a < 1E1").count() == 2)
+  }
+
+  test("query: non-identifier column names (ref GH#174/GH#176)") {
+    val b = Seq((0L, 1, 2), (1L, 2, 4), (2L, 3, 6))
+      .toDF("key", "dog", "good dog")
+    val n = Seq((0L, 0, 5), (0L, 2, 4), (0L, 4, 7), (1L, 1, 5), (1L, 4, 3),
+      (1L, 3, 1), (2L, 1, 9), (2L, 4, 3), (2L, 1, 4))
+      .toDF("key", "n/a", "n/b")
+    val f = b.joinNested(n, Seq("key"), "bad dog")
+    // base filter on a space-named column
+    assert(NestedExpr.query(f, "`good dog` > 3").count() == 2)
+    // element filter on a backticked nest with a slash-named subfield:
+    // rows kept, elements pruned to the 4 passing ones (ref nest size 4)
+    val nf4 = NestedExpr.query(f, "`bad dog`.`n/a` > 2")
+    assert(nf4.count() == 3)
+    assert(nf4.select(explode(col("bad dog"))).count() == 4)
+  }
+
+  test("empty-frame reshaping: join, split, list assignment (ref trio)") {
+    // join_nested on empty base × empty child (ref test_join_nested_for_empty_df)
+    val eb = Seq.empty[(Long, Double)].toDF("key", "a")
+    val ec = Seq.empty[(Long, Double)].toDF("key", "c")
+    val joined = NestedOps.joinNested(eb, ec, Seq("key"), "nested")
+    assert(joined.columns.contains("nested") && joined.count() == 0)
+    assert(joined.select(explode(col("nested"))).count() == 0)
+    // split with explicit values on an empty frame keeps the split columns
+    // (ref test_split_empty_frame)
+    val emptyNf = nf.where(lit(false))
+    val split = NestedOps.splitNested(emptyNf, "nested", "c",
+      values = Seq("1", "2"), dropSource = false)
+    assert(split.columns.toSet.intersect(Set("nested_1", "nested_2")).size == 2)
+    assert(split.count() == 0)
+    // drop_nested honored on the empty frame
+    val dropped = NestedOps.splitNested(emptyNf, "nested", "c",
+      values = Seq("1"), dropSource = true)
+    assert(!dropped.columns.contains("nested") &&
+      dropped.columns.contains("nested_1"))
+    // assignment into a nested field of an empty frame (ref test_issue235)
+    val assigned = NestedOps.withNestedField(emptyNf, "nested", "x",
+      s => s.getField("c") * 2)
+    assert(assigned.count() == 0 &&
+      assigned.select(col("nested")).schema.head.dataType.simpleString
+        .contains("x"))
+  }
 }
