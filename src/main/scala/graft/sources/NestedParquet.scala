@@ -37,17 +37,27 @@ object NestedParquet {
     * (array-of-struct) columns — the `from_pyarrow` auto-cast
     * (io.py:498-572). Columns named in `rejectNesting` keep their on-disk
     * struct-of-list shape (the reference's `reject_nesting` opt-out,
-    * io.py:93-101). */
+    * io.py:93-101). With `autocastList` (the reference's
+    * `autocast_list=True`, io.py:120-131), a plain `array<primitive>`
+    * column also becomes a single-field nest named after itself, so
+    * list-typed raw data joins the nested data model without a rewrite. */
   def readCompat(spark: SparkSession, path: String,
-                 rejectNesting: Seq[String] = Nil): DataFrame = {
+                 rejectNesting: Seq[String] = Nil,
+                 autocastList: Boolean = false): DataFrame = {
     val raw = spark.read.parquet(path)
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
-        case s: StructType if isStructOfList(f.dataType) &&
+        case _: StructType if isStructOfList(f.dataType) &&
             !rejectNesting.contains(f.name) =>
+          val s = f.dataType.asInstanceOf[StructType]
           val zipped = arrays_zip(
             s.fieldNames.toSeq.map(n => col(s"${f.name}.$n").as(n)): _*)
           df.withColumn(f.name, zipped)
+        case ArrayType(et, _) if autocastList &&
+            !et.isInstanceOf[StructType] && !et.isInstanceOf[ArrayType] &&
+            !rejectNesting.contains(f.name) =>
+          df.withColumn(f.name,
+            transform(col(f.name), x => struct(x.as(f.name))))
         case _ => df
       }
     }

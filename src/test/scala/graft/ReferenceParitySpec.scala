@@ -419,4 +419,70 @@ class ReferenceParitySpec extends SparkSpec {
       assigned.select(col("nested")).schema.head.dataType.simpleString
         .contains("x"))
   }
+
+  test("io: empty parquet roundtrip + partial load (ref test_read_empty_parquet)") {
+    import graft.sources.NestedParquet
+    val dir = java.nio.file.Files.createTempDirectory("emptypq").toString
+    val empty = NestedParquet.generateData(spark, 2, 3).where(lit(false))
+    empty.write.mode("overwrite").parquet(s"$dir/e")
+    val back = spark.read.parquet(s"$dir/e")
+    assert(back.count() == 0 && back.columns.toSet ==
+      Set("id", "a", "b", "nested"))
+    val partial = NestedParquet.selectColumns(back,
+      Seq("a", "nested.flux", "nested.band"))
+    assert(partial.columns.toSeq == Seq("a", "nested"))
+    assert(partial.select(col("nested")).schema.head.dataType.simpleString
+      == "array<struct<flux:double,band:string>>")
+    assert(partial.count() == 0)
+  }
+
+  test("io: autocast_list turns plain list columns into single-field nests") {
+    import graft.sources.NestedParquet
+    val dir = java.nio.file.Files.createTempDirectory("listpq").toString
+    Seq(("cat", 1, Seq(1, 2, 3), Seq(10, 20, 30)),
+        ("dog", 2, Seq(4, 5, 6), Seq(40, 50, 60)),
+        ("bird", 3, Seq(7, 8, 9), Seq(70, 80, 90)))
+      .toDF("a", "b", "c", "d").write.mode("overwrite").parquet(s"$dir/l")
+    val nf = NestedParquet.readCompat(spark, s"$dir/l", autocastList = true)
+    assert(NestedOps.nestedColumns(nf).toSet == Set("c", "d"))
+    assert(NestedOps.subColumns(nf, "c") == Seq("c"))
+    assert(nf.select(explode(col("c.c"))).count() == 9)
+    assert(nf.select(explode(col("d.d"))).count() == 9)
+    // opt-out leaves the raw list; plain scalars never autocast
+    val raw = NestedParquet.readCompat(spark, s"$dir/l",
+      rejectNesting = Seq("d"), autocastList = true)
+    assert(NestedOps.nestedColumns(raw).toSet == Set("c"))
+  }
+
+  test("io: partial load keeps only the pruned nest (ref issue-428)") {
+    import graft.sources.NestedParquet
+    val dir = java.nio.file.Files.createTempDirectory("i428").toString
+    NestedParquet.generateData(spark, 10, 3)
+      .write.mode("overwrite").parquet(s"$dir/d")
+    val nf = NestedParquet.selectColumns(
+      spark.read.parquet(s"$dir/d"), Seq("nested.t"))
+    assert(nf.columns.toSeq == Seq("nested"))
+    assert(nf.select(col("nested")).schema.head.dataType.simpleString
+      == "array<struct<t:double>>")
+    assert(nf.count() == 10)
+  }
+
+  test("io: reference fixed-size-list parquet reads as nested columns") {
+    // the reference's own binary fixtures (fixed-size arrow lists): Spark's
+    // parquet reader maps FIXED_LEN list encodings to ordinary arrays, so
+    // the nested data model applies unchanged (ref
+    // test_read_parquet_with_fixed_length_{struct_list,list_struct})
+    val fls = spark.read.parquet(
+      "/root/reference/tests/fixed_size_list_data/fixed-size-list-struct.parquet")
+    assert(fls.count() == 5 && fls.columns.length == 3)
+    assert(NestedOps.nestedColumns(fls).contains("fixed_nested"))
+    // mmu-desi stores spectrum as struct-of-FIXED-size-lists — the
+    // reference's on-disk encoding with arrow fixed_size_list leaves;
+    // readCompat transposes it to a nested column like any struct-of-list
+    val mmu = graft.sources.NestedParquet.readCompat(spark,
+      "/root/reference/tests/fixed_size_list_data/mmu-desi.parquet")
+    assert(mmu.count() == 2 && mmu.columns.length == 18)
+    assert(NestedOps.nestedColumns(mmu).contains("spectrum"))
+    assert(mmu.select(explode(col("spectrum"))).count() == 2 * 7781)
+  }
 }
