@@ -501,11 +501,17 @@ object NestedOps {
         s"Field '$innerField' of '$nest' is not array<struct>: $other")
     }
     val innerFields = innerStruct.fieldNames.toSeq
+    // A NULL inner list must behave as EMPTY (contribute no rows), not
+    // poison the cell: Spark's flatten returns NULL when ANY element is
+    // null, so the per-outer-element null arrays are filtered out first
+    // (reference parity: to_flatten_inner on frames with missing inner
+    // nests, accessor.py to_flatten_inner / test_to_flatten_inner_none_nested).
     df.withColumn(nest,
-      flatten(transform(col(nest), o =>
+      flatten(filter(transform(col(nest), o =>
         transform(o.getField(innerField), i =>
           struct(outerFields.map(f => o.getField(f).as(f)) ++
-                 innerFields.map(f => i.getField(f).as(f)): _*)))))
+                 innerFields.map(f => i.getField(f).as(f)): _*))),
+        x => x.isNotNull)))
   }
 
   // ---------------------------------------------------------------------------

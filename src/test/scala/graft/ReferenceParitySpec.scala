@@ -420,6 +420,32 @@ class ReferenceParitySpec extends SparkSpec {
         .contains("x"))
   }
 
+  test("double nesting: to_flat keeps inner nests; flatten_inner edge cases") {
+    // outer rows each carry an inner nested column (ref
+    // test_to_flat_multiple_nesting / to_flatten_inner_{empty_inner,none_nested})
+    val inner = Seq((0L, 1.0), (0L, 2.0), (1L, 3.0)).toDF("id", "t")
+    val mid = Seq((0L, 10), (1L, 20), (2L, 30), (3L, 40)).toDF("id", "x")
+      .joinNested(inner, Seq("id"), "inner") // ids 2,3: empty inner
+    // make id 3's inner NULL (a missing inner nest, not just empty)
+    val midNull = mid.withColumn("inner",
+      when($"id" === 3L, lit(null)).otherwise($"inner"))
+    val outer = NestedOps.packFlat(
+      midNull.withColumn("grp", $"id" % 2), Seq("grp"), "outer")
+    // to_flat keeps the inner nested column as an ordinary array field
+    val flat = outer.toFlat("outer", baseCols = Seq("grp"))
+    assert(flat.count() == 4)
+    assert(flat.schema("inner").dataType.simpleString
+      .startsWith("array<struct<t:double"))
+    // flatten_inner: empty inner contributes nothing; NULL inner behaves
+    // as empty instead of poisoning the whole outer cell
+    val flattened = NestedOps.flattenInner(outer, "outer", "inner")
+    val rows = flattened.select($"grp",
+        expr("transform(outer, e -> e.t)").as("ts"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(rows(0L) == Seq(1.0, 2.0)) // id 0 (2 els) + id 2 (empty)
+    assert(rows(1L) == Seq(3.0))      // id 1 (1 el) + id 3 (NULL inner)
+  }
+
   test("io: empty parquet roundtrip + partial load (ref test_read_empty_parquet)") {
     import graft.sources.NestedParquet
     val dir = java.nio.file.Files.createTempDirectory("emptypq").toString
