@@ -43,7 +43,8 @@ object NestedParquet {
     * list-typed raw data joins the nested data model without a rewrite. */
   def readCompat(spark: SparkSession, path: String,
                  rejectNesting: Seq[String] = Nil,
-                 autocastList: Boolean = false): DataFrame = {
+                 autocastList: Boolean = false,
+                 validate: Boolean = false): DataFrame = {
     val raw = spark.read.parquet(path)
     raw.schema.fields.foldLeft(raw) { (df, f) =>
       f.dataType match {
@@ -52,7 +53,20 @@ object NestedParquet {
           val s = f.dataType.asInstanceOf[StructType]
           val zipped = arrays_zip(
             s.fieldNames.toSeq.map(n => col(s"${f.name}.$n").as(n)): _*)
-          df.withColumn(f.name, zipped)
+          // validate: a struct-of-list whose field lists disagree in length
+          // is NOT a valid nested encoding — the reference raises on read
+          // (io.py "not nestable" cast failure); without the check
+          // arrays_zip silently null-pads to the longest list
+          val guarded = if (!validate) zipped else {
+            val sizes = s.fieldNames.toSeq
+              .map(n => size(col(s"${f.name}.$n")))
+            val ragged = sizes.tail.map(_ =!= sizes.head)
+              .reduceOption(_ || _).getOrElse(lit(false))
+            when(ragged, raise_error(concat(
+              lit(s"Column '${f.name}' is not nestable: "),
+              lit("field lists have mismatched lengths")))).otherwise(zipped)
+          }
+          df.withColumn(f.name, guarded)
         case ArrayType(et, _) if autocastList &&
             !et.isInstanceOf[StructType] && !et.isInstanceOf[ArrayType] &&
             !rejectNesting.contains(f.name) =>

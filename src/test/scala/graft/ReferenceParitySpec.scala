@@ -446,6 +446,35 @@ class ReferenceParitySpec extends SparkSpec {
     assert(rows(1L) == Seq(3.0))      // id 1 (1 el) + id 3 (NULL inner)
   }
 
+  test("io: reference ZTF fixture end-to-end — transpose + inner flatten") {
+    import graft.sources.NestedParquet
+    // real doubly-nested astronomy data from the reference's test fixtures:
+    // ztf is struct-of-list whose lc field is list<list<struct>> — after
+    // transpose it is a nested column whose elements carry an INNER nest
+    val nf = NestedParquet.readCompat(spark,
+      "/root/reference/tests/test_data/vsx-x-ztfdr22_lc-m31.parquet")
+    assert(NestedOps.nestedColumns(nf).contains("ztf"))
+    assert(NestedOps.subColumns(nf, "ztf").contains("lc"))
+    // the fixture's single row has an entirely-NULL ztf nest — THE
+    // "none_nested" case: the NULL cell must survive the transpose and
+    // flatten_inner must pass it through without error
+    assert(nf.count() == 1)
+    assert(nf.where(col("ztf").isNull).count() == 1)
+    val flat = NestedOps.flattenInner(nf, "ztf", "lc")
+    assert(flat.count() == 1 && flat.where(col("ztf").isNull).count() == 1)
+    // the reference's two-nest fixture transposes BOTH columns
+    val two = NestedParquet.readCompat(spark,
+      "/root/reference/tests/test_data/nested.parquet")
+    assert(NestedOps.nestedColumns(two).toSet == Set("nested", "lincc"))
+    // ragged struct-of-list raises under validate (ref not_nestable cast failure)
+    val bad = NestedParquet.readCompat(spark,
+      "/root/reference/tests/test_data/not_nestable.parquet",
+      validate = true)
+    val e = intercept[Exception] { bad.collect() }
+    assert(e.getMessage.contains("not nestable") ||
+      Option(e.getCause).exists(_.getMessage.contains("not nestable")))
+  }
+
   test("io: empty parquet roundtrip + partial load (ref test_read_empty_parquet)") {
     import graft.sources.NestedParquet
     val dir = java.nio.file.Files.createTempDirectory("emptypq").toString
