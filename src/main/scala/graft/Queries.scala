@@ -318,6 +318,25 @@ object Queries {
         count(lit(1)).as("n_events"))
   }
 
+  /** As-of join (backward): each click matched to the user's latest
+    * purchase at or before it — the union-sweep plan of
+    * [[graft.operators.Joins.asofJoin]] (one keyed shuffle, one ordered
+    * window, no range-join pair blow-up). Oracle: DuckDB's native
+    * ASOF LEFT JOIN — an INDEPENDENT implementation of the semantics. */
+  val qAsofJoin: Q = (s, dir) => {
+    val ev = rd(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
+        rightTieBreak = Seq("p_event_id"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000000").as("ms"),
+        col("p_event_id"), col("p_value"))
+  }
+
   // ---------------------------------------------------------------------------
   // map_rows / IO / reshape extensions
   // ---------------------------------------------------------------------------
@@ -423,6 +442,7 @@ object Queries {
   // ---------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_asof_join" -> qAsofJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
     "q_join_nested" -> qJoinNested,
@@ -453,6 +473,14 @@ object Queries {
   ) ++ TrainingQueries.all ++ SurfaceQueries.all
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        | r.event_id AS p_event_id, r.value AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "q_pack_salted" ->
       """SELECT l_orderkey AS orderkey, count(*) AS n_items,
         | round(sum(l_quantity), 2) AS sum_qty

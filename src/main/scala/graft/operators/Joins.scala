@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-series joins Spark lacks as built-ins, expressed in the shapes
+  * that survive 100 TB.
+  *
+  * [[asofJoin]] deliberately avoids the naive range-join formulation
+  * (`l JOIN r ON l.key = r.key AND r.ts <= l.ts` + max-per-pair), which
+  * materializes every (left, earlier-right) pair — quadratic per key —
+  * before aggregating it back down. Instead both sides are UNIONED and
+  * swept once per key in time order: one shuffle on the key, one ordered
+  * window, linear work, no pair blow-up. This is the standard distributed
+  * as-of plan (what a MERGE_ASOF does on sorted partitions).
+  */
+object Joins {
+
+  /** Backward (latest right row with `r.ts <= l.ts`, per key) as-of join.
+    * Emits every left row with the matched right payload columns (NULL
+    * when no right row precedes it). Right columns keep their names with
+    * an optional `rightPrefix`. Ties (equal ts): the right row at the
+    * same timestamp DOES match — DuckDB/pandas `ASOF JOIN` semantics.
+    * Among equal-ts right rows the last by `rightTieBreak` ordering wins
+    * deterministically. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightPrefix: String = "",
+               rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val rightPayload = right.columns.filterNot(c =>
+      c == keyCol || c == tsCol).toSeq
+    val leftCols = left.columns.toSeq
+    // one struct per right row, ordered-window-swept below; tie-break
+    // fields order equal-ts right rows inside the last() (the struct's
+    // leading ts field keeps later rows last under the window order)
+    val rStruct = struct((Seq(col(tsCol).as("__rts")) ++
+      rightTieBreak.map(c => col(c).as(s"__tb_$c")) ++
+      rightPayload.map(c => col(c).as(c))): _*)
+    val rType = org.apache.spark.sql.types.StructType(
+      (Seq(org.apache.spark.sql.types
+        .StructField("__rts", right.schema(tsCol).dataType)) ++
+       rightTieBreak.map(c => org.apache.spark.sql.types
+         .StructField(s"__tb_$c", right.schema(c).dataType)) ++
+       rightPayload.map(c => org.apache.spark.sql.types
+         .StructField(c, right.schema(c).dataType))))
+    val l = left.select(
+      (leftCols.map(col) :+ lit(1).as("__side") :+
+        lit(null).cast(rType).as("__r")): _*)
+    val r = right.select(
+      (leftCols.map(c => if (c == keyCol || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("__side") :+ rStruct.as("__r")): _*)
+    // right rows sort BEFORE left rows at the same ts (side 0 < 1), so an
+    // equal-ts right row is visible to the left row — inclusive semantics;
+    // among equal-ts rights, tie-break fields inside __r make last() pick
+    // the max deterministically only if ordered — so order by __r itself
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+    swept.where(col("__side") === 1)
+      .select((leftCols.map(col) :+
+        col("__match").as("__m")): _*)
+      .select((leftCols.map(col) ++
+        rightPayload.map(c =>
+          col(s"__m.$c").as(s"$rightPrefix$c"))): _*)
+  }
+}

@@ -503,6 +503,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(g(4L) == ("", 1L, 0L)) // "" is exempt → kept, nothing dropped
   }
 
+  test("asofJoin: backward inclusive match, ties, no-match nulls") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L),
+      (4L, 30L, 500L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 100L, 11L, 1.0),  // same ts as left 1 → inclusive match
+      (10L, 200L, 12L, 2.0),
+      (10L, 200L, 13L, 3.0),  // tie at ts=200: max p_event_id wins
+      (20L, 60L, 14L, 4.0)    // after left 3 → no match for user 20
+    ).toDF("user_id", "ts", "p_event_id", "p_value")
+    val out = operators.Joins.asofJoin(left, right, "user_id", "ts",
+        rightTieBreak = Seq("p_event_id"))
+      .orderBy("event_id")
+      .select("event_id", "p_event_id", "p_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(11L), Some(1.0)),  // ts 100 matches right at exactly 100
+      (2L, Some(13L), Some(3.0)),  // ts 250 → latest ≤ is the tie at 200
+      (3L, None, None),            // user 20: only right is LATER
+      (4L, None, None)))           // user 30: no right rows at all
+  }
+
   test("writeShards: shard directories, no cross-shard files, roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
