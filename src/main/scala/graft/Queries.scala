@@ -337,6 +337,26 @@ object Queries {
         col("p_event_id"), col("p_value"))
   }
 
+  /** Banded interval join: purchases within 7 days at-or-after each signup
+    * (per user). The band trick turns the inequality join into an
+    * equi-join on (key, band) + residual filter; DuckDB replays the plain
+    * inequality join as the independent oracle. */
+  val qRangeJoin: Q = (s, dir) => {
+    val weekNs = 7L * 24 * 3600 * 1000000000L
+    val ev = rd(s, dir, "events")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.Joins.rangeJoin(signups, purchases, "user_id", "ts",
+        windowLen = weekNs)
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000000").as("ms"),
+        col("r_event_id").as("p_event_id"),
+        expr("r_ts DIV 1000000").as("p_ms"),
+        col("r_value").as("p_value"))
+  }
+
   // ---------------------------------------------------------------------------
   // map_rows / IO / reshape extensions
   // ---------------------------------------------------------------------------
@@ -443,6 +463,7 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "q_asof_join" -> qAsofJoin,
+    "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
     "q_join_nested" -> qJoinNested,
@@ -481,6 +502,17 @@ object Queries {
         |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
         |      WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_range_join" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        | r.event_id AS p_event_id, epoch_ms(r.ts) AS p_ms,
+        | r.value AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'signup') l
+        |JOIN (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts >= l.ts
+        |    AND epoch_ns(r.ts) < epoch_ns(l.ts)
+        |      + CAST(604800 AS BIGINT) * 1000000000""".stripMargin,
     "q_pack_salted" ->
       """SELECT l_orderkey AS orderkey, count(*) AS n_items,
         | round(sum(l_quantity), 2) AS sum_qty

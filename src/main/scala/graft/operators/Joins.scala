@@ -17,6 +17,36 @@ import org.apache.spark.sql.expressions.Window
   */
 object Joins {
 
+  /** Bounded interval (range) join: all right rows with
+    * `l.ts <= r.ts < l.ts + windowLen` per key — "events within Δ after
+    * each anchor". The naive `ON key AND r.ts BETWEEN …` plan is a
+    * BroadcastNestedLoop or a per-key cross; this BANDS time into
+    * `windowLen`-sized buckets and duplicates each right row into its band
+    * and the preceding one (an interval of length Δ overlaps at most 2
+    * such bands), so the join is a plain equi-join on (key, band) plus an
+    * exact residual filter — one keyed shuffle per side, 2× right
+    * duplication, no pair blow-up. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                tsCol: String, windowLen: Long,
+                rightPrefix: String = "r_"): DataFrame = {
+    require(windowLen > 0, s"rangeJoin: windowLen must be > 0, got $windowLen")
+    require(rightPrefix.nonEmpty,
+      "rangeJoin: rightPrefix must be non-empty (right columns would " +
+        "collide with left's)")
+    val rightPayload = right.columns.filterNot(_ == keyCol).toSeq
+    val l = left.withColumn("__band", expr(s"$tsCol DIV $windowLen"))
+    val r = right
+      .select((col(keyCol) +: rightPayload.map(c =>
+        col(c).as(s"$rightPrefix$c"))): _*)
+      .withColumn("__band", explode(array(
+        expr(s"$rightPrefix$tsCol DIV $windowLen"),
+        expr(s"$rightPrefix$tsCol DIV $windowLen - 1"))))
+    l.join(r, Seq(keyCol, "__band"))
+      .where(col(s"$rightPrefix$tsCol") >= col(tsCol) &&
+        col(s"$rightPrefix$tsCol") < col(tsCol) + windowLen)
+      .drop("__band")
+  }
+
   /** Backward (latest right row with `r.ts <= l.ts`, per key) as-of join.
     * Emits every left row with the matched right payload columns (NULL
     * when no right row precedes it). Right columns keep their names with

@@ -524,6 +524,23 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, None, None)))           // user 30: no right rows at all
   }
 
+  test("rangeJoin: banded equi-join matches exact interval semantics") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L)).toDF("eid", "k", "ts")
+    val right = Seq(
+      (10L, 100L, 1.0), // == left1.ts → in  [100, 200)
+      (10L, 199L, 2.0), // in [100, 200), band differs from left1's
+      (10L, 200L, 3.0), // == left1.ts+Δ → OUT for left1, but < 305 for left2
+      (10L, 304L, 4.0), // in left2's window [205, 305)
+      (10L, 305L, 5.0), // == left2.ts+Δ → out
+      (11L, 100L, 6.0)  // other key → never joins
+    ).toDF("k", "ts", "v")
+    val out = operators.Joins.rangeJoin(left, right, "k", "ts", 100L)
+      .select($"eid", $"r_ts").as[(Long, Long)].collect().toSet
+    // left1 [100,200): rights 100, 199 (200 excluded);
+    // left2 [205,305): right 304 only (200 < 205; 305 excluded)
+    assert(out == Set((1L, 100L), (1L, 199L), (2L, 304L)))
+  }
+
   test("writeShards: shard directories, no cross-shard files, roundtrip") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
