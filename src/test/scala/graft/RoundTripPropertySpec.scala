@@ -103,6 +103,56 @@ class RoundTripPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: asofJoin ≡ naive max-per-pair formulation") {
+    import graft.operators.Joins
+    for (seed <- Seq(4, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until 300).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong))
+        .toDF("eid", "k", "ts")
+      val right = (0 until 200).map(i =>
+        (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong,
+          rnd.nextInt(100).toDouble)).toDF("rid", "k", "ts", "v")
+      val sweep = Joins.asofJoin(left, right, "k", "ts",
+          rightTieBreak = Seq("rid"))
+        .select($"eid", $"rid", $"v")
+      // naive reference: max (ts, rid) right row per left among ts <= l.ts
+      val naive = left.as("l").join(
+          right.select($"k", $"ts".as("rts"), $"rid", $"v"), Seq("k"), "left")
+        .where($"rts".isNull || $"rts" <= $"ts")
+        .groupBy($"eid")
+        .agg(max_by(struct($"rid", $"v"),
+          struct($"rts", $"rid")).as("m"))
+        .select($"eid", $"m.rid", $"m.v")
+      // the naive where() drops no-match lefts entirely; re-add them
+      val naiveAll = left.select($"eid")
+        .join(naive, Seq("eid"), "left")
+      assert(sweep.exceptAll(naiveAll).isEmpty &&
+        naiveAll.exceptAll(sweep).isEmpty, s"asof mismatch seed=$seed")
+    }
+  }
+
+  test("property: rangeJoin ≡ naive inequality join") {
+    import graft.operators.Joins
+    for (seed <- Seq(6, 28)) {
+      val rnd = new scala.util.Random(seed)
+      val left = (0 until 200).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(500).toLong))
+        .toDF("eid", "k", "ts")
+      val right = (0 until 300).map(i =>
+        (1000L + i, rnd.nextInt(6).toLong, rnd.nextInt(500).toLong))
+        .toDF("rid", "k", "ts")
+      val banded = Joins.rangeJoin(left, right, "k", "ts", 37L)
+        .select($"eid", $"r_rid")
+      val naive = left.join(
+          right.select($"k", $"rid".as("r_rid"), $"ts".as("rts")), Seq("k"))
+        .where($"rts" >= $"ts" && $"rts" < $"ts" + 37L)
+        .select($"eid", $"r_rid")
+      assert(banded.exceptAll(naive).isEmpty &&
+        naive.exceptAll(banded).isEmpty, s"range mismatch seed=$seed")
+    }
+  }
+
   test("property: corpus paragraph dedup keeps each eligible para exactly once") {
     import graft.operators.{Dedup => D}
     for (seed <- Seq(5, 17)) {
