@@ -62,6 +62,22 @@ object StreamBench {
         src.withColumn("user", col("value") % 5000),
         "user", "timestamp", gap = "5 seconds", watermark = "5 seconds")
     }
+    measure("dedupAgainstIndexStream", mode = "append") {
+      // static 100k-doc signature index; stream sigs synthesized from the
+      // rate value so ~10% of rows collide with an indexed band
+      val index = spark.range(100000).select(col("id").as("doc_id"),
+        array((0 until 6).map(i =>
+          pmod(xxhash64(col("id"), lit(i)), lit(100003L))): _*).as("sig"))
+      val bt = StreamingOps.indexBandTable(index, "doc_id", "sig",
+        numHashes = 6, rowsPerBand = 2).cache()
+      bt.count() // materialize once, as a production job would
+      StreamingOps.dedupAgainstIndexStream(
+        src.select(col("value").as("doc_id"),
+          array((0 until 6).map(i =>
+            pmod(xxhash64(col("value") % 1000000, lit(i)),
+              lit(100003L))): _*).as("sig")),
+        bt, "doc_id", "sig", numHashes = 6, rowsPerBand = 2)
+    }
     spark.stop()
   }
 }
