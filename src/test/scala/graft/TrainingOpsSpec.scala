@@ -524,6 +524,14 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, None, None)))           // user 30: no right rows at all
   }
 
+  test("capPerKey plans a WindowGroupLimit (map-side beyond-k pruning)") {
+    val df = spark.range(1000).select(
+      (col("id") % 10).as("k"), col("id").as("v"))
+    val plan = operators.Sampling.capPerKey(df, "k", 3, Seq($"v".desc))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("rangeJoin: banded equi-join matches exact interval semantics") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 205L)).toDF("eid", "k", "ts")
     val right = Seq(
