@@ -322,6 +322,12 @@ object TrainingQueries {
       TextFunctions.ipv4Count(col("t2")).as("n_ip"))
   }
 
+  /** Span-level duplicate detection (fixed 8-token windows): every span
+    * duplicated anywhere in the corpus is kept only at its globally first
+    * (doc, position). */
+  val qDupSpans: Q = (s, dir) =>
+    Chunking.duplicatedSpans(docs(s, dir), "doc_id", "text", window = 8)
+
   /** Gopher repetition signals: top/duplicated word-n-gram character
     * fractions for n ∈ {2, 3} (native one-pass kernel; the max is over
     * count×chars products so no tie-break is needed — deterministic and
@@ -600,6 +606,7 @@ object TrainingQueries {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_curate_full" -> qCurateFull,
     "q_ngram_repetition" -> qNgramRepetition,
+    "q_dup_spans" -> qDupSpans,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1324,6 +1331,27 @@ object TrainingQueries {
          |  CAST(sum(least((chunk_id + 1) * 256, strt + n_tokens)
          |    - greatest(chunk_id * 256, strt)) AS BIGINT) AS n_tokens
          |FROM x GROUP BY split""".stripMargin,
+    "q_dup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |x AS (
+         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+         |    unnest(range(0, len(ws), 8)) AS tok_start
+         |  FROM t),
+         |sp AS (
+         |  SELECT doc_id, tok_start, least(8, n - tok_start) AS tok_len,
+         |    array_to_string(ws[tok_start + 1 :
+         |      tok_start + least(8, n - tok_start)], ' ') AS chunk
+         |  FROM x),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY chunk
+         |      ORDER BY doc_id, tok_start) AS rn,
+         |    count(*) OVER (PARTITION BY chunk) AS n_occ
+         |  FROM sp)
+         |SELECT doc_id, tok_start, tok_len,
+         |  (n_occ = 1 OR rn = 1) AS keep
+         |FROM ranked""".stripMargin,
     "q_ngram_repetition" -> {
       def gramAgg(n: Int, tag: String) =
         s"""g$tag AS (

@@ -55,6 +55,34 @@ object Chunking {
           - greatest(col("chunk_id") * cap, col("__start"))).as("off_len"))
   }
 
+  /** Span-level duplicate detection — the fixed-window approximation of
+    * exact-substring dedup (Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better", public technique; true suffix-array
+    * matching replaced by aligned token windows): tile every document
+    * into non-overlapping `window`-token spans and mark every span whose
+    * text occurs ANYWHERE else in the corpus, keeping only its globally
+    * first occurrence (min doc, position). Returns
+    * (idCol, tok_start, tok_len, keep) — callers drop `keep = false`
+    * spans or route docs with many duplicated spans to review.
+    *
+    * Scale shape: the tiling is narrow ([[slidingWindows]]); the global
+    * keep-first is ONE partial-aggregated groupBy on the span text + a
+    * keyed join back — same shape as corpus-wide paragraph dedup, with
+    * the same hot-key properties (a mega-duplicated span is 1:N
+    * probe-side; AQE skew split applies). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      window: Int): DataFrame = {
+    val spans = slidingWindows(df, idCol, textCol, window, stride = window)
+    val first = spans.groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("tok_start"))).as("__first"),
+        count(lit(1)).as("__n"))
+    spans.join(first, Seq("chunk"))
+      .select(col(idCol), col("tok_start"), col("tok_len"),
+        (col("__n") === 1 ||
+          (col("__first").getField(idCol) === col(idCol) &&
+           col("__first.tok_start") === col("tok_start"))).as("keep"))
+  }
+
   /** Per-document sliding token windows: starts 0, stride, 2·stride, …
     * while start < n; each window is `window` tokens (the final ones
     * truncate at the document end). Returns one row per (doc, window) with

@@ -524,6 +524,22 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, None, None)))           // user 30: no right rows at all
   }
 
+  test("duplicatedSpans: later copies of a span lose, unique spans keep") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // spans: "a b c", "d e f"
+      (2L, "a b c x y z"),   // first span duplicates doc 1's
+      (3L, "p q r")          // unique
+    ).toDF("doc_id", "text")
+    val out = operators.Chunking
+      .duplicatedSpans(df, "doc_id", "text", window = 3)
+      .select($"doc_id", $"tok_start", $"keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, true), (1L, 3L, true),  // doc 1 owns both spans
+      (2L, 0L, false),                 // duplicated "a b c", later doc
+      (2L, 3L, true), (3L, 0L, true)))
+  }
+
   test("capPerKey plans a WindowGroupLimit (map-side beyond-k pruning)") {
     val df = spark.range(1000).select(
       (col("id") % 10).as("k"), col("id").as("v"))
