@@ -14,10 +14,10 @@ import org.apache.spark.sql.types._
   * `nullScore` marks a NULL score — ranked after every non-null score,
   * matching `ORDER BY score DESC NULLS LAST, id ASC` (Spark's default
   * for `col.desc`). */
-private[expressions] final class TopKEntry(
+private[graft] final class TopKEntry(
     val nullScore: Boolean, val score: Double, val id: Long)
 
-private[expressions] object TopKOrdering {
+private[graft] object TopKOrdering {
   /** a ranks strictly before b under score DESC NULLS LAST, id ASC. */
   def before(a: TopKEntry, b: TopKEntry): Boolean = {
     if (a.nullScore != b.nullScore) b.nullScore // non-null beats null
