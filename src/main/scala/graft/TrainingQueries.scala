@@ -611,6 +611,26 @@ object TrainingQueries {
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
 
+  /** DuckDB CTEs `t → x → sp` tiling documents into token spans of
+    * `window` tokens every `stride` — the replay of
+    * [[graft.operators.Chunking.slidingWindows]], shared by the
+    * q_chunk_windows and q_dup_spans oracles. Lines must not begin with
+    * `|` (host stripMargin runs after interpolation). */
+  private def duckSpanCtes(window: Int, stride: Int): String =
+    s"""t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |x AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+       |    unnest(range(0, len(ws), $stride)) AS tok_start
+       |  FROM t),
+       |sp AS (
+       |  SELECT doc_id, tok_start,
+       |    least($window, n - tok_start) AS tok_len,
+       |    array_to_string(ws[tok_start + 1 :
+       |      tok_start + least($window, n - tok_start)], ' ') AS chunk
+       |  FROM x)""".stripMargin
+
   /** DuckDB twin of [[paraEnrich]] — the ONE enrichment definition shared
     * by the q_para_dedup / q_para_dedup_doc / q_curate_full oracles.
     * NOTE: embedded into s-interpolated strings whose .stripMargin runs
@@ -1174,18 +1194,10 @@ object TrainingQueries {
          |    - greatest(chunk_id * 512, strt) AS off_len
          |FROM x""".stripMargin,
     "q_chunk_windows" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents),
-         |x AS (
-         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
-         |    unnest(range(0, len(ws), 48)) AS tok_start
-         |  FROM t)
-         |SELECT doc_id, tok_start // 48 AS win_id, tok_start,
-         |  least(64, n - tok_start) AS tok_len,
-         |  array_to_string(ws[tok_start + 1 :
-         |    tok_start + least(64, n - tok_start)], ' ') AS chunk
-         |FROM x""".stripMargin,
+      s"""WITH ${duckSpanCtes(window = 64, stride = 48)}
+         |SELECT doc_id, tok_start // 48 AS win_id, tok_start, tok_len,
+         |  chunk
+         |FROM sp""".stripMargin,
     "q_semantic_dedup" -> {
       def cosOf(a: String, b: String) =
         s"${dotSqlOf(a, b)} / (${normSql(a)} * ${normSql(b)})"
@@ -1332,18 +1344,7 @@ object TrainingQueries {
          |    - greatest(chunk_id * 256, strt)) AS BIGINT) AS n_tokens
          |FROM x GROUP BY split""".stripMargin,
     "q_dup_spans" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents),
-         |x AS (
-         |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
-         |    unnest(range(0, len(ws), 8)) AS tok_start
-         |  FROM t),
-         |sp AS (
-         |  SELECT doc_id, tok_start, least(8, n - tok_start) AS tok_len,
-         |    array_to_string(ws[tok_start + 1 :
-         |      tok_start + least(8, n - tok_start)], ' ') AS chunk
-         |  FROM x),
+      s"""WITH ${duckSpanCtes(window = 8, stride = 8)},
          |ranked AS (
          |  SELECT *, row_number() OVER (PARTITION BY chunk
          |      ORDER BY doc_id, tok_start) AS rn,

@@ -80,7 +80,8 @@ object Chunking {
       .select(col(idCol), col("tok_start"), col("tok_len"),
         (col("__n") === 1 ||
           (col("__first").getField(idCol) === col(idCol) &&
-           col("__first.tok_start") === col("tok_start"))).as("keep"))
+           col("__first").getField("tok_start") === col("tok_start")))
+          .as("keep"))
   }
 
   /** Per-document sliding token windows: starts 0, stride, 2·stride, …

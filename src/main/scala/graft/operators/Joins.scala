@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Time-series joins Spark lacks as built-ins, expressed in the shapes
   * that survive 100 TB.
@@ -66,13 +67,11 @@ object Joins {
     val rStruct = struct((Seq(col(tsCol).as("__rts")) ++
       rightTieBreak.map(c => col(c).as(s"__tb_$c")) ++
       rightPayload.map(c => col(c).as(c))): _*)
-    val rType = org.apache.spark.sql.types.StructType(
-      (Seq(org.apache.spark.sql.types
-        .StructField("__rts", right.schema(tsCol).dataType)) ++
-       rightTieBreak.map(c => org.apache.spark.sql.types
-         .StructField(s"__tb_$c", right.schema(c).dataType)) ++
-       rightPayload.map(c => org.apache.spark.sql.types
-         .StructField(c, right.schema(c).dataType))))
+    val rType = StructType(
+      StructField("__rts", right.schema(tsCol).dataType) +:
+      (rightTieBreak.map(c =>
+        StructField(s"__tb_$c", right.schema(c).dataType)) ++
+       rightPayload.map(c => StructField(c, right.schema(c).dataType))))
     val l = left.select(
       (leftCols.map(col) :+ lit(1).as("__side") :+
         lit(null).cast(rType).as("__r")): _*)
