@@ -65,6 +65,10 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // headline = the PINNED round-1 battery (explicit key set, frozen) so the
     // metric stays comparable round over round as the query surface grows.
+    // A renamed/removed query must fail loudly, not silently shrink the sum.
+    val missing = headlineKeys -- results.map(_._1).toSet
+    require(missing.isEmpty,
+      s"headline keys missing from the query registry: $missing")
     val headline = results
       .filter { case (k, _) => headlineKeys.contains(k) }
       .map(_._2).sum
