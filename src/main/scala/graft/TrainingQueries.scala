@@ -1210,17 +1210,26 @@ object TrainingQueries {
          |  SELECT vec_id + 100000, embedding, label FROM embeddings
          |  WHERE vec_id % 40 = 20),
          |bk AS (
-         |  SELECT vec_id, embedding, ${bucketSql(8, 64)} AS bucket
+         |  SELECT vec_id, embedding, ${bucketSql(8, 64)} AS bucket,
+         |    list_sum(list_transform(list_zip(embedding,
+         |      ${planeWeightsSql(0, 64)}),
+         |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p0,
+         |    list_sum(list_transform(list_zip(embedding,
+         |      ${planeWeightsSql(1, 64)}),
+         |      x -> CAST(x[1] AS DOUBLE) * x[2])) AS p1
          |  FROM base WHERE len(embedding) >= 64),
          |ann AS (
          |  SELECT vec_id, embedding, bucket,
          |    count(*) OVER (PARTITION BY bucket) AS n,
-         |    min(vec_id) OVER (PARTITION BY bucket) AS mn,
+         |    first_value(vec_id) OVER (PARTITION BY bucket
+         |      ORDER BY p0, p1, vec_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND UNBOUNDED FOLLOWING) AS aid,
          |    first_value(embedding) OVER (PARTITION BY bucket
-         |      ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING
-         |      AND UNBOUNDED FOLLOWING) AS mnv,
-         |    lead(vec_id) OVER (PARTITION BY bucket ORDER BY vec_id) AS nxt,
-         |    lead(embedding) OVER (PARTITION BY bucket ORDER BY vec_id)
+         |      ORDER BY p0, p1, vec_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND UNBOUNDED FOLLOWING) AS av,
+         |    lead(vec_id) OVER (PARTITION BY bucket ORDER BY p0, p1, vec_id)
+         |      AS nxt,
+         |    lead(embedding) OVER (PARTITION BY bucket ORDER BY p0, p1, vec_id)
          |      AS nxtv
          |  FROM bk QUALIFY n >= 2),
          |pairs AS (
@@ -1230,8 +1239,8 @@ object TrainingQueries {
          |    ON x.bucket = y.bucket AND x.vec_id < y.vec_id
          |  WHERE x.n <= 32
          |  UNION ALL
-         |  SELECT mn, vec_id, ${cosOf("mnv", "embedding")}
-         |  FROM ann WHERE n > 32 AND vec_id <> mn
+         |  SELECT aid, vec_id, ${cosOf("av", "embedding")}
+         |  FROM ann WHERE n > 32 AND vec_id <> aid
          |  UNION ALL
          |  SELECT vec_id, nxt, ${cosOf("embedding", "nxtv")}
          |  FROM ann WHERE n > 32 AND nxt IS NOT NULL),

@@ -545,34 +545,52 @@ object Dedup {
     * self-join all pairs (≤ cap²/2 each — the cap IS the blow-up guard);
     * bigger buckets emit window-computed star + chain edges with the
     * vectors carried alongside, so verification is inline and a hot bucket
-    * never materializes a member array on one task. Same recall contract
-    * as the text LSH path: a pair is only found inside a shared bucket
-    * (exact copies and scaled copies always share — the bucket is
-    * sign-of-projection, scale-invariant); above the cap, star+chain
-    * narrows recall on moderate-similarity members. Short vectors (bucket
-    * NULL) are never candidates. */
+    * never materializes a member array on one task.
+    *
+    * Over-cap buckets order the window by the EXACT plane-0 PROJECTION
+    * value (then id), not by id: identical vectors share the projection,
+    * so every run of exact copies is CONSECUTIVE and the chain edges
+    * connect it regardless of bucket size — ordering by id left copies
+    * separated by thousands of unrelated members and the chain found
+    * almost none of them (measured: 804 of 1000 planted copies survived a
+    * 500k-vector probe; 0 survive with projection order —
+    * `graft.tools.SemanticProbe`). The star anchor is the first row in
+    * the same order. Near-dups BELOW cosine 1 sort nearby but not
+    * necessarily adjacent: for θ < 1 recall in over-cap buckets, raise
+    * `numPlanes` until buckets fall under the cap (the all-pairs path is
+    * exact). Short vectors (bucket NULL) are never candidates. */
   def dedupSemantic(embs: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, numPlanes: Int, dim: Int,
                     allPairsCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // TWO projections in the sort key: quantized embeddings can collide
+    // on one exact projection value (lattice collisions interleaved an
+    // unrelated vector into a copy run and broke its chain — 3 of 1000
+    // planted copies survived the 500k probe with p0 alone); colliding on
+    // both is vanishing
+    def proj(j: Int) = graft.expressions.native.dot_f(col("__v"),
+      typedLit(Similarity.planeWeights(j, dim)))
     val b = embs.select(col(idCol), col(vecCol).as("__v"),
         Similarity.hyperplaneBucket(col(vecCol), numPlanes, dim)
           .as("__bucket"))
       .where(col("__bucket").isNotNull)
-    val w = Window.partitionBy("__bucket").orderBy(col(idCol))
+      .withColumn("__p0", proj(0))
+      .withColumn("__p1", proj(1))
+    val w = Window.partitionBy("__bucket")
+      .orderBy(col("__p0"), col("__p1"), col(idCol))
     val wAll = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val annotated = b
       .withColumn("__n", count(lit(1)).over(wAll))
       .where(col("__n") >= 2)
-      .withColumn("__min", min(col(idCol)).over(wAll))
-      .withColumn("__minv", first(col("__v")).over(wAll))
+      .withColumn("__aid", first(col(idCol)).over(wAll))
+      .withColumn("__av", first(col("__v")).over(wAll))
       .withColumn("__next", lead(col(idCol), 1).over(w))
       .withColumn("__nextv", lead(col("__v"), 1).over(w))
     val big = annotated.where(col("__n") > allPairsCap)
-    val star = big.where(col(idCol) =!= col("__min"))
-      .select(col("__min").as("a"), col(idCol).as("b"),
-        Similarity.cosine(col("__minv"), col("__v")).as("__sim"))
+    val star = big.where(col(idCol) =!= col("__aid"))
+      .select(col("__aid").as("a"), col(idCol).as("b"),
+        Similarity.cosine(col("__av"), col("__v")).as("__sim"))
     val chain = big.where(col("__next").isNotNull)
       .select(col(idCol).as("a"), col("__next").as("b"),
         Similarity.cosine(col("__v"), col("__nextv")).as("__sim"))

@@ -114,6 +114,12 @@ object Similarity {
   private def planeWeight(j: Int, d: Int): Long =
     ((j.toLong * 64L + d.toLong) * 2654435761L % 97L) - 48L
 
+  /** Plane-j weight vector as doubles — the exact projection
+    * [[graft.operators.Dedup.dedupSemantic]] sorts bucket members by
+    * (replayable in SQL via the same literal). */
+  private[operators] def planeWeights(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => planeWeight(j, d).toDouble)
+
   /** LSH bucket id: one bit per hyperplane = sign of <v, plane_j>.
     * Native kernel (one loop per row); the Column formulation below carried
     * numPlanes×dim expression nodes through codegen. Bit-identical. */
