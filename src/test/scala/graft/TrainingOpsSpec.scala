@@ -639,6 +639,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(kept2 == Set(0L, 1L, 2L, 3L, 4L, 999L))
   }
 
+  test("semantic dedup: copy found in an over-cap bucket despite id distance") {
+    // the SemanticProbe regression, shrunk: 4 planes → 16 buckets for
+    // 3000 vectors ⇒ every bucket is far over the cap, and the planted
+    // copy (id 100000) sits thousands of ids from its original with many
+    // unrelated same-bucket members between them in id order — only the
+    // projection-ordered chain connects the pair
+    val rnd = new scala.util.Random(31)
+    val base = (0L until 3000L).map { i =>
+      (i, (0 until 64).map(_ => rnd.nextFloat() - 0.5f)) }
+    val planted = (base :+ (100000L, base(7)._2))
+      .toDF("vec_id", "embedding")
+    val kept = operators.Dedup
+      .dedupSemantic(planted, "vec_id", "embedding", 0.99, 4, 64)
+      .select($"vec_id").as[Long].collect()
+    assert(kept.length == 3000 && !kept.contains(100000L))
+  }
+
   test("sequence packing: exact concat-then-chunk spans, nothing dropped") {
     // capacity 5; group 0 docs: 3 + 7 + 4 tokens → stream of 14 tokens
     //   doc 1 [0,3) → chunk 0
