@@ -170,23 +170,40 @@ object Dedup {
         shiftright(col(sigCol), b * bitsPerBand).bitwiseAND(lit(mask))
           .as("block"))): _*)).as("e"))
       .select(col(idCol), col("__sig"), col("e.band"), col("e.block"))
-    val w = Window.partitionBy("band", "block").orderBy(col(idCol))
-    val wAll = w.rowsBetween(Window.unboundedPreceding,
+    // Over-cap blocks emit chain edges over TWO orderings of the same
+    // partition — both linear:
+    //  - (signature, id) order: every run of IDENTICAL signatures is
+    //    consecutive, so exact-sig duplicates (the boilerplate case)
+    //    connect at any block size, and sig-sorted neighbors are the
+    //    Hamming-closest candidates (the dedupSemantic projection-order
+    //    lesson);
+    //  - id order: preserves recall for near-pairs whose sigs sort far
+    //    apart (a single flipped high bit) — dropping this chain lost
+    //    811 of 4133 eligible Hamming≤3 pairs in SimhashProbe.
+    val wSig = Window.partitionBy("band", "block")
+      .orderBy(col("__sig"), col(idCol))
+    val wId = Window.partitionBy("band", "block").orderBy(col(idCol))
+    val wAll = wSig.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val annotated = banded
       .withColumn("__n", count(lit(1)).over(wAll))
       .where(col("__n") >= 2)
-      .withColumn("__min", min(col(idCol)).over(wAll))
-      .withColumn("__minsig", first(col("__sig")).over(wAll))
-      .withColumn("__next", lead(col(idCol), 1).over(w))
-      .withColumn("__nextsig", lead(col("__sig"), 1).over(w))
+      .withColumn("__aid", first(col(idCol)).over(wAll))
+      .withColumn("__asig", first(col("__sig")).over(wAll))
+      .withColumn("__nextS", lead(col(idCol), 1).over(wSig))
+      .withColumn("__nextSsig", lead(col("__sig"), 1).over(wSig))
+      .withColumn("__nextI", lead(col(idCol), 1).over(wId))
+      .withColumn("__nextIsig", lead(col("__sig"), 1).over(wId))
     val big = annotated.where(col("__n") > allPairsCap)
-    val star = big.where(col(idCol) =!= col("__min"))
-      .select(col("__min").as("a"), col(idCol).as("b"),
-        hamming64(col("__minsig"), col("__sig")).as("hamming"))
-    val chain = big.where(col("__next").isNotNull)
-      .select(col(idCol).as("a"), col("__next").as("b"),
-        hamming64(col("__sig"), col("__nextsig")).as("hamming"))
+    val star = big.where(col(idCol) =!= col("__aid"))
+      .select(col("__aid").as("a"), col(idCol).as("b"),
+        hamming64(col("__asig"), col("__sig")).as("hamming"))
+    val chain = big.where(col("__nextS").isNotNull)
+      .select(col(idCol).as("a"), col("__nextS").as("b"),
+        hamming64(col("__sig"), col("__nextSsig")).as("hamming"))
+      .unionAll(big.where(col("__nextI").isNotNull)
+        .select(col(idCol).as("a"), col("__nextI").as("b"),
+          hamming64(col("__sig"), col("__nextIsig")).as("hamming")))
     val small = annotated.where(col("__n") <= allPairsCap)
       .groupBy("band", "block")
       .agg(sort_array(collect_list(
@@ -202,6 +219,10 @@ object Dedup {
         hamming64(col("p.siga"), col("p.sigb")).as("hamming"))
     small.unionAll(star).unionAll(chain)
       .where(col("hamming") <= maxHamming && col("a") =!= col("b"))
+      // the sig-ordered anchor can emit (a, b) with a > b; normalize so
+      // the documented a < b contract holds and symmetric dups collapse
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("hamming"))
       .distinct()
   }
 
