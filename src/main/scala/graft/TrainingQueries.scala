@@ -475,6 +475,19 @@ object TrainingQueries {
           .as("n_sampled"))
   }
 
+  /** Exact dedup over BINARY media payloads — the multimodal twin of
+    * q_dedup_exact: identical bytes collapse to the min id. Spark groups
+    * by the binary column directly (one hash shuffle, same as text);
+    * DuckDB groups by the blob natively, so the check is exact. The
+    * payload is the utf-8 bytes of a truncated text prefix so planted
+    * byte-level duplicates exist. */
+  val qMediaDedup: Q = (s, dir) =>
+    Dedup.exact(
+      docs(s, dir).select(col("doc_id"),
+        encode(substring(col("text"), 1, 40), "utf-8").as("payload")),
+      "doc_id", Seq(col("payload")))
+      .select(col("keep_id"), col("n_copies"))
+
   /** End-to-end CURATION pipeline, fully oracle-checked — the composition a
     * real pretraining cleanup runs, each stage exact so DuckDB replays the
     * whole chain: quality gate (score + min length) → exact dedup with
@@ -607,6 +620,7 @@ object TrainingQueries {
     "q_curate_full" -> qCurateFull,
     "q_ngram_repetition" -> qNgramRepetition,
     "q_dup_spans" -> qDupSpans,
+    "q_media_dedup" -> qMediaDedup,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1352,6 +1366,12 @@ object TrainingQueries {
          |  CAST(sum(least((chunk_id + 1) * 256, strt + n_tokens)
          |    - greatest(chunk_id * 256, strt)) AS BIGINT) AS n_tokens
          |FROM x GROUP BY split""".stripMargin,
+    "q_media_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        encode(substr(text, 1, 40)) AS payload
+        |      FROM documents)
+        |GROUP BY payload""".stripMargin,
     "q_dup_spans" ->
       s"""WITH ${duckSpanCtes(window = 8, stride = 8)},
          |ranked AS (
