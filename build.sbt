@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as JSON. Two things
+// decorate forked-run output by default and defeat that parser:
+//  1. the logger wraps every forked-process line as "[info] ..." — route the
+//     child's stdout/stderr straight through instead;
+//  2. sbt prints "[success] Total time: ..." AFTER the run — suppress it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

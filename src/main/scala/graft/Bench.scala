@@ -52,12 +52,21 @@ object Bench {
     // min of 2 runs per query: the first run pays one-time codegen/JIT and
     // this box shows large ambient-load variance; min-of-N is the standard
     // way to measure the plan rather than the noise.
+    // A query that throws is recorded as FAILED — it must not silently
+    // contribute its time-to-failure to the totals and exit 0.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          ok = false
+          System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
+      if (!ok) failed += name
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -91,13 +100,23 @@ object Bench {
     // the reference's published number is the ZTF chain at ~440k child
     // elements/s single-threaded; q_flagship is the same chain, so report
     // its child-row throughput directly.
-    val flagshipRate = results.toMap.get("q_flagship").map { t =>
+    val flagshipRate = (try results.toMap.get("q_flagship").map { t =>
       val children = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       f""","flagship_child_rows":$children,"flagship_elems_per_s":${children / t}%.0f"""
-    }.getOrElse("")
+    } catch { case _: Throwable => None }).getOrElse("")
+    val failedField =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${results.size}$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
-    println(compact)
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${results.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
+    // Stop Spark BEFORE the compact line so no executor/shutdown chatter can
+    // land after it — the compact JSON must be the literal last stdout line
+    // (build.sbt routes forked stdout through unprefixed and suppresses the
+    // trailing [success] line; together these make the line machine-readable).
     spark.stop()
+    println(compact)
+    System.out.flush()
+    // Any failed query fails the whole bench run loudly (nonzero exit).
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

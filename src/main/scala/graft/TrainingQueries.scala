@@ -65,14 +65,16 @@ object TrainingQueries {
     * doc_id < 200 — the oracle-exact sig computation shared by
     * q_minhash_rank, q_dedup_pipeline_exact, and (with the big
     * multipliers) q_dedup_incremental. */
-  private def rankSigsWide(s: SparkSession, dir: String,
-                           hs: Seq[(Long, Long)] = rankHs): DataFrame = {
+  /** (doc_id, sid) rows: every distinct 5-shingle of each id-capped doc
+    * with its GLOBAL 1-based lexicographic rank — the oracle-replayable
+    * substrate shared by every rank-based sketch. row_number() over a
+    * global ORDER BY would funnel everything through ONE partition; a
+    * distributed sort + zipWithIndex gives the identical rank with full
+    * parallelism. */
+  private def rankedShingles(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(col("doc_id") < 200)
     val sh = d.select(col("doc_id"),
       explode(TextFunctions.distinctShingles(col("text"), 5)).as("sh"))
-    // Global shingle rank. row_number() over a global ORDER BY would funnel
-    // everything through ONE partition; a distributed sort + zipWithIndex
-    // gives the identical 1-based rank with full parallelism.
     val distinctSorted = sh.select("sh").distinct().orderBy("sh")
     val ranks = {
       val sess = s
@@ -80,7 +82,12 @@ object TrainingQueries {
       distinctSorted.as[String].rdd.zipWithIndex()
         .map { case (v, i) => (v, i + 1L) }.toDF("sh", "sid")
     }
-    val withH = sh.join(ranks, "sh")
+    sh.join(ranks, "sh")
+  }
+
+  private def rankSigsWide(s: SparkSession, dir: String,
+                           hs: Seq[(Long, Long)] = rankHs): DataFrame = {
+    val withH = rankedShingles(s, dir)
     val aggs = hs.zipWithIndex.map { case ((a, b), i) =>
       min((col("sid") * a + b) % 100003L).as(s"sig$i") }
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -152,6 +159,66 @@ object TrainingQueries {
     Dedup.simhashCandidatePairs(sigs, "doc_id", "sig",
       numBands = 4, bitsPerBand = 16, maxHamming = 3)
   }
+
+  /** Oracle-exact twin of q_minhash_pairs: the SAME pairing core
+    * ([[Dedup.pairsFromBuckets]] — all-pairs ≤ cap, star+chain above)
+    * driven by rank-affine signatures banded on their RAW values instead
+    * of xxhash64 buckets, so DuckDB replays bucket membership AND the edge
+    * emission value-for-value. allPairsCap=2 pushes every ≥3-member bucket
+    * through the star+chain branch — the branch the production rows-only
+    * check could never value-verify. Big multipliers per the documented
+    * small-multiplier rank degeneracy. */
+  val qMinhashPairsExact: Q = (s, dir) => {
+    val sigsWide = rankSigsWide(s, dir, rankHsBig)
+    val banded = sigsWide.select(col("doc_id"), explode(array(
+        (0 until 3).map(b => struct(lit(b).as("band"),
+          concat_ws(":", col(s"sig${2 * b}"), col(s"sig${2 * b + 1}"))
+            .as("bucket"))): _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bucket"))
+    Dedup.pairsFromBuckets(banded, "doc_id", allPairsCap = 2)
+  }
+
+  /** Number of signature bits in the rank-affine SimHash twin: 60 (not 64)
+    * keeps the packed signature non-negative in a signed 64-bit integer,
+    * so shift/div-mod banding and bit_count(xor) agree between engines
+    * with no sign-extension edge cases. */
+  private val simBits = 60
+  /** Per-bit affine hash params: large odd multipliers (wrap mod M many
+    * times per rank step — the proper-permutation lesson), derived
+    * deterministically so the DuckDB oracle recomputes them inline. */
+  private def simA(j: Int): Long = (2654435761L * (2L * j + 1L)) % 4294967296L
+  private def simB(j: Int): Long = 97L * j + 31L
+
+  /** 60-bit rank-affine SimHash: bit j of a doc's signature is the
+    * majority sign over its distinct shingles of ±1 votes, where the vote
+    * is the parity of an affine hash of the GLOBAL shingle rank — exact
+    * integer arithmetic end-to-end (sid·a < 2⁴⁸), replayable in any SQL
+    * engine. Plays the role xxhash64 token votes play in the production
+    * [[Dedup.simHash64Native]]. */
+  private def rankSimhashSigs(s: SparkSession, dir: String): DataFrame = {
+    val withH = rankedShingles(s, dir)
+    val voteAggs = (0 until simBits).map { j =>
+      sum(((col("sid") * simA(j) + simB(j)) % 100003L % 2L) * 2L - 1L)
+        .as(s"v$j") }
+    withH.groupBy("doc_id").agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until simBits).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** Oracle-exact twin of q_simhash_pairs: the REAL
+    * [[Dedup.simhashCandidatePairs]] operator (block banding, all-pairs ≤
+    * cap, star + DUAL-ORDER chain edges above, inline Hamming ≤ 3 verify)
+    * over rank-affine signatures, value-replayed in DuckDB including
+    * bit_count(xor) Hamming. allPairsCap=2 pushes every ≥3-member block
+    * (the largest this id-capped corpus produces) onto the star+dual-chain
+    * path, so that emission logic is value-verified too — not just the
+    * all-pairs branch. */
+  val qSimhashPairsExact: Q = (s, dir) =>
+    Dedup.simhashCandidatePairs(rankSimhashSigs(s, dir), "doc_id", "sig",
+        numBands = 4, bitsPerBand = 15, maxHamming = 3, allPairsCap = 2)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
 
   /** Full near-dup removal pipeline: sigs → LSH candidates → jaccard
     * verification → connected components → keep min id per component.
@@ -588,7 +655,9 @@ object TrainingQueries {
     "q_dedup_pipeline_exact" -> qDedupPipelineExact,
     "q_minhash_rank" -> qMinhashRank,
     "q_minhash_pairs" -> qMinhashPairs,
+    "q_minhash_pairs_exact" -> qMinhashPairsExact,
     "q_simhash_pairs" -> qSimhashPairs,
+    "q_simhash_pairs_exact" -> qSimhashPairsExact,
     "q_jaccard_pairs" -> qJaccardPairs,
     "q_contamination" -> qContamination,
     "q_curate" -> qCurate,
@@ -999,6 +1068,108 @@ object TrainingQueries {
          |  FROM scored)
          |SELECT query_id, rank, neighbor_id, round(score, 6) AS score
          |FROM ranked WHERE rank <= 3""".stripMargin
+    },
+    "q_minhash_pairs_exact" -> {
+      // Replays qMinhashPairsExact end-to-end: rank-affine sigs (big
+      // multipliers), 3 bands × 2 raw-value banding, then the
+      // pairsFromBuckets emission rules — all-pairs for buckets ≤ 2
+      // members, star (min → other) + id-ordered chain above.
+      val sigCols = rankHsBig.zipWithIndex.map { case ((a, b), i) =>
+        s"min((sid * $a + $b) % 100003) AS sig$i" }.mkString(", ")
+      val bandRows = (0 until 3).map(b =>
+        s"SELECT doc_id, $b AS band, sig${2 * b} AS s1, " +
+          s"sig${2 * b + 1} AS s2 FROM sigs").mkString(" UNION ALL ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |ranks AS (
+         |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+         |  FROM (SELECT DISTINCT sh FROM sh)),
+         |sigs AS (
+         |  SELECT doc_id, $sigCols
+         |  FROM sh JOIN ranks USING (sh) GROUP BY doc_id),
+         |banded AS ($bandRows),
+         |ann AS (
+         |  SELECT doc_id, band, s1, s2,
+         |    count(*) OVER wa AS n,
+         |    min(doc_id) OVER wa AS mn,
+         |    lead(doc_id) OVER
+         |      (PARTITION BY band, s1, s2 ORDER BY doc_id) AS nxt
+         |  FROM banded
+         |  WINDOW wa AS (PARTITION BY band, s1, s2)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM ann x JOIN ann y ON x.band = y.band AND x.s1 = y.s1
+         |    AND x.s2 = y.s2 AND x.doc_id < y.doc_id
+         |  WHERE x.n <= 2
+         |  UNION ALL
+         |  SELECT mn AS a, doc_id AS b FROM ann WHERE n > 2 AND doc_id <> mn
+         |  UNION ALL
+         |  SELECT doc_id AS a, nxt AS b FROM ann
+         |  WHERE n > 2 AND nxt IS NOT NULL)
+         |SELECT DISTINCT a, b FROM pairs WHERE a <> b""".stripMargin
+    },
+    "q_simhash_pairs_exact" -> {
+      // Replays qSimhashPairsExact: 60-bit rank-affine simhash (per-bit
+      // parity votes, majority sign, bits packed), 4 bands × 15-bit
+      // div-mod banding, all-pairs ≤ 2 members, star + DUAL-ORDER chains
+      // above, bit_count(xor) Hamming ≤ 3, least/greatest normalize.
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${duckShingles(5)}) AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |ranks AS (
+         |  SELECT sh, CAST(row_number() OVER (ORDER BY sh) AS BIGINT) AS sid
+         |  FROM (SELECT DISTINCT sh FROM sh)),
+         |rs AS (SELECT doc_id, sid FROM sh JOIN ranks USING (sh)),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN (sid * ((2654435761 * (2 * j + 1)) % 4294967296)
+         |        + (97 * j + 31)) % 100003 % 2 = 1
+         |      THEN 1 ELSE -1 END) AS v
+         |  FROM rs CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+         |  GROUP BY doc_id, j),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN v > 0 THEN 1::BIGINT << j ELSE 0 END) AS sig
+         |  FROM votes GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, sig, bs.band,
+         |    (sig // (1::BIGINT << (15 * bs.band))) % 32768 AS block
+         |  FROM sigs
+         |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bs),
+         |ann AS (
+         |  SELECT doc_id, sig, band, block,
+         |    count(*) OVER wa AS n,
+         |    first_value(doc_id) OVER wsa AS aid,
+         |    first_value(sig) OVER wsa AS asig,
+         |    lead(doc_id) OVER ws AS nxts, lead(sig) OVER ws AS nxtssig,
+         |    lead(doc_id) OVER wi AS nxti, lead(sig) OVER wi AS nxtisig
+         |  FROM banded
+         |  WINDOW wa AS (PARTITION BY band, block),
+         |    ws AS (PARTITION BY band, block ORDER BY sig, doc_id),
+         |    wsa AS (PARTITION BY band, block ORDER BY sig, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+         |    wi AS (PARTITION BY band, block ORDER BY doc_id)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, x.sig AS siga, y.doc_id AS b, y.sig AS sigb
+         |  FROM ann x JOIN ann y ON x.band = y.band AND x.block = y.block
+         |    AND x.doc_id < y.doc_id
+         |  WHERE x.n >= 2 AND x.n <= 2
+         |  UNION ALL
+         |  SELECT aid, asig, doc_id, sig FROM ann
+         |  WHERE n > 2 AND doc_id <> aid
+         |  UNION ALL
+         |  SELECT doc_id, sig, nxts, nxtssig FROM ann
+         |  WHERE n > 2 AND nxts IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id, sig, nxti, nxtisig FROM ann
+         |  WHERE n > 2 AND nxti IS NOT NULL),
+         |norm AS (
+         |  SELECT least(a, b) AS na, greatest(a, b) AS nb,
+         |    CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
+         |  FROM pairs
+         |  WHERE bit_count(xor(siga, sigb)) <= 3 AND a <> b)
+         |SELECT DISTINCT na AS a, nb AS b, hamming FROM norm""".stripMargin
     },
     "q_dedup_pipeline_exact" -> {
       val sigCols = rankHs.zipWithIndex.map { case ((a, b), i) =>

@@ -38,7 +38,11 @@ object Chunking {
                     tokenCountCol: Option[Column] = None): DataFrame = {
     require(capacity > 0, s"packSequences: capacity must be > 0, got $capacity")
     val n = tokenCountCol.getOrElse(TextFunctions.tokenCount(col(textCol)))
-    val w = Window.partitionBy(col("__grp")).orderBy(col(idCol))
+    // secondary sort on the token count makes __start (hence chunk
+    // assignment) deterministic even when a group contains duplicate ids —
+    // two rows tying on BOTH (id, n) are interchangeable in every output
+    // column, so the emitted multiset is stable across runs either way
+    val w = Window.partitionBy(col("__grp")).orderBy(col(idCol), col("__n"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cap = lit(capacity.toLong)
     df.select(col(idCol), groupBy.as("__grp"), n.as("__n"))

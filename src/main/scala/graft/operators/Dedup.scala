@@ -87,7 +87,7 @@ object Dedup {
                         numHashes: Int, rowsPerBand: Int,
                         allPairsCap: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val numBands = numHashes / rowsPerBand
+    val numBands = bandCount(numHashes, rowsPerBand)
     // A document with NO shingles (shorter than the shingle size) carries the
     // all-Long.MaxValue sentinel signature; every such doc would collide in
     // every band and verify/delete each other downstream. Exclude them here:
@@ -101,15 +101,27 @@ object Dedup {
             slice(col(sigCol), b * rowsPerBand + 1, lit(rowsPerBand))), b)
             .as("bucket")))))
       .select(col(idCol), col("col.band"), col("col.bucket"))
-    // Edge emission per bucket — RECALL vs blow-up:
-    //  - buckets ≤ allPairsCap emit ALL pairs (≤ cap²/2 each, so per-doc
-    //    candidates stay ≤ bands × cap): pure star edges silently LOST
-    //    moderate-similarity pairs whose bucket min was NOT similar to both
-    //    (verification pruned the min's edges and CC never connected them —
-    //    found by DedupProbe on a repetitive corpus);
-    //  - bigger buckets (boilerplate clusters) emit star + CHAIN edges —
-    //    linear in bucket size, computed with windows so a hot bucket never
-    //    materializes an id array on one task.
+    pairsFromBuckets(banded, idCol, allPairsCap)
+  }
+
+  /** Edge emission from pre-bucketed `(idCol, band, bucket)` rows — the
+    * pairing core of [[lshCandidatePairs]], also driven directly by the
+    * oracle-exact twin (q_minhash_pairs_exact buckets on RAW signature
+    * slices instead of xxhash64 so DuckDB can replay bucket membership AND
+    * this emission logic value-for-value).
+    *
+    * RECALL vs blow-up:
+    *  - buckets ≤ allPairsCap emit ALL pairs (≤ cap²/2 each, so per-doc
+    *    candidates stay ≤ bands × cap): pure star edges silently LOST
+    *    moderate-similarity pairs whose bucket min was NOT similar to both
+    *    (verification pruned the min's edges and CC never connected them —
+    *    found by DedupProbe on a repetitive corpus);
+    *  - bigger buckets (boilerplate clusters) emit star + CHAIN edges —
+    *    linear in bucket size, computed with windows so a hot bucket never
+    *    materializes an id array on one task. */
+  private[graft] def pairsFromBuckets(banded: DataFrame, idCol: String,
+                                      allPairsCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("band", "bucket").orderBy(col(idCol))
     val wAll = w.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
@@ -528,6 +540,19 @@ object Dedup {
                                 rowsPerBand: Int): Column =
     slice(sig, band * rowsPerBand + 1, lit(rowsPerBand))
 
+  /** numHashes / rowsPerBand with the divisibility guarded: integer
+    * division would silently exclude the trailing signature components
+    * from banding (candidate recall loss) while sigAgreement still counts
+    * them in its denominator. Shared by every banding site, batch and
+    * streaming. */
+  private[graft] def bandCount(numHashes: Int, rowsPerBand: Int): Int = {
+    require(rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"rowsPerBand ($rowsPerBand) must evenly divide numHashes " +
+        s"($numHashes); a remainder would silently drop the trailing " +
+        "signature components from banding")
+    numHashes / rowsPerBand
+  }
+
   /** (band, key) rows of a signature array, one per band. */
   private[graft] def sigBanded(sig: Column, numBands: Int,
                                rowsPerBand: Int): Column =
@@ -544,7 +569,7 @@ object Dedup {
   def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
                         sigCol: String, numHashes: Int, rowsPerBand: Int,
                         minAgree: Double = 0.5): DataFrame = {
-    val numBands = numHashes / rowsPerBand
+    val numBands = bandCount(numHashes, rowsPerBand)
     def banded(df: DataFrame, outId: String, outSig: String): DataFrame =
       df.select(col(idCol).as(outId), col(sigCol).as(outSig),
         sigBanded(col(sigCol), numBands, rowsPerBand).as("e"))

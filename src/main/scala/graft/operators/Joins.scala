@@ -61,6 +61,14 @@ object Joins {
     val rightPayload = right.columns.filterNot(c =>
       c == keyCol || c == tsCol).toSeq
     val leftCols = left.columns.toSeq
+    // Output columns are left's plus the (prefixed) right payload — a
+    // collision would produce two same-named output columns, ambiguous to
+    // every downstream reference. Fail here instead.
+    val collisions = rightPayload.map(c => s"$rightPrefix$c")
+      .toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"asofJoin: right payload column(s) ${collisions.mkString(", ")} " +
+        "collide with left columns; pass a non-colliding rightPrefix")
     // one struct per right row, ordered-window-swept below; tie-break
     // fields order equal-ts right rows inside the last() (the struct's
     // leading ts field keeps later rows last under the window order)
@@ -81,10 +89,16 @@ object Joins {
         lit(0).as("__side") :+ rStruct.as("__r")): _*)
     // right rows sort BEFORE left rows at the same ts (side 0 < 1), so an
     // equal-ts right row is visible to the left row — inclusive semantics;
-    // among equal-ts rights, tie-break fields inside __r make last() pick
-    // the max deterministically only if ordered — so order by __r itself
+    // among equal-ts rights, order by ONLY (__rts, tie-break fields) — not
+    // the whole __r struct — so wide payloads aren't compared in the sort
+    // and unorderable payload types (e.g. map) don't fail analysis. With
+    // duplicate-ts right rows and no rightTieBreak the winner among them is
+    // unspecified (the documented contract: pass rightTieBreak for
+    // determinism).
+    val ordCols = col("__r.__rts") +:
+      rightTieBreak.map(c => col(s"__r.__tb_$c"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"), col("__r"))
+      .orderBy((col(tsCol) +: col("__side") +: ordCols): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val swept = l.unionByName(r)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

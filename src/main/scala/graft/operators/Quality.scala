@@ -61,7 +61,9 @@ object Quality {
         col(countCol).as("__c"))), Seq("__tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
-        avg(log(coalesce(col("__c").cast("double"), lit(1.0)) /
-          lit(total + 1.0))).as("avg_logp"))
+        // seen tokens score count/total (matching unigramLogProb's trained
+        // distribution); ONLY the unseen case takes the 1/(total+1) floor
+        avg(log(coalesce(col("__c").cast("double") / lit(total),
+          lit(1.0 / (total + 1.0))))).as("avg_logp"))
   }
 }

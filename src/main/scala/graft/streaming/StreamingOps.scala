@@ -62,7 +62,7 @@ object StreamingOps {
   def indexBandTable(index: DataFrame, idCol: String, sigCol: String,
                      numHashes: Int, rowsPerBand: Int,
                      candCap: Int = 1024): DataFrame = {
-    val numBands = numHashes / rowsPerBand
+    val numBands = graft.operators.Dedup.bandCount(numHashes, rowsPerBand)
     index.select(col(sigCol).as("__sig"),
         graft.operators.Dedup
           .sigBanded(col(sigCol), numBands, rowsPerBand).as("e"))
@@ -84,7 +84,7 @@ object StreamingOps {
                               idCol: String, sigCol: String,
                               numHashes: Int, rowsPerBand: Int,
                               minAgree: Double = 0.8): DataFrame = {
-    val numBands = numHashes / rowsPerBand
+    val numBands = graft.operators.Dedup.bandCount(numHashes, rowsPerBand)
     val joined = (0 until numBands).foldLeft(stream) { (df, b) =>
       val bt = bandTable.where(col("band") === b)
         .select(col("key").as(s"__k$b"), col("cands").as(s"__c$b"))

@@ -609,13 +609,14 @@ class TrainingOpsSpec extends SparkSpec {
     assert(r(1L)._1 == 3L)
     assert(math.abs(r(1L)._2 - (2 * ln(3) / 3 - ln(5))) < 1e-9)
     assert(math.abs(r(2L)._2 - (ln(3) / 2 - ln(5))) < 1e-9)
-    // pre-trained vocab {a:2, b:1}, total 3; OOV token d floors at 1/(3+1)
+    // pre-trained vocab {a:2, b:1}, total 3; seen token a scores its
+    // trained probability 2/3, ONLY the OOV token d floors at 1/(3+1)
     val vocab = Seq(("a", 2L), ("b", 1L)).toDF("token", "count")
     val s = operators.Quality.scoreWithVocab(
         Seq((9L, "a d")).toDF("doc_id", "text"),
         "doc_id", "text", vocab, total = 3.0)
       .collect().head
-    assert(math.abs(s.getDouble(2) - (ln(2.0 / 4) + ln(1.0 / 4)) / 2) < 1e-9)
+    assert(math.abs(s.getDouble(2) - (ln(2.0 / 3) + ln(1.0 / 4)) / 2) < 1e-9)
   }
 
   test("semantic dedup: keep-min over planted copies, big-bucket path") {
