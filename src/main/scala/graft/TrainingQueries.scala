@@ -555,6 +555,41 @@ object TrainingQueries {
       "doc_id", Seq(col("payload")))
       .select(col("keep_id"), col("n_copies"))
 
+  /** REAL image decode end-to-end: encode a deterministic PNG/GIF/JPEG per
+    * doc row ([[Multimodal.encodeImage]] — real format bytes, distributed),
+    * byte-budget repartition, then header-only `javax.imageio` decode
+    * ([[Multimodal.decodeImageMeta]]). The oracle predicts
+    * (width, height, channels, format) from the generation arithmetic —
+    * they round-trip the encoder+decoder only if BOTH actually parse the
+    * format, so this value-checks true byte→metadata extraction (the JDK
+    * writers always produce 3-band RGB for these inputs). byte_len is
+    * deliberately not emitted: compressed size is codec-version detail. */
+  val qMediaDecode: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val images = docs(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 12 + (id % 24).toInt
+          val fmt = (id % 3) match {
+            case 0 => "png"
+            case 1 => "gif"
+            case _ => "jpeg"
+          }
+          (id, Multimodal.encodeImage(w, h, id, fmt))
+        }
+      }.toDF("media_id", "payload")
+    val sized = Multimodal.repartitionForMedia(images, "payload", targetMB = 1)
+    Multimodal.decodeImageMeta(sized, "media_id", "payload").toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"),
+        col("format"))
+  }
+
   /** End-to-end CURATION pipeline, fully oracle-checked — the composition a
     * real pretraining cleanup runs, each stage exact so DuckDB replays the
     * whole chain: quality gate (score + min length) → exact dedup with
@@ -690,6 +725,7 @@ object TrainingQueries {
     "q_ngram_repetition" -> qNgramRepetition,
     "q_dup_spans" -> qDupSpans,
     "q_media_dedup" -> qMediaDedup,
+    "q_media_decode" -> qMediaDecode,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1543,6 +1579,17 @@ object TrainingQueries {
         |        encode(substr(text, 1, 40)) AS payload
         |      FROM documents)
         |GROUP BY payload""".stripMargin,
+    // Predicts the ImageIO encode→decode round trip from the generation
+    // arithmetic: dims/format survive only if both codec passes really ran;
+    // the JDK PNG/GIF/JPEG writers emit 3-band RGB for TYPE_INT_RGB input.
+    "q_media_decode" ->
+      """SELECT doc_id AS media_id,
+        |  16 + doc_id % 32 AS width,
+        |  12 + doc_id % 24 AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    ELSE 'jpeg' END AS format
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     "q_dup_spans" ->
       s"""WITH ${duckSpanCtes(window = 8, stride = 8)},
          |ranked AS (

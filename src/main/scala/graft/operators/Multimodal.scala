@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media payloads are opaque `binary` columns with a typed metadata struct
-  * alongside. The decode step is a STUB (no media libraries in this
-  * environment): [[fakeDecode]] derives deterministic pseudo-metadata from
-  * the bytes. Everything around it — schema, batched per-partition execution,
-  * partition sizing — is real and is what matters at 100 TB:
+  * alongside. IMAGE decode is REAL ([[decodeImage]] — header-only
+  * `javax.imageio`, pure JDK); video decode remains a stub
+  * ([[fakeDecode]] — the JDK ships no container demuxer). Everything
+  * around them — schema, batched per-partition execution, partition
+  * sizing — is what matters at 100 TB:
   *
   *  - decode/feature-extract run via `mapPartitions` over a typed Dataset:
   *    one JVM-side batch per partition (the Scala analog of arrow-batched
@@ -24,10 +25,90 @@ object Multimodal {
   case class MediaRow(media_id: Long, payload: Array[Byte])
   case class MediaMeta(media_id: Long, byte_len: Long, width: Int, height: Int,
                        n_frames: Int, format: String)
+  case class ImageMetaRow(media_id: Long, byte_len: Long, width: Int,
+                          height: Int, channels: Int, format: String)
 
-  /** STUB decoder: deterministic pseudo-metadata from payload bytes.
-    * A real implementation would call an image/video codec here; the
-    * signature (bytes in, typed metadata out) is the real contract. */
+  /** REAL image decode via `javax.imageio` (pure JDK — the PNG/JPEG/GIF/BMP
+    * reader plugins ship with every JRE, no native deps). HEADER-ONLY: the
+    * reader is probed for dimensions / band count / format without
+    * materializing a pixel raster, so the per-row cost is parsing a few
+    * hundred header bytes, not decompressing the image — the shape that
+    * survives a 100 TB image corpus. Returns None for bytes no installed
+    * reader recognizes (callers decide whether unknown payloads error or
+    * pass through). Video stays stubbed ([[fakeDecode]]): the JDK has no
+    * container demuxer. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            val its = r.getImageTypes(0)
+            val channels = if (its.hasNext) its.next().getNumComponents else -1
+            Some((w, h, channels, r.getFormatName.toLowerCase))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic RGB image ENCODER (`ImageIO.write`) — real format bytes
+    * for specs and the oracle query without shipping binary fixtures. The
+    * pixel pattern is a pure function of (x, y, seed), so the same call
+    * reproduces the same image on any executor. */
+  def encodeImage(width: Int, height: Int, seed: Long,
+                  format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** Decode a binary IMAGE payload column into typed metadata — the real
+    * (non-stub) twin of [[decodeMeta]], batched per partition like a
+    * production decoder (codec probe state amortizes per partition).
+    * Unrecognized payloads map to (-1, -1, -1, "unknown") rather than
+    * failing the batch. */
+  def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String)
+                     (implicit spark: SparkSession): Dataset[ImageMetaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val len = if (r.payload == null) 0L else r.payload.length.toLong
+          decodeImage(r.payload) match {
+            case Some((w, h, c, fmt)) =>
+              ImageMetaRow(r.media_id, len, w, h, c, fmt)
+            case None => ImageMetaRow(r.media_id, len, -1, -1, -1, "unknown")
+          }
+        }
+      }
+  }
+
+  /** STUB decoder for VIDEO payloads: deterministic pseudo-metadata from
+    * payload bytes (the JDK ships no video demuxer). Image payloads use the
+    * REAL [[decodeImage]]; the signature here (bytes in, typed metadata
+    * out) is the real contract a codec would fill. */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Int, String) = {
     val n = payload.length
     val width = 320 + (n % 321)            // 320..640

@@ -178,6 +178,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(n == 4) // frames 0,3,6,9
   }
 
+  test("image decode: real ImageIO bytes round-trip dims/channels/format") {
+    implicit val s = spark
+    // real encoders: dims and 3-band RGB must survive every JDK codec
+    for (fmt <- Seq("png", "gif", "jpeg", "bmp")) {
+      val bytes = Multimodal.encodeImage(21, 13, seed = 42L, fmt)
+      assert(Multimodal.decodeImage(bytes).contains((21, 13, 3, fmt)),
+        s"decode mismatch for $fmt: ${Multimodal.decodeImage(bytes)}")
+    }
+    // determinism: same (dims, seed, fmt) → identical bytes
+    assert(Multimodal.encodeImage(8, 8, 7L, "png")
+      .sameElements(Multimodal.encodeImage(8, 8, 7L, "png")))
+    // non-image bytes and empty/null payloads are None, not exceptions
+    assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // the Dataset path: good rows decode, junk rows degrade to "unknown"
+    val rows = Seq(
+      (1L, Multimodal.encodeImage(16, 12, 1L, "png")),
+      (2L, "junk".getBytes)).toDF("id", "payload")
+    val meta = Multimodal.decodeImageMeta(rows, "id", "payload")
+      .collect().sortBy(_.media_id)
+    assert(meta(0).width == 16 && meta(0).height == 12 &&
+      meta(0).channels == 3 && meta(0).format == "png")
+    assert(meta(1).format == "unknown" && meta(1).width == -1 &&
+      meta(1).byte_len == 4)
+  }
+
   test("media byte-packing bounds bucket bytes under skew") {
     implicit val s = spark
     // skewed corpus: a few giant payloads among many small ones
