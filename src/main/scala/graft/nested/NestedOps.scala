@@ -370,6 +370,37 @@ object NestedOps {
     * ext_array.py:1229-1230; missing fields raise, like accessor drop —
     * tests/series/test_accessor.py:517-548). Reference: `.nest.drop`
     * (accessor.py:528-562). */
+  /** Mapping-protocol tail of the `.nest` accessor (reference
+    * accessor.py:841-857): iterate field names, count them, compare two
+    * frames' nests, and the deliberately-unsupported `clear()`. */
+  def nestFieldIterator(df: DataFrame, nest: String): Iterator[String] =
+    subColumns(df, nest).iterator
+
+  def nestNumFields(df: DataFrame, nest: String): Int =
+    subColumns(df, nest).length
+
+  /** Accessor equality — the reference's `__eq__` (same accessor type +
+    * underlying series equality): true iff both frames' `nest` columns
+    * have the identical struct schema AND the same multiset of values.
+    * Distributed: one symmetric exceptAll (no collect); schema mismatch
+    * short-circuits without touching data. */
+  def nestEquals(a: DataFrame, b: DataFrame, nest: String): Boolean = {
+    val sa = a.schema(nest).dataType
+    val sb = b.schema(nest).dataType
+    sa == sb && {
+      val av = a.select(col(nest))
+      val bv = b.select(col(nest))
+      av.exceptAll(bv).isEmpty && bv.exceptAll(av).isEmpty
+    }
+  }
+
+  /** The reference's mandatory-but-unsupported MutableMapping `clear()`:
+    * a nested column cannot exist with zero fields (the same ≥1-field
+    * invariant [[dropNestedFields]] enforces), so this always throws. */
+  def clearNestedFields(df: DataFrame, nest: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"Cannot delete all fields from nested column '$nest'")
+
   def dropNestedFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame = {
     val existing = subColumns(df, nest)
     val missing = fields.filterNot(existing.contains)
@@ -843,6 +874,13 @@ object syntax {
       NestedOps.withNestedField(df, nest, field, f)
     def dropNestedFields(nest: String, fields: String*): DataFrame =
       NestedOps.dropNestedFields(df, nest, fields)
+    def nestFieldIterator(nest: String): Iterator[String] =
+      NestedOps.nestFieldIterator(df, nest)
+    def nestNumFields(nest: String): Int = NestedOps.nestNumFields(df, nest)
+    def nestEquals(other: DataFrame, nest: String): Boolean =
+      NestedOps.nestEquals(df, other, nest)
+    def clearNestedFields(nest: String): Nothing =
+      NestedOps.clearNestedFields(df, nest)
 
     def explodeNested(nest: String, keepEmpty: Boolean = false): DataFrame =
       NestedOps.explodeNested(df, nest, keepEmpty)

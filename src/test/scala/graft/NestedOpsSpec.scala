@@ -27,6 +27,35 @@ class NestedOpsSpec extends SparkSpec {
     assert(nf.allNestedColumns == Seq("key", "a", "b", "nested.c", "nested.d"))
   }
 
+  test("mapping protocol: iter and len over nest fields") {
+    // reference accessor.py:841-845: __iter__ yields field names, __len__
+    // counts them
+    assert(nf.nestFieldIterator("nested").toSeq == Seq("c", "d"))
+    assert(nf.nestNumFields("nested") == 2)
+  }
+
+  test("mapping protocol: accessor equality") {
+    // reference accessor.py:847-850: same type + underlying series equal
+    assert(nf.nestEquals(nf, "nested"))
+    // same schema, different values → not equal
+    val other = nf.withNestedField("nested", "c", e => e.getField("c") + 1)
+    assert(!nf.nestEquals(other, "nested"))
+    // different schema (field dropped) → not equal, short-circuits
+    assert(!nf.nestEquals(nf.dropNestedFields("nested", "d"), "nested"))
+    // row order must NOT matter (series equality is by index/value, and
+    // a Spark frame has no order): a reversed frame still compares equal
+    assert(nf.nestEquals(nf.orderBy($"key".desc), "nested"))
+  }
+
+  test("mapping protocol: clear always raises") {
+    // reference accessor.py:852-857: MutableMapping.clear is mandatory but
+    // unsupported — a nest cannot have zero fields
+    val e = intercept[UnsupportedOperationException] {
+      nf.clearNestedFields("nested")
+    }
+    assert(e.getMessage.contains("nested"))
+  }
+
   test("joinNested packs 3 elements per key") {
     val sizes = nf.select(size($"nested")).as[Int].collect()
     assert(sizes.toSeq == Seq(3, 3, 3))
