@@ -119,9 +119,13 @@ object NestedExpr {
       case "mean"  => let(vals, v =>
         s"(case when size($v) = 0 then null else ${sumOf(v)} / size($v) end)")
       case "median" => let(s"array_sort($vals)", sv =>
+        // divide by double(2), not the literal 2.0: Spark SQL parses 2.0 as
+        // DECIMAL(2,1), which silently promotes integer-field medians to
+        // DECIMAL instead of the double every other reduction returns
         s"""(case when size($sv) = 0 then null else
            | (element_at($sv, cast((size($sv) + 1) / 2 as int)) +
-           |  element_at($sv, cast(size($sv) / 2 as int) + 1)) / 2.0 end)"""
+           |  element_at($sv, cast(size($sv) / 2 as int) + 1))
+           |  / cast(2 as double) end)"""
           .stripMargin.replace("\n", " "))
       case "std" =>
         // ONE fold accumulating (n, Σv, Σv²) in a struct: per-element
@@ -182,6 +186,16 @@ object NestedExpr {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
             reductionSql(nest, field, agg) + " __LEN_CALL"
+          // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
+          // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
+          // query("nested.b.isna()") filters elements, not rows)
+          case Seq(nest, field, fn) if nestSet.contains(nest) &&
+              (fn == "isna" || fn == "notna") &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
+            nests += nest
+            val not = if (fn == "notna") " not" else ""
+            s"(${ref(nest, field)} is$not null) __LEN_CALL"
           case Seq(nest, field) if nestSet.contains(nest) =>
             nests += nest
             ref(nest, field)

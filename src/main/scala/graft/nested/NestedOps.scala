@@ -192,9 +192,13 @@ object NestedOps {
   def fromFlat(df: DataFrame, baseCols: Seq[String], nestedCols: Seq[String],
                on: Seq[String], name: String = "nested"): DataFrame =
   {
-    val aggs = baseCols.map(c => first(col(c)).as(c)) :+
-      collect_list(struct(nestedCols.map(col): _*)).as(name)
-    df.groupBy(on.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    // backtick every reference: column NAMES may contain dots/spaces
+    // (reference test_get_dot_names, test_nestedframe.py:417-426) and a
+    // bare col(".b.") parses the dots as a field path
+    def c(n: String) = col("`" + n.replace("`", "``") + "`")
+    val aggs = baseCols.map(n => first(c(n)).as(n)) :+
+      collect_list(struct(nestedCols.map(n => c(n).as(n)): _*)).as(name)
+    df.groupBy(on.map(c): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Zip equal-length list columns into one nested column.
