@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.nested.NestedOps
+
+/** Pack-under-skew probe: `runMain graft.tools.SkewProbe [nRows] [hotPct]` —
+  * `nRows` child rows where `hotPct`% share ONE key (the mega-object case)
+  * and the rest spread uniformly over nRows/20 keys. Measures plain
+  * [[NestedOps.packFlat]] (AQE on — its skew handling does NOT split
+  * aggregations, only joins/sorts, so the hot key still lands on one task)
+  * against [[NestedOps.packFlatSalted]] (two-stage salted pack). Prints
+  * both wall times and the ratio; asserts both produce identical
+  * (key → element count) results. */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 20000000L
+    val hotPct = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nKeys = math.max(1L, n / 20L)
+    // hotPct% of rows → key 0; the rest hash-spread over nKeys
+    val child = spark.range(n).select(
+      when(pmod(col("id"), lit(100L)) < hotPct, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("key"),
+      (col("id") % 1000L).cast("int").as("v1"),
+      pmod(xxhash64(col("id"), lit(7)), lit(100000L)).as("v2"))
+
+    def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val cnt = df.select(col("key"), size(col("nested")).as("sz"))
+        .agg(count(lit(1)), sum(col("sz"))).collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SKEW_PROBE $label time=$secs%.1fs keys=${cnt.getLong(0)} " +
+        s"elements=${cnt.getLong(1)}")
+      secs
+    }
+
+    val plain = timeIt("plain ")(
+      NestedOps.packFlat(child, Seq("key"), "nested"))
+    val salted = timeIt("salted")(
+      NestedOps.packFlatSalted(child, Seq("key"), "nested",
+        saltBuckets = cpus.toInt))
+    println(f"SKEW_PROBE ratio plain/salted = ${plain / salted}%.2f " +
+      f"(n=$n hotPct=$hotPct)")
+
+    // identical contents: per-key element counts agree
+    val a = NestedOps.packFlat(child, Seq("key"), "nested")
+      .select(col("key"), size(col("nested")).as("n"))
+    val b = NestedOps.packFlatSalted(child, Seq("key"), "nested", cpus.toInt)
+      .select(col("key"), size(col("nested")).as("n"))
+    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "plain and salted pack disagree")
+    println("SKEW_PROBE contents verified identical")
+    spark.stop()
+  }
+}
