@@ -667,6 +667,92 @@ class ReferenceParitySpec2 extends SparkSpec {
     assert(pairs.forall { case (a, v) => v == a * 10 })
   }
 
+  // -------------------------------------------------------------------------
+  // packer semantics (tests/nested_pandas/series/test_packer.py)
+  // -------------------------------------------------------------------------
+
+  test("pack with a two-column (multi-)index groups on both keys (pk :25)") {
+    val df = Seq((1, 1, 1, 0), (1, 2, 2, 1), (1, 1, 3, 0), (1, 2, 4, 1))
+      .toDF("k1", "k2", "a", "b")
+    val packed = NestedOps.fromFlat(df, Nil, Seq("a", "b"), Seq("k1", "k2"),
+      "series")
+    assert(packed.count() == 2)
+    val g11 = packed.where($"k1" === 1 && $"k2" === 1)
+      .select(col("series.a")).collect()(0).getSeq[Int](0).sorted
+    assert(g11 == Seq(1, 3))
+    val g12 = packed.where($"k1" === 1 && $"k2" === 2)
+      .select(col("series.a")).collect()(0).getSeq[Int](0).sorted
+    assert(g12 == Seq(2, 4))
+  }
+
+  test("pack on a column: key becomes the index, not a field (pk :73)") {
+    val df = Seq((1, 0, 1), (2, 1, 0), (3, 0, 1), (4, 1, 0)).toDF("a", "b", "c")
+    val packed = NestedOps.fromFlat(df, Nil, Seq("a", "b"), Seq("c"), "series")
+    // unique sorted c values form the key column; c is NOT inside the nest
+    assert(packed.orderBy("c").select("c").as[Int].collect().toSeq == Seq(0, 1))
+    assert(packed.subColumns("series") == Seq("a", "b"))
+    val c0 = packed.where($"c" === 0).select(col("series.a")).collect()(0)
+      .getSeq[Int](0).sorted
+    assert(c0 == Seq(2, 4)) // rows where c == 0
+  }
+
+  test("pack_flat: NULL group keys form their own group (pk :610 divergence)") {
+    // the reference RAISES on NaN in the index; Spark's groupBy gives NULL
+    // its own group — the engine-native semantics, documented here as the
+    // deliberate divergence (callers wanting the reference behavior filter
+    // or assert key.isNotNull first)
+    val df = Seq((Some(1L), 1), (None, 2), (Some(1L), 3), (None, 4))
+      .toDF("key", "v")
+    val packed = NestedOps.packFlat(df, Seq("key"), "nested")
+    assert(packed.count() == 2)
+    val nullGroup = packed.where($"key".isNull)
+      .select(size($"nested")).as[Int].collect()(0)
+    assert(nullGroup == 2)
+  }
+
+  test("pack_seq with double-nested elements keeps depth 2 (pk :447)") {
+    val rows = Seq(
+      (0L, Some(Seq((1, Seq(10, 11)), (2, Seq(20))))),
+      (1L, None))
+    val df = rows.toDF("key", "nested")
+    assert(df.nestedColumns == Seq("nested"))
+    // the inner Seq is an array field INSIDE the outer nest
+    val inner = df.schema("nested").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(inner("_2").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    // flatten_inner-style access still reaches the leaves
+    val leaves = df.select(explode(col("nested._2")).as("l"))
+      .select(explode(col("l"))).as[Int].collect().sorted
+    assert(leaves.toSeq == Seq(10, 11, 20))
+  }
+
+  test("element masking by an aligned boolean keeps flat_length 2 (ns :137)") {
+    val series = NestedOps.packSeq(spark, Seq(
+      (0L, Some(Seq((1, 0), (2, 1)))),
+      (1L, Some(Seq((3, 0), (4, 1))))))
+    // mask [true, false, false, true] in flat order = keep first element of
+    // row 0 and second of row 1; express as an aligned per-row predicate
+    val masked = series.withColumn("nested",
+      filter(col("nested"), (s, i) =>
+        (col("key") === 0L && i === 0) || (col("key") === 1L && i === 1)))
+    assert(masked.select(sum(size($"nested"))).as[Long].collect()(0) == 2)
+    val kept = masked.select(explode(col("nested._1"))).as[Int]
+      .collect().sorted
+    assert(kept.toSeq == Seq(1, 4))
+  }
+
+  test("getitem by row key returns that row's flat frame (ns :154)") {
+    val series = NestedOps.packSeq(spark, Seq(
+      (0L, Some(Seq((1, 0), (2, 1)))),
+      (1L, Some(Seq((3, 0), (4, 1))))))
+    val row0 = series.where($"key" === 0L).toFlat("nested")
+    assert(row0.columns.toSeq == Seq("_1", "_2"))
+    assert(row0.orderBy("_1").as[(Int, Int)].collect().toSeq ==
+      Seq((1, 0), (2, 1)))
+  }
+
   test("issue350: map_rows on a frame with duplicate keys (ref :2711)") {
     import org.apache.spark.sql.types._
     val dup = nf.withColumn("key", when($"key" === 1L, 0L).otherwise($"key"))
