@@ -581,6 +581,10 @@ object TrainingQueries {
           (id, Multimodal.encodeImage(w, h, id, fmt))
         }
       }.toDF("media_id", "payload")
+      // two actions read this frame (repartitionForMedia's byte-count agg +
+      // the decode) — persist so the encoder runs once, not twice (the
+      // CurateProbe lesson, SCALING.md round 5)
+      .persist()
     val sized = Multimodal.repartitionForMedia(images, "payload", targetMB = 1)
     Multimodal.decodeImageMeta(sized, "media_id", "payload").toDF()
       .select(col("media_id"),

@@ -385,15 +385,21 @@ object NestedOps {
 
   /** Accessor equality — the reference's `__eq__` (same accessor type +
     * underlying series equality): true iff both frames' `nest` columns
-    * have the identical struct schema AND the same multiset of values.
-    * Distributed: one symmetric exceptAll (no collect); schema mismatch
-    * short-circuits without touching data. */
-  def nestEquals(a: DataFrame, b: DataFrame, nest: String): Boolean = {
+    * have the same struct schema (nullability-insensitive — the reference
+    * compares VALUES, and Spark constructors disagree on nullable flags
+    * for identical data) AND the same multiset of (key, cell) values.
+    * Pass `on` key columns for the reference's index-ALIGNED comparison —
+    * without keys, swapping two rows' cells would compare equal (a frame
+    * has no index). Distributed: one symmetric exceptAll (no collect);
+    * schema mismatch short-circuits without touching data. */
+  def nestEquals(a: DataFrame, b: DataFrame, nest: String,
+                 on: Seq[String] = Nil): Boolean = {
     val sa = a.schema(nest).dataType
     val sb = b.schema(nest).dataType
-    sa == sb && {
-      val av = a.select(col(nest))
-      val bv = b.select(col(nest))
+    sa.catalogString == sb.catalogString && {
+      val cols = (on :+ nest).map(col)
+      val av = a.select(cols: _*)
+      val bv = b.select(cols: _*)
       av.exceptAll(bv).isEmpty && bv.exceptAll(av).isEmpty
     }
   }
@@ -881,8 +887,9 @@ object syntax {
     def nestFieldIterator(nest: String): Iterator[String] =
       NestedOps.nestFieldIterator(df, nest)
     def nestNumFields(nest: String): Int = NestedOps.nestNumFields(df, nest)
-    def nestEquals(other: DataFrame, nest: String): Boolean =
-      NestedOps.nestEquals(df, other, nest)
+    def nestEquals(other: DataFrame, nest: String,
+                   on: Seq[String] = Nil): Boolean =
+      NestedOps.nestEquals(df, other, nest, on)
     def clearNestedFields(nest: String): Nothing =
       NestedOps.clearNestedFields(df, nest)
 

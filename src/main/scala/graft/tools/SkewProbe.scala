@@ -52,14 +52,17 @@ object SkewProbe {
     println(f"SKEW_PROBE ratio plain/salted = ${plain / salted}%.2f " +
       f"(n=$n hotPct=$hotPct)")
 
-    // identical contents: per-key element counts agree
-    val a = NestedOps.packFlat(child, Seq("key"), "nested")
+    // identical contents: per-key element counts agree. Verified on a 1/10
+    // sample (including the hot key) so the check doesn't re-run two more
+    // FULL pack shuffles after the timed passes.
+    val sample = child.where(pmod(col("key"), lit(10L)) === 0L)
+    val a = NestedOps.packFlat(sample, Seq("key"), "nested")
       .select(col("key"), size(col("nested")).as("n"))
-    val b = NestedOps.packFlatSalted(child, Seq("key"), "nested", cpus.toInt)
+    val b = NestedOps.packFlatSalted(sample, Seq("key"), "nested", cpus.toInt)
       .select(col("key"), size(col("nested")).as("n"))
     require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "plain and salted pack disagree")
-    println("SKEW_PROBE contents verified identical")
+    println("SKEW_PROBE contents verified identical (1/10 key sample)")
     spark.stop()
   }
 }

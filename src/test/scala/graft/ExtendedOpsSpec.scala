@@ -92,6 +92,27 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(sums == Seq(5 + 4 + 7 + 3, 5 + 3 + 1 + 3, 9 + 3 + 4 + 3))
   }
 
+  test("filter on a non-selected column pushes to the scan (ref issue-492)") {
+    // reference GH#492: read_parquet(columns=["a"], filters=[("z","<",...)])
+    // — the filter column is not in the projection. In Spark this is
+    // where-then-select; the evidence that it stays cheap at 100 TB is
+    // (a) the predicate lands in PushedFilters and (b) ReadSchema does
+    // not balloon beyond the filter+projection columns.
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val q = li.where($"l_quantity" < 25.0).select("l_orderkey")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("IsNotNull(l_quantity)"),
+      s"null-guard not pushed:\n$scan")
+    assert(scan.contains("LessThan(l_quantity,25.0)"),
+      s"range filter not pushed:\n$scan")
+    val readSchema = scan.split("ReadSchema:").last
+    assert(readSchema.contains("l_orderkey") &&
+      readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment"),
+      s"scan reads unneeded columns:\n$readSchema")
+    assert(q.count() > 0)
+  }
+
   test("bucketed child table packs WITHOUT a shuffle") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_orderkey", "l_quantity")

@@ -45,6 +45,14 @@ class NestedOpsSpec extends SparkSpec {
     // row order must NOT matter (series equality is by index/value, and
     // a Spark frame has no order): a reversed frame still compares equal
     assert(nf.nestEquals(nf.orderBy($"key".desc), "nested"))
+    // index-ALIGNED comparison (the reference's actual __eq__): pass the
+    // key columns — cells swapped between keys then compare NOT equal,
+    // even though the bare multiset of cells is identical
+    val swapped = nf.withColumn("key",
+      when($"key" === 0L, 1L).when($"key" === 1L, 0L).otherwise($"key"))
+    assert(nf.nestEquals(swapped, "nested")) // keyless: same cell multiset
+    assert(!nf.nestEquals(swapped, "nested", on = Seq("key")))
+    assert(nf.nestEquals(nf.orderBy($"key".desc), "nested", on = Seq("key")))
   }
 
   test("mapping protocol: clear always raises") {
