@@ -213,11 +213,14 @@ object TrainingQueries {
     * over rank-affine signatures, value-replayed in DuckDB including
     * bit_count(xor) Hamming. allPairsCap=2 pushes every ≥3-member block
     * (the largest this id-capped corpus produces) onto the star+dual-chain
-    * path, so that emission logic is value-verified too — not just the
-    * all-pairs branch. */
+    * path, and maxHamming=24 ADMITS those blocks' edges (measured hamming
+    * 17-24 here; at the production budget of 3 every big-branch edge was
+    * filtered out and the dual-chain emission was only verified by
+    * absence) — so star + both chain orderings are value-checked
+    * edge-for-edge against the SQL replay. */
   val qSimhashPairsExact: Q = (s, dir) =>
     Dedup.simhashCandidatePairs(rankSimhashSigs(s, dir), "doc_id", "sig",
-        numBands = 4, bitsPerBand = 15, maxHamming = 3, allPairsCap = 2)
+        numBands = 4, bitsPerBand = 15, maxHamming = 24, allPairsCap = 2)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
 
   /** Full near-dup removal pipeline: sigs → LSH candidates → jaccard
@@ -1208,7 +1211,7 @@ object TrainingQueries {
          |  SELECT least(a, b) AS na, greatest(a, b) AS nb,
          |    CAST(bit_count(xor(siga, sigb)) AS BIGINT) AS hamming
          |  FROM pairs
-         |  WHERE bit_count(xor(siga, sigb)) <= 3 AND a <> b)
+         |  WHERE bit_count(xor(siga, sigb)) <= 24 AND a <> b)
          |SELECT DISTINCT na AS a, nb AS b, hamming FROM norm""".stripMargin
     },
     "q_dedup_pipeline_exact" -> {
