@@ -1155,8 +1155,9 @@ object TrainingQueries {
     "q_simhash_pairs_exact" -> {
       // Replays qSimhashPairsExact: 60-bit rank-affine simhash (per-bit
       // parity votes, majority sign, bits packed), 4 bands × 15-bit
-      // div-mod banding, all-pairs ≤ 2 members, star + DUAL-ORDER chains
-      // above, bit_count(xor) Hamming ≤ 3, least/greatest normalize.
+      // div-mod banding, all-pairs for 2-member blocks, star + DUAL-ORDER
+      // chains above, bit_count(xor) Hamming ≤ 24, least/greatest
+      // normalize.
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, unnest(${duckShingles(5)}) AS sh
          |  FROM documents WHERE doc_id < 200),
@@ -1169,7 +1170,7 @@ object TrainingQueries {
          |    sum(CASE WHEN (sid * ((2654435761 * (2 * j + 1)) % 4294967296)
          |        + (97 * j + 31)) % 100003 % 2 = 1
          |      THEN 1 ELSE -1 END) AS v
-         |  FROM rs CROSS JOIN (SELECT unnest(range(0, 60)) AS j) bits
+         |  FROM rs CROSS JOIN (SELECT unnest(range(0, $simBits)) AS j) bits
          |  GROUP BY doc_id, j),
          |sigs AS (
          |  SELECT doc_id,
@@ -1197,7 +1198,7 @@ object TrainingQueries {
          |  SELECT x.doc_id AS a, x.sig AS siga, y.doc_id AS b, y.sig AS sigb
          |  FROM ann x JOIN ann y ON x.band = y.band AND x.block = y.block
          |    AND x.doc_id < y.doc_id
-         |  WHERE x.n >= 2 AND x.n <= 2
+         |  WHERE x.n = 2
          |  UNION ALL
          |  SELECT aid, asig, doc_id, sig FROM ann
          |  WHERE n > 2 AND doc_id <> aid
