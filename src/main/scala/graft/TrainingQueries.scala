@@ -597,6 +597,64 @@ object TrainingQueries {
         col("format"))
   }
 
+  /** REAL audio decode end-to-end: encode a deterministic 16-bit PCM WAV
+    * per doc row ([[Multimodal.encodeWav]] — real RIFF bytes, distributed),
+    * byte-budget repartition, then header-only `javax.sound.sampled` decode
+    * ([[Multimodal.decodeAudioMeta]]). The oracle predicts
+    * (sample_rate, channels, bits, n_frames) from the generation
+    * arithmetic — the values round-trip only if the RIFF/fmt/data chunks
+    * were really written and really parsed. */
+  val qAudioDecode: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val clips = docs(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val sr = Seq(8000, 11025, 16000, 22050)((id % 4).toInt)
+          val ch = 1 + (id % 2).toInt
+          val nf = 50 + (id % 100).toInt
+          (id, Multimodal.encodeWav(sr, ch, nf, id))
+        }
+      }.toDF("media_id", "payload")
+      .persist()   // two actions (byte-count agg + decode): encode once
+    val sized = Multimodal.repartitionForMedia(clips, "payload", targetMB = 1)
+    Multimodal.decodeAudioMeta(sized, "media_id", "payload").toDF()
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("channels").cast("long").as("channels"),
+        col("bits").cast("long").as("bits"),
+        col("n_frames"))
+  }
+
+  /** REAL video container-metadata decode end-to-end: write a minimal ISO
+    * BMFF `ftyp`+`moov` tree per doc row ([[Multimodal.encodeMp4Meta]]),
+    * then walk the box tree back ([[Multimodal.decodeMp4]]). Width/height
+    * survive a 16.16 fixed-point round trip, duration a timescale
+    * conversion, brand a raw byte copy — all predicted by the oracle from
+    * the generation arithmetic. Frame decode stays stubbed (no JDK video
+    * codec); the container path is the real plumbing. */
+  val qVideoDecode: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val vids = docs(s, dir).where(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 160 + (id % 33).toInt * 4
+          val h = 120 + (id % 25).toInt * 4
+          val dur = 1000L + (id % 97) * 53L
+          val brand = if (id % 2 == 0) "isom" else "mp42"
+          (id, Multimodal.encodeMp4Meta(w, h, dur, brand))
+        }
+      }.toDF("media_id", "payload")
+    Multimodal.decodeVideoMeta(vids, "media_id", "payload").toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("duration_ms"), col("brand"))
+  }
+
   /** End-to-end CURATION pipeline, fully oracle-checked — the composition a
     * real pretraining cleanup runs, each stage exact so DuckDB replays the
     * whole chain: quality gate (score + min length) → exact dedup with
@@ -733,6 +791,8 @@ object TrainingQueries {
     "q_dup_spans" -> qDupSpans,
     "q_media_dedup" -> qMediaDedup,
     "q_media_decode" -> qMediaDecode,
+    "q_audio_decode" -> qAudioDecode,
+    "q_video_decode" -> qVideoDecode,
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
@@ -1597,6 +1657,27 @@ object TrainingQueries {
         |  CAST(3 AS BIGINT) AS channels,
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
         |    ELSE 'jpeg' END AS format
+        |FROM documents WHERE doc_id < 300""".stripMargin,
+    // Predicts the WAV encode→decode round trip: sample rate / channels /
+    // bits / frame count survive only if the RIFF header was really
+    // written by AudioSystem.write and really parsed by getAudioFileFormat.
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |    WHEN 2 THEN 16000 ELSE 22050 END AS sample_rate,
+        |  1 + doc_id % 2 AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  50 + doc_id % 100 AS n_frames
+        |FROM documents WHERE doc_id < 300""".stripMargin,
+    // Predicts the MP4 box-tree round trip: dims survive 16.16 fixed-point
+    // encode/decode, duration the ms→timescale→ms conversion (timescale
+    // 1000 = exact), brand a raw 4-byte copy.
+    "q_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |  160 + (doc_id % 33) * 4 AS width,
+        |  120 + (doc_id % 25) * 4 AS height,
+        |  1000 + (doc_id % 97) * 53 AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand
         |FROM documents WHERE doc_id < 300""".stripMargin,
     "q_dup_spans" ->
       s"""WITH ${duckSpanCtes(window = 8, stride = 8)},

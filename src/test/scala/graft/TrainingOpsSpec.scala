@@ -205,6 +205,58 @@ class TrainingOpsSpec extends SparkSpec {
       meta(1).byte_len == 4)
   }
 
+  test("audio decode: real WAV bytes round-trip rate/channels/bits/frames") {
+    implicit val s = spark
+    // real RIFF bytes from AudioSystem.write; header-only parse back
+    for ((sr, ch, nf) <- Seq((8000, 1, 50), (22050, 2, 149), (16000, 1, 1))) {
+      val bytes = Multimodal.encodeWav(sr, ch, nf, seed = 42L)
+      assert(Multimodal.decodeWav(bytes).contains((sr, ch, 16, nf.toLong)),
+        s"WAV decode mismatch for ($sr,$ch,$nf): ${Multimodal.decodeWav(bytes)}")
+    }
+    // determinism: same params → identical bytes
+    assert(Multimodal.encodeWav(8000, 1, 10, 7L)
+      .sameElements(Multimodal.encodeWav(8000, 1, 10, 7L)))
+    // junk / empty / null payloads degrade to None, not exceptions
+    assert(Multimodal.decodeWav("not audio".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    // the Dataset path: good rows decode, junk rows degrade to -1s
+    val rows = Seq(
+      (1L, Multimodal.encodeWav(11025, 2, 30, 1L)),
+      (2L, "junk".getBytes)).toDF("id", "payload")
+    val meta = Multimodal.decodeAudioMeta(rows, "id", "payload")
+      .collect().sortBy(_.media_id)
+    assert(meta(0).sample_rate == 11025 && meta(0).channels == 2 &&
+      meta(0).bits == 16 && meta(0).n_frames == 30L)
+    assert(meta(1).sample_rate == -1 && meta(1).byte_len == 4)
+  }
+
+  test("video decode: MP4 box tree round-trips dims/duration/brand") {
+    implicit val s = spark
+    // container metadata survives the 16.16 fixed-point + timescale round trip
+    for ((w, h, d, b) <- Seq((160, 120, 1000L, "isom"),
+                             (1920, 1080, 9999L, "mp42"))) {
+      val bytes = Multimodal.encodeMp4Meta(w, h, d, b)
+      assert(Multimodal.decodeMp4(bytes).contains((w, h, d, b)),
+        s"MP4 decode mismatch: ${Multimodal.decodeMp4(bytes)}")
+    }
+    // malformed trees degrade to None: junk, truncated header, bad box size
+    assert(Multimodal.decodeMp4("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeMp4(null).isEmpty)
+    assert(Multimodal.decodeMp4(
+      Multimodal.encodeMp4Meta(64, 48, 100L).take(30)).isEmpty)
+    // the Dataset path: good rows decode, junk rows degrade to "unknown"
+    val rows = Seq(
+      (1L, Multimodal.encodeMp4Meta(320, 240, 1500L, "mp42")),
+      (2L, "junk-junk".getBytes)).toDF("id", "payload")
+    val meta = Multimodal.decodeVideoMeta(rows, "id", "payload")
+      .collect().sortBy(_.media_id)
+    assert(meta(0).width == 320 && meta(0).height == 240 &&
+      meta(0).duration_ms == 1500L && meta(0).brand == "mp42")
+    assert(meta(1).brand == "unknown" && meta(1).width == -1)
+  }
+
   test("media byte-packing bounds bucket bytes under skew") {
     implicit val s = spark
     // skewed corpus: a few giant payloads among many small ones
