@@ -1,7 +1,7 @@
 package graft.nested
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr, size}
+import org.apache.spark.sql.functions.{col, expr, lit, size, when}
 
 /** String front-end for the reference's query/eval dialect.
   *
@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions.{col, expr, size}
   * core.py:1526-1648):
   *  - an expression over base columns filters top-level rows;
   *  - an expression over the fields of exactly ONE nest filters the elements
-  *    inside each nested cell (keeping all top-level rows);
+  *    inside each nested cell (keeping all top-level rows; cells whose every
+  *    element was dropped become NULL, core.py:1638-1648);
   *  - mixing layers, or referencing two different nests, raises
   *    (core.py:1610-1614 via extract_nest_names / _subexprs_by_nest).
   *  - dotted paths `nest.field`, backtick-quoted names, and `nest.len()` are
@@ -246,7 +247,17 @@ object NestedExpr {
         "Query expression mixes base columns and nested fields; " +
           "only one layer per expression is supported")
       val nest = a.nests.head
-      df.withColumn(nest, expr(s"filter(${bq(nest)}, __x -> ${a.sql})"))
+      // Emptied cells become NULL, not empty arrays: the reference repacks
+      // the filtered flat rep and assigns by index, so rows whose every
+      // element was dropped are MISSING from the packed series → pd.NA
+      // (core.py:1638-1648 _set_filtered_flat_df). This is what makes the
+      // `query(...)` → `dropna(subset=nest)` idiom drop them (the dropna
+      // docstring's own example). The accessor-level element MASK
+      // ([[NestedOps.filterElements]]) keeps empty cells — the two layers
+      // genuinely differ in the reference.
+      val filtered = expr(s"filter(${bq(nest)}, __x -> ${a.sql})")
+      df.withColumn(nest,
+        when(size(filtered) === 0, lit(null)).otherwise(filtered))
     }
   }
 

@@ -313,6 +313,33 @@ object NestedOps {
         acc.withField(f, coalesce(s.getField(f), lit(v)))
       }))
 
+  /** Whole-frame SCALAR fillna: fills base columns AND every field of every
+    * nested column in one call — the reference's `nf.fillna(0)` hits both
+    * layers at once (core.py:1351-1434 and its docstring example). Type
+    * discipline follows Spark's `na.fill`: a numeric value touches only
+    * numeric columns/fields, a string value only string ones; NULL nested
+    * CELLS stay NULL (there is no element list to fill into). */
+  def fillNaAll(df: DataFrame, value: Any): DataFrame = {
+    def matches(dt: DataType): Boolean = value match {
+      case _: java.lang.Number => dt.isInstanceOf[NumericType]
+      case _: String => dt.isInstanceOf[StringType]
+      case _: java.lang.Boolean => dt.isInstanceOf[BooleanType]
+      case _ => throw new IllegalArgumentException(
+        s"fillNaAll supports numeric, string, or boolean values, got $value")
+    }
+    val base = value match {
+      case n: java.lang.Number => df.na.fill(n.doubleValue())
+      case s: String => df.na.fill(s)
+      case b: java.lang.Boolean => df.na.fill(b)
+    }
+    nestedColumns(df).foldLeft(base) { (acc, nest) =>
+      val fields = nestedStruct(df, nest).fields
+        .collect { case f if matches(f.dataType) => f.name }
+      if (fields.isEmpty) acc
+      else fillNaElements(acc, nest, fields.map(_ -> value).toMap)
+    }
+  }
+
   // ---------------------------------------------------------------------------
   // Mutation (reference: core.py:284-344, accessor.py set_* / drop)
   // ---------------------------------------------------------------------------

@@ -136,10 +136,13 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
-  test("query to an empty result keeps schema and empty cells (ref :575-615)") {
+  test("query to an empty result keeps schema; cells NULL (core.py:1638-1648)") {
     val q = NestedExpr.query(nf, "nested.c > 1000")
-    assert(q.count() == 3) // rows kept, cells emptied
-    assert(q.select(sum(size($"nested"))).as[Long].collect()(0) == 0)
+    assert(q.count() == 3) // rows kept, cells emptied → NULL (repack-by-index)
+    assert(q.where($"nested".isNull).count() == 3)
+    // names+types survive (the nest column correctly becomes nullable)
+    assert(q.schema.map(f => (f.name, f.dataType)) ==
+      nf.schema.map(f => (f.name, f.dataType)))
     val dropEmpty = NestedOps.filterElementsDropEmpty(nf, "nested",
       s => s.getField("c") > 1000)
     assert(dropEmpty.count() == 0)

@@ -753,6 +753,56 @@ class ReferenceParitySpec2 extends SparkSpec {
       Seq((1, 0), (2, 1)))
   }
 
+  test("query: fully-emptied cells become NULL, so dropna(subset=nest) " +
+      "drops them (core.py:1638-1648 + dropna docstring example)") {
+    // the dropna docstring's own idiom: query empties some cells → those
+    // rows show None → dropna(subset="nested") removes exactly them
+    // c maxes at 4 in every row, so c>4 empties ALL cells → all NULL
+    val q2 = NestedExpr.query(nf, "nested.c > 4")
+    assert(q2.count() == 3) // rows all kept by the element filter itself
+    assert(q2.where($"nested".isNull).count() == 3)
+    // and the base-layer dropna on the nest column drops exactly those rows
+    assert(q2.na.drop(Seq("nested")).count() == 0)
+    val q3 = NestedExpr.query(nf, "nested.d > 5")
+    // key 0 keeps d=7, key 2 keeps d=9 → non-null; key 1 (d 5,3,1) empties
+    assert(q3.where($"nested".isNull).select("key").as[Long]
+      .collect().toSeq == Seq(1L))
+    assert(q3.na.drop(Seq("nested")).select("key").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 2L))
+    // the accessor-level element MASK still keeps empty cells (acc :575)
+    val masked = nf.filterElements("nested", s => s.getField("c") > 100)
+    assert(masked.where($"nested".isNull).count() == 0)
+  }
+
+  test("whole-frame scalar fillna fills base AND nested layers " +
+      "(core.py fillna docstring example, literal data)") {
+    // the doctest frame: base a/b/c with NaNs, nested d/e with NaNs
+    val b = Seq[(Long, Option[Double], Option[Double], Option[Double])](
+      (0L, None, None, Some(10.0)),
+      (1L, Some(20.0), None, None),
+      (2L, None, Some(30.0), None)).toDF("key", "a", "b", "c")
+    val n = Seq[(Long, Option[Double], Option[Double])](
+      (0L, None, None), (1L, None, Some(1.0)), (2L, None, None))
+      .toDF("key", "d", "e")
+    val joined = b.joinNested(n, Seq("key"), "nested")
+    val filled = NestedOps.fillNaAll(joined, 0)
+    val rows = filled.orderBy("key")
+      .select($"a", $"b", $"c",
+        element_at($"nested.d", 1), element_at($"nested.e", 1))
+      .as[(Double, Double, Double, Double, Double)].collect().toSeq
+    assert(rows == Seq( // golden from the docstring output
+      (0.0, 0.0, 10.0, 0.0, 0.0),
+      (20.0, 0.0, 0.0, 0.0, 1.0),
+      (0.0, 30.0, 0.0, 0.0, 0.0)))
+    // string value variant touches only string fields
+    val s = Seq((0L, Option.empty[String], Some(1.0)),
+      (1L, Some("x"), None)).toDF("key", "tag", "v")
+    val sf = NestedOps.fillNaAll(b.limit(2).joinNested(s, Seq("key"), "nn"), "?")
+    assert(sf.select(element_at($"nn.tag", 1)).as[String]
+      .collect().toSet == Set("?", "x"))
+    assert(sf.where($"a".isNull).count() == 1) // numeric base untouched
+  }
+
   test("issue350: map_rows on a frame with duplicate keys (ref :2711)") {
     import org.apache.spark.sql.types._
     val dup = nf.withColumn("key", when($"key" === 1L, 0L).otherwise($"key"))
