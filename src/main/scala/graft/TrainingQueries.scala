@@ -268,6 +268,18 @@ object TrainingQueries {
       d.where(col("doc_id") % 25 === 0), "text", n = 3)
   }
 
+  /** [[qContamination]] through the bloom-prefilter scale path
+    * ([[Dedup.contaminationBloom]]): the bloom gates the corpus-side grams
+    * in the scan stage, an exact confirm join removes the fpp sliver, so
+    * the SAME oracle replays it — the two queries sharing one oracle IS
+    * the test that the bloom path loses nothing. */
+  val qContaminationBloom: Q = (s, dir) => {
+    val d = docs(s, dir)
+    Dedup.contaminationBloom(
+      d.where(col("doc_id") % 25 =!= 0), "doc_id", "text",
+      d.where(col("doc_id") % 25 === 0), "text", n = 3, fpp = 0.01)
+  }
+
   // ---------------------------------------------------------------------------
   // Similarity search
   // ---------------------------------------------------------------------------
@@ -760,6 +772,7 @@ object TrainingQueries {
     "q_simhash_pairs_exact" -> qSimhashPairsExact,
     "q_jaccard_pairs" -> qJaccardPairs,
     "q_contamination" -> qContamination,
+    "q_contamination_bloom" -> qContaminationBloom,
     "q_curate" -> qCurate,
     "q_embed_cosine_pairs" -> qEmbedCosinePairs,
     "q_ann_brute" -> qAnnBrute,
@@ -796,6 +809,28 @@ object TrainingQueries {
   )
 
   // ---- oracle SQL (DuckDB) --------------------------------------------------
+
+  /** Shared by q_contamination and q_contamination_bloom (the bloom path is
+    * exact-confirmed, so both queries must hash-match ONE truth). Distinct
+    * 3-token shingles, space-joined — matches TextFunctions.tokenShingles
+    * exactly. */
+  private val contaminationOracle: String = {
+    val grams = """list_distinct([array_to_string(ws[i:i+2], ' ')
+      | for i in range(1, greatest(len(ws) - 2, 0) + 1)])""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents),
+       |dg AS (
+       |  SELECT doc_id, unnest($grams) AS g
+       |  FROM w WHERE doc_id % 25 <> 0),
+       |bg AS (
+       |  SELECT DISTINCT unnest($grams) AS g
+       |  FROM w WHERE doc_id % 25 = 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM dg JOIN bg USING (g)
+       |GROUP BY doc_id""".stripMargin
+  }
 
   /** DuckDB CTEs `t → x → sp` tiling documents into token spans of
     * `window` tokens every `stride` — the replay of
@@ -1010,25 +1045,9 @@ object TrainingQueries {
          |  lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM clean GROUP BY 1, 2""".stripMargin
     },
-    "q_contamination" -> {
-      // distinct 3-token shingles, space-joined — matches
-      // TextFunctions.tokenShingles exactly
-      val grams = """list_distinct([array_to_string(ws[i:i+2], ' ')
-        | for i in range(1, greatest(len(ws) - 2, 0) + 1)])""".stripMargin
-      s"""WITH w AS (
-         |  SELECT doc_id,
-         |    regexp_split_to_array(trim(text), '\\s+') AS ws
-         |  FROM documents),
-         |dg AS (
-         |  SELECT doc_id, unnest($grams) AS g
-         |  FROM w WHERE doc_id % 25 <> 0),
-         |bg AS (
-         |  SELECT DISTINCT unnest($grams) AS g
-         |  FROM w WHERE doc_id % 25 = 0)
-         |SELECT doc_id, count(*) AS n_hits
-         |FROM dg JOIN bg USING (g)
-         |GROUP BY doc_id""".stripMargin
-    },
+    "q_contamination" -> contaminationOracle,
+    // the bloom prefilter is exact-confirmed, so the SAME oracle replays it
+    "q_contamination_bloom" -> contaminationOracle,
     "q_quality_signals" ->
       s"""WITH e AS (
          |  SELECT doc_id,

@@ -503,6 +503,51 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[contamination]] with a BLOOM-FILTER prefilter — the 100 TB scale
+    * path when the benchmark suite is large enough that broadcasting its
+    * raw distinct n-grams (dozens of bytes each) hurts. The bloom is built
+    * by Spark's own `BloomFilterAggregate` (executor-side partial filters
+    * OR-merged, exactly like any partial agg — the driver only receives
+    * the final ~`1.2·items·|ln fpp|/ln²2 / 8` bytes, e.g. ~1.2 MB per
+    * million grams at 1% fpp, ~10× smaller than the gram strings), then
+    * embedded as a foldable binary literal so `BloomFilterMightContain`
+    * stays inside whole-stage codegen in the corpus scan. Surviving
+    * (doc, gram) candidates — the true hits plus the fpp sliver — are then
+    * confirmed against the exact gram set, so the RESULT is identical to
+    * [[contamination]] (bloom errors only cost a confirm probe, never a
+    * wrong answer) and the same oracle replays it. */
+  def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         n: Int = 3, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val EU = org.apache.spark.sql.GraftBridge
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchGrams = bench.select(
+        explode(tokenShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    // eager, tiny: the bench side is eval sets by nature. Sizing the bloom
+    // from the true count keeps the realized fpp at the requested value.
+    val nItems = math.max(benchGrams.count(), 1L)
+    // classic optimal sizing: m = ⌈-n·ln(p) / ln²2⌉
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val hashed = new XxHash64(Seq(EU.expression(col("__g"))))
+    val blob = benchGrams
+      .select(EU.column(new BloomFilterAggregate(hashed,
+        Literal(nItems), Literal(numBits)).toAggregateExpression()).as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    val mightHit = EU.column(BloomFilterMightContain(
+      Literal(blob, BinaryType), hashed))
+    val grams = docs.select(col(idCol),
+      explode(tokenShingles(col(textCol), n)).as("__g"))
+    grams.where(mightHit)                       // codegen'd scan-stage gate
+      .join(broadcast(benchGrams), Seq("__g"))  // exact confirm
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))

@@ -113,6 +113,30 @@ class TrainingOpsSpec extends SparkSpec {
     assert(hits == Map(1L -> 2L, 3L -> 1L))
   }
 
+  test("contaminationBloom ≡ contamination (bloom prefilter is exact-confirmed)") {
+    // a corpus big enough that the bloom actually prunes: 200 docs, 10
+    // contaminated with a planted benchmark phrase
+    val corpus = (1L to 200L).map { i =>
+      val planted = if (i % 20 == 0) " secret eval phrase here" else ""
+      (i, s"document number $i token${i % 7} filler words$planted")
+    }.toDF("doc_id", "text")
+    val bench = Seq((1000L, "the secret eval phrase here leaked"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.contamination(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.contaminationBloom(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(exact == bloom)
+    assert(bloom.size == 10 && bloom.keySet.forall(_ % 20 == 0))
+    // tight fpp changes nothing (still exact after confirm)
+    val tight = Dedup.contaminationBloom(corpus, "doc_id", "text", bench,
+      "text", fpp = 0.0001).as[(Long, Long)].collect().toMap
+    assert(tight == exact)
+    // empty benchmark → no hits, no blow-up
+    assert(Dedup.contaminationBloom(corpus, "doc_id", "text",
+      bench.limit(0), "text").count() == 0)
+  }
+
   test("gopher signals + PII counts on crafted documents") {
     val crafted = Seq(
       (1L, "line one\nline one\nline two\n\n- bullet a\n* bullet b"),
