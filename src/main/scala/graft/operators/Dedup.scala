@@ -524,9 +524,12 @@ object Dedup {
     import org.apache.spark.sql.types.BinaryType
     val EU = org.apache.spark.sql.GraftBridge
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // persisted: used three times (sizing count, bloom build, confirm
+    // join) — eval-set-sized by nature, so the cache is small and the
+    // two extra explode+distinct passes it saves are pure win
     val benchGrams = bench.select(
         explode(tokenShingles(col(benchTextCol), n)).as("__g"))
-      .distinct()
+      .distinct().persist()
     // eager, tiny: the bench side is eval sets by nature. Sizing the bloom
     // from the true count keeps the realized fpp at the requested value.
     val nItems = math.max(benchGrams.count(), 1L)
