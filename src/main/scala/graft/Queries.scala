@@ -337,6 +337,43 @@ object Queries {
         col("p_event_id"), col("p_value"))
   }
 
+  /** As-of FORWARD with a tolerance: each click matched to the user's
+    * EARLIEST purchase at-or-after it, but only within 3 days — pandas
+    * `merge_asof(direction="forward", tolerance=...)`. Oracle: DuckDB's
+    * native ASOF with the inequality flipped + a CASE distance gate. */
+  val qAsofForward: Q = (s, dir) => {
+    val ev = rd(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
+        rightTieBreak = Seq("p_event_id"), direction = "forward",
+        tolerance = Some(3L * 24 * 3600 * 1000000000L))
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000000").as("ms"),
+        col("p_event_id"), col("p_value"))
+  }
+
+  /** As-of NEAREST: each click matched to the user's closest purchase in
+    * absolute time, ties to the backward side — pandas
+    * `merge_asof(direction="nearest")`. Oracle: both DuckDB ASOF
+    * directions composed with the same distance CASE. */
+  val qAsofNearest: Q = (s, dir) => {
+    val ev = rd(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
+        rightTieBreak = Seq("p_event_id"), direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000000").as("ms"),
+        col("p_event_id"), col("p_value"))
+  }
+
   /** Banded interval join: purchases within 7 days at-or-after each signup
     * (per user). The band trick turns the inequality join into an
     * equi-join on (key, band) + residual filter; DuckDB replays the plain
@@ -463,6 +500,8 @@ object Queries {
 
   val all: Map[String, Q] = Map(
     "q_asof_join" -> qAsofJoin,
+    "q_asof_forward" -> qAsofForward,
+    "q_asof_nearest" -> qAsofNearest,
     "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
@@ -502,6 +541,47 @@ object Queries {
         |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
         |      WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // forward ASOF (inequality flipped) + a 3-day tolerance gate; the
+    // CASE nulls the payload beyond the bound, like the Spark side
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        | CASE WHEN epoch_ns(r.ts) - epoch_ns(l.ts)
+        |        <= CAST(259200 AS BIGINT) * 1000000000
+        |      THEN r.event_id END AS p_event_id,
+        | CASE WHEN epoch_ns(r.ts) - epoch_ns(l.ts)
+        |        <= CAST(259200 AS BIGINT) * 1000000000
+        |      THEN r.value END AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    // nearest = both ASOF directions + the distance CASE (tie → backward)
+    "q_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT l.event_id, r.event_id AS b_id, r.value AS b_value,
+        |             r.ts AS b_ts
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.event_id AS f_id, r.value AS f_value,
+        |             r.ts AS f_ts
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN epoch_ns(l.ts) - epoch_ns(b_ts)
+        |         <= epoch_ns(f_ts) - epoch_ns(l.ts) THEN b_id
+        |       ELSE f_id END AS p_event_id,
+        |  CASE WHEN b_id IS NULL THEN f_value
+        |       WHEN f_id IS NULL THEN b_value
+        |       WHEN epoch_ns(l.ts) - epoch_ns(b_ts)
+        |         <= epoch_ns(f_ts) - epoch_ns(l.ts) THEN b_value
+        |       ELSE f_value END AS p_value
+        |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
     "q_range_join" ->
       """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
         | r.event_id AS p_event_id, epoch_ms(r.ts) AS p_ms,

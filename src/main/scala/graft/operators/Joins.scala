@@ -48,16 +48,37 @@ object Joins {
       .drop("__band")
   }
 
-  /** Backward (latest right row with `r.ts <= l.ts`, per key) as-of join.
+  /** As-of join, pandas-`merge_asof`-complete: per key, match each left
+    * row to the right row whose timestamp is
+    *  - `direction="backward"` (default): latest with `r.ts <= l.ts`;
+    *  - `direction="forward"`: earliest with `r.ts >= l.ts`;
+    *  - `direction="nearest"`: smaller absolute ts distance of the two
+    *    (equal distance → the backward match, distance 0 included).
     * Emits every left row with the matched right payload columns (NULL
-    * when no right row precedes it). Right columns keep their names with
-    * an optional `rightPrefix`. Ties (equal ts): the right row at the
-    * same timestamp DOES match — DuckDB/pandas `ASOF JOIN` semantics.
-    * Among equal-ts right rows the last by `rightTieBreak` ordering wins
-    * deterministically. */
+    * when nothing matches). Right columns keep their names with an
+    * optional `rightPrefix`. Ties (equal ts): the right row at the same
+    * timestamp DOES match in every direction — DuckDB/pandas `ASOF JOIN`
+    * semantics. Among equal-ts right rows the `rightTieBreak` ordering
+    * picks the winner deterministically (last for backward, first for
+    * forward). `tolerance` (same units as a NUMERIC ts column) nulls out
+    * matches farther than the bound, like pandas' `tolerance=`.
+    *
+    * Every direction is the same one-shuffle union-sweep: nearest runs
+    * TWO window sweeps over the one keyed partitioning (a second sort,
+    * never a second shuffle). */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, rightPrefix: String = "",
-               rightTieBreak: Seq[String] = Nil): DataFrame = {
+               rightTieBreak: Seq[String] = Nil,
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: direction must be backward|forward|nearest, got '$direction'")
+    tolerance.foreach { t =>
+      require(t >= 0, s"asofJoin: tolerance must be >= 0, got $t")
+      require(right.schema(tsCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+        "asofJoin: tolerance requires a numeric ts column")
+    }
     val rightPayload = right.columns.filterNot(c =>
       c == keyCol || c == tsCol).toSeq
     val leftCols = left.columns.toSeq
@@ -80,29 +101,54 @@ object Joins {
       (rightTieBreak.map(c =>
         StructField(s"__tb_$c", right.schema(c).dataType)) ++
        rightPayload.map(c => StructField(c, right.schema(c).dataType))))
+    // Side ordering at EQUAL ts decides inclusivity: backward/nearest put
+    // right rows BEFORE left rows (side 0 < 1) so an equal-ts right is
+    // inside the preceding frame; forward puts them AFTER so it is inside
+    // the following frame. Among equal-ts rights, order by ONLY
+    // (__rts, tie-break fields) — not the whole __r struct — so wide
+    // payloads aren't compared in the sort and unorderable payload types
+    // (e.g. map) don't fail analysis. With duplicate-ts right rows and no
+    // rightTieBreak the winner among them is unspecified (the documented
+    // contract: pass rightTieBreak for determinism).
+    val (lSide, rSide) = if (direction == "forward") (0, 1) else (1, 0)
     val l = left.select(
-      (leftCols.map(col) :+ lit(1).as("__side") :+
+      (leftCols.map(col) :+ lit(lSide).as("__side") :+
         lit(null).cast(rType).as("__r")): _*)
     val r = right.select(
       (leftCols.map(c => if (c == keyCol || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        lit(0).as("__side") :+ rStruct.as("__r")): _*)
-    // right rows sort BEFORE left rows at the same ts (side 0 < 1), so an
-    // equal-ts right row is visible to the left row — inclusive semantics;
-    // among equal-ts rights, order by ONLY (__rts, tie-break fields) — not
-    // the whole __r struct — so wide payloads aren't compared in the sort
-    // and unorderable payload types (e.g. map) don't fail analysis. With
-    // duplicate-ts right rows and no rightTieBreak the winner among them is
-    // unspecified (the documented contract: pass rightTieBreak for
-    // determinism).
+        lit(rSide).as("__side") :+ rStruct.as("__r")): _*)
     val ordCols = col("__r.__rts") +:
       rightTieBreak.map(c => col(s"__r.__tb_$c"))
-    val w = Window.partitionBy(col(keyCol))
+    val ordered = Window.partitionBy(col(keyCol))
       .orderBy((col(tsCol) +: col("__side") +: ordCols): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val swept = l.unionByName(r)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-    swept.where(col("__side") === 1)
+    val wB = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // tolerance nulls out matches farther than the bound (pandas semantics)
+    def within(m: Column): Column = tolerance match {
+      case Some(t) => when(abs(col(tsCol) - m.getField("__rts")) <= t, m)
+      case None => m
+    }
+    val backMatch = within(last(col("__r"), ignoreNulls = true).over(wB))
+    val fwdMatch = within(first(col("__r"), ignoreNulls = true).over(wF))
+    val union = l.unionByName(r)
+    val swept = direction match {
+      case "backward" => union.withColumn("__match", backMatch)
+      case "forward" => union.withColumn("__match", fwdMatch)
+      case "nearest" =>
+        // two sweeps over ONE keyed partitioning (second sort, no second
+        // shuffle). Equal-ts rights are only in the backward frame, which
+        // is exactly the distance-0 tie the backward arm is meant to win.
+        union.withColumn("__b", backMatch).withColumn("__f", fwdMatch)
+          .withColumn("__match",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(col(tsCol) - col("__b.__rts") <=
+                col("__f.__rts") - col(tsCol), col("__b"))
+              .otherwise(col("__f")))
+          .drop("__b", "__f")
+    }
+    swept.where(col("__side") === lit(lSide))
       .select((leftCols.map(col) :+
         col("__match").as("__m")): _*)
       .select((leftCols.map(col) ++

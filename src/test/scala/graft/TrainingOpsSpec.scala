@@ -627,6 +627,43 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, None, None)))           // user 30: no right rows at all
   }
 
+  test("asofJoin: forward / nearest directions + tolerance") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L),
+      (4L, 30L, 500L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 100L, 11L, 1.0),  // equal ts to left 1
+      (10L, 200L, 12L, 2.0),
+      (10L, 300L, 13L, 3.0),
+      (20L, 60L, 14L, 4.0)
+    ).toDF("user_id", "ts", "p_event_id", "p_value")
+    def run(dir: String, tol: Option[Long] = None) =
+      operators.Joins.asofJoin(left, right, "user_id", "ts",
+          rightTieBreak = Seq("p_event_id"), direction = dir, tolerance = tol)
+        .orderBy("event_id").select("event_id", "p_event_id")
+        .as[(Long, Option[Long])].collect().toSeq
+    // forward: earliest right ≥, inclusive at equal ts
+    assert(run("forward") == Seq(
+      (1L, Some(11L)),  // equal ts matches forward too
+      (2L, Some(13L)),  // 250 → earliest ≥ is 300
+      (3L, Some(14L)),  // 50 → 60 is ahead
+      (4L, None)))      // user 30: nothing
+    // nearest: distance 0 at left 1; left 2 at 250 is equidistant from
+    // 200 and 300 → tie goes BACKWARD (200)
+    assert(run("nearest") == Seq(
+      (1L, Some(11L)), (2L, Some(12L)), (3L, Some(14L)), (4L, None)))
+    // tolerance nulls matches beyond the bound, keeps the rest
+    assert(run("forward", tol = Some(10L)) == Seq(
+      (1L, Some(11L)), (2L, None), (3L, Some(14L)), (4L, None)))
+    assert(run("backward", tol = Some(49L)) == Seq(
+      (1L, Some(11L)), (2L, None), (3L, None), (4L, None)))
+    assert(run("nearest", tol = Some(50L)) == Seq(
+      (1L, Some(11L)), (2L, Some(12L)), (3L, Some(14L)), (4L, None)))
+    intercept[IllegalArgumentException] {
+      operators.Joins.asofJoin(left, right, "user_id", "ts",
+        direction = "sideways")
+    }
+  }
+
   test("duplicatedSpans: later copies of a span lose, unique spans keep") {
     val df = Seq(
       (1L, "a b c d e f"),   // spans: "a b c", "d e f"
