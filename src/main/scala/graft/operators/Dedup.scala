@@ -519,36 +519,51 @@ object Dedup {
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
                          n: Int = 3, fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
-    val EU = org.apache.spark.sql.GraftBridge
-    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     // persisted: used three times (sizing count, bloom build, confirm
     // join) — eval-set-sized by nature, so the cache is small and the
     // two extra explode+distinct passes it saves are pure win
     val benchGrams = bench.select(
         explode(tokenShingles(col(benchTextCol), n)).as("__g"))
       .distinct().persist()
-    // eager, tiny: the bench side is eval sets by nature. Sizing the bloom
-    // from the true count keeps the realized fpp at the requested value.
-    val nItems = math.max(benchGrams.count(), 1L)
-    // classic optimal sizing: m = ⌈-n·ln(p) / ln²2⌉
+    val blob = gramBloom(benchGrams, fpp)
+    val grams = docs.select(col(idCol),
+      explode(tokenShingles(col(textCol), n)).as("__g"))
+    grams.where(mightContainGram(blob, col("__g"))) // codegen'd scan gate
+      .join(broadcast(benchGrams), Seq("__g"))      // exact confirm
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Build a bloom blob over a one-column DataFrame of gram strings (column
+    * `__g`) — Spark's `BloomFilterAggregate`, executor-built, OR-merged
+    * like any partial agg; only the final blob reaches the driver. Sizing
+    * is the classic optimum m = ⌈-n·ln(p)/ln²2⌉ from the TRUE distinct
+    * count, so the realized fpp equals the requested one. ONE builder
+    * shared by the batch gate ([[contaminationBloom]]) and the streaming
+    * gate (`StreamingOps.flagContaminationStream`) — the two paths cannot
+    * diverge on hashing or sizing. */
+  def gramBloom(grams: DataFrame, fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val EU = org.apache.spark.sql.GraftBridge
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val nItems = math.max(grams.count(), 1L)
     val numBits = math.max(64L,
       math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val hashed = new XxHash64(Seq(EU.expression(col("__g"))))
-    val blob = benchGrams
-      .select(EU.column(new BloomFilterAggregate(hashed,
-        Literal(nItems), Literal(numBits)).toAggregateExpression()).as("__bloom"))
+    grams.select(EU.column(new BloomFilterAggregate(hashed,
+        Literal(nItems), Literal(numBits)).toAggregateExpression()).as("__b"))
       .head().getAs[Array[Byte]](0)
-    val mightHit = EU.column(BloomFilterMightContain(
-      Literal(blob, BinaryType), hashed))
-    val grams = docs.select(col(idCol),
-      explode(tokenShingles(col(textCol), n)).as("__g"))
-    grams.where(mightHit)                       // codegen'd scan-stage gate
-      .join(broadcast(benchGrams), Seq("__g"))  // exact confirm
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Codegen'd bloom membership probe for a gram column against a
+    * [[gramBloom]] blob (embedded as a foldable binary literal). */
+  def mightContainGram(blob: Array[Byte], g: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    val EU = org.apache.spark.sql.GraftBridge
+    EU.column(BloomFilterMightContain(Literal(blob, BinaryType),
+      new XxHash64(Seq(EU.expression(g)))))
   }
 
   /** Hamming distance between two 64-bit signatures. */

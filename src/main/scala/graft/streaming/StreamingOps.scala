@@ -54,6 +54,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("__simhash"))
       .drop("__simhash")
 
+  /** Streaming DECONTAMINATION gate: flags documents whose word n-grams
+    * bloom-hit a benchmark suite ([[graft.operators.Dedup.gramBloom]] blob,
+    * built once from the static eval sets and embedded as a literal).
+    * Fully STATELESS and row-local — `exists` over the doc's gram array
+    * probing the bloom, no explode, no state store, no join — so it runs
+    * at scan speed on an unbounded stream. The flag is a CANDIDATE bit:
+    * `false` is definitive (bloom has no false negatives → the doc is
+    * certainly clean); `true` is true-hits plus the fpp sliver, so route
+    * flagged docs to a quarantine sink and confirm them with the exact
+    * batch [[graft.operators.Dedup.contamination]] — the standard
+    * fast-path + small-quarantine streaming shape. */
+  def flagContaminationStream(docs: DataFrame, textCol: String,
+                              bloom: Array[Byte], n: Int = 3,
+                              flagCol: String = "contam_candidate")
+      : DataFrame =
+    docs.withColumn(flagCol,
+      exists(graft.functions.TextFunctions.tokenShingles(col(textCol), n),
+        g => graft.operators.Dedup.mightContainGram(bloom, g)))
+
   /** Pre-aggregated band table for [[dedupAgainstIndexStream]]: one STATIC
     * row per (band, signature-slice bucket) carrying the candidate
     * signatures. `candCap` bounds a boilerplate-hot bucket (smallest sigs

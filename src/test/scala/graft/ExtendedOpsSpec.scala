@@ -456,4 +456,42 @@ class ExtendedOpsSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM dedupout").as[Long].collect()(0) == 2)
     } finally q.stop()
   }
+
+  test("flagContaminationStream: bloom flag ⊇ exact hits, clean is clean") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bench = Seq((100L, "the secret eval phrase appears here"))
+      .toDF("doc_id", "text")
+    val benchGrams = bench.select(explode(
+      graft.functions.TextFunctions.tokenShingles($"text", 3)).as("__g"))
+      .distinct()
+    val blob = graft.operators.Dedup.gramBloom(benchGrams, fpp = 0.001)
+    val corpus = (1L to 50L).map { i =>
+      val planted = if (i % 10 == 0) " secret eval phrase padding" else ""
+      (i, s"clean document body number $i with words$planted")
+    }
+    val ms = MemoryStream[(Long, String)](spark)
+    ms.addData(corpus: _*)
+    val df = ms.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.flagContaminationStream(df, "text", blob)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("contamflag").start()
+    try {
+      q.processAllAvailable()
+      val flagged = spark.sql(
+        "SELECT doc_id FROM contamflag WHERE contam_candidate")
+        .as[Long].collect().toSet
+      val exact = graft.operators.Dedup.contamination(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", bench, "text")
+        .select("doc_id").as[Long].collect().toSet
+      // THE contract: candidates ⊇ exact hits — bloom has no false
+      // negatives, so an unflagged doc is definitively clean. False
+      // positives are the quarantine sliver (this tiny 5-gram bloom is
+      // only ~72 bits, so a few are expected); bound them loosely.
+      assert(exact.subsetOf(flagged))
+      assert(exact == (10L to 50L by 10L).toSet)
+      assert((flagged -- exact).size <= 10,
+        s"implausibly many bloom false positives: ${flagged -- exact}")
+    } finally q.stop()
+  }
 }
