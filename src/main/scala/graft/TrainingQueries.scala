@@ -728,6 +728,21 @@ object TrainingQueries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Temperature-balanced source mixture (α=0.5): rates computed FROM the
+    * per-source counts ([[Sampling.temperatureRates]] — rarest source keeps
+    * 100%, bigger ones down-weighted toward p^α), then the deterministic
+    * affine-bucket keep. Rates are rounded half-up to 6dp (+1e-9 nudge) on
+    * BOTH engines so a pow() ulp difference cannot flip a bucket-boundary
+    * comparison. */
+  val qTemperatureMix: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val rates = Sampling.temperatureRates(d, "source", alpha = 0.5)
+      .map { case (k, v) => k -> (math.floor((v + 1e-9) * 1e6 + 0.5) / 1e6) }
+    d.where(Sampling.stratifiedFilter(col("doc_id"), col("source"), rates))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Per-source document cap (pretraining-mix control): top 15 per source by
     * (n_chars desc, doc_id) — WindowGroupLimit prunes beyond-k map-side. */
   val qPerKeyCap: Q = (s, dir) =>
@@ -789,6 +804,7 @@ object TrainingQueries {
     "q_bpe_tokens" -> qBpeTokens,
     "q_split_assign" -> qSplitAssign,
     "q_stratified" -> qStratified,
+    "q_temperature_mix" -> qTemperatureMix,
     "q_per_key_cap" -> qPerKeyCap,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_embed_norm" -> qEmbedNorm,
@@ -1407,6 +1423,23 @@ object TrainingQueries {
         |WHERE (doc_id * 37 + 11) % 100 <
         |  CASE lang WHEN 'en' THEN 50.0 WHEN 'zh' THEN 20.0 ELSE 10.0 END
         |GROUP BY lang""".stripMargin,
+    // rates replayed from the counts: qp = p^(α-1) with α=0.5; rarest
+    // source divides by its own qp → exactly 1.0 in both engines; 6dp
+    // half-up rounding (+1e-9) guards pow() ulp drift at bucket boundaries
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |           GROUP BY source),
+        |q AS (SELECT source,
+        |        pow(n / (SELECT CAST(sum(n) AS DOUBLE) FROM c), -0.5) AS qp
+        |      FROM c),
+        |r AS (SELECT source,
+        |        round(qp / (SELECT max(qp) FROM q) + 1e-9, 6) AS rate
+        |      FROM q)
+        |SELECT d.source, count(*) AS n_kept,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE (d.doc_id * 37 + 11) % 100 < rate * 100
+        |GROUP BY d.source""".stripMargin,
     "q_per_key_cap" ->
       """SELECT source, count(*) AS n,
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars

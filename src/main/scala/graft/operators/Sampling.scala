@@ -55,6 +55,28 @@ object Sampling {
     b < rate * buckets
   }
 
+  /** Temperature-balanced per-source keep rates — the multilingual-mixture
+    * trick (sample source s with probability ∝ p_s^α, α<1 flattening the
+    * distribution toward low-resource sources): returns the LARGEST
+    * single-pass downsampling rates that realize the target mixture,
+    * `rate_s = (p_s/p_min)^(α-1)` — exactly 1.0 for the rarest source,
+    * <1 for bigger ones. Feed the result to [[stratifiedFilter]] for the
+    * deterministic keep decision. The groupBy collect is one row per
+    * SOURCE (a handful at any corpus size) — not data-proportional. */
+  def temperatureRates(df: DataFrame, keyCol: String,
+                       alpha: Double): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(keyCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureRates: empty input")
+    val total = counts.values.sum.toDouble
+    val qOverP = counts.map { case (k, c) =>
+      k -> math.pow(c / total, alpha - 1.0)
+    }
+    val top = qOverP.values.max
+    qOverP.map { case (k, v) => k -> v / top }
+  }
+
   /** Cap rows per key (e.g. max N documents per domain/source — the
     * standard pretraining-mix control): keep the top `k` per key by
     * `orderBy`. One hash shuffle on the key + WindowGroupLimit pushdown

@@ -627,6 +627,22 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, None, None)))           // user 30: no right rows at all
   }
 
+  test("temperatureRates: closed-form mixture, rarest source keeps 100%") {
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "small")))
+      .toDF("id", "src")
+    val r = operators.Sampling.temperatureRates(df, "src", alpha = 0.5)
+    assert(math.abs(r("small") - 1.0) < 1e-12) // rarest: keep everything
+    // rate_big = (p_big/p_small)^(α-1) = (9)^(-1/2) = 1/3
+    assert(math.abs(r("big") - 1.0 / 3.0) < 1e-12)
+    // α=1 → no rebalancing: every source keeps 100%
+    val flat = operators.Sampling.temperatureRates(df, "src", alpha = 1.0)
+    assert(flat.values.forall(v => math.abs(v - 1.0) < 1e-12))
+    intercept[IllegalArgumentException] {
+      operators.Sampling.temperatureRates(df, "src", alpha = 0.0)
+    }
+  }
+
   test("asofJoin: forward / nearest directions + tolerance") {
     val left = Seq((1L, 10L, 100L), (2L, 10L, 250L), (3L, 20L, 50L),
       (4L, 30L, 500L)).toDF("event_id", "user_id", "ts")
