@@ -609,6 +609,35 @@ object TrainingQueries {
         col("format"))
   }
 
+  /** REAL pixel pipeline end-to-end: encode a deterministic image per doc
+    * row (mixed formats), RESIZE through full ImageIO decode →
+    * nearest-neighbor scale → PNG re-encode ([[Multimodal.resizeImages]]),
+    * then header-decode the OUTPUT bytes. The oracle predicts the fixed
+    * thumbnail contract (24×18 RGB png): any row failing real decode or
+    * re-encode would surface as (-1,-1,'unknown') and hash-mismatch. */
+  val qImageResize: Q = (s, dir) => {
+    implicit val sp: SparkSession = s
+    import sp.implicits._
+    val images = docs(s, dir).where(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val fmt = (id % 3) match {
+            case 0 => "png"
+            case 1 => "gif"
+            case _ => "bmp"
+          }
+          (id, Multimodal.encodeImage(10 + (id % 9).toInt,
+            8 + (id % 7).toInt, id, fmt))
+        }
+      }.toDF("media_id", "payload")
+    val resized = Multimodal.resizeImages(images, "media_id", "payload",
+      width = 24, height = 18)
+    Multimodal.decodeImageMeta(resized.toDF(), "media_id", "payload").toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("format"))
+  }
+
   /** REAL audio decode end-to-end: encode a deterministic 16-bit PCM WAV
     * per doc row ([[Multimodal.encodeWav]] — real RIFF bytes, distributed),
     * byte-budget repartition, then header-only `javax.sound.sampled` decode
@@ -820,6 +849,7 @@ object TrainingQueries {
     "q_dup_spans" -> qDupSpans,
     "q_media_dedup" -> qMediaDedup,
     "q_media_decode" -> qMediaDecode,
+    "q_image_resize" -> qImageResize,
     "q_audio_decode" -> qAudioDecode,
     "q_video_decode" -> qVideoDecode,
   )
@@ -1710,6 +1740,12 @@ object TrainingQueries {
         |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
         |    ELSE 'jpeg' END AS format
         |FROM documents WHERE doc_id < 300""".stripMargin,
+    // the fixed thumbnail contract: every input really decoded, scaled,
+    // and re-encoded as 24×18 png (failures would emit -1/'unknown')
+    "q_image_resize" ->
+      """SELECT doc_id AS media_id, CAST(24 AS BIGINT) AS width,
+        |  CAST(18 AS BIGINT) AS height, 'png' AS format
+        |FROM documents WHERE doc_id < 200""".stripMargin,
     // Predicts the WAV encode→decode round trip: sample rate / channels /
     // bits / frame count survive only if the RIFF header was really
     // written by AudioSystem.write and really parsed by getAudioFileFormat.

@@ -86,6 +86,81 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL pixel-level RESIZE: full `ImageIO` decode → nearest-neighbor
+    * scale (deterministic — no interpolation rounding ambiguity across
+    * JVMs) → re-encode in `format`. Pure JDK. None for undecodable input
+    * or non-positive target dims. This is the transform step of a
+    * multimodal preprocessing pipeline (decode → resize → re-encode),
+    * batched per partition by [[resizeImages]]. */
+  def resizeImage(payload: Array[Byte], width: Int, height: Int,
+                  format: String = "png"): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty || width <= 0 || height <= 0)
+      return None
+    try {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (src == null) return None
+      val dst = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(src, 0, 0, width, height, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(dst, format, bos)) None
+      else Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL feature extraction from pixels: full decode → per-channel mean
+    * RGB + mean luminance (Rec. 601 weights). The shape of any
+    * embed/classify preprocessing stage: bytes in, fixed-width numeric
+    * features out. None for undecodable input. */
+  def imageFeatures(payload: Array[Byte])
+      : Option[(Double, Double, Double, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      var (r, g, b) = (0.0, 0.0, 0.0)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toDouble * img.getHeight
+      val (mr, mg, mb) = (r / n, g / n, b / n)
+      Some((mr, mg, mb, 0.299 * mr + 0.587 * mg + 0.114 * mb))
+    } catch { case _: Exception => None }
+  }
+
+  case class ResizedRow(media_id: Long, payload: Array[Byte])
+
+  /** Resize a binary image column per partition (decode → nearest-neighbor
+    * scale → re-encode); undecodable rows carry a NULL payload. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   width: Int, height: Int, format: String = "png")
+                  (implicit spark: SparkSession): Dataset[ResizedRow] = {
+    import spark.implicits._
+    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          ResizedRow(r.media_id,
+            resizeImage(r.payload, width, height, format).orNull)
+        }
+      }
+  }
+
   /** Decode a binary IMAGE payload column into typed metadata — the real
     * (non-stub) twin of [[decodeMeta]], batched per partition like a
     * production decoder (codec probe state amortizes per partition).

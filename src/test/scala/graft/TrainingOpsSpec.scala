@@ -229,6 +229,40 @@ class TrainingOpsSpec extends SparkSpec {
       meta(1).byte_len == 4)
   }
 
+  test("image resize + features: real pixels through decode→scale→encode") {
+    implicit val s = spark
+    // 2×2 source with known colors, upscaled 2× nearest-neighbor → each
+    // source pixel becomes an exact 2×2 block (no interpolation)
+    val src = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, 0xff0000); src.setRGB(1, 0, 0x00ff00)
+    src.setRGB(0, 1, 0x0000ff); src.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val out = Multimodal.resizeImage(bos.toByteArray, 4, 4, "png").get
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    for (x <- 0 until 2; y <- 0 until 2)
+      assert((img.getRGB(x, y) & 0xffffff) == 0xff0000, s"($x,$y)")
+    assert((img.getRGB(3, 3) & 0xffffff) == 0xffffff)
+    assert((img.getRGB(0, 3) & 0xffffff) == 0x0000ff)
+    // features: exact closed form on the 2×2 (means of the 4 colors)
+    val Some((mr, mg, mb, lum)) = Multimodal.imageFeatures(bos.toByteArray)
+    assert(mr == 127.5 && mg == 127.5 && mb == 127.5)
+    assert(math.abs(lum - 127.5) < 1e-9) // weights sum to 1
+    // junk and bad dims degrade to None
+    assert(Multimodal.resizeImage("junk".getBytes, 4, 4).isEmpty)
+    assert(Multimodal.resizeImage(bos.toByteArray, 0, 4).isEmpty)
+    assert(Multimodal.imageFeatures(null).isEmpty)
+    // Dataset path: good rows re-encode at target dims, junk rows NULL
+    val rows = Seq((1L, Multimodal.encodeImage(9, 7, 1L, "gif")),
+      (2L, "junk".getBytes)).toDF("id", "payload")
+    val rs = Multimodal.resizeImages(rows, "id", "payload", 5, 3)
+      .collect().sortBy(_.media_id)
+    assert(Multimodal.decodeImage(rs(0).payload).contains((5, 3, 3, "png")))
+    assert(rs(1).payload == null)
+  }
+
   test("audio decode: real WAV bytes round-trip rate/channels/bits/frames") {
     implicit val s = spark
     // real RIFF bytes from AudioSystem.write; header-only parse back
