@@ -501,6 +501,20 @@ object TrainingQueries {
       .select(col("doc_id"), col("n_toks"),
         roundSafe(col("avg_logp"), 4).as("avg_logp"))
 
+  /** The production vocab shape end-to-end: TRAIN a top-50 vocabulary
+    * ([[Quality.trainVocab]] — deterministic count-desc/token-asc
+    * selection), then score every doc against the broadcast table with
+    * the OOV floor ([[Quality.scoreWithVocab]]). The oracle replays
+    * training AND scoring, so the whole train→broadcast→score chain is
+    * hash-checked. */
+  val qVocabScore: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val (vocab, total) = graft.operators.Quality.trainVocab(d, "text", 50)
+    graft.operators.Quality.scoreWithVocab(d, "doc_id", "text", vocab, total)
+      .select(col("doc_id"), col("n_toks"),
+        roundSafe(col("avg_logp"), 4).as("avg_logp"))
+  }
+
   /** Semantic (embedding-space) dedup — SemDeDup-style. The corpus has no
     * natural near-dup pairs (max all-pairs cosine 0.48), so the query PLANTS
     * exact copies with asymmetric ids: negative ids (planted copy WINS
@@ -843,6 +857,7 @@ object TrainingQueries {
     "q_chunk_windows" -> qChunkWindows,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_unigram_lp" -> qUnigramLp,
+    "q_vocab_score" -> qVocabScore,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_curate_full" -> qCurateFull,
     "q_ngram_repetition" -> qNgramRepetition,
@@ -1640,6 +1655,21 @@ object TrainingQueries {
          |SELECT doc_id, count(*) AS n_toks,
          |  round(avg(ln(CAST(c AS DOUBLE))) - ln(T) + 1e-9, 4) AS avg_logp
          |FROM toks JOIN vocab USING (tok), tot
+         |GROUP BY doc_id, T""".stripMargin,
+    // replays trainVocab (top-50 by count desc, token asc) AND the
+    // broadcast scoring with the 1/(T+1) OOV floor
+    "q_vocab_score" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |vc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM toks),
+         |vocab AS (SELECT tok, c FROM vc ORDER BY c DESC, tok LIMIT 50)
+         |SELECT doc_id, count(*) AS n_toks,
+         |  round(avg(ln(coalesce(CAST(v.c AS DOUBLE) / T, 1.0 / (T + 1.0))))
+         |    + 1e-9, 4) AS avg_logp
+         |FROM toks LEFT JOIN vocab v USING (tok), tot
          |GROUP BY doc_id, T""".stripMargin,
     "q_dedup_incremental" -> {
       val sigCols = rankHsBig.zipWithIndex.map { case ((a, b), i) =>

@@ -47,6 +47,24 @@ object Quality {
           .as("avg_logp"))
   }
 
+  /** Train a `(token, count)` vocabulary from a corpus: one
+    * partial-aggregated token count + bounded top-K selection
+    * (TakeOrderedAndProject — K rows cross the wire, nothing else). Ties
+    * at the count boundary break lexicographically so the kept set is
+    * deterministic. Returns the vocab frame [[scoreWithVocab]] consumes
+    * plus the TOTAL token count over the WHOLE corpus (not just the kept
+    * top-K) so OOV scoring stays calibrated to the true distribution. */
+  def trainVocab(df: DataFrame, textCol: String,
+                 topK: Int): (DataFrame, Double) = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    val counts = df.select(
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("count"))
+    val total = counts.agg(sum(col("count")))
+      .head().getLong(0).toDouble
+    (counts.orderBy(col("count").desc, col("token").asc).limit(topK), total)
+  }
+
   /** Score documents against a PRE-TRAINED broadcast vocabulary
     * `(token, count)` with `total` tokens; unseen tokens take the Laplace
     * floor 1/(total+1). The corpus is never shuffled — one broadcast hash

@@ -661,6 +661,29 @@ class TrainingOpsSpec extends SparkSpec {
       (4L, None, None)))           // user 30: no right rows at all
   }
 
+  test("trainVocab: top-K selection + scoreWithVocab ≡ unigramLogProb " +
+      "when K covers the whole vocabulary") {
+    val df = Seq((1L, "a a b c"), (2L, "a b b d"), (3L, "c c a a"))
+      .toDF("doc_id", "text")
+    val (vocab, total) = operators.Quality.trainVocab(df, "text", 100)
+    assert(total == 12.0)
+    val v = vocab.as[(String, Long)].collect().toSeq
+    assert(v == Seq(("a", 5L), ("b", 3L), ("c", 3L), ("d", 1L))) // tie b/c → lex
+    // full-coverage vocab: scoring matches the corpus-trained LM exactly
+    val scored = operators.Quality
+      .scoreWithVocab(df, "doc_id", "text", vocab, total)
+      .orderBy("doc_id").select("avg_logp").as[Double].collect()
+    val lm = operators.Quality.unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").select("avg_logp").as[Double].collect()
+    scored.zip(lm).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+    // truncated vocab: OOV tokens take the floor, score strictly drops
+    val (top1, _) = operators.Quality.trainVocab(df, "text", 1)
+    val truncated = operators.Quality
+      .scoreWithVocab(df, "doc_id", "text", top1, total)
+      .orderBy("doc_id").select("avg_logp").as[Double].collect()
+    truncated.zip(scored).foreach { case (t, f) => assert(t < f) }
+  }
+
   test("temperatureRates: closed-form mixture, rarest source keeps 100%") {
     val df = ((1 to 900).map(i => (i.toLong, "big")) ++
       (1 to 100).map(i => (i.toLong + 1000, "small")))
