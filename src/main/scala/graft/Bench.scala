@@ -116,7 +116,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${results.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${okResults.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
     // Stop Spark BEFORE the compact line so no executor/shutdown chatter can
     // land after it — the compact JSON must be the literal last stdout line
     // (build.sbt routes forked stdout through unprefixed and suppresses the

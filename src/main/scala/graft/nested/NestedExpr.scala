@@ -255,9 +255,13 @@ object NestedExpr {
       // docstring's own example). The accessor-level element MASK
       // ([[NestedOps.filterElements]]) keeps empty cells — the two layers
       // genuinely differ in the reference.
+      // Gate on exists() rather than size(filter(...)) == 0: HOF lambdas
+      // see no codegen CSE, so the when/otherwise pair would run the full
+      // filter TWICE per row. exists short-circuits at the first hit, so
+      // kept rows pay a partial scan + one filter, emptied rows one scan.
       val filtered = expr(s"filter(${bq(nest)}, __x -> ${a.sql})")
-      df.withColumn(nest,
-        when(size(filtered) === 0, lit(null)).otherwise(filtered))
+      val anyHit = expr(s"exists(${bq(nest)}, __x -> ${a.sql})")
+      df.withColumn(nest, when(anyHit, filtered))
     }
   }
 

@@ -334,9 +334,16 @@ object NestedOps {
     }
     nestedColumns(df).foldLeft(base) { (acc, nest) =>
       val fields = nestedStruct(df, nest).fields
-        .collect { case f if matches(f.dataType) => f.name }
+        .collect { case f if matches(f.dataType) => f }
       if (fields.isEmpty) acc
-      else fillNaElements(acc, nest, fields.map(_ -> value).toMap)
+      else acc.withColumn(nest, transform(col(nest), s =>
+        fields.foldLeft(s) { (e, f) =>
+          // cast the fill to the FIELD's type — na.fill truncates 1.5 → 1
+          // in integral base columns; the nested layer must agree (and the
+          // field's schema must not silently widen to double)
+          e.withField(f.name,
+            coalesce(s.getField(f.name), lit(value).cast(f.dataType)))
+        }))
     }
   }
 

@@ -519,13 +519,18 @@ object Dedup {
   def contaminationBloom(docs: DataFrame, idCol: String, textCol: String,
                          bench: DataFrame, benchTextCol: String,
                          n: Int = 3, fpp: Double = 0.01): DataFrame = {
-    // persisted: used three times (sizing count, bloom build, confirm
-    // join) — eval-set-sized by nature, so the cache is small and the
-    // two extra explode+distinct passes it saves are pure win
+    // persisted for the two EAGER uses (sizing count + bloom build), then
+    // released — a session-lifetime pin would accumulate one cache entry
+    // per distinct bench input. The lazy confirm join below recomputes the
+    // gram set once per evaluation: one explode+distinct over the small
+    // bench side, the price of a deterministic cache lifetime.
     val benchGrams = bench.select(
         explode(tokenShingles(col(benchTextCol), n)).as("__g"))
-      .distinct().persist()
-    val blob = gramBloom(benchGrams, fpp)
+      .distinct()
+    benchGrams.persist()
+    val blob =
+      try gramBloom(benchGrams, fpp)
+      finally benchGrams.unpersist()
     val grams = docs.select(col(idCol),
       explode(tokenShingles(col(textCol), n)).as("__g"))
     grams.where(mightContainGram(blob, col("__g"))) // codegen'd scan gate
@@ -550,6 +555,17 @@ object Dedup {
     val nItems = math.max(grams.count(), 1L)
     val numBits = math.max(64L,
       math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate SILENTLY clamps both sizing args to the runtime-
+    // filter conf caps (default 4M items / 64M bits) — past the cap the
+    // realized fpp quietly degrades toward 1 and the prefilter stops
+    // pruning, exactly in the large-suite regime this path exists for.
+    // Raise the caps for the session before building so requested == built.
+    val spark = grams.sparkSession
+    def raiseCap(key: String, needed: Long): Unit =
+      if (spark.conf.get(key).toLong < needed)
+        spark.conf.set(key, needed.toString)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", nItems)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val hashed = new XxHash64(Seq(EU.expression(col("__g"))))
     grams.select(EU.column(new BloomFilterAggregate(hashed,
         Literal(nItems), Literal(numBits)).toAggregateExpression()).as("__b"))

@@ -56,7 +56,10 @@ object Multimodal {
             val h = r.getHeight(0)
             val its = r.getImageTypes(0)
             val channels = if (its.hasNext) its.next().getNumComponents else -1
-            Some((w, h, channels, r.getFormatName.toLowerCase))
+            // Locale.ROOT: default-locale lowercasing corrupts "GIF" to
+            // "gıf" on tr_TR executors
+            Some((w, h, channels,
+              r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
           } finally r.dispose()
         }
       } finally iis.close()
@@ -269,7 +272,12 @@ object Multimodal {
                     brand: String = "isom", timescale: Int = 1000)
       : Array[Byte] = {
     require(brand.length == 4, "MP4 major brand must be 4 ASCII chars")
+    require(width > 0 && width < 0x10000 && height > 0 && height < 0x10000,
+      s"MP4 16.16 fixed-point dims must be in (0, 65536): $width x $height")
     val duration = durationMs * timescale / 1000L
+    // version-0 boxes carry u32 durations — reject instead of wrapping
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"duration $durationMs ms overflows the version-0 u32 box field")
     val buf = java.nio.ByteBuffer.allocate(20 + 216)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     // ftyp (20): major brand, minor version, one compatible brand

@@ -57,9 +57,13 @@ object Quality {
   def trainVocab(df: DataFrame, textCol: String,
                  topK: Int): (DataFrame, Double) = {
     require(topK > 0, s"topK must be > 0, got $topK")
+    // persisted: the total action below materializes the aggregate and the
+    // returned top-K frame re-reads the (vocab-sized, small) cache instead
+    // of re-running the whole-corpus explode+groupBy a second time
     val counts = df.select(
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("count"))
+      .persist()
     val total = counts.agg(sum(col("count")))
       .head().getLong(0).toDouble
     (counts.orderBy(col("count").desc, col("token").asc).limit(topK), total)

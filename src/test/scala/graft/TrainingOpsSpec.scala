@@ -137,6 +137,36 @@ class TrainingOpsSpec extends SparkSpec {
       bench.limit(0), "text").count() == 0)
   }
 
+  test("gramBloom raises the runtime-filter caps instead of silently clamping") {
+    val grams = (1 to 10000).map(i => s"gram token $i").toDF("__g")
+    // simulate the cap-exceeded regime by lowering the caps below need
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (items0, bits0) = (spark.conf.get(itemsKey), spark.conf.get(bitsKey))
+    try {
+      spark.conf.set(itemsKey, "100")
+      spark.conf.set(bitsKey, "1024")
+      val blob = operators.Dedup.gramBloom(grams, fpp = 0.01)
+      // optimal sizing for 10k items @1%: ~95851 bits ≈ 12KB — a silently
+      // clamped 1024-bit filter would serialize to ~0.2KB
+      assert(blob.length > 10000,
+        s"bloom clamped: serialized ${blob.length} bytes")
+      assert(spark.conf.get(itemsKey).toLong >= 10000)
+      assert(spark.conf.get(bitsKey).toLong >= 95000)
+      // and the filter actually works at the requested fpp: members all
+      // hit, non-member false-positive rate ≈ 1%
+      val probe = ((1 to 10000).map(i => s"gram token $i") ++
+        (1 to 10000).map(i => s"absent token $i")).toDF("__g")
+      val hits = probe.where(operators.Dedup.mightContainGram(blob, $"__g"))
+        .count()
+      assert(hits >= 10000 && hits < 10000 + 300,
+        s"unexpected bloom hit count $hits")
+    } finally {
+      spark.conf.set(itemsKey, items0)
+      spark.conf.set(bitsKey, bits0)
+    }
+  }
+
   test("gopher signals + PII counts on crafted documents") {
     val crafted = Seq(
       (1L, "line one\nline one\nline two\n\n- bullet a\n* bullet b"),
