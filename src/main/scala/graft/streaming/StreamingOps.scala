@@ -120,6 +120,52 @@ object StreamingOps {
       .drop((0 until numBands).flatMap(b => Seq(s"__k$b", s"__c$b")): _*)
   }
 
+  /** Pre-aggregated LSH bucket table for [[annLshStream]]: one STATIC row
+    * per hyperplane bucket carrying up to `candCap` (id, vector) candidate
+    * structs (smallest ids win, deterministically — same capping idea as
+    * [[indexBandTable]]). Build once from the corpus, reuse every
+    * micro-batch. */
+  def lshBucketTable(corpus: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int, dim: Int,
+                     candCap: Int = 1024): DataFrame =
+    corpus.select(col(idCol).as("__nid"), col(vecCol).as("__nv"),
+        graft.operators.Similarity
+          .hyperplaneBucket(col(vecCol), numPlanes, dim).as("__bucket"))
+      .groupBy(col("__bucket"))
+      .agg(slice(sort_array(collect_list(struct(col("__nid"), col("__nv")))),
+        1, candCap).as("__cands"))
+
+  /** Streaming approximate-nearest-neighbor against a STATIC
+    * [[lshBucketTable]] index — similarity search as a stream operator:
+    * each query row joins ITS hyperplane bucket (one stream–static
+    * equi-join, fully STATELESS — no state store, no watermark), scores
+    * the bucket's candidates ROW-LOCALLY with a HOF cosine, and emits its
+    * top-k as (query_id, rank, neighbor_id, sim). No per-query
+    * aggregation ever touches the stream (a streaming groupBy would need
+    * state); the candidate list is bounded by `candCap`, so per-row work
+    * is O(candCap · dim + candCap log candCap). Queries whose bucket is
+    * empty emit nothing, like the batch `lshTopK` twin. */
+  def annLshStream(stream: DataFrame, bucketTable: DataFrame, k: Int,
+                   qIdCol: String, qVecCol: String,
+                   numPlanes: Int, dim: Int): DataFrame = {
+    val S = graft.operators.Similarity
+    val q = stream.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"),
+      S.hyperplaneBucket(col(qVecCol), numPlanes, dim).as("__bucket"))
+    val scored = filter(
+      transform(col("__cands"), c =>
+        struct(S.cosine(col("__qv"), c.getField("__nv")).as("sim"),
+          c.getField("__nid").as("neighbor_id"))),
+      s => s.getField("sim").isNotNull &&
+        s.getField("neighbor_id") =!= col("query_id"))
+    q.join(bucketTable, Seq("__bucket"))
+      .withColumn("__topk",
+        slice(sort_array(scored, asc = false), 1, k))
+      .select(col("query_id"),
+        posexplode(col("__topk")).as(Seq("__p", "__s")))
+      .select(col("query_id"), (col("__p") + 1).cast("int").as("rank"),
+        col("__s.neighbor_id").as("neighbor_id"), col("__s.sim").as("sim"))
+  }
+
   /** EVENT-TIME session windows via Spark's native `session_window`
     * aggregation: a session closes when the WATERMARK passes its end + gap
     * (not wall-clock silence), and late events beyond the watermark are

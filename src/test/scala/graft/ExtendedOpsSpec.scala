@@ -457,6 +457,42 @@ class ExtendedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annLshStream ≡ batch lshTopK on the same index (stateless join)") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = 4
+    // deterministic corpus with distinct pairwise sims (no tie ambiguity)
+    val corpus = (1L to 40L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        math.sin(i * 0.7 + d * 1.3) + 0.01 * i))
+    }.toDF("vec_id", "embedding")
+    val idx = StreamingOps.lshBucketTable(corpus, "vec_id", "embedding",
+      numPlanes = 3, dim = dim)
+    val queries = (1L to 10L).map { i =>
+      (i + 100L, Array.tabulate(dim)(d => math.cos(i * 0.9 + d) + 0.02 * i))
+    }
+    val ms = MemoryStream[(Long, Array[Double])](spark)
+    ms.addData(queries: _*)
+    val out = StreamingOps.annLshStream(ms.toDF().toDF("vec_id", "embedding"),
+      idx, k = 3, "vec_id", "embedding", numPlanes = 3, dim = dim)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("annstream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT query_id, rank, neighbor_id, round(sim, 9) FROM annstream")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val batch = graft.operators.Similarity.lshTopK(
+          queries.toDF("vec_id", "embedding"), corpus, k = 3,
+          numPlanes = 3, dim = dim)
+        .select($"query_id", $"rank".cast("int"), $"neighbor_id",
+          round($"sim", 9)).as[(Long, Int, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flagContaminationStream: bloom flag ⊇ exact hits, clean is clean") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
