@@ -78,6 +78,28 @@ object StreamBench {
               lit(100003L))): _*).as("sig")),
         bt, "doc_id", "sig", numHashes = 6, rowsPerBand = 2)
     }
+    measure("annLshStream", mode = "append") {
+      // static 100k-vector LSH index (16-dim, 4 planes → 16 buckets);
+      // queries get their OWN rate source at 1/10th the row rate — each
+      // query does candCap cosines, so query/s and row/s are different
+      // currencies (the other ops above are per-row streams)
+      val dim = 16
+      def vec(seed: org.apache.spark.sql.Column) = array((0 until dim).map(
+        d => (pmod(xxhash64(seed, lit(d)), lit(2001L)) - 1000L)
+          .cast("double")): _*)
+      val corpus = spark.range(100000).select(col("id").as("vec_id"),
+        vec(col("id")).as("embedding"))
+      val idx = StreamingOps.lshBucketTable(corpus, "vec_id", "embedding",
+        numPlanes = 4, dim = dim, candCap = 256).cache()
+      idx.count() // materialize once, as a production job would
+      val qSrc = spark.readStream.format("rate")
+        .option("rowsPerSecond", math.max(rate / 10, 1000))
+        .option("numPartitions", cpus).load()
+      StreamingOps.annLshStream(
+        qSrc.select(col("value").as("vec_id"),
+          vec(col("value") + 7L).as("embedding")),
+        idx, k = 5, "vec_id", "embedding", numPlanes = 4, dim = dim)
+    }
     spark.stop()
   }
 }
