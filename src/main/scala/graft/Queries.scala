@@ -318,12 +318,13 @@ object Queries {
         count(lit(1)).as("n_events"))
   }
 
-  /** As-of join (backward): each click matched to the user's latest
-    * purchase at or before it — the union-sweep plan of
-    * [[graft.operators.Joins.asofJoin]] (one keyed shuffle, one ordered
-    * window, no range-join pair blow-up). Oracle: DuckDB's native
-    * ASOF LEFT JOIN — an INDEPENDENT implementation of the semantics. */
-  val qAsofJoin: Q = (s, dir) => {
+  /** Shared clicks-to-purchases as-of shape for the three direction
+    * queries: the union-sweep plan of [[graft.operators.Joins.asofJoin]]
+    * (one keyed shuffle, one ordered window, no range-join pair blow-up),
+    * varying only in (direction, tolerance). */
+  private def asofClickPurchase(s: SparkSession, dir: String,
+                                direction: String,
+                                tolerance: Option[Long]): DataFrame = {
     val ev = rd(s, dir, "events")
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
@@ -331,48 +332,29 @@ object Queries {
       .select(col("user_id"), col("ts"),
         col("event_id").as("p_event_id"), col("value").as("p_value"))
     graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
-        rightTieBreak = Seq("p_event_id"))
+        rightTieBreak = Seq("p_event_id"), direction = direction,
+        tolerance = tolerance)
       .select(col("event_id"), col("user_id"),
         expr("ts DIV 1000000").as("ms"),
         col("p_event_id"), col("p_value"))
   }
 
-  /** As-of FORWARD with a tolerance: each click matched to the user's
-    * EARLIEST purchase at-or-after it, but only within 3 days — pandas
+  /** As-of BACKWARD: each click matched to the user's latest purchase at
+    * or before it. Oracle: DuckDB's native ASOF LEFT JOIN — an
+    * INDEPENDENT implementation of the semantics. */
+  val qAsofJoin: Q = (s, dir) => asofClickPurchase(s, dir, "backward", None)
+
+  /** As-of FORWARD with a tolerance: the EARLIEST purchase at-or-after
+    * each click, but only within 3 days — pandas
     * `merge_asof(direction="forward", tolerance=...)`. Oracle: DuckDB's
     * native ASOF with the inequality flipped + a CASE distance gate. */
-  val qAsofForward: Q = (s, dir) => {
-    val ev = rd(s, dir, "events")
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("p_event_id"), col("value").as("p_value"))
-    graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
-        rightTieBreak = Seq("p_event_id"), direction = "forward",
-        tolerance = Some(3L * 24 * 3600 * 1000000000L))
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000000").as("ms"),
-        col("p_event_id"), col("p_value"))
-  }
+  val qAsofForward: Q = (s, dir) =>
+    asofClickPurchase(s, dir, "forward", Some(3L * 24 * 3600 * 1000000000L))
 
-  /** As-of NEAREST: each click matched to the user's closest purchase in
-    * absolute time, ties to the backward side — pandas
-    * `merge_asof(direction="nearest")`. Oracle: both DuckDB ASOF
-    * directions composed with the same distance CASE. */
-  val qAsofNearest: Q = (s, dir) => {
-    val ev = rd(s, dir, "events")
-    val clicks = ev.where(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("p_event_id"), col("value").as("p_value"))
-    graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "ts",
-        rightTieBreak = Seq("p_event_id"), direction = "nearest")
-      .select(col("event_id"), col("user_id"),
-        expr("ts DIV 1000000").as("ms"),
-        col("p_event_id"), col("p_value"))
-  }
+  /** As-of NEAREST: the closest purchase in absolute time, ties to the
+    * backward side — pandas `merge_asof(direction="nearest")`. Oracle:
+    * both DuckDB ASOF directions composed with the distance CASE. */
+  val qAsofNearest: Q = (s, dir) => asofClickPurchase(s, dir, "nearest", None)
 
   /** Banded interval join: purchases within 7 days at-or-after each signup
     * (per user). The band trick turns the inequality join into an

@@ -11,9 +11,8 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled` RIFF header parse), and VIDEO container metadata
   * is REAL ([[decodeMp4]] — pure-JDK ISO BMFF box walk). Only video FRAME
   * decode remains a stub ([[fakeDecode]] — the JDK ships no video codec).
-  * Everything
-  * around them — schema, batched per-partition execution, partition
-  * sizing — is what matters at 100 TB:
+  * Everything around them — schema, batched per-partition execution,
+  * partition sizing — is what matters at 100 TB:
   *
   *  - decode/feature-extract run via `mapPartitions` over a typed Dataset:
   *    one JVM-side batch per partition (the Scala analog of arrow-batched
@@ -26,6 +25,22 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaRow(media_id: Long, payload: Array[Byte])
+
+  /** Shared batched per-partition media map: normalize to
+    * (media_id, payload), run `f` per row inside `mapPartitions` (one
+    * JVM-side batch per partition — codec/probe state amortizes there).
+    * Every typed decode/transform wrapper below goes through this. */
+  private def mapMedia[T: org.apache.spark.sql.Encoder](
+      df: DataFrame, idCol: String, payloadCol: String)(f: MediaRow => T)
+      (implicit spark: SparkSession): Dataset[T] = {
+    import spark.implicits._
+    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map(f))
+  }
+
+  private def payloadLen(r: MediaRow): Long =
+    if (r.payload == null) 0L else r.payload.length.toLong
   case class MediaMeta(media_id: Long, byte_len: Long, width: Int, height: Int,
                        n_frames: Int, format: String)
   case class ImageMetaRow(media_id: Long, byte_len: Long, width: Int,
@@ -38,8 +53,7 @@ object Multimodal {
     * hundred header bytes, not decompressing the image — the shape that
     * survives a 100 TB image corpus. Returns None for bytes no installed
     * reader recognizes (callers decide whether unknown payloads error or
-    * pass through). Video stays stubbed ([[fakeDecode]]): the JDK has no
-    * container demuxer. */
+    * pass through). */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, String)] = {
     if (payload == null || payload.isEmpty) return None
     try {
@@ -154,14 +168,9 @@ object Multimodal {
                    width: Int, height: Int, format: String = "png")
                   (implicit spark: SparkSession): Dataset[ResizedRow] = {
     import spark.implicits._
-    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          ResizedRow(r.media_id,
-            resizeImage(r.payload, width, height, format).orNull)
-        }
-      }
+    mapMedia(df, idCol, payloadCol) { r =>
+      ResizedRow(r.media_id, resizeImage(r.payload, width, height, format).orNull)
+    }
   }
 
   /** Decode a binary IMAGE payload column into typed metadata — the real
@@ -172,18 +181,14 @@ object Multimodal {
   def decodeImageMeta(df: DataFrame, idCol: String, payloadCol: String)
                      (implicit spark: SparkSession): Dataset[ImageMetaRow] = {
     import spark.implicits._
-    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val len = if (r.payload == null) 0L else r.payload.length.toLong
-          decodeImage(r.payload) match {
-            case Some((w, h, c, fmt)) =>
-              ImageMetaRow(r.media_id, len, w, h, c, fmt)
-            case None => ImageMetaRow(r.media_id, len, -1, -1, -1, "unknown")
-          }
-        }
+    mapMedia(df, idCol, payloadCol) { r =>
+      decodeImage(r.payload) match {
+        case Some((w, h, c, fmt)) =>
+          ImageMetaRow(r.media_id, payloadLen(r), w, h, c, fmt)
+        case None =>
+          ImageMetaRow(r.media_id, payloadLen(r), -1, -1, -1, "unknown")
       }
+    }
   }
 
   // ---------------------------------------------------------------------------
@@ -240,18 +245,13 @@ object Multimodal {
   def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String)
                      (implicit spark: SparkSession): Dataset[AudioMetaRow] = {
     import spark.implicits._
-    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val len = if (r.payload == null) 0L else r.payload.length.toLong
-          decodeWav(r.payload) match {
-            case Some((sr, ch, bits, nf)) =>
-              AudioMetaRow(r.media_id, len, sr, ch, bits, nf)
-            case None => AudioMetaRow(r.media_id, len, -1, -1, -1, -1L)
-          }
-        }
+    mapMedia(df, idCol, payloadCol) { r =>
+      decodeWav(r.payload) match {
+        case Some((sr, ch, bits, nf)) =>
+          AudioMetaRow(r.media_id, payloadLen(r), sr, ch, bits, nf)
+        case None => AudioMetaRow(r.media_id, payloadLen(r), -1, -1, -1, -1L)
       }
+    }
   }
 
   // ---------------------------------------------------------------------------
@@ -379,17 +379,14 @@ object Multimodal {
   def decodeVideoMeta(df: DataFrame, idCol: String, payloadCol: String)
                      (implicit spark: SparkSession): Dataset[VideoMetaRow] = {
     import spark.implicits._
-    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val len = if (r.payload == null) 0L else r.payload.length.toLong
-          decodeMp4(r.payload) match {
-            case Some((w, h, d, b)) => VideoMetaRow(r.media_id, len, w, h, d, b)
-            case None => VideoMetaRow(r.media_id, len, -1, -1, -1L, "unknown")
-          }
-        }
+    mapMedia(df, idCol, payloadCol) { r =>
+      decodeMp4(r.payload) match {
+        case Some((w, h, d, b)) =>
+          VideoMetaRow(r.media_id, payloadLen(r), w, h, d, b)
+        case None =>
+          VideoMetaRow(r.media_id, payloadLen(r), -1, -1, -1L, "unknown")
       }
+    }
   }
 
   /** STUB decoder for video FRAME content: deterministic pseudo-metadata
@@ -411,15 +408,10 @@ object Multimodal {
   def decodeMeta(df: DataFrame, idCol: String, payloadCol: String)
                 (implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
-    df.select(col(idCol).as("media_id"), col(payloadCol).as("payload"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        // per-partition init of a (stub) codec happens here
-        rows.map { r =>
-          val (w, h, f, fmt) = fakeDecode(r.payload)
-          MediaMeta(r.media_id, r.payload.length.toLong, w, h, f, fmt)
-        }
-      }
+    mapMedia(df, idCol, payloadCol) { r =>
+      val (w, h, f, fmt) = fakeDecode(r.payload)
+      MediaMeta(r.media_id, r.payload.length.toLong, w, h, f, fmt)
+    }
   }
 
   /** Frame sampling: keep every `stride`-th frame index, as the plumbing a
