@@ -59,6 +59,11 @@ object NestedOps {
   def subColumns(df: DataFrame, nest: String): Seq[String] =
     nestedStruct(df, nest).fieldNames.toSeq
 
+  /** Dotted `nest.field` names across ALL nests — the reference's no-arg
+    * `get_subcolumns()` (core.py docstring: all nested columns in order). */
+  def subColumnsAll(df: DataFrame): Seq[String] =
+    nestedColumns(df).flatMap(n => subColumns(df, n).map(f => s"$n.$f"))
+
   /** All addressable columns: base names ++ dotted `nest.field` names
     * (reference: core.py:85-105 `all_columns`). */
   def allColumns(df: DataFrame): Seq[String] =
@@ -312,6 +317,26 @@ object NestedOps {
       values.foldLeft(s) { case (acc, (f, v)) =>
         acc.withField(f, coalesce(s.getField(f), lit(v)))
       }))
+
+  /** MAPPING form of whole-frame fillna (core.py:1415-1428): base keys fill
+    * their base columns (Spark `na.fill(Map)` semantics), dotted
+    * `nest.field` keys route to that nest's elements. Keys for absent
+    * columns are ignored, like pandas. */
+  def fillNaAll(df: DataFrame, values: Map[String, Any]): DataFrame = {
+    val nests = nestedColumns(df).toSet
+    val (nestedKeys, baseKeys) = values.partition { case (k, _) =>
+      k.contains(".") && nests.contains(k.split("\\.", 2)(0))
+    }
+    val base = if (baseKeys.isEmpty) df
+      else df.na.fill(baseKeys.filter { case (k, _) => df.columns.contains(k) })
+    nestedKeys.toSeq.groupBy(_._1.split("\\.", 2)(0)).toSeq.sortBy(_._1)
+      .foldLeft(base) { case (acc, (nest, kvs)) =>
+        val fields = subColumns(df, nest).toSet
+        val m = kvs.collect { case (k, v)
+          if fields(k.split("\\.", 2)(1)) => k.split("\\.", 2)(1) -> v }.toMap
+        if (m.isEmpty) acc else fillNaElements(acc, nest, m)
+      }
+  }
 
   /** Whole-frame SCALAR fillna: fills base columns AND every field of every
     * nested column in one call — the reference's `nf.fillna(0)` hits both

@@ -803,6 +803,29 @@ class ReferenceParitySpec2 extends SparkSpec {
     assert(sf.where($"a".isNull).count() == 1) // numeric base untouched
   }
 
+  test("fillna Mapping form: base keys + dotted nested keys route per " +
+      "layer (core.py:1415-1428); no-arg get_subcolumns (docstring)") {
+    val b = Seq[(Long, Option[Double], Option[Double])](
+      (0L, None, Some(1.0)), (1L, Some(2.0), None)).toDF("key", "a", "b")
+    val n = Seq[(Long, Option[Double], Option[Double])](
+      (0L, None, None), (1L, None, Some(5.0))).toDF("key", "d", "e")
+    val nf2 = b.joinNested(n, Seq("key"), "nested")
+    val filled = NestedOps.fillNaAll(nf2,
+      Map("a" -> 7.0, "nested.e" -> 9.0, "ghost" -> 1.0, "nested.zz" -> 2.0))
+    val rows = filled.orderBy("key")
+      .select($"a", $"b", element_at($"nested.d", 1), element_at($"nested.e", 1))
+      .as[(Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows == Seq(
+      (Some(7.0), Some(1.0), None, Some(9.0)),   // a filled, d untouched
+      (Some(2.0), None, None, Some(5.0))))       // b NOT in map → kept NULL
+    // no-arg get_subcolumns: dotted names across all nests, in order
+    val two = NestedExpr.evalAssign(nf2, "nest2.x = nested.d + 1")
+    assert(NestedOps.subColumnsAll(two) ==
+      Seq("nested.d", "nested.e", "nest2.x"))
+    assert(NestedOps.subColumnsAll(b) == Nil)
+  }
+
   test("issue350: map_rows on a frame with duplicate keys (ref :2711)") {
     import org.apache.spark.sql.types._
     val dup = nf.withColumn("key", when($"key" === 1L, 0L).otherwise($"key"))
