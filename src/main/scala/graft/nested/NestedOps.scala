@@ -463,9 +463,29 @@ object NestedOps {
     }
   }
 
+  /** `field in nf[nest].nest` — the reference's `__contains__`. */
+  def nestContains(df: DataFrame, nest: String, field: String): Boolean =
+    subColumns(df, nest).contains(field)
+
+  /** `keys()` / `values()` / `items()` of the MutableMapping protocol:
+    * keys are field names; values/items pair each with its per-row LIST
+    * Series (the reference's `get_list_series`), here the list column
+    * `nest.field`. */
+  def nestKeys(df: DataFrame, nest: String): Seq[String] =
+    subColumns(df, nest)
+
+  def nestValues(df: DataFrame, nest: String): Seq[Column] =
+    subColumns(df, nest).map(f => col(s"$nest.$f"))
+
+  def nestItems(df: DataFrame, nest: String): Seq[(String, Column)] =
+    subColumns(df, nest).map(f => f -> col(s"$nest.$f"))
+
   /** The reference's mandatory-but-unsupported MutableMapping `clear()`:
     * a nested column cannot exist with zero fields (the same ≥1-field
-    * invariant [[dropNestedFields]] enforces), so this always throws. */
+    * invariant [[dropNestedFields]] enforces), so this always throws.
+    * `popitem`/`setdefault`/`update` throw for the same reason in the
+    * reference (accessor.py:841-857) — use [[dropNestedFields]] /
+    * [[withNestedField]] for the supported mutations. */
   def clearNestedFields(df: DataFrame, nest: String): Nothing =
     throw new UnsupportedOperationException(
       s"Cannot delete all fields from nested column '$nest'")

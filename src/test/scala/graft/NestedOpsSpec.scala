@@ -55,6 +55,21 @@ class NestedOpsSpec extends SparkSpec {
     assert(nf.nestEquals(nf.orderBy($"key".desc), "nested", on = Seq("key")))
   }
 
+  test("mapping protocol: contains / keys / values / items") {
+    // reference accessor.py MutableMapping surface: __contains__ checks
+    // field membership; keys/values/items expose the list-series columns
+    assert(NestedOps.nestContains(nf, "nested", "c"))
+    assert(!NestedOps.nestContains(nf, "nested", "zz"))
+    assert(NestedOps.nestKeys(nf, "nested") == Seq("c", "d"))
+    val items = NestedOps.nestItems(nf, "nested")
+    assert(items.map(_._1) == Seq("c", "d"))
+    // each value column is the per-row LIST of that field (get_list_series)
+    val firstList = nf.orderBy("key")
+      .select(NestedOps.nestValues(nf, "nested").head)
+      .as[Seq[Int]].collect()(0)
+    assert(firstList == Seq(0, 2, 4))
+  }
+
   test("mapping protocol: clear always raises") {
     // reference accessor.py:852-857: MutableMapping.clear is mandatory but
     // unsupported — a nest cannot have zero fields
