@@ -70,7 +70,18 @@ object Joins {
                tsCol: String, rightPrefix: String = "",
                rightTieBreak: Seq[String] = Nil,
                direction: String = "backward",
-               tolerance: Option[Long] = None): DataFrame = {
+               tolerance: Option[Long] = None): DataFrame =
+    asofJoinBy(left, right, Seq(keyCol), tsCol, rightPrefix, rightTieBreak,
+      direction, tolerance)
+
+  /** Multi-key form — pandas `merge_asof(by=[...])`: the sweep partitions
+    * on the composite key; everything else is identical to [[asofJoin]]. */
+  def asofJoinBy(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                 tsCol: String, rightPrefix: String = "",
+                 rightTieBreak: Seq[String] = Nil,
+                 direction: String = "backward",
+                 tolerance: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoinBy: at least one key column required")
     require(Set("backward", "forward", "nearest")(direction),
       s"asofJoin: direction must be backward|forward|nearest, got '$direction'")
     tolerance.foreach { t =>
@@ -80,7 +91,7 @@ object Joins {
         "asofJoin: tolerance requires a numeric ts column")
     }
     val rightPayload = right.columns.filterNot(c =>
-      c == keyCol || c == tsCol).toSeq
+      keyCols.contains(c) || c == tsCol).toSeq
     val leftCols = left.columns.toSeq
     // Output columns are left's plus the (prefixed) right payload — a
     // collision would produce two same-named output columns, ambiguous to
@@ -115,12 +126,12 @@ object Joins {
       (leftCols.map(col) :+ lit(lSide).as("__side") :+
         lit(null).cast(rType).as("__r")): _*)
     val r = right.select(
-      (leftCols.map(c => if (c == keyCol || c == tsCol) col(c)
+      (leftCols.map(c => if (keyCols.contains(c) || c == tsCol) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) :+
         lit(rSide).as("__side") :+ rStruct.as("__r")): _*)
     val ordCols = col("__r.__rts") +:
       rightTieBreak.map(c => col(s"__r.__tb_$c"))
-    val ordered = Window.partitionBy(col(keyCol))
+    val ordered = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol) +: col("__side") +: ordCols): _*)
     val wB = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)

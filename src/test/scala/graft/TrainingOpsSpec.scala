@@ -767,6 +767,25 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinBy: composite key partitions the sweep (merge_asof by=[...])") {
+    val left = Seq((1L, 10L, "a", 100L), (2L, 10L, "b", 100L),
+      (3L, 20L, "a", 100L)).toDF("event_id", "uid", "seg", "ts")
+    val right = Seq(
+      (10L, "a", 90L, 11L), (10L, "b", 95L, 12L),
+      (20L, "b", 80L, 13L)  // only seg b for uid 20 → (20,"a") no match
+    ).toDF("uid", "seg", "ts", "p_id")
+    val out = operators.Joins.asofJoinBy(left, right, Seq("uid", "seg"),
+        "ts", rightTieBreak = Seq("p_id"))
+      .orderBy("event_id").select("event_id", "p_id")
+      .as[(Long, Option[Long])].collect().toSeq
+    // each (uid, seg) pair sweeps independently — the single-key join
+    // would have matched (1, uid 10) to the LATER ts=95 row of seg b
+    assert(out == Seq((1L, Some(11L)), (2L, Some(12L)), (3L, None)))
+    intercept[IllegalArgumentException] {
+      operators.Joins.asofJoinBy(left, right, Nil, "ts")
+    }
+  }
+
   test("duplicatedSpans: later copies of a span lose, unique spans keep") {
     val df = Seq(
       (1L, "a b c d e f"),   // spans: "a b c", "d e f"
