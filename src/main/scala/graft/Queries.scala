@@ -356,6 +356,40 @@ object Queries {
     * both DuckDB ASOF directions composed with the distance CASE. */
   val qAsofNearest: Q = (s, dir) => asofClickPurchase(s, dir, "nearest", None)
 
+  /** The clicks/purchases as-of shape over a real TimestampType ts column
+    * (events.ts ns-long truncated to micros), exercising the timestamp
+    * tolerance path: tolerance is in MILLISECONDS, like pandas
+    * `merge_asof(tolerance=Timedelta(...))` on datetime64 keys
+    * (reference merge_asof usage on astronomy time series). */
+  private def asofTsClickPurchase(s: SparkSession, dir: String,
+                                  direction: String,
+                                  toleranceMs: Option[Long]): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .withColumn("tst", timestamp_micros(expr("ts DIV 1000")))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("tst"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tst"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.Joins.asofJoin(clicks, purchases, "user_id", "tst",
+        rightTieBreak = Seq("p_event_id"), direction = direction,
+        tolerance = toleranceMs)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("tst")).as("ms"),
+        col("p_event_id"), col("p_value"))
+  }
+
+  /** As-of backward on a TIMESTAMP key with a 3-day MILLISECOND tolerance
+    * (pandas Timedelta parity). Oracle: DuckDB native ASOF on the
+    * timestamp column + an epoch_us distance CASE. */
+  val qAsofTsTol: Q = (s, dir) =>
+    asofTsClickPurchase(s, dir, "backward", Some(3L * 24 * 3600 * 1000))
+
+  /** As-of nearest on a TIMESTAMP key — the interval-free distance
+    * arithmetic path (epoch-micros comparison inside the sweep). */
+  val qAsofTsNearest: Q = (s, dir) =>
+    asofTsClickPurchase(s, dir, "nearest", None)
+
   /** Banded interval join: purchases within 7 days at-or-after each signup
     * (per user). The band trick turns the inequality join into an
     * equi-join on (key, band) + residual filter; DuckDB replays the plain
@@ -484,6 +518,8 @@ object Queries {
     "q_asof_join" -> qAsofJoin,
     "q_asof_forward" -> qAsofForward,
     "q_asof_nearest" -> qAsofNearest,
+    "q_asof_ts_tol" -> qAsofTsTol,
+    "q_asof_ts_nearest" -> qAsofTsNearest,
     "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
@@ -562,6 +598,47 @@ object Queries {
         |       WHEN f_id IS NULL THEN b_value
         |       WHEN epoch_ns(l.ts) - epoch_ns(b_ts)
         |         <= epoch_ns(f_ts) - epoch_ns(l.ts) THEN b_value
+        |       ELSE f_value END AS p_value
+        |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
+    // timestamp-key as-of with a 3-day MILLISECOND tolerance: native ASOF
+    // + epoch_us distance CASE (events.ts is micro-granular, so the Spark
+    // side's micros truncation is lossless)
+    "q_asof_ts_tol" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+        |        <= CAST(259200000 AS BIGINT) * 1000
+        |      THEN r.event_id END AS p_event_id,
+        | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+        |        <= CAST(259200000 AS BIGINT) * 1000
+        |      THEN r.value END AS p_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_asof_ts_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |b AS (SELECT l.event_id, r.event_id AS b_id, r.value AS b_value,
+        |             r.ts AS b_ts
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.event_id AS f_id, r.value AS f_value,
+        |             r.ts AS f_ts
+        |      FROM l ASOF LEFT JOIN r
+        |        ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        |  CASE WHEN b_id IS NULL THEN f_id
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN epoch_us(l.ts) - epoch_us(b_ts)
+        |         <= epoch_us(f_ts) - epoch_us(l.ts) THEN b_id
+        |       ELSE f_id END AS p_event_id,
+        |  CASE WHEN b_id IS NULL THEN f_value
+        |       WHEN f_id IS NULL THEN b_value
+        |       WHEN epoch_us(l.ts) - epoch_us(b_ts)
+        |         <= epoch_us(f_ts) - epoch_us(l.ts) THEN b_value
         |       ELSE f_value END AS p_value
         |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
     "q_range_join" ->

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{DataType, NumericType, StructField,
+  StructType, TimestampNTZType, TimestampType}
 
 /** Time-series joins Spark lacks as built-ins, expressed in the shapes
   * that survive 100 TB.
@@ -17,6 +18,9 @@ import org.apache.spark.sql.types.{StructField, StructType}
   * as-of plan (what a MERGE_ASOF does on sorted partitions).
   */
 object Joins {
+
+  private def isTsType(dt: DataType): Boolean =
+    dt == TimestampType || dt == TimestampNTZType
 
   /** Bounded interval (range) join: all right rows with
     * `l.ts <= r.ts < l.ts + windowLen` per key — "events within Δ after
@@ -60,8 +64,10 @@ object Joins {
     * timestamp DOES match in every direction — DuckDB/pandas `ASOF JOIN`
     * semantics. Among equal-ts right rows the `rightTieBreak` ordering
     * picks the winner deterministically (last for backward, first for
-    * forward). `tolerance` (same units as a NUMERIC ts column) nulls out
-    * matches farther than the bound, like pandas' `tolerance=`.
+    * forward). `tolerance` nulls out matches farther than the bound, like
+    * pandas' `tolerance=`: same units as the ts column when it is numeric,
+    * MILLISECONDS when it is a timestamp (pandas `Timedelta` parity — the
+    * common astronomy/log-data case; reference merge_asof docs).
     *
     * Every direction is the same one-shuffle union-sweep: nearest runs
     * TWO window sweeps over the one keyed partitioning (a second sort,
@@ -84,12 +90,21 @@ object Joins {
     require(keyCols.nonEmpty, "asofJoinBy: at least one key column required")
     require(Set("backward", "forward", "nearest")(direction),
       s"asofJoin: direction must be backward|forward|nearest, got '$direction'")
+    val tsDt = right.schema(tsCol).dataType
     tolerance.foreach { t =>
       require(t >= 0, s"asofJoin: tolerance must be >= 0, got $t")
-      require(right.schema(tsCol).dataType.isInstanceOf[
-        org.apache.spark.sql.types.NumericType],
-        "asofJoin: tolerance requires a numeric ts column")
+      require(tsDt.isInstanceOf[NumericType] || isTsType(tsDt),
+        "asofJoin: tolerance requires a numeric or timestamp ts column " +
+          s"(got $tsDt); tolerance is in ms for timestamp columns")
     }
+    // Distance arithmetic view of a ts value: raw for numeric columns,
+    // epoch micros for timestamps (a timestamp tolerance is given in ms,
+    // so scale it to micros). NTZ distances go through a TimestampType
+    // cast — differences are offset-invariant, so session-tz choice
+    // cancels out except exactly across a DST transition.
+    def tsNum(c: Column): Column =
+      if (isTsType(tsDt)) unix_micros(c.cast(TimestampType)) else c
+    val tolUnits = tolerance.map(t => if (isTsType(tsDt)) t * 1000L else t)
     val rightPayload = right.columns.filterNot(c =>
       keyCols.contains(c) || c == tsCol).toSeq
     val leftCols = left.columns.toSeq
@@ -136,8 +151,9 @@ object Joins {
     val wB = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     // tolerance nulls out matches farther than the bound (pandas semantics)
-    def within(m: Column): Column = tolerance match {
-      case Some(t) => when(abs(col(tsCol) - m.getField("__rts")) <= t, m)
+    def within(m: Column): Column = tolUnits match {
+      case Some(t) =>
+        when(abs(tsNum(col(tsCol)) - tsNum(m.getField("__rts"))) <= t, m)
       case None => m
     }
     val backMatch = within(last(col("__r"), ignoreNulls = true).over(wB))
@@ -154,8 +170,8 @@ object Joins {
           .withColumn("__match",
             when(col("__b").isNull, col("__f"))
               .when(col("__f").isNull, col("__b"))
-              .when(col(tsCol) - col("__b.__rts") <=
-                col("__f.__rts") - col(tsCol), col("__b"))
+              .when(tsNum(col(tsCol)) - tsNum(col("__b.__rts")) <=
+                tsNum(col("__f.__rts")) - tsNum(col(tsCol)), col("__b"))
               .otherwise(col("__f")))
           .drop("__b", "__f")
     }

@@ -767,6 +767,40 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: TIMESTAMP ts column with millisecond tolerance " +
+      "(pandas Timedelta parity)") {
+    import org.apache.spark.sql.functions.timestamp_millis
+    val left = Seq((1L, 10L, 100000L), (2L, 10L, 250000L), (3L, 20L, 50000L))
+      .toDF("event_id", "user_id", "ms")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val right = Seq((10L, 100000L, 11L), (10L, 200000L, 12L),
+      (20L, 60000L, 14L))
+      .toDF("user_id", "ms", "p_event_id")
+      .withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    def run(dir: String, tolMs: Option[Long]) =
+      operators.Joins.asofJoin(left, right, "user_id", "ts",
+          rightTieBreak = Seq("p_event_id"), direction = dir,
+          tolerance = tolMs)
+        .orderBy("event_id").select("event_id", "p_event_id")
+        .as[(Long, Option[Long])].collect().toSeq
+    // tolerance is in MILLISECONDS on a timestamp key: left 2 at 250s is
+    // 50s after right 200s → inside 50_000 ms, outside 49_999 ms
+    assert(run("backward", Some(50000L)) ==
+      Seq((1L, Some(11L)), (2L, Some(12L)), (3L, None)))
+    assert(run("backward", Some(49999L)) ==
+      Seq((1L, Some(11L)), (2L, None), (3L, None)))
+    // nearest on timestamps: distance arithmetic via epoch micros
+    assert(run("nearest", None) ==
+      Seq((1L, Some(11L)), (2L, Some(12L)), (3L, Some(14L))))
+    // numeric-or-timestamp gate still rejects tolerance on a string ts
+    val badR = right.withColumn("ts", $"ts".cast("string"))
+    val badL = left.withColumn("ts", $"ts".cast("string"))
+    intercept[IllegalArgumentException] {
+      operators.Joins.asofJoin(badL, badR, "user_id", "ts",
+        tolerance = Some(1L))
+    }
+  }
+
   test("asofJoinBy: composite key partitions the sweep (merge_asof by=[...])") {
     val left = Seq((1L, 10L, "a", 100L), (2L, 10L, "b", 100L),
       (3L, 20L, "a", 100L)).toDF("event_id", "uid", "seg", "ts")
