@@ -55,7 +55,16 @@ object Bench {
     // A query that throws is recorded as FAILED — it must not silently
     // contribute its time-to-failure to the totals and exit 0.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // benchSkipKeys: oracle-parity queries too expensive for the timed
+    // battery (still correctness-gated in Verify). They must never
+    // intersect the pinned headline set — that metric is frozen.
+    val skipped = SparkEntry.benchSkipKeys
+    require(skipped.intersect(headlineKeys).isEmpty,
+      s"benchSkipKeys overlap the pinned headline set: " +
+        skipped.intersect(headlineKeys))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skipped.contains(name) }
+      .map { case (name, fn) =>
       var ok = true
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -87,8 +96,15 @@ object Bench {
     val headline = okResults
       .filter { case (k, _) => headlineKeys.contains(k) }
       .map(_._2).sum
+    // production_total: the timed battery minus tagged oracle-parity
+    // queries (id-capped correctness artifacts, not production paths) —
+    // the number to track for production-path perf; `value` stays the
+    // all-in total for round-over-round continuity.
+    val production = okResults
+      .filterNot { case (k, _) => SparkEntry.oracleParityKeys.contains(k) }
+      .map(_._2).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"production_total":$production,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail goes to files (the complete record).
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), fullLine + "\n")
@@ -116,7 +132,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"n_queries":${okResults.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"production_total":$production,"n_queries":${okResults.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
     // Stop Spark BEFORE the compact line so no executor/shutdown chatter can
     // land after it — the compact JSON must be the literal last stdout line
     // (build.sbt routes forked stdout through unprefixed and suppresses the
