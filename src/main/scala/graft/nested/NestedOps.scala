@@ -1,6 +1,7 @@
 package graft.nested
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -139,14 +140,117 @@ object NestedOps {
     * key skip it entirely.
     */
   def packFlat(child: DataFrame, on: Seq[String], name: String,
-               sortBy: Seq[(String, Boolean)] = Nil): DataFrame = {
+               sortBy: Seq[(String, Boolean)] = Nil,
+               maxPerKey: Option[Int] = None): DataFrame =
+    maxPerKey match {
+      case Some(k) if capTopKEligible(child, on, sortBy) =>
+        packFlatTopK(child, on, name, k, sortBy)
+      case Some(k) => packFlatCapped(child, on, name, k, sortBy)._1
+      case None =>
+        val valueCols = child.columns.filterNot(on.contains).toSeq
+        val packed = child
+          .groupBy(on.map(col): _*)
+          .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
+        if (sortBy.isEmpty) packed
+        else packed.withColumn(name,
+          array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
+    }
+
+  /** Guarded pack for hot keys: per key, pack only the first `maxPerKey`
+    * child rows (in `sortBy` order; arbitrary-but-complete subset when no
+    * `sortBy`) and DIVERT the rest to a flat side output.
+    *
+    * Why this exists: salting ([[packFlatSalted]]) fixes shuffle-side
+    * imbalance but the merged cell of a hot key is irreducibly one task's
+    * output — a key whose packed array exceeds task memory OOMs the merge
+    * no matter how it was shuffled (SkewProbe finding, SCALING.md). The
+    * enforceable rule at 100 TB is a cap: the kept branch is pruned to
+    * ≤ `maxPerKey` rows per key MAP-SIDE (Spark's WindowGroupLimit
+    * pushdown runs partial top-k in each map task before the shuffle), so
+    * neither the shuffle nor the packed cell can exceed the budget.
+    *
+    * Returns (packed, overflow): `packed` has every key with
+    * `size(name) <= maxPerKey`; `overflow` holds the diverted child rows
+    * in the child's schema (empty when nothing exceeds the cap) — route
+    * it to a side sink, re-pack it chunked, or drop it (= pure cap).
+    * The overflow branch cannot use the group-limit pushdown (it keeps
+    * the far side of the rank); its window sort spills but never
+    * collects, so it is slow-but-safe on a pathological key.
+    *
+    * Plan: one hash shuffle on `on` shared by the rank window and the
+    * groupBy (same partitioning — no second Exchange on the kept branch). */
+  /** Cap-only fast path: bounded top-k COLLECT (Spark's CollectTopK via
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK]])
+    * instead of a rank window. One ObjectHashAggregate whose map-side
+    * partial state is a k-bounded heap per key: the shuffle carries
+    * ≤ k rows per key per map task and nothing is sorted — strictly
+    * cheaper than the window form (which sorts all input twice) AND than
+    * an uncapped pack on a hot key (whose rows all cross the shuffle).
+    * Eligible when every sortBy direction is ascending and the ordering
+    * struct is an orderable type (lexicographic struct order = the sort;
+    * the payload struct rides as the final tie-break, which makes the
+    * kept subset a pure function of the input set). */
+  private def packFlatTopK(child: DataFrame, on: Seq[String], name: String,
+                           maxPerKey: Int,
+                           sortBy: Seq[(String, Boolean)]): DataFrame = {
+    require(maxPerKey > 0,
+      s"packFlat: maxPerKey must be > 0, got $maxPerKey")
+    import org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK
     val valueCols = child.columns.filterNot(on.contains).toSeq
-    val packed = child
-      .groupBy(on.map(col): _*)
-      .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
-    if (sortBy.isEmpty) packed
-    else packed.withColumn(name,
-      array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
+    val payload = struct(valueCols.map(col): _*)
+    if (sortBy.isEmpty) {
+      // order by the payload itself: deterministic smallest-k subset
+      child.groupBy(on.map(col): _*)
+        .agg(GraftCollectTopK.column(payload, maxPerKey, asc = true).as(name))
+    } else {
+      // sort fields lead the ordering struct (aliased __s* so a sort
+      // field can never collide with the payload alias), payload last
+      val ordChild = struct((sortBy.zipWithIndex.map { case ((f, _), i) =>
+        col(f).as(s"__s$i") } :+ payload.as("__p")): _*)
+      child.groupBy(on.map(col): _*)
+        .agg(GraftCollectTopK.column(ordChild, maxPerKey, asc = true)
+          .as(name))
+        .withColumn(name, transform(col(name), x => x.getField("__p")))
+    }
+  }
+
+  /** The bounded-collect path needs all-ascending sort directions (struct
+    * natural order is lexicographic ascending) and an orderable ordering
+    * type (maps aren't). Everything else → the rank-window path. */
+  private def capTopKEligible(child: DataFrame, on: Seq[String],
+                              sortBy: Seq[(String, Boolean)]): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val valueCols = child.columns.filterNot(on.contains).toSeq
+    val ordType = StructType(
+      sortBy.map { case (f, _) => child.schema(f) } ++
+        valueCols.map(c => child.schema(c)))
+    sortBy.forall(_._2) && RowOrdering.isOrderable(ordType)
+  }
+
+  def packFlatCapped(child: DataFrame, on: Seq[String], name: String,
+                     maxPerKey: Int,
+                     sortBy: Seq[(String, Boolean)] = Nil)
+      : (DataFrame, DataFrame) = {
+    require(maxPerKey > 0, s"packFlatCapped: maxPerKey must be > 0, got " +
+      maxPerKey)
+    // row_number needs SOME order: without sortBy, rank on a pre-assigned
+    // id column (nondeterministic exprs are rejected inside a window
+    // order) — kept subset is then arbitrary but the cap is exact.
+    val hasSort = sortBy.nonEmpty
+    val base =
+      if (hasSort) child
+      else child.withColumn("__ord", monotonically_increasing_id())
+    val ord =
+      if (hasSort) sortBy.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc }
+      else Seq(col("__ord").asc)
+    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+    val ranked = base.withColumn("__rn", row_number().over(w))
+    val kept = ranked.where(col("__rn") <= maxPerKey)
+      .drop("__rn", "__ord")
+    val overflow = ranked.where(col("__rn") > maxPerKey)
+      .drop("__rn", "__ord")
+    (packFlat(kept, on, name, sortBy), overflow)
   }
 
   /** Skew-hardened two-stage pack: when a handful of keys dominate (one

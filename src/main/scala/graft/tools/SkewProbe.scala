@@ -13,9 +13,20 @@ import graft.nested.NestedOps
   * both wall times and the ratio; asserts both produce identical
   * (key → element count) results. */
 object SkewProbe {
+  private def rootCause(e: Throwable): String = {
+    var c = e
+    while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+    s"${c.getClass.getSimpleName}: ${Option(c.getMessage).getOrElse("")}"
+  }
+
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 20000000L
     val hotPct = if (args.length > 1) args(1).toInt else 10
+    // payload width in bytes (0 = the original 12-byte numeric payload):
+    // production packs carry row payloads, and payload width decides
+    // whether the bounded cap's heap overhead or the plain pack's
+    // full-hot-key shuffle dominates
+    val payloadBytes = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,33 +39,70 @@ object SkewProbe {
 
     val nKeys = math.max(1L, n / 20L)
     // hotPct% of rows → key 0; the rest hash-spread over nKeys
-    val child = spark.range(n).select(
+    val base = spark.range(n).select(
       when(pmod(col("id"), lit(100L)) < hotPct, lit(0L))
         .otherwise(pmod(xxhash64(col("id")), lit(nKeys))).as("key"),
       (col("id") % 1000L).cast("int").as("v1"),
       pmod(xxhash64(col("id"), lit(7)), lit(100000L)).as("v2"))
+    val child = if (payloadBytes <= 0) base
+      else base.withColumn("pay",
+        repeat(concat(lit("x"), col("v1").cast("string")), payloadBytes / 5))
 
     def timeIt(label: String)(df: => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val cnt = df.select(col("key"), size(col("nested")).as("sz"))
-        .agg(count(lit(1)), sum(col("sz"))).collect()(0)
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"SKEW_PROBE $label time=$secs%.1fs keys=${cnt.getLong(0)} " +
-        s"elements=${cnt.getLong(1)}")
-      secs
+      // an OOM here is a RESULT, not a probe bug: an uncapped pack's
+      // per-key cell is irreducibly one task's memory — report and go on
+      try {
+        val cnt = df.select(col("key"), size(col("nested")).as("sz"))
+          .agg(count(lit(1)), sum(col("sz"))).collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"SKEW_PROBE $label time=$secs%.1fs keys=${cnt.getLong(0)} " +
+          s"elements=${cnt.getLong(1)}")
+        secs
+      } catch { case e: Throwable =>
+        println(s"SKEW_PROBE $label FAILED: ${rootCause(e)}")
+        Double.NaN
+      }
     }
 
+    // the enforceable hot-cell rule first (bounded by construction — it
+    // cannot OOM), then the unbounded variants, which MAY: at wide
+    // payloads the hot key's packed cell exceeds task memory and the
+    // probe records that failure as the finding
+    val capped = timeIt("capped")(
+      NestedOps.packFlat(child, Seq("key"), "nested",
+        sortBy = Seq(("v2", true)), maxPerKey = Some(10000)))
     val plain = timeIt("plain ")(
       NestedOps.packFlat(child, Seq("key"), "nested"))
+    if (plain.isNaN) {
+      // executor OOM in local mode takes the SparkContext down with it —
+      // nothing further can run; the capped-completes/plain-dies contrast
+      // IS the probe's finding
+      println(s"SKEW_PROBE verdict: capped pack completed " +
+        f"(${capped}%.1fs, cell<=10000) where the unbounded pack killed " +
+        s"the JVM (n=$n hotPct=$hotPct payloadBytes=$payloadBytes)")
+      return
+    }
     val salted = timeIt("salted")(
       NestedOps.packFlatSalted(child, Seq("key"), "nested",
         saltBuckets = cpus.toInt))
     println(f"SKEW_PROBE ratio plain/salted = ${plain / salted}%.2f " +
-      f"(n=$n hotPct=$hotPct)")
+      f"(n=$n hotPct=$hotPct payloadBytes=$payloadBytes)")
+    println(f"SKEW_PROBE ratio plain/capped = ${plain / capped}%.2f " +
+      f"(maxPerKey=10000)")
+    // divert form: kept + overflow must partition the child exactly
+    val (kept, overflow) = NestedOps.packFlatCapped(
+      child, Seq("key"), "nested", maxPerKey = 10000)
+    val keptN = kept.select(sum(size(col("nested")))).collect()(0).getLong(0)
+    val overN = overflow.count()
+    require(keptN + overN == n, s"cap lost rows: $keptN + $overN != $n")
+    println(s"SKEW_PROBE divert kept=$keptN overflow=$overN (sum=$n ok)")
 
     // identical contents: per-key element counts agree. Verified on a 1/10
     // sample (including the hot key) so the check doesn't re-run two more
-    // FULL pack shuffles after the timed passes.
+    // FULL pack shuffles after the timed passes. Skipped in wide-payload
+    // mode (where the unbounded packs are EXPECTED to be memory-unsafe).
+    if (payloadBytes > 0) { spark.stop(); return }
     val sample = child.where(pmod(col("key"), lit(10L)) === 0L)
     val a = NestedOps.packFlat(sample, Seq("key"), "nested")
       .select(col("key"), size(col("nested")).as("n"))

@@ -406,4 +406,80 @@ class NestedOpsSpec extends SparkSpec {
     val got = flat(r, "bad dog", "n/c")
     assert(got == Seq(7.5, 6.5, 7.5, 5.5))
   }
+
+  test("packFlatCapped: cap + overflow semantics, sortBy picks the kept k") {
+    val child = Seq(
+      (1L, 30, "c"), (1L, 10, "a"), (1L, 20, "b"), (1L, 40, "d"),
+      (2L, 5, "x")).toDF("key", "v", "tag")
+    val (packed, overflow) =
+      NestedOps.packFlatCapped(child, Seq("key"), "nested", maxPerKey = 2,
+        sortBy = Seq(("v", true)))
+    val cells = packed.orderBy("key")
+      .select($"key", expr("transform(nested, e -> e.tag)"))
+      .as[(Long, Seq[String])].collect().toSeq
+    // kept = FIRST 2 in sortBy order; under-cap keys are untouched
+    assert(cells == Seq((1L, Seq("a", "b")), (2L, Seq("x"))))
+    val spilled = overflow.orderBy("v").select("key", "v", "tag")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(spilled == Seq((1L, 30, "c"), (1L, 40, "d")))
+    // no sortBy: cap still exact, kept ∪ overflow = child (no row lost)
+    val (p2, o2) =
+      NestedOps.packFlatCapped(child, Seq("key"), "nested", maxPerKey = 2)
+    assert(p2.select(sum(size($"nested"))).as[Long].collect()(0) == 3L)
+    assert(o2.count() == 2L &&
+      o2.where($"key" === 1L).count() == 2L)
+    intercept[IllegalArgumentException] {
+      NestedOps.packFlatCapped(child, Seq("key"), "n", maxPerKey = 0)
+    }
+    // bounded-collect fast path ≡ window divert path on a unique sortBy
+    // (same kept elements in the same array order)
+    val fast = NestedOps.packFlat(child, Seq("key"), "nested",
+        sortBy = Seq(("v", true)), maxPerKey = Some(2))
+      .orderBy("key").select($"key", expr("transform(nested, e -> e.tag)"))
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(fast == cells)
+  }
+
+  test("packFlat maxPerKey: bounded-collect plan (map-side partial top-k, " +
+      "one Exchange) and a planted 20M-row hot key completes under a 1k cap") {
+    // plan shape: cap-only packs through Spark's CollectTopK — an
+    // ObjectHashAggregate with a PARTIAL (map-side) k-bounded heap, so
+    // ≤ k rows per key per map task cross the one shuffle and nothing is
+    // sorted; no rank window anywhere
+    val small = Seq((1L, 1), (1L, 2), (2L, 3)).toDF("key", "v")
+    val plan = NestedOps.packFlat(small, Seq("key"), "nested",
+        sortBy = Seq(("v", true)), maxPerKey = Some(1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_collect_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // the DIVERT form keeps the rank window; its kept branch must prune
+    // beyond-k rows map-side via the WindowGroupLimit pushdown
+    val divertPlan = NestedOps.packFlatCapped(small, Seq("key"), "nested",
+        maxPerKey = 1, sortBy = Seq(("v", true)))._1
+      .queryExecution.executedPlan.toString
+    assert(divertPlan.contains("WindowGroupLimit"), divertPlan)
+    // desc sort direction is ineligible for the bounded collect — must
+    // still cap correctly through the window path
+    val descCap = NestedOps.packFlat(small, Seq("key"), "nested",
+      sortBy = Seq(("v", false)), maxPerKey = Some(1))
+    val descRows = descCap.orderBy("key")
+      .select(expr("transform(nested, e -> e.v)"))
+      .as[Seq[Int]].collect().toSeq
+    assert(descRows == Seq(Seq(2), Seq(3)))
+
+    // the SkewProbe failure mode made enforceable: 20M child rows on ONE
+    // key OOMs a plain pack's merge task at production payloads; with the
+    // cap the packed cell is 1000 elements and the job completes fast
+    // (map-side pruning ships ~k rows per map task, not 20M)
+    val n = 20000000L
+    val hot = spark.range(n).select(lit(0L).as("key"),
+      col("id").cast("int").as("v"))
+    val capped = NestedOps.packFlat(hot, Seq("key"), "nested",
+      sortBy = Seq(("v", true)), maxPerKey = Some(1000))
+    val row = capped.select($"key", size($"nested").as("sz"),
+        expr("nested[999].v").as("last"))
+      .as[(Long, Int, Int)].collect()
+    assert(row.toSeq == Seq((0L, 1000, 999)))
+  }
 }
