@@ -98,13 +98,19 @@ object Bench {
       .map(_._2).sum
     // production_total: the timed battery minus tagged oracle-parity
     // queries (id-capped correctness artifacts, not production paths) —
-    // the number to track for production-path perf; `value` stays the
-    // all-in total for round-over-round continuity.
+    // the number to track for production-path perf. `value` is the
+    // all-in total of the queries ACTUALLY TIMED (post-benchSkipKeys):
+    // since r6 it excludes q_simhash_pairs_exact (~9% of the r5
+    // non-headline total), so cross-round comparisons of `value` have a
+    // discontinuity at r5→r6; `skipped` in the JSON line records the
+    // exclusions.
     val production = okResults
       .filterNot { case (k, _) => SparkEntry.oracleParityKeys.contains(k) }
       .map(_._2).sum
+    val skippedJson = skipped.toSeq.sorted
+      .map(k => "\"" + k + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"production_total":$production,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"production_total":$production,"skipped":$skippedJson,"queries":$qs,"sf":"$sfDir"}"""
     // Full per-query detail goes to files (the complete record).
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/bench.json"), fullLine + "\n")
@@ -132,7 +138,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"production_total":$production,"n_queries":${okResults.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","headline_total":$headline,"production_total":$production,"n_queries":${okResults.size},"n_skipped":${skipped.size}$failedField$flagshipRate,"queries":$top,"sf":"$sfDir"}"""
     // Stop Spark BEFORE the compact line so no executor/shutdown chatter can
     // land after it — the compact JSON must be the literal last stdout line
     // (build.sbt routes forked stdout through unprefixed and suppresses the

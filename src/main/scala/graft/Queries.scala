@@ -601,8 +601,11 @@ object Queries {
         |       ELSE f_value END AS p_value
         |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
     // timestamp-key as-of with a 3-day MILLISECOND tolerance: native ASOF
-    // + epoch_us distance CASE (events.ts is micro-granular, so the Spark
-    // side's micros truncation is lossless)
+    // + epoch_us distance CASE. events.ts carries sub-microsecond ns
+    // components, and the Spark side matches on µs-TRUNCATED timestamps
+    // (ts DIV 1000) — so the oracle truncates too (CAST TIMESTAMP_NS →
+    // TIMESTAMP floors to µs, verified ≡ DIV 1000 for positive epochs):
+    // parity holds by construction, not by collision luck.
     "q_asof_ts_tol" ->
       """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
         | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
@@ -611,16 +614,18 @@ object Queries {
         | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
         |        <= CAST(259200000 AS BIGINT) * 1000
         |      THEN r.value END AS p_value
-        |FROM (SELECT event_id, user_id, ts FROM events
-        |      WHERE event_type = 'click') l
-        |ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id,
+        |        CAST(ts AS TIMESTAMP) AS ts, value FROM events
         |      WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // same µs-truncation-by-construction as q_asof_ts_tol above
     "q_asof_ts_nearest" ->
-      """WITH l AS (SELECT event_id, user_id, ts FROM events
-        |           WHERE event_type = 'click'),
-        |r AS (SELECT event_id, user_id, ts, value FROM events
-        |      WHERE event_type = 'purchase'),
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |        value FROM events WHERE event_type = 'purchase'),
         |b AS (SELECT l.event_id, r.event_id AS b_id, r.value AS b_value,
         |             r.ts AS b_ts
         |      FROM l ASOF LEFT JOIN r

@@ -157,8 +157,9 @@ object NestedOps {
     }
 
   /** Guarded pack for hot keys: per key, pack only the first `maxPerKey`
-    * child rows (in `sortBy` order; arbitrary-but-complete subset when no
-    * `sortBy`) and DIVERT the rest to a flat side output.
+    * child rows (in `sortBy` order, full-payload tie-broken; smallest-k
+    * by payload when no `sortBy`) and DIVERT the rest to a flat side
+    * output.
     *
     * Why this exists: salting ([[packFlatSalted]]) fixes shuffle-side
     * imbalance but the merged cell of a hot key is irreducibly one task's
@@ -186,10 +187,13 @@ object NestedOps {
     * ≤ k rows per key per map task and nothing is sorted — strictly
     * cheaper than the window form (which sorts all input twice) AND than
     * an uncapped pack on a hot key (whose rows all cross the shuffle).
-    * Eligible when every sortBy direction is ascending and the ordering
-    * struct is an orderable type (lexicographic struct order = the sort;
-    * the payload struct rides as the final tie-break, which makes the
-    * kept subset a pure function of the input set). */
+    * Eligible when the sortBy directions are uniform — all ascending
+    * (struct lexicographic order = the sort) or all descending (same
+    * order with CollectTopK's `reverse` flipped, so "keep the LATEST k
+    * per key" gets the map-side-bounded plan too) — and the ordering
+    * struct is an orderable type. The payload struct rides as the final
+    * tie-break, which makes the kept subset a pure function of the
+    * input set. */
   private def packFlatTopK(child: DataFrame, on: Seq[String], name: String,
                            maxPerKey: Int,
                            sortBy: Seq[(String, Boolean)]): DataFrame = {
@@ -198,25 +202,30 @@ object NestedOps {
     import org.apache.spark.sql.catalyst.expressions.aggregate.GraftCollectTopK
     val valueCols = child.columns.filterNot(on.contains).toSeq
     val payload = struct(valueCols.map(col): _*)
+    // all-ascending → smallest-k, output ascending; all-descending →
+    // largest-k, output descending (eligibility guarantees uniformity)
+    val asc = sortBy.isEmpty || sortBy.head._2
     if (sortBy.isEmpty) {
       // order by the payload itself: deterministic smallest-k subset
       child.groupBy(on.map(col): _*)
-        .agg(GraftCollectTopK.column(payload, maxPerKey, asc = true).as(name))
+        .agg(GraftCollectTopK.column(payload, maxPerKey, asc).as(name))
     } else {
       // sort fields lead the ordering struct (aliased __s* so a sort
       // field can never collide with the payload alias), payload last
       val ordChild = struct((sortBy.zipWithIndex.map { case ((f, _), i) =>
         col(f).as(s"__s$i") } :+ payload.as("__p")): _*)
       child.groupBy(on.map(col): _*)
-        .agg(GraftCollectTopK.column(ordChild, maxPerKey, asc = true)
+        .agg(GraftCollectTopK.column(ordChild, maxPerKey, asc)
           .as(name))
         .withColumn(name, transform(col(name), x => x.getField("__p")))
     }
   }
 
-  /** The bounded-collect path needs all-ascending sort directions (struct
-    * natural order is lexicographic ascending) and an orderable ordering
-    * type (maps aren't). Everything else → the rank-window path. */
+  /** The bounded-collect path needs uniform sort directions — all
+    * ascending OR all descending (struct natural order is lexicographic;
+    * a uniform reversal is CollectTopK's `reverse` flag, but a MIX of
+    * directions has no struct ordering) — and an orderable ordering
+    * type (maps aren't). Mixed directions → the rank-window path. */
   private def capTopKEligible(child: DataFrame, on: Seq[String],
                               sortBy: Seq[(String, Boolean)]): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.RowOrdering
@@ -224,7 +233,8 @@ object NestedOps {
     val ordType = StructType(
       sortBy.map { case (f, _) => child.schema(f) } ++
         valueCols.map(c => child.schema(c)))
-    sortBy.forall(_._2) && RowOrdering.isOrderable(ordType)
+    (sortBy.forall(_._2) || sortBy.forall(!_._2)) &&
+      RowOrdering.isOrderable(ordType)
   }
 
   def packFlatCapped(child: DataFrame, on: Seq[String], name: String,
@@ -233,24 +243,41 @@ object NestedOps {
       : (DataFrame, DataFrame) = {
     require(maxPerKey > 0, s"packFlatCapped: maxPerKey must be > 0, got " +
       maxPerKey)
-    // row_number needs SOME order: without sortBy, rank on a pre-assigned
-    // id column (nondeterministic exprs are rejected inside a window
-    // order) — kept subset is then arbitrary but the cap is exact.
-    val hasSort = sortBy.nonEmpty
-    val base =
-      if (hasSort) child
-      else child.withColumn("__ord", monotonically_increasing_id())
-    val ord =
-      if (hasSort) sortBy.map { case (f, asc) =>
-        if (asc) col(f).asc else col(f).desc }
-      else Seq(col("__ord").asc)
-    val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
-    val ranked = base.withColumn("__rn", row_number().over(w))
-    val kept = ranked.where(col("__rn") <= maxPerKey)
-      .drop("__rn", "__ord")
-    val overflow = ranked.where(col("__rn") > maxPerKey)
-      .drop("__rn", "__ord")
-    (packFlat(kept, on, name, sortBy), overflow)
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val valueCols = child.columns.filterNot(on.contains).toSeq
+    // The two returned plans are evaluated INDEPENDENTLY, so kept ∪
+    // overflow == child only holds if the rank is a pure function of the
+    // input. Make the order total: sortBy fields lead, the full payload
+    // struct is the tie-break — row_number is then deterministic up to
+    // ties between fully-identical rows, which are interchangeable.
+    val orderable = RowOrdering.isOrderable(StructType(
+      sortBy.map { case (f, _) => child.schema(f) } ++
+        valueCols.map(c => child.schema(c))))
+    if (orderable) {
+      val ord = sortBy.map { case (f, asc) =>
+        if (asc) col(f).asc else col(f).desc } :+
+        struct(valueCols.map(col): _*).asc
+      val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
+      val ranked = child.withColumn("__rn", row_number().over(w))
+      val kept = ranked.where(col("__rn") <= maxPerKey).drop("__rn")
+      val overflow = ranked.where(col("__rn") > maxPerKey).drop("__rn")
+      (packFlat(kept, on, name, sortBy), overflow)
+    } else {
+      // Non-orderable payload (e.g. a map column): no total order exists.
+      // Rank on a snapshot id and MATERIALIZE the ranking once
+      // (localCheckpoint) so both branches read the same assignment
+      // instead of re-rolling monotonically_increasing_id per plan.
+      val base = child.withColumn("__ord", monotonically_increasing_id())
+      val w = Window.partitionBy(on.map(col): _*)
+        .orderBy(col("__ord").asc)
+      val ranked = base.withColumn("__rn", row_number().over(w))
+        .localCheckpoint()
+      val kept = ranked.where(col("__rn") <= maxPerKey)
+        .drop("__rn", "__ord")
+      val overflow = ranked.where(col("__rn") > maxPerKey)
+        .drop("__rn", "__ord")
+      (packFlat(kept, on, name, sortBy), overflow)
+    }
   }
 
   /** Skew-hardened two-stage pack: when a handful of keys dominate (one

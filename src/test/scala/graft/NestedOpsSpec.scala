@@ -459,14 +459,27 @@ class NestedOpsSpec extends SparkSpec {
         maxPerKey = 1, sortBy = Seq(("v", true)))._1
       .queryExecution.executedPlan.toString
     assert(divertPlan.contains("WindowGroupLimit"), divertPlan)
-    // desc sort direction is ineligible for the bounded collect — must
-    // still cap correctly through the window path
+    // all-DESCENDING sort ("keep latest k") is eligible too: CollectTopK
+    // with reverse flipped — same map-side-bounded plan, largest-k kept
     val descCap = NestedOps.packFlat(small, Seq("key"), "nested",
       sortBy = Seq(("v", false)), maxPerKey = Some(1))
+    val descPlan = descCap.queryExecution.executedPlan.toString
+    assert(descPlan.contains("partial_collect_top_k"), descPlan)
+    assert(!descPlan.contains("Window"), descPlan)
     val descRows = descCap.orderBy("key")
       .select(expr("transform(nested, e -> e.v)"))
       .as[Seq[Int]].collect().toSeq
     assert(descRows == Seq(Seq(2), Seq(3)))
+    // MIXED directions have no struct ordering — window fallback caps
+    // correctly (v desc then tag asc ⇒ keep (2,"a"))
+    val mixed = Seq((1L, 1, "a"), (1L, 2, "b"), (1L, 2, "a"))
+      .toDF("key", "v", "tag")
+    val mixedCap = NestedOps.packFlat(mixed, Seq("key"), "nested",
+      sortBy = Seq(("v", false), ("tag", true)), maxPerKey = Some(1))
+    assert(mixedCap.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+    assert(mixedCap.select(expr("transform(nested, e -> e.tag)"))
+      .as[Seq[String]].collect().toSeq == Seq(Seq("a")))
 
     // the SkewProbe failure mode made enforceable: 20M child rows on ONE
     // key OOMs a plain pack's merge task at production payloads; with the
