@@ -88,6 +88,303 @@ object NestedExpr {
 
   private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  // -------------------------------------------------------------------------
+  // pandas-eval surface preprocessing (reference expr.py:24-46 rides pandas'
+  // PandasExprVisitor, so query strings may use Python-isms Spark SQL does
+  // not parse). Rewrites, string-literal-safe:
+  //   `x in [a, b]`      → `x in (a, b)`      (list literal → IN list)
+  //   `~cond`            → `not cond`
+  //   `a & b` / `a | b`  → `a and b` / `a or b`  (mask operators)
+  //   `a ** b`           → `power(a, b)`
+  //   `a // b`           → `floor((a) / (b))`  (Python floor semantics —
+  //                        -7 // 2 = -4, unlike SQL div's truncation)
+  //   `a < b < c`        → `(a < b) and (b < c)`  (chained comparisons)
+  // Ambiguous precedence we will not guess at (e.g. `a * b // c`,
+  // `a ** b ** c`) raises with a "parenthesize" message instead of
+  // silently diverging from Python.
+  // -------------------------------------------------------------------------
+
+  private sealed trait Atom
+  private case class AIdent(parts: Seq[String]) extends Atom
+  private case class AStr(s: String) extends Atom
+  private case class AOp(s: String) extends Atom
+  private case class ARaw(s: String) extends Atom
+
+  private val opChars = "<>~&|()[],+-*/%="
+  private val twoCharOps = Seq("**", "//", "<=", ">=", "==", "!=", "&&", "||")
+  private val cmpOps = Set("<", "<=", ">", ">=", "==", "!=")
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
+
+  private def atomize(toks: Seq[Tok]): Vector[Atom] =
+    toks.iterator.flatMap {
+      case Ident(p) => Vector(AIdent(p))
+      case Str(s)   => Vector(AStr(s))
+      case Text(t) =>
+        val out = Vector.newBuilder[Atom]
+        var i = 0
+        while (i < t.length) {
+          val two = if (i + 1 < t.length) t.substring(i, i + 2) else ""
+          if (twoCharOps.contains(two)) { out += AOp(two); i += 2 }
+          else if (opChars.contains(t(i))) { out += AOp(t(i).toString); i += 1 }
+          else {
+            val start = i
+            while (i < t.length && !opChars.contains(t(i)) &&
+                   !(i + 1 < t.length &&
+                     twoCharOps.contains(t.substring(i, i + 2)))) i += 1
+            out += ARaw(t.substring(start, i))
+          }
+        }
+        out.result()
+    }.toVector
+
+  private def renderAtom(a: Atom): String = a match {
+    case AIdent(parts) => parts.map { p =>
+      if (identRe.pattern.matcher(p).matches()) p else bq(p) }.mkString(".")
+    case AStr(s) => s
+    case AOp(s)  => s
+    case ARaw(s) => s
+  }
+  private def isWs(a: Atom): Boolean = a match {
+    case ARaw(s) => s.forall(_.isWhitespace); case _ => false
+  }
+  private def isKw(a: Atom, kw: String): Boolean = a match {
+    case AIdent(Seq(one)) => one.equalsIgnoreCase(kw)
+    // the &/|/~ rewrites splice keywords in as raw text — they are
+    // chain/operand boundaries exactly like typed-out keywords
+    case ARaw(s)          => s.trim.equalsIgnoreCase(kw)
+    case _                => false
+  }
+
+  /** Index range [l, r] of the operand ENDING at (searching left from) `from`
+    * inclusive: a paren group with optional leading call name, or a single
+    * ident/number atom. */
+  private def operandLeft(as: Vector[Atom], from: Int): (Int, Int) = {
+    var r = from
+    while (r >= 0 && isWs(as(r))) r -= 1
+    require(r >= 0, "operator with no left operand")
+    as(r) match {
+      case AOp(")") =>
+        var depth = 1; var l = r - 1
+        while (l >= 0 && depth > 0) {
+          as(l) match { case AOp("(") => depth -= 1; case AOp(")") => depth += 1
+            case _ => () }
+          if (depth > 0) l -= 1
+        }
+        require(l >= 0, "unbalanced parens")
+        // include a function-call name directly before the group
+        var l2 = l - 1
+        while (l2 >= 0 && isWs(as(l2))) l2 -= 1
+        if (l2 >= 0 && as(l2).isInstanceOf[AIdent]) (l2, r) else (l, r)
+      case _: AIdent | _: ARaw | _: AStr => (r, r)
+      case other => throw new IllegalArgumentException(
+        s"cannot read operand ending at '$other' — parenthesize the expression")
+    }
+  }
+
+  /** Index range [l, r] of the operand STARTING at (searching right from)
+    * `from` inclusive; consumes an optional unary +/-. */
+  private def operandRight(as: Vector[Atom], from: Int): (Int, Int) = {
+    var l = from
+    while (l < as.length && isWs(as(l))) l += 1
+    require(l < as.length, "operator with no right operand")
+    val start = as(l) match {
+      case AOp("+") | AOp("-") =>
+        var n = l + 1
+        while (n < as.length && isWs(as(n))) n += 1
+        n
+      case _ => l
+    }
+    as(start) match {
+      case AOp("(") =>
+        var depth = 1; var r = start + 1
+        while (r < as.length && depth > 0) {
+          as(r) match { case AOp("(") => depth += 1; case AOp(")") => depth -= 1
+            case _ => () }
+          if (depth > 0) r += 1
+        }
+        require(r < as.length, "unbalanced parens")
+        (l, r)
+      case _: AIdent =>
+        // possible call: ident '(' args ')'
+        var n = start + 1
+        while (n < as.length && isWs(as(n))) n += 1
+        if (n < as.length && as(n) == AOp("(")) {
+          var depth = 1; var r = n + 1
+          while (r < as.length && depth > 0) {
+            as(r) match { case AOp("(") => depth += 1
+              case AOp(")") => depth -= 1; case _ => () }
+            if (depth > 0) r += 1
+          }
+          (l, r)
+        } else (l, start)
+      case _: ARaw | _: AStr => (l, start)
+      case other => throw new IllegalArgumentException(
+        s"cannot read operand starting at '$other' — parenthesize the expression")
+    }
+  }
+
+  private def prevSolid(as: Vector[Atom], i: Int): Option[Atom] = {
+    var j = i
+    while (j >= 0 && isWs(as(j))) j -= 1
+    if (j >= 0) Some(as(j)) else None
+  }
+  private def nextSolid(as: Vector[Atom], i: Int): Option[Atom] = {
+    var j = i
+    while (j < as.length && isWs(as(j))) j += 1
+    if (j < as.length) Some(as(j)) else None
+  }
+
+  /** All preprocessing passes; returns a Spark-SQL-parseable string. */
+  private[nested] def preprocess(exprStr: String): String = {
+    var as = atomize(tokenize(exprStr))
+
+    // `in [a, b]` → `in (a, b)` (and `not in [...]`)
+    var i = 0
+    while (i < as.length) {
+      if (isKw(as(i), "in")) {
+        var j = i + 1
+        while (j < as.length && isWs(as(j))) j += 1
+        if (j < as.length && as(j) == AOp("[")) {
+          var depth = 1; var k = j + 1
+          while (k < as.length && depth > 0) {
+            as(k) match { case AOp("[") => depth += 1
+              case AOp("]") => depth -= 1; case _ => () }
+            if (depth > 0) k += 1
+          }
+          require(k < as.length, s"unbalanced [ in: $exprStr")
+          as = as.updated(j, AOp("(")).updated(k, AOp(")"))
+        }
+      }
+      i += 1
+    }
+
+    // mask operators → logical keywords; ~ → not
+    as = as.map {
+      case AOp("~") | AOp("!") => ARaw(" not ")
+      case AOp("&") | AOp("&&") => ARaw(" and ")
+      case AOp("|") | AOp("||") => ARaw(" or ")
+      case a => a
+    }
+
+    // ** and // → power / floor-div, operand-grabbed; iterate to fixpoint
+    var changed = true
+    while (changed) {
+      changed = false
+      val idx = as.indexWhere(a => a == AOp("**") || a == AOp("//"))
+      if (idx >= 0) {
+        val op = as(idx).asInstanceOf[AOp].s
+        val (ll, lr) = operandLeft(as, idx - 1)
+        val (rl, rr) = operandRight(as, idx + 1)
+        prevSolid(as, ll - 1).foreach {
+          case AOp(p) if Set("*", "/", "%", "//", "**").contains(p) =>
+            throw new IllegalArgumentException(
+              s"ambiguous `$p` next to `$op` — parenthesize: $exprStr")
+          case _ => ()
+        }
+        nextSolid(as, rr + 1).foreach {
+          case AOp(p) if Set("**").contains(p) =>
+            throw new IllegalArgumentException(
+              s"chained `**` is right-associative in Python — " +
+                s"parenthesize: $exprStr")
+          case _ => ()
+        }
+        val left = as.slice(ll, lr + 1).map(renderAtom).mkString
+        val right = as.slice(rl, rr + 1).map(renderAtom).mkString
+        val repl =
+          if (op == "**") ARaw(s" power($left, $right) ")
+          else ARaw(s" floor(($left) / ($right)) ")
+        as = as.patch(ll, Seq(repl), rr - ll + 1)
+        changed = true
+      }
+    }
+
+    // chained comparisons: O1 c1 O2 c2 O3 → (O1 c1 O2) and (O2 c2 O3)
+    changed = true
+    while (changed) {
+      changed = false
+      // find two cmp ops at the same depth with only operand atoms between
+      var depth = 0
+      var firstCmp = -1; var firstDepth = -1
+      var k = 0
+      var done = false
+      while (k < as.length && !done) {
+        as(k) match {
+          case AOp("(") | AOp("[") => depth += 1
+          case AOp(")") | AOp("]") => depth -= 1
+          case AOp(c) if cmpOps.contains(c) =>
+            if (firstCmp >= 0 && depth == firstDepth) {
+              // chain found: [firstCmp, k]; gather full run of cmps
+              val cmps = collection.mutable.ArrayBuffer(firstCmp, k)
+              var d2 = depth; var m = k + 1
+              var stop = false
+              while (m < as.length && !stop) {
+                as(m) match {
+                  case AOp("(") | AOp("[") => d2 += 1
+                  case AOp(")") | AOp("]") =>
+                    d2 -= 1; if (d2 < depth) stop = true
+                  case AOp(c2) if cmpOps.contains(c2) && d2 == depth =>
+                    cmps += m
+                  case AOp(",") if d2 == depth => stop = true
+                  case a if (isKw(a, "and") || isKw(a, "or") ||
+                    isKw(a, "not") || isKw(a, "in")) && d2 == depth =>
+                    stop = true
+                  case _ => ()
+                }
+                if (!stop) m += 1
+              }
+              val (s0, _) = operandLeft(as, firstCmp - 1)
+              val lastCmp = cmps.last
+              val (_, eN) = operandRight(as, lastCmp + 1)
+              // operands between consecutive cmps
+              val bounds = (s0 +: cmps.toSeq.map(_ + 1)).zip(
+                cmps.toSeq.map(_ - 1) :+ eN)
+              val operands = bounds.map { case (a0, a1) =>
+                as.slice(a0, a1 + 1).map(renderAtom).mkString.trim }
+              val ops = cmps.toSeq.map(ci => as(ci).asInstanceOf[AOp].s)
+              val joined = ops.zipWithIndex.map { case (c, oi) =>
+                s"(${operands(oi)} $c ${operands(oi + 1)})" }
+                .mkString(" and ")
+              as = as.patch(s0, Seq(ARaw(s" ($joined) ")), eN - s0 + 1)
+              changed = true; done = true
+            } else if (firstCmp < 0 || depth != firstDepth) {
+              firstCmp = k; firstDepth = depth
+            }
+          case AOp(",") => firstCmp = -1
+          case a if isKw(a, "and") || isKw(a, "or") || isKw(a, "not") ||
+            isKw(a, "in") => firstCmp = -1
+          case _ => ()
+        }
+        k += 1
+      }
+    }
+
+    as.map(renderAtom).mkString
+  }
+
+  /** `.str` accessor methods resolvable inside query/eval (the reference
+    * reaches pandas' full Series.str surface through the resolver,
+    * expr.py:24-46; we map the commonly-used subset onto Spark SQL string
+    * functions and raise for the rest). method → (sqlFn, arity). */
+  private val strMethods: Map[String, (String, Int)] = Map(
+    "upper" -> ("upper", 0), "lower" -> ("lower", 0),
+    "len" -> ("length", 0), "strip" -> ("trim", 0),
+    "lstrip" -> ("ltrim", 0), "rstrip" -> ("rtrim", 0),
+    "title" -> ("initcap", 0),
+    "startswith" -> ("startswith", 1), "endswith" -> ("endswith", 1),
+    "contains" -> ("contains", 1))
+
+  /** Render a `.str.method` call: zero-arg methods swallow the trailing
+    * `()` via the `__LEN_CALL` marker; one-arg methods open the call and
+    * splice the user's argument list in via the `__ARG1` marker. */
+  private def strCall(m: String, x: String, exprStr: String): String =
+    strMethods.get(m) match {
+      case Some((fn, 0)) => s"$fn($x) __LEN_CALL"
+      case Some((fn, _)) => s"$fn($x, __ARG1"
+      case None => throw new IllegalArgumentException(
+        s".str.$m is not supported (supported: " +
+          strMethods.keys.toSeq.sorted.mkString(", ") + s") in: $exprStr")
+    }
+
   /** SQL keywords / function names we must not treat as column refs. */
   private val keywords = Set(
     "and", "or", "not", "in", "is", "null", "true", "false", "like", "rlike",
@@ -158,7 +455,7 @@ object NestedExpr {
     val baseSet = NestedOps.baseColumns(df).toSet
     val nests = collection.mutable.LinkedHashSet.empty[String]
     var usesBase = false
-    val toks = tokenize(exprStr)
+    val toks = tokenize(preprocess(exprStr))
     val sql = toks.zipWithIndex.map {
       case (Text(t), _) => t
       case (Str(t), _)  => t
@@ -197,6 +494,18 @@ object NestedExpr {
             nests += nest
             val not = if (fn == "notna") " not" else ""
             s"(${ref(nest, field)} is$not null) __LEN_CALL"
+          // nest.field.str.method(...) — pandas Series.str accessor
+          // (resolver-reachable in the reference, expr.py:24-46)
+          case Seq(nest, field, "str", m) if nestSet.contains(nest) &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("("); case _ => false } =>
+            nests += nest
+            strCall(m, ref(nest, field), exprStr)
+          case Seq(base, "str", m) if baseSet.contains(base) &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("("); case _ => false } =>
+            usesBase = true
+            strCall(m, bq(base), exprStr)
           case Seq(nest, field) if nestSet.contains(nest) =>
             nests += nest
             ref(nest, field)
@@ -226,6 +535,8 @@ object NestedExpr {
     }.mkString
       // drop the () of len() calls: "size(n) __LEN_CALL ()" -> "size(n)"
       .replaceAll("""__LEN_CALL\s*\(\s*\)""", "")
+      // splice str-method args: "startswith(x, __ARG1 ('r')" -> "…(x, 'r')"
+      .replaceAll("""__ARG1\s*\(""", "")
     Analysis(sql, nests.toSeq, usesBase)
   }
 

@@ -1,0 +1,116 @@
+package graft
+
+import graft.nested.{NestedOps, NestedExpr, syntax}
+import syntax._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-dialect completeness vs the reference's pandas-eval surface
+  * (reference expr.py:24-46 rides pandas' PandasExprVisitor, so query
+  * strings accept the full pandas-eval grammar). Each case's expected
+  * element count was harvested by running the reference library on
+  * generate_data(5,5,seed=1) with the same query string.
+  *
+  * Known divergences (ours = extension or documented gap):
+  *  - `%` (mod): the REFERENCE RAISES NotImplementedError; we support it
+  *    (Spark SQL `%`). Extension, asserted below.
+  *  - `.str` methods: the reference reaches pandas' full Series.str
+  *    surface; we map the common subset (upper/lower/len/strip/lstrip/
+  *    rstrip/title/startswith/endswith/contains) and raise for the rest.
+  *  - ambiguous `a * b // c` / `a ** b ** c` precedence raises a
+  *    "parenthesize" error instead of silently diverging from Python.
+  */
+class DialectParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g55: DataFrame = {
+    val b = spark.read.parquet(
+      "/root/repo/src/test/resources/ref_seed1/g55_base.parquet")
+    val c = spark.read.parquet(
+      "/root/repo/src/test/resources/ref_seed1/g55_child.parquet")
+    b.joinNested(c, Seq("id"), "nested", "left", sortBy = Seq(("pos", true)))
+  }
+
+  /** Total surviving elements after query (reference-harvested goldens
+    * count the same way: rows always 5, cells possibly NULL). */
+  private def elems(q: String): Long =
+    NestedExpr.query(g55, q)
+      .select(coalesce(sum(size($"nested")), lit(0L))).as[Long]
+      .collect().head
+
+  test("in-list / not-in-list on a nested field (ref pandas-eval `in`)") {
+    assert(elems("nested.band in ['r']") == 10)
+    assert(elems("nested.band not in ['r']") == 15)
+    assert(elems("nested.band in ['r', 'g']") == 25)
+  }
+
+  test("chained comparison 5 < nested.t < 10 (Python chaining)") {
+    assert(elems("5 < nested.t < 10") == 4)
+    // equivalent unchained form agrees
+    assert(elems("(5 < nested.t) and (nested.t < 10)") == 4)
+    // three-way chain
+    assert(elems("0 < nested.t < 20") == 25)
+  }
+
+  test("~ negation and `not` keyword (pandas mask negation)") {
+    assert(elems("~(nested.t > 10)") == 12)
+    assert(elems("not (nested.t > 10)") == 12)
+    assert(elems("nested.t > 10") == 13)
+  }
+
+  test("& and | mask operators map to and/or") {
+    assert(elems("(nested.t > 5) & (nested.flux > 50)") == 7)
+    assert(elems("(nested.t > 5) | (nested.flux > 50)") == 21)
+  }
+
+  test(".str methods: upper/startswith/contains/len on nested and base " +
+      "(ref resolver-reachable Series.str)") {
+    assert(elems("nested.band.str.upper() == 'R'") == 10)
+    assert(elems("nested.band.str.startswith('r')") == 10)
+    assert(elems("nested.band.str.contains('g')") == 15)
+    assert(elems("nested.band.str.len() == 1") == 25)
+    // unsupported method raises with a clear message
+    val ex = intercept[IllegalArgumentException] {
+      elems("nested.band.str.casefold() == 'r'")
+    }
+    assert(ex.getMessage.contains("not supported"))
+  }
+
+  test("functions abs/sqrt pass through to Spark SQL") {
+    assert(elems("abs(nested.t - 10) < 2") == 5)
+    assert(elems("sqrt(nested.flux) > 9") == 3)
+  }
+
+  test("** power and // floor division (Python operators)") {
+    assert(elems("nested.t ** 2 > 300") == 6)
+    assert(elems("nested.t // 2 == 4") == 3)
+    // Python floor semantics on negatives: -7 // 2 == -4 (SQL div would
+    // truncate to -3)
+    val df = Seq((0L, Seq(-7.0, 7.0))).toDF("id", "v")
+      .fromLists(Seq("v"), "n")
+    val r = NestedExpr.query(df, "n.v // 2 == -4")
+    assert(r.select(size($"n")).as[Int].collect().head == 1)
+    // ambiguous precedence raises rather than guessing
+    intercept[IllegalArgumentException] {
+      elems("nested.t * 2 // 3 > 1")
+    }
+    intercept[IllegalArgumentException] {
+      elems("nested.t ** 2 ** 2 > 1")
+    }
+  }
+
+  test("% mod is OUR extension — the reference raises NotImplementedError") {
+    // documented divergence: reference query("nested.t % 2 > 1") raises;
+    // ours evaluates (Spark SQL %)
+    assert(elems("nested.t % 2 > 1") > 0)
+  }
+
+  test("preprocessing is string-literal-safe and keeps sci-notation") {
+    // operator characters inside string literals survive untouched
+    val df = Seq((0L, Seq("a**b", "x"))).toDF("id", "s")
+      .fromLists(Seq("s"), "n")
+    val r = NestedExpr.query(df, "n.s == 'a**b'")
+    assert(r.select(size($"n")).as[Int].collect().head == 1)
+    assert(elems("nested.t > 1e1") == 13) // 1e1 = 10
+  }
+}
