@@ -18,7 +18,15 @@ object StreamingOps {
   /** Windowed streaming pack: child rows → one nested cell per
     * (key, event-time window), emitted on watermark close. The streaming twin
     * of `packFlat` — same collect_list(struct) core, plus watermark +
-    * window. */
+    * window.
+    *
+    * LATE-DATA contract (append mode, spec-pinned): a window row is
+    * emitted exactly ONCE, when the watermark passes the window end.
+    * Out-of-order rows are included as long as the watermark has not
+    * passed their window; rows arriving after it are DROPPED silently —
+    * the emitted cell is never updated or retracted. Consumers that
+    * cannot tolerate drops should widen `watermark` (state cost grows
+    * linearly with it) rather than expect updates. */
   def packStream(child: DataFrame, key: String, tsCol: String,
                  valueCols: Seq[String], name: String,
                  windowLen: String = "10 minutes",

@@ -280,6 +280,50 @@ class ExtendedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack LATE-DATA contract: append mode emits each window " +
+      "once on watermark close; out-of-order rows inside the watermark " +
+      "are included, rows beyond it are DROPPED (never update)") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def ts(offMin: Long) =
+      new java.sql.Timestamp(1700000000000L + offMin * 60000L)
+    val df = ms.toDF().toDF("user_id", "ts", "value")
+    val packed = StreamingOps.packStream(df, "user_id", "ts",
+      Seq("value"), "events", "10 minutes", "10 minutes")
+    // APPEND mode = the production contract: a window row is emitted
+    // exactly once, when the watermark passes its end; no retractions.
+    val q = packed.writeStream.outputMode("append")
+      .format("memory").queryName("lateout").start()
+    try {
+      def batch(rows: (Long, java.sql.Timestamp, Double)*): Unit = {
+        ms.addData(rows); q.processAllAvailable()
+      }
+      // b1: two on-time rows in window W1 = [t0, t0+10m)
+      batch((1L, ts(1), 1.0), (1L, ts(2), 2.0))
+      // b2: an OUT-OF-ORDER row for W1 — late vs the rows already seen,
+      // but the watermark (max event − 10m = t0−8m) has not passed W1,
+      // so it must be admitted. A second row advances event time to
+      // t0+25m → watermark becomes t0+15m > W1.end at batch close.
+      batch((1L, ts(3), 3.0), (2L, ts(25), 9.0))
+      // b3: watermark now past W1 — this row is TOO LATE and must be
+      // dropped silently; the same batch emits the closed W1.
+      batch((1L, ts(1), 99.0))
+      // b4: advance further so any wrongly-admitted late row would have
+      // surfaced as a second W1 emission by now
+      batch((2L, ts(45), 8.0))
+      val w1 = spark.sql(
+        """SELECT size(events) AS n,
+          |  aggregate(transform(events, e -> e.value),
+          |            cast(0.0 as double), (a, v) -> a + v) AS sv
+          |FROM lateout WHERE user_id = 1""".stripMargin)
+        .as[(Int, Double)].collect().toSeq
+      // exactly ONE emission of W1, carrying the two on-time rows plus
+      // the in-watermark out-of-order row — and NOT the 99.0 late row
+      assert(w1 == Seq((3, 6.0)), s"W1 emissions: $w1")
+    } finally q.stop()
+  }
+
   test("streaming sessionize emits closed sessions") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
