@@ -3,8 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DataType, NumericType, StructField,
-  StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, DecimalType,
+  LongType, NumericType, StructField, StructType, TimestampNTZType,
+  TimestampType}
 
 /** Time-series joins Spark lacks as built-ins, expressed in the shapes
   * that survive 100 TB.
@@ -99,11 +100,22 @@ object Joins {
     }
     // Distance arithmetic view of a ts value: raw for numeric columns,
     // epoch micros for timestamps (a timestamp tolerance is given in ms,
-    // so scale it to micros). NTZ distances go through a TimestampType
-    // cast — differences are offset-invariant, so session-tz choice
-    // cancels out except exactly across a DST transition.
-    def tsNum(c: Column): Column =
-      if (isTsType(tsDt)) unix_micros(c.cast(TimestampType)) else c
+    // so scale it to micros). NTZ is wall-clock with no zone, so its
+    // micros come from CALENDAR-FIELD arithmetic (days since epoch +
+    // time-of-day) — a TimestampType cast would route through the session
+    // zone and shift distances exactly across a DST transition, which is
+    // not what pandas merge_asof on naive datetime64 computes.
+    def tsNum(c: Column): Column = tsDt match {
+      case TimestampNTZType =>
+        datediff(c.cast(DateType), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast(LongType) * lit(86400000000L) +
+          hour(c).cast(LongType) * lit(3600000000L) +
+          minute(c).cast(LongType) * lit(60000000L) +
+          call_function("date_part", lit("SECOND"), c)
+            .cast(DecimalType(20, 6)).*(lit(1000000L)).cast(LongType)
+      case TimestampType => unix_micros(c)
+      case _             => c
+    }
     val tolUnits = tolerance.map(t => if (isTsType(tsDt)) t * 1000L else t)
     val rightPayload = right.columns.filterNot(c =>
       keyCols.contains(c) || c == tsCol).toSeq

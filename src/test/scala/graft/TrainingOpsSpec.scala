@@ -801,6 +801,34 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin: TimestampNTZ tolerance is WALL-CLOCK across a DST " +
+      "transition (calendar-field micros, session-tz-proof)") {
+    // pandas merge_asof on naive datetime64 computes wall-clock
+    // distances. Spring-forward in America/New_York, 2024-03-10: wall
+    // 01:30 → 03:30 is 120 wall minutes (only 60 real minutes). A
+    // session-tz cast would measure 60 and wrongly match under a 90-min
+    // tolerance; the calendar-field extraction must measure 120 and
+    // reject — in ANY session zone.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val left = Seq((1L, 10L, "2024-03-10 03:30:00"))
+        .toDF("event_id", "user_id", "s")
+        .withColumn("ts", $"s".cast("timestamp_ntz")).drop("s")
+      val right = Seq((10L, "2024-03-10 01:30:00", 11L))
+        .toDF("user_id", "s", "p_event_id")
+        .withColumn("ts", $"s".cast("timestamp_ntz")).drop("s")
+      def run(tolMs: Long) =
+        operators.Joins.asofJoin(left, right, "user_id", "ts",
+            rightTieBreak = Seq("p_event_id"), tolerance = Some(tolMs))
+          .select("p_event_id").as[Option[Long]].collect().head
+      assert(run(90L * 60000L).isEmpty,   // 90 wall minutes < 120 → no match
+        "NTZ distance leaked through the session zone (measured 60 real " +
+          "minutes instead of 120 wall minutes)")
+      assert(run(120L * 60000L).contains(11L)) // exactly 120 wall minutes
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("asofJoinBy: composite key partitions the sweep (merge_asof by=[...])") {
     val left = Seq((1L, 10L, "a", 100L), (2L, 10L, "b", 100L),
       (3L, 20L, "a", 100L)).toDF("event_id", "uid", "seg", "ts")
