@@ -175,6 +175,23 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** Extended pandas-eval dialect forms in ONE oracled query: `in`-list,
+    * chained comparison, `~` negation, `&` masks, `.str` method, and `//`
+    * floor division — the r7 preprocessing surface, driver-gated against
+    * DuckDB replaying the same predicate in plain SQL. */
+  val qDialectExt: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_returnflag", "l_extendedprice"),
+      Seq("o_orderkey"), "items")
+    NestedExpr.query(packed,
+      "items.l_returnflag.str.lower() in ['r', 'n'] & " +
+        "(5 < items.l_quantity < 30) & " +
+        "~(items.l_extendedprice // 1000 == 0)")
+      .toFlat("items")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   /** dropna / fillna on nested elements (nulls synthesized deterministically). */
   val qDropnaFillna: Q = (s, dir) => {
     val packed = NestedOps.packFlat(
@@ -363,9 +380,12 @@ object Queries {
     * (reference merge_asof usage on astronomy time series). */
   private def asofTsClickPurchase(s: SparkSession, dir: String,
                                   direction: String,
-                                  toleranceMs: Option[Long]): DataFrame = {
-    val ev = rd(s, dir, "events")
-      .withColumn("tst", timestamp_micros(expr("ts DIV 1000")))
+                                  toleranceMs: Option[Long],
+                                  ntz: Boolean = false): DataFrame = {
+    val tsCast =
+      if (ntz) timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz")
+      else timestamp_micros(expr("ts DIV 1000"))
+    val ev = rd(s, dir, "events").withColumn("tst", tsCast)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("tst"))
     val purchases = ev.where(col("event_type") === "purchase")
@@ -375,7 +395,10 @@ object Queries {
         rightTieBreak = Seq("p_event_id"), direction = direction,
         tolerance = toleranceMs)
       .select(col("event_id"), col("user_id"),
-        unix_millis(col("tst")).as("ms"),
+        // NTZ→TS for the output epoch is exact under the pinned-UTC
+        // session (distance arithmetic inside the join is zone-free)
+        unix_millis(if (ntz) col("tst").cast("timestamp") else col("tst"))
+          .as("ms"),
         col("p_event_id"), col("p_value"))
   }
 
@@ -384,6 +407,14 @@ object Queries {
     * timestamp column + an epoch_us distance CASE. */
   val qAsofTsTol: Q = (s, dir) =>
     asofTsClickPurchase(s, dir, "backward", Some(3L * 24 * 3600 * 1000))
+
+  /** Same shape on a TIMESTAMP_NTZ key — drives the calendar-field
+    * (zone-free) distance path; pandas merge_asof on NAIVE datetimes.
+    * Oracle: DuckDB's TIMESTAMP is itself zone-less, so the q_asof_ts_tol
+    * SQL replays these semantics verbatim. */
+  val qAsofNtzTol: Q = (s, dir) =>
+    asofTsClickPurchase(s, dir, "backward", Some(3L * 24 * 3600 * 1000),
+      ntz = true)
 
   /** As-of nearest on a TIMESTAMP key — the interval-free distance
     * arithmetic path (epoch-micros comparison inside the sweep). */
@@ -520,6 +551,8 @@ object Queries {
     "q_asof_nearest" -> qAsofNearest,
     "q_asof_ts_tol" -> qAsofTsTol,
     "q_asof_ts_nearest" -> qAsofTsNearest,
+    "q_asof_ntz_tol" -> qAsofNtzTol,
+    "q_dialect_ext" -> qDialectExt,
     "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
@@ -620,6 +653,30 @@ object Queries {
         |        CAST(ts AS TIMESTAMP) AS ts, value FROM events
         |      WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // NTZ twin: DuckDB TIMESTAMP is zone-less, so the identical SQL
+    // replays the naive-datetime (wall-clock) semantics
+    "q_asof_ntz_tol" ->
+      """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
+        | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+        |        <= CAST(259200000 AS BIGINT) * 1000
+        |      THEN r.event_id END AS p_event_id,
+        | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
+        |        <= CAST(259200000 AS BIGINT) * 1000
+        |      THEN r.value END AS p_value
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT event_id, user_id,
+        |        CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |      WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    "q_dialect_ext" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE lower(l_returnflag) IN ('r', 'n')
+        |  AND l_quantity > 5 AND l_quantity < 30
+        |  AND floor(l_extendedprice / 1000) <> 0
+        |GROUP BY l_returnflag""".stripMargin,
     // same µs-truncation-by-construction as q_asof_ts_tol above
     "q_asof_ts_nearest" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
