@@ -105,6 +105,39 @@ class DialectParitySpec extends SparkSpec {
     assert(elems("nested.t % 2 > 1") > 0)
   }
 
+  test("evalAssign RHS accepts the extended forms (in-list, chained, ~)") {
+    val a1 = NestedExpr.evalAssign(g55, "nested.is_r = nested.band in ['r']")
+    val nR = a1.select(expr(
+      "aggregate(transform(nested, e -> CASE WHEN e.is_r THEN 1 ELSE 0 END)," +
+        " 0, (a, v) -> a + v)")).as[Int].collect().sum
+    assert(nR == 10)
+    val a2 = NestedExpr.evalAssign(g55, "nested.mid = 5 < nested.t < 10")
+    val nMid = a2.select(expr(
+      "aggregate(transform(nested, e -> CASE WHEN e.mid THEN 1 ELSE 0 END)," +
+        " 0, (a, v) -> a + v)")).as[Int].collect().sum
+    assert(nMid == 4)
+  }
+
+  test("chained-comparison rewrite ≡ composed conjunction on randomized " +
+      "operator/operand draws") {
+    val ops = Seq("<", "<=", ">", ">=", "==", "!=")
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val o1 = ops(rnd.nextInt(ops.size)); val o2 = ops(rnd.nextInt(ops.size))
+      val lo = rnd.nextInt(20); val hi = rnd.nextInt(20)
+      val chained = s"$lo $o1 nested.t $o2 $hi"
+      val composed = s"($lo $o1 nested.t) and (nested.t $o2 $hi)"
+      assert(elems(chained) == elems(composed),
+        s"chain mismatch for: $chained")
+    }
+    // chains inside parens compose with outer logic
+    assert(elems("(2 < nested.t < 18) and nested.flux > 50") ==
+      elems("(2 < nested.t) and (nested.t < 18) and nested.flux > 50"))
+    // three-op chain
+    assert(elems("0 < nested.t < 10 < nested.flux") ==
+      elems("(0 < nested.t) and (nested.t < 10) and (10 < nested.flux)"))
+  }
+
   test("preprocessing is string-literal-safe and keeps sci-notation") {
     // operator characters inside string literals survive untouched
     val df = Seq((0L, Seq("a**b", "x"))).toDF("id", "s")
