@@ -206,4 +206,31 @@ class RoundTripPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: packFlatCapped kept ∪ overflow ≡ child, with the two " +
+      "outputs evaluated INDEPENDENTLY (r7 determinism contract)") {
+    // the ADVICE r6 failure mode: each returned DataFrame re-ran the rank,
+    // so a nondeterministic order could route a row into both or neither.
+    // The order is now total (sortBy + full-payload tie-break) — unpacked
+    // kept + overflow must reassemble the child as a multiset, across
+    // sortBys with heavy ties AND no sortBy at all, on every evaluation.
+    for (seed <- Seq(5, 17); sortBy <- Seq(Nil, Seq(("tag", true)))) {
+      val child = randomChild(seed, nKeys = 25, maxPerKey = 8)
+        .where($"tag".isNotNull) // NULL sort keys orderable but noisy here
+      val (packed, overflow) = NestedOps.packFlatCapped(
+        child, Seq("key"), "n", maxPerKey = 2, sortBy = sortBy)
+      // independent evaluations: each side is its own job, twice
+      (1 to 2).foreach { _ =>
+        val keptFlat = packed.toFlat("n", baseCols = Seq("key"))
+          .select("key", "c", "d", "tag")
+        val reunion = keptFlat.unionByName(
+          overflow.select("key", "c", "d", "tag"))
+        assert(reunion.exceptAll(child).isEmpty &&
+          child.exceptAll(reunion).isEmpty,
+          s"kept ∪ overflow ≠ child at seed=$seed sortBy=$sortBy")
+        // and the cap is exact
+        assert(packed.select(max(size($"n"))).as[Int].collect().head <= 2)
+      }
+    }
+  }
 }
