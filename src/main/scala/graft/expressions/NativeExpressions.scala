@@ -40,6 +40,9 @@ object native {
       .toAggregateExpression())
   def ngram_repetition(text: Column, n: Int): Column =
     EU.column(TextNGramRepetition(EU.expression(text), n))
+  def adc_score(q: Column, codes: Column,
+                books: Array[Array[Array[Double]]]): Column =
+    EU.column(AdcScore(EU.expression(q), EU.expression(codes), books))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in
@@ -456,6 +459,82 @@ case class PqEncodeArray(child: Expression,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) score for PQ search: the full-precision query
+  * against one candidate's m codebook indices —
+  *   score = Σ_j dot(query[j·sub .. j·sub+sub), books(j)(codes(j)))
+  * in one tight loop per row-pair. Replaces the unrolled Column form
+  * `Σ_j dot_f(slice(qv, …), element_at(element_at(cbLit, …)))`, which
+  * allocates m sliced arrays and walks a 3-level literal per candidate —
+  * the measured hot loop of [[graft.operators.Similarity.pqTopK]] at the
+  * 50M-row probe scale. Accumulation order is IDENTICAL to the unrolled
+  * form (inner d ascending per subspace, outer j ascending, all in
+  * double), so results are bit-equal and the DuckDB oracle replay holds.
+  */
+case class AdcScore(query: Expression, codes: Expression,
+                    books: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def left: Expression = query
+  override def right: Expression = codes
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (query.dataType, codes.dataType) match {
+      case (ArrayType(_: NumericType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"adc_score expects (numeric array, int array), got $other")
+    }
+
+  @transient private lazy val m = books.length
+  @transient private lazy val sub = books(0)(0).length
+  @transient private lazy val readElem: (ArrayData, Int) => Double =
+    query.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType   => (a, i) => a.getFloat(i).toDouble
+      case DoubleType  => (a, i) => a.getDouble(i)
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case LongType    => (a, i) => a.getLong(i).toDouble
+      case other => throw new IllegalArgumentException(
+        s"adc_score: unsupported query element type $other")
+    }
+
+  /** Caller guarantees q.numElements >= m·sub, cd.numElements == m, and
+    * each code in [0, k). */
+  def kernel(q: ArrayData, cd: ArrayData): Double = {
+    var total = 0.0
+    var j = 0
+    while (j < m) {
+      val book = books(j)(cd.getInt(j))
+      val base = j * sub
+      var dot = 0.0
+      var d = 0
+      while (d < sub) { dot += readElem(q, base + d) * book(d); d += 1 }
+      total += dot
+      j += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (q, cd) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (q.numElements() < m * sub || cd.numElements() != m) null
+    else kernel(q, cd)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcScore", this, classOf[AdcScore].getName)
+    nullSafeCodeGen(ctx, ev, (q, cd) =>
+      s"""if ($q.numElements() < ${m * sub} || $cd.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else { ${ev.value} = $ref.kernel($q, $cd); }""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(query = newLeft, codes = newRight)
 }
 
 /** Gopher-style word-n-gram repetition signals (public technique — Rae et

@@ -247,10 +247,26 @@ object Similarity {
     // broadcast the (small by contract) exploded query side: a shuffle
     // join on the LOW-CARDINALITY cell key would funnel the whole corpus
     // into k partitions — guaranteed skew at scale
-    val scored = broadcast(q).join(c, Seq("__cid"))
+    val scored = broadcast(q).join(pruneToProbedCells(q, c), Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("__qv"), col("__cv")))
     topKPerQuery(scored, k, "sim")
+  }
+
+  /** STATIC cell pruning for the IVF joins: Spark's dynamic partition
+    * pruning declines to prune when the broadcast side carries no
+    * selective predicate (its selectivity heuristic), so the
+    * nprobe/k read reduction of a `__cid`-partitioned corpus never
+    * materialized — the 50M-row PqProbe measured the IVF search at
+    * full-ADC scan time. The probed cell set is ≤ |centroids| values by
+    * construction, so collect it (one tiny job over the query side,
+    * small by contract) and push a LITERAL IN filter — plan-time
+    * partition pruning that also prunes row groups on unpartitioned
+    * corpora via min/max stats. */
+  private def pruneToProbedCells(q: DataFrame, c: DataFrame): DataFrame = {
+    val probed = q.select(col("__cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    c.where(col("__cid").isin(probed.map(Int.box).toIndexedSeq: _*))
   }
 
   /** Product-quantization codebooks (Jégou, Douze, Schmid — "Product
@@ -325,19 +341,13 @@ object Similarity {
              qId: String = "vec_id", cId: String = "vec_id",
              qVec: String = "embedding",
              codesCol: String = "__codes"): DataFrame = {
-    val m = books.length
-    val sub = books(0)(0).length
-    val cb = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
     val c = corpus.select(col(cId).as("neighbor_id"), col(codesCol))
-    // static unroll over subspaces: left-to-right + chain, the same
-    // accumulation order the SQL oracle replays
-    val score = (0 until m).map { j =>
-      graft.expressions.native.dot_f(
-        slice(col("__qv"), j * sub + 1, sub),
-        element_at(element_at(cb, j + 1),
-          element_at(col(codesCol), j + 1) + 1))
-    }.reduce[Column](_ + _)
+    // native one-loop ADC kernel; accumulation order matches the unrolled
+    // Σ_j dot_f(slice, element_at(cbLit)) form bit-for-bit (the SQL
+    // oracle replays that order), ~m× fewer array allocations per pair
+    val score = graft.expressions.native.adc_score(
+      col("__qv"), col(codesCol), books)
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score)
@@ -357,9 +367,6 @@ object Similarity {
                 qId: String = "vec_id", cId: String = "vec_id",
                 qVec: String = "embedding",
                 codesCol: String = "__codes"): DataFrame = {
-    val m = books.length
-    val sub = books(0)(0).length
-    val cb = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     val cellStructs = centroids.map { case (cid, cvec) =>
       val dist = lit(-2.0) * graft.expressions.native.dot_f(col(qVec),
         typedLit(cvec.toSeq)) + lit(cvec.map(x => x * x).sum)
@@ -371,14 +378,12 @@ object Similarity {
       .select(col("query_id"), col("__qv"), col("__cell.cid").as("__cid"))
     val c = corpus.select(col(cId).as("neighbor_id"), col(codesCol),
       col("__cid"))
-    val score = (0 until m).map { j =>
-      graft.expressions.native.dot_f(
-        slice(col("__qv"), j * sub + 1, sub),
-        element_at(element_at(cb, j + 1),
-          element_at(col(codesCol), j + 1) + 1))
-    }.reduce[Column](_ + _)
-    // broadcast: see ivfTopK — never shuffle the corpus on the cell key
-    val scored = broadcast(q).join(c, Seq("__cid"))
+    // native one-loop ADC kernel — see pqTopK
+    val score = graft.expressions.native.adc_score(
+      col("__qv"), col(codesCol), books)
+    // broadcast: see ivfTopK — never shuffle the corpus on the cell key;
+    // probed-cell literal filter: see pruneToProbedCells
+    val scored = broadcast(q).join(pruneToProbedCells(q, c), Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score)
     topKPerQuery(scored, k, "score")

@@ -17,6 +17,12 @@ object PqProbe {
   def main(args: Array[String]): Unit = {
     val nVecs = if (args.length > 0) args(0).toLong else 1000000L
     val nQueries = if (args.length > 1) args(1).toInt else 20
+    // "reuse": skip corpus/codes/ivf regeneration when the parquet from a
+    // prior run of the SAME size exists (generation is deterministic) —
+    // lets a search-path change re-measure in minutes, not a full rebuild
+    val reuse = args.length > 2 && args(2) == "reuse"
+    def fresh(path: String): Boolean =
+      !(reuse && new java.io.File(path + "/_SUCCESS").exists())
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -48,14 +54,23 @@ object PqProbe {
           |      * 0.05 AS FLOAT))""".stripMargin))
       .select("vec_id", "embedding")
     val corpus = background.unionByName(echoes)
-    corpus.write.mode("overwrite").parquet("/tmp/pq_probe_corpus")
+    if (fresh("/tmp/pq_probe_corpus"))
+      corpus.write.mode("overwrite").parquet("/tmp/pq_probe_corpus")
     val e = spark.read.parquet("/tmp/pq_probe_corpus")
     val queries = e.where(col("vec_id") < nQueries)
-    val books = Similarity.pqTrain(e, m = 8, k = 256, iters = 1)
+    // train codebooks on a ~500k SAMPLE: codebook quality saturates with
+    // training-set size long before the corpus does, and at 100 TB the
+    // train cost must be independent of corpus size — k-means over the
+    // full corpus would dominate the whole probe for zero recall gain
+    val trainStride = math.max(1L, nVecs / 500000L)
+    val trainSet = e.where(pmod(col("vec_id"), lit(trainStride)) === 0)
+    val books = Similarity.pqTrain(trainSet, m = 8, k = 256, iters = 1)
     val t0 = System.nanoTime()
-    val encoded = e.select(col("vec_id"),
-      Similarity.pqEncode(col("embedding"), books).as("__codes"))
-    encoded.write.mode("overwrite").parquet("/tmp/pq_probe_codes")
+    if (fresh("/tmp/pq_probe_codes")) {
+      val encoded = e.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("__codes"))
+      encoded.write.mode("overwrite").parquet("/tmp/pq_probe_codes")
+    }
     val tEnc = (System.nanoTime() - t0) / 1e9
     val codes = spark.read.parquet("/tmp/pq_probe_codes")
     val t1 = System.nanoTime()
@@ -66,11 +81,13 @@ object PqProbe {
     // IVF-PQ: coarse cells prune the ADC to nprobe/k of the corpus
     val (assigned, centroids) =
       Similarity.ivfIndex(e, k = 64, iters = 0, persist = false)
-    val withCodes = assigned.select(col("vec_id"), col("__cid"),
-      Similarity.pqEncode(col("embedding"), books).as("__codes"))
-    withCodes.repartition(col("__cid"))
-      .write.mode("overwrite").partitionBy("__cid")
-      .parquet("/tmp/pq_probe_ivf")
+    if (fresh("/tmp/pq_probe_ivf")) {
+      val withCodes = assigned.select(col("vec_id"), col("__cid"),
+        Similarity.pqEncode(col("embedding"), books).as("__codes"))
+      withCodes.repartition(col("__cid"))
+        .write.mode("overwrite").partitionBy("__cid")
+        .parquet("/tmp/pq_probe_ivf")
+    }
     val ivfCorpus = spark.read.parquet("/tmp/pq_probe_ivf")
     val t2 = System.nanoTime()
     val ivfTop = Similarity.ivfPqTopK(queries, ivfCorpus,

@@ -620,6 +620,63 @@ class TrainingOpsSpec extends SparkSpec {
     assert(ivfpq.toSeq == Seq(299L))
   }
 
+  test("native adc_score is bit-identical to the unrolled " +
+      "slice/element_at Column formulation") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 300L).map { i =>
+      (i, (0 until 64).map(_ => rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, m = 8, k = 16, iters = 0)
+    val (m, sub) = (books.length, books(0)(0).length)
+    val cb = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val withCodes = vecs.select($"vec_id", $"embedding",
+      Similarity.pqEncode($"embedding", books).as("__codes"))
+    val unrolled = (0 until m).map { j =>
+      graft.expressions.native.dot_f(
+        slice($"embedding", j * sub + 1, sub),
+        element_at(element_at(cb, j + 1),
+          element_at($"__codes", j + 1) + 1))
+    }.reduce[org.apache.spark.sql.Column](_ + _)
+    val both = withCodes.select(
+      graft.expressions.native.adc_score($"embedding", $"__codes", books)
+        .as("n"), unrolled.as("h"))
+    // bit-equality (same accumulation order), not approx
+    assert(both.where(expr("n <> h")).count() == 0)
+    // short query vector NULLs instead of reading out of bounds
+    val short = Seq((1L, Seq(1.0f, 2.0f), Seq(0, 0, 0, 0, 0, 0, 0, 0)))
+      .toDF("id", "embedding", "__codes")
+      .select(graft.expressions.native
+        .adc_score($"embedding", $"__codes", books).as("n")).collect()(0)
+    assert(short.isNullAt(0))
+  }
+
+  test("ivfPqTopK on a cid-partitioned corpus pushes a probed-cell " +
+      "PARTITION filter (the nprobe/k read at scale)") {
+    // Spark's dynamic partition pruning declines broadcast sides without
+    // a selective predicate, so the literal IN from pruneToProbedCells is
+    // what actually bounds the scan — assert it reaches PartitionFilters
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 400L).map { i =>
+      (i, (0 until 64).map(_ => rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, m = 8, k = 16, iters = 0)
+    val (assigned, centroids) =
+      Similarity.ivfIndex(vecs, k = 8, iters = 0, persist = false)
+    val dir = "/tmp/graft-test-ivf-pruning"
+    assigned.select($"vec_id", $"__cid",
+        Similarity.pqEncode($"embedding", books).as("__codes"))
+      .write.mode("overwrite").partitionBy("__cid").parquet(dir)
+    val ivfCorpus = spark.read.parquet(dir)
+    val out = Similarity.ivfPqTopK(vecs.where($"vec_id" === 3), ivfCorpus,
+      centroids, books, nprobe = 2, k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("__cid"))
+    assert(scanLine.isDefined, plan)
+    assert(scanLine.get.contains(" IN "), scanLine.get)
+    assert(out.count() == 5)
+  }
+
   test("IVF index + search finds the planted duplicate") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L until 200L).map { i =>
