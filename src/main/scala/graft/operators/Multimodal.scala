@@ -455,8 +455,13 @@ object Multimodal {
       .agg(coalesce(sum(length(col(payloadCol))), lit(0L))).head()
       .getLong(0)
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // RANGE partition on the bucket id, not hash: hash collisions stack
+    // several byte-buckets into one partition (the 1M-payload MediaProbe
+    // measured a 5× overshoot: max 159 MB against a 32 MB budget), while
+    // contiguous bucket ranges give each partition ~⌈buckets/parts⌉
+    // buckets — with parts ≈ buckets, one bucket per partition.
     assignMediaBuckets(df, payloadCol, targetMB)
-      .repartition(parts, col("__media_bkt")).drop("__media_bkt")
+      .repartitionByRange(parts, col("__media_bkt")).drop("__media_bkt")
   }
 
   /** The greedy byte-packing pass behind [[repartitionForMedia]], exposed so
