@@ -260,6 +260,26 @@ class ReferenceParitySpec4 extends SparkSpec {
       Set("a", "b", "pos", "t", "flux", "flux_error", "band"))
   }
 
+  test("read with columns= plus a FILTER on an unprojected column " +
+      "(io issue492, test_io.py:574-587)") {
+    // the reference: read_parquet(columns=["a"], filters=[("z","<",0.5)])
+    // → one output column, filter applied. Spark-first: the filter column
+    // is read for the scan predicate but pruned from the output, and the
+    // predicate reaches PushedFilters.
+    val dir = "/tmp/graft-test-io492"
+    val src = spark.range(1000).toDF("id")
+      .withColumn("a", col("id") * 2)
+      .withColumn("z", expr("pmod(xxhash64(id), 1000) / 1000.0"))
+    src.write.mode("overwrite").parquet(dir)
+    val out = spark.read.parquet(dir).where($"z" < 0.5).select("a")
+    assert(out.columns.toSeq == Seq("a"))
+    val expected = src.where($"z" < 0.5).count()
+    assert(out.count() == expected && expected > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[.*z.*\\].*"), plan)
+  }
+
   // ---------------------------------------------------------------- packer
 
   test("pack_flat groups by unsorted key, within-key input order kept via " +
