@@ -501,6 +501,41 @@ class ExtendedOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream LATE-DATA contract: a key re-arriving after its " +
+      "dedup state expired past the watermark is ADMITTED again") {
+    // dropDuplicatesWithinWatermark's documented shape: state for a key
+    // is dropped once the watermark passes its event time + delay, so a
+    // far-later duplicate of an expired key is a NEW row (exactly-once
+    // dedup holds only within the watermark window — the operator's
+    // scale contract: state is O(keys per window), not O(all keys)).
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    def ts(offMin: Long) =
+      new java.sql.Timestamp(1700000000000L + offMin * 60000L)
+    val out = StreamingOps.dedupStream(
+      ms.toDF().toDF("id", "ts", "payload"), "ts", Seq("id"),
+      watermark = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_late").start()
+    try {
+      def batch(rows: (Long, java.sql.Timestamp, String)*): Unit = {
+        ms.addData(rows); q.processAllAvailable()
+      }
+      batch((1L, ts(0), "first"))
+      // in-watermark duplicate: dropped
+      batch((1L, ts(5), "dup-in-window"))
+      // advance the watermark far past key 1's state lifetime
+      batch((2L, ts(60), "other"))
+      // expired-key duplicate: admitted as a fresh first occurrence
+      batch((1L, ts(61), "fresh-after-expiry"))
+      val payloads = spark.sql("SELECT payload FROM dedup_late")
+        .as[String].collect().toSet
+      assert(payloads == Set("first", "other", "fresh-after-expiry"),
+        s"got $payloads")
+    } finally q.stop()
+  }
+
   test("annLshStream ≡ batch lshTopK on the same index (stateless join)") {
     implicit val s = spark
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
