@@ -234,8 +234,9 @@ object NestedExpr {
     if (j < as.length) Some(as(j)) else None
   }
 
-  /** All preprocessing passes; returns a Spark-SQL-parseable string. */
-  private[nested] def preprocess(exprStr: String): String = {
+  /** All preprocessing passes; returns a Spark-SQL-parseable string.
+    * private[graft] for the identity-property spec. */
+  private[graft] def preprocess(exprStr: String): String = {
     var as = atomize(tokenize(exprStr))
 
     // `in [a, b]` → `in (a, b)` (and `not in [...]`)

@@ -138,6 +138,27 @@ class DialectParitySpec extends SparkSpec {
       elems("(0 < nested.t) and (nested.t < 10) and (10 < nested.flux)"))
   }
 
+  test("preprocess is the IDENTITY on expressions without Python-isms") {
+    // every query string in the registry flows through preprocess — an
+    // expression using none of the rewritten forms must come out
+    // byte-identical (no whitespace scrambling, no backtick loss, no
+    // literal damage)
+    val plain = Seq(
+      "a > 2",
+      "nested.t > 10 and nested.flux <= 50.5",
+      "(a % 2) == 1",
+      "items.l_discount > 0.05",
+      "`bad dog`.`n/a` + `bad dog`.`n/b` > 1e-9",
+      "nested.band == 'r' or nested.band != \"g\"",
+      "not (a > 2) and b is not null",
+      "x in (1, 2, 3)",
+      "abs(t - 10) < 2.5e2",
+      "nested.t.mean() - a")
+    plain.foreach { s =>
+      assert(NestedExpr.preprocess(s) == s, s"preprocess changed: '$s'")
+    }
+  }
+
   test("preprocessing is string-literal-safe and keeps sci-notation") {
     // operator characters inside string literals survive untouched
     val df = Seq((0L, Seq("a**b", "x"))).toDF("id", "s")
