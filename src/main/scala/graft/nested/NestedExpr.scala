@@ -368,22 +368,33 @@ object NestedExpr {
     * functions and raise for the rest). method → (sqlFn, arity). */
   private val strMethods: Map[String, (String, Int)] = Map(
     "upper" -> ("upper", 0), "lower" -> ("lower", 0),
-    "len" -> ("length", 0), "strip" -> ("trim", 0),
-    "lstrip" -> ("ltrim", 0), "rstrip" -> ("rtrim", 0),
-    "title" -> ("initcap", 0),
+    "casefold" -> ("lower", 0), "len" -> ("length", 0),
+    "strip" -> ("trim", 0), "lstrip" -> ("ltrim", 0),
+    "rstrip" -> ("rtrim", 0), "title" -> ("initcap", 0),
     "startswith" -> ("startswith", 1), "endswith" -> ("endswith", 1),
-    "contains" -> ("contains", 1))
+    "contains" -> ("contains", 1),
+    // pandas ≥2 str.replace defaults to regex=False → Spark's literal
+    // replace(str, search, replacement) matches
+    "replace" -> ("replace", 1))
 
   /** Render a `.str.method` call: zero-arg methods swallow the trailing
-    * `()` via the `__LEN_CALL` marker; one-arg methods open the call and
-    * splice the user's argument list in via the `__ARG1` marker. */
+    * `()` via the `__LEN_CALL` marker; arg-taking methods open the call
+    * and splice the user's argument list in via the `__ARG1` marker. */
   private def strCall(m: String, x: String, exprStr: String): String =
-    strMethods.get(m) match {
-      case Some((fn, 0)) => s"$fn($x) __LEN_CALL"
-      case Some((fn, _)) => s"$fn($x, __ARG1"
-      case None => throw new IllegalArgumentException(
-        s".str.$m is not supported (supported: " +
-          strMethods.keys.toSeq.sorted.mkString(", ") + s") in: $exprStr")
+    m match {
+      // pandas capitalize: first char upper, REST lower (initcap would
+      // touch every word) — composite SQL, zero-arg
+      case "capitalize" =>
+        s"(concat(upper(substring($x, 1, 1)), " +
+          s"lower(substring($x, 2)))) __LEN_CALL"
+      case _ => strMethods.get(m) match {
+        case Some((fn, 0)) => s"$fn($x) __LEN_CALL"
+        case Some((fn, _)) => s"$fn($x, __ARG1"
+        case None => throw new IllegalArgumentException(
+          s".str.$m is not supported (supported: " +
+            (strMethods.keys.toSeq :+ "capitalize").sorted.mkString(", ") +
+            s") in: $exprStr")
+      }
     }
 
   /** SQL keywords / function names we must not treat as column refs. */

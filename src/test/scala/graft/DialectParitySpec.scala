@@ -69,9 +69,17 @@ class DialectParitySpec extends SparkSpec {
     assert(elems("nested.band.str.startswith('r')") == 10)
     assert(elems("nested.band.str.contains('g')") == 15)
     assert(elems("nested.band.str.len() == 1") == 25)
+    // casefold ≡ lower; replace is literal (pandas ≥2 regex=False);
+    // capitalize touches only the first character
+    assert(elems("nested.band.str.casefold() == 'r'") == 10)
+    assert(elems("nested.band.str.replace('r', 'g') == 'g'") == 25)
+    val df2 = Seq((0L, Seq("red fox", "BIG DOG"))).toDF("id", "s")
+      .fromLists(Seq("s"), "n")
+    val caps = NestedExpr.query(df2, "n.s.str.capitalize() == 'Red fox'")
+    assert(caps.select(size($"n")).as[Int].collect().head == 1)
     // unsupported method raises with a clear message
     val ex = intercept[IllegalArgumentException] {
-      elems("nested.band.str.casefold() == 'r'")
+      elems("nested.band.str.swapcase() == 'R'")
     }
     assert(ex.getMessage.contains("not supported"))
   }
