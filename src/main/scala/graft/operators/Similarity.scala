@@ -90,6 +90,16 @@ object Similarity {
     when(na > 0 && nb > 0, dot(a, b) / (na * nb))
   }
 
+  /** Cosine with PRE-COMPUTED side norms. Inside a pair join,
+    * `cosine(a, b)` re-derives norm(a) and norm(b) for every PAIR row;
+    * attaching each side's norm as a column BEFORE the join computes it
+    * N+Q times instead of N×Q — same doubles through the same division,
+    * so results are bit-identical to [[cosine]] (the ANN oracles hold).
+    * At 64 dims this removes 2 of the 3 dot products per scored pair. */
+  private def cosineFromNorms(a: Column, b: Column,
+                              na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+
   /** Exact top-k cosine neighbors for each query row.
     *
     * `queries` (small, broadcast) × `corpus` (huge): Catalyst plans a
@@ -101,10 +111,13 @@ object Similarity {
                      qVec: String = "embedding", cVec: String = "embedding")
       : DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", cosineFromNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, k, "sim")
   }
 
@@ -247,9 +260,12 @@ object Similarity {
     // broadcast the (small by contract) exploded query side: a shuffle
     // join on the LOW-CARDINALITY cell key would funnel the whole corpus
     // into k partitions — guaranteed skew at scale
-    val scored = broadcast(q).join(pruneToProbedCells(q, c), Seq("__cid"))
+    val scored = broadcast(q.withColumn("__qn", norm(col("__qv"))))
+      .join(pruneToProbedCells(q, c)
+        .withColumn("__cn", norm(col("__cv"))), Seq("__cid"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", cosineFromNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, k, "sim")
   }
 
@@ -399,11 +415,14 @@ object Similarity {
       : DataFrame = {
     val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"),
       hyperplaneBucket(col(qVec), numPlanes, dim).as("__bucket"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
       hyperplaneBucket(col(cVec), numPlanes, dim).as("__bucket"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = q.join(c, Seq("__bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", cosineFromNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     topKPerQuery(scored, k, "sim")
   }
 }
