@@ -523,11 +523,29 @@ object NestedOps {
 
   /** Set a nested field from a SEPARATE aligned list column of the same row
     * (reference `set_list_column`, accessor.py:236-491): element i of the
-    * list becomes field `field` of element i of the nest. */
+    * list becomes field `field` of element i of the nest.
+    *
+    * `strict` (default, matching the reference's ValueError on a length
+    * mismatch — test_ext_array.py:1877-1892): a non-NULL list whose length
+    * differs from the cell's raises at execution. A narrow per-row size
+    * compare — no shuffle, no validation pass. `strict = false` restores
+    * the permissive form (short list → NULL field values beyond its end). */
   def withNestedFieldFromList(df: DataFrame, nest: String, field: String,
-                              listCol: String): DataFrame =
-    df.withColumn(nest, transform(col(nest), (s, i) =>
-      s.withField(field, element_at(col(listCol), i + 1))))
+                              listCol: String,
+                              strict: Boolean = true): DataFrame = {
+    // try_element_at: plain element_at THROWS past the array end in
+    // Spark 4 — the permissive branch must NULL-fill instead
+    val body = transform(col(nest), (s, i) =>
+      s.withField(field, try_element_at(col(listCol), i + 1)))
+    if (!strict) df.withColumn(nest, body)
+    else df.withColumn(nest,
+      when(col(nest).isNull || col(listCol).isNull ||
+        size(col(listCol)) === size(col(nest)), body)
+        .otherwise(raise_error(concat(
+          lit(s"set_list_column('$field'): list length "),
+          size(col(listCol)).cast("string"),
+          lit(" != cell length "), size(col(nest)).cast("string")))))
+  }
 
   /** Set a nested field from an EXTERNAL FLAT frame of per-element values —
     * the reference's `set_flat_column` flat-series form (accessor.py:236-491,

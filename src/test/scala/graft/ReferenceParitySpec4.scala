@@ -260,6 +260,55 @@ class ReferenceParitySpec4 extends SparkSpec {
       Set("a", "b", "pos", "t", "flux", "flux_error", "band"))
   }
 
+  test("set_list_field RAISES on a length mismatch like the reference; " +
+      "strict=false keeps the permissive NULL-fill " +
+      "(test_ext_array.py:1877-1892)") {
+    val df = Seq((0L, Seq(1.0, 2.0, 3.0), Seq("x", "y")))
+      .toDF("id", "a", "wrong").fromLists(Seq("a"), "nested")
+    val ex = intercept[Exception] {
+      NestedOps.withNestedFieldFromList(df, "nested", "w", "wrong")
+        .collect()
+    }
+    assert(ex.getMessage.contains("list length 2 != cell length 3") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("list length 2 != cell length 3")),
+      ex.toString)
+    // permissive form: beyond-end elements get NULL field values
+    val loose = NestedOps.withNestedFieldFromList(df, "nested", "w",
+      "wrong", strict = false)
+      .select(expr("transform(nested, e -> e.w)")).as[Seq[Option[String]]]
+      .collect().head
+    assert(loose == Seq(Some("x"), Some("y"), None))
+    // matched lengths pass the strict check untouched
+    val ok = Seq((0L, Seq(1.0, 2.0), Seq("x", "y")))
+      .toDF("id", "a", "l").fromLists(Seq("a"), "nested")
+    val got = NestedOps.withNestedFieldFromList(ok, "nested", "w", "l")
+      .select(expr("transform(nested, e -> e.w)")).as[Seq[String]]
+      .collect().head
+    assert(got == Seq("x", "y"))
+  }
+
+  test("setitem a LIST of different sub-frames at masked positions " +
+      "(test_ext_array.py:493-526)") {
+    // replacement frame keyed by row: rows 0 and 2 get new cells; row 1
+    // keeps its own — the reference's ext_array[[0, 2]] = [df1, df2]
+    val base = Seq(
+      (0L, Seq((1L, -4.0), (2L, -5.0))),
+      (1L, Seq((3L, -6.0))),
+      (2L, Seq((4L, -7.0), (5L, -8.0), (6L, -9.0))))
+      .toDF("id", "nested")
+    val repl = Seq(
+      (0L, Seq((10L, 100.0))),
+      (2L, Seq((20L, 200.0), (21L, 201.0))))
+      .toDF("id", "repl")
+    val out = base.join(repl, Seq("id"), "left")
+      .withColumn("nested", coalesce($"repl", $"nested")).drop("repl")
+    val got = out.orderBy("id")
+      .select(expr("transform(nested, e -> e._1)")).as[Seq[Long]]
+      .collect().toSeq
+    assert(got == Seq(Seq(10L), Seq(3L), Seq(20L, 21L)))
+  }
+
   test("read with columns= plus a FILTER on an unprojected column " +
       "(io issue492, test_io.py:574-587)") {
     // the reference: read_parquet(columns=["a"], filters=[("z","<",0.5)])
