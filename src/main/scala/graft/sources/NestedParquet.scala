@@ -93,15 +93,54 @@ object NestedParquet {
     * `read_parquet(columns=...)` semantics: `"nested"` loads the whole nest,
     * `"nested.a"` loads a pruned nest; requesting both for the same nest is
     * an error (io.py:182-189). Apply directly after `spark.read.parquet` —
-    * Catalyst pushes the leaf projection into the scan. */
-  def selectColumns(df: DataFrame, columns: Seq[String]): DataFrame = {
-    val parsed = columns.map(c => (c, NestedOps.resolveDotted(df, c)))
-    val byNest = parsed.collect { case (_, (Some(n), f)) => (n, f) }
-      .groupBy(_._1).map { case (n, fs) => (n, fs.map(_._2)) }
-    val fullNests = parsed.collect {
-      case (c, (None, n)) if NestedOps.nestedColumns(df).contains(n) => n
+    * Catalyst pushes the leaf projection into the scan.
+    *
+    * Mixed-struct and reject semantics (io.py:150-205,
+    * test_io.py:138-226): a dotted path may also address a PLAIN struct
+    * column (the on-disk struct-of-list form, or any struct). If every
+    * requested leaf of a prefix is list-typed, the leaves are zipped back
+    * into a pruned nest named after the prefix; if ANY requested leaf is a
+    * non-list (the reference's "reject the cast" pop), or the prefix is
+    * named in `rejectNesting`, ALL that prefix's requested leaves emerge as
+    * flat leaf-named columns instead — exactly the reference's fallback to
+    * standard pandas/pyarrow behavior. */
+  def selectColumns(df: DataFrame, columns: Seq[String],
+                    rejectNesting: Seq[String] = Nil): DataFrame = {
+    val nests = NestedOps.nestedColumns(df).toSet
+    val plainStructs: Map[String, StructType] = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[StructType] =>
+        f.name -> f.dataType.asInstanceOf[StructType]
+    }.toMap
+
+    // (original, Some(prefix) -> leaf | None -> base name)
+    val parsed: Seq[(Option[String], String)] = columns.map { c =>
+      val clean = c.replace("`", "")
+      val idx = clean.indexOf('.')
+      if (idx > 0) {
+        val p = clean.substring(0, idx)
+        if (nests.contains(p) || plainStructs.contains(p))
+          (Some(p), clean.substring(idx + 1))
+        else (None, clean)
+      } else (None, clean)
+    }
+    val byPrefix: Map[String, Seq[String]] = parsed
+      .collect { case (Some(p), f) => (p, f) }
+      .groupBy(_._1).map { case (p, fs) => (p, fs.map(_._2)) }
+
+    // A leaf extraction is list-typed for every field of a nest
+    // (GetArrayStructFields returns an array) and for array-typed fields of
+    // a plain struct; a scalar field of a plain struct rejects the re-nest.
+    def leafIsList(p: String, leaf: String): Boolean =
+      nests.contains(p) || plainStructs(p).fields
+        .find(_.name == leaf).exists(_.dataType.isInstanceOf[ArrayType])
+    val renest: Set[String] = byPrefix.keySet.filter { p =>
+      !rejectNesting.contains(p) && byPrefix(p).forall(leafIsList(p, _))
+    }
+
+    val fullNames = parsed.collect {
+      case (None, n) if nests.contains(n) || plainStructs.contains(n) => n
     }.toSet
-    val conflict = fullNests.intersect(byNest.keySet)
+    val conflict = fullNames.intersect(renest)
     require(conflict.isEmpty,
       s"Both full and partial load requested for nest(s): ${conflict.mkString(", ")}")
     // Pruned nests are rebuilt from FIELD-PATH extractions
@@ -111,15 +150,20 @@ object NestedParquet {
     // entirely (verified against Spark 4.1 plans — the scan read every leaf).
     val seen = collection.mutable.LinkedHashSet[String]()
     parsed.foreach {
-      case (_, (None, base)) => seen += base
-      case (_, (Some(n), _)) => seen += n
+      case (None, base)              => seen += base
+      case (Some(p), _) if renest(p) => seen += p
+      case (Some(p), leaf)           => seen += s"$p.$leaf"
     }
     val outCols: Seq[Column] = seen.toSeq.map { name =>
-      byNest.get(name) match {
-        case Some(fields) =>
+      byPrefix.get(name) match {
+        case Some(fields) if renest(name) =>
           arrays_zip(fields.distinct.map(f => col(s"$name.$f").as(f)): _*)
             .as(name)
-        case None => col(name)
+        case _ =>
+          val idx = name.indexOf('.')
+          if (idx > 0 && byPrefix.contains(name.substring(0, idx)))
+            col(name).as(name.substring(idx + 1)) // flat leaf-named column
+          else col(name)
       }
     }
     df.select(outCols: _*)
