@@ -367,10 +367,21 @@ object NestedOps {
   }
 
   /** Project nested column to a subset of its fields.
-    * Reference: `view_fields` (accessor.py:762-801). Narrow `transform`. */
-  def selectSubFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame =
+    * Reference: `view_fields` (accessor.py:762-801). Narrow `transform`.
+    * Unknown or repeated fields raise (ext_array.py view_fields contract,
+    * test_ext_array.py:1675-1704). */
+  def selectSubFields(df: DataFrame, nest: String, fields: Seq[String]): DataFrame = {
+    val existing = subColumns(df, nest)
+    val unknown = fields.filterNot(existing.contains)
+    require(unknown.isEmpty,
+      s"No fields ${unknown.mkString(", ")} in nested column '$nest' " +
+        s"(has: ${existing.mkString(", ")})")
+    require(fields.distinct.length == fields.length,
+      s"Repeated field names in view of nested column '$nest': " +
+        fields.diff(fields.distinct).distinct.mkString(", "))
     df.withColumn(nest,
       transform(col(nest), s => struct(fields.map(f => s.getField(f).as(f)): _*)))
+  }
 
   /** One list column per nested field. Reference: `.nest.to_lists`
     * (accessor.py:44-91). */
@@ -515,6 +526,24 @@ object NestedOps {
                       f: Column => Column): DataFrame =
     df.withColumn(nest, transform(col(nest), s => s.withField(field, f(s))))
 
+  /** [[withNestedField]] with the reference's `keep_dtype=True` contract
+    * (ext_array.py set_flat_field/set_list_field; test_ext_array.py:
+    * 1756-1790, 1894-1928): the field must already exist and the new
+    * values must keep its exact type — otherwise raise instead of silently
+    * widening the schema. Driver-side schema check only; no extra jobs. */
+  def withNestedFieldKeepDtype(df: DataFrame, nest: String, field: String,
+                               f: Column => Column): DataFrame = {
+    val before = nestedStruct(df, nest).fields.find(_.name == field)
+      .getOrElse(throw new IllegalArgumentException(
+        s"keepDtype: field '$field' does not exist in nested column '$nest'"))
+    val out = withNestedField(df, nest, field, f)
+    val after = nestedStruct(out, nest)(field)
+    require(after.dataType == before.dataType,
+      s"keepDtype: field '$field' of '$nest' would change type " +
+        s"${before.dataType.simpleString} -> ${after.dataType.simpleString}")
+    out
+  }
+
   /** Set a nested field to a constant (reference `set_filled_column`,
     * accessor.py:236-491). */
   def withNestedFieldFilled(df: DataFrame, nest: String, field: String,
@@ -533,6 +562,11 @@ object NestedOps {
   def withNestedFieldFromList(df: DataFrame, nest: String, field: String,
                               listCol: String,
                               strict: Boolean = true): DataFrame = {
+    // the reference's set_list_field raises for a non-list input
+    // (test_ext_array.py:1862-1875)
+    require(df.schema(listCol).dataType.isInstanceOf[ArrayType],
+      s"set_list_column('$field'): source column '$listCol' is " +
+        s"${df.schema(listCol).dataType.simpleString}, not a list")
     // try_element_at: plain element_at THROWS past the array end in
     // Spark 4 — the permissive branch must NULL-fill instead
     val body = transform(col(nest), (s, i) =>
@@ -615,6 +649,12 @@ object NestedOps {
   /** `field in nf[nest].nest` — the reference's `__contains__`. */
   def nestContains(df: DataFrame, nest: String, field: String): Boolean =
     subColumns(df, nest).contains(field)
+
+  /** Mapping-protocol `get(field, default)` (reference accessor
+    * test_accessor.py:673-686): the per-row LIST column when the field
+    * exists, else None — the caller supplies its own default. */
+  def nestGet(df: DataFrame, nest: String, field: String): Option[Column] =
+    if (nestContains(df, nest, field)) Some(col(s"$nest.$field")) else None
 
   /** `keys()` / `values()` / `items()` of the MutableMapping protocol:
     * keys are field names; values/items pair each with its per-row LIST

@@ -167,4 +167,96 @@ class ReferenceParitySpec5 extends SparkSpec {
     assert(counts.select($"n_nested_g".isNull || $"n_nested_r".isNull)
       .as[Boolean].collect().forall(_ == false))
   }
+
+  // ------------------------------------------------- error contracts
+
+  private def twoField: DataFrame = Seq(
+    (0L, Seq(1L, 2L, 3L), Seq(-4.0, -5.0, -6.0)),
+    (1L, Seq(1L, 2L, 1L), Seq(-3.0, -4.0, -5.0))).toDF("id", "a", "b")
+    .fromLists(Seq("a", "b"), "nested")
+
+  test("view_fields raises for an unknown field and for repeated fields " +
+      "(test_ext_array.py:1675-1704)") {
+    val e1 = intercept[IllegalArgumentException] {
+      NestedOps.selectSubFields(twoField, "nested", Seq("a", "c"))
+    }
+    assert(e1.getMessage.contains("c"))
+    val e2 = intercept[IllegalArgumentException] {
+      NestedOps.selectSubFields(twoField, "nested", Seq("a", "a"))
+    }
+    assert(e2.getMessage.contains("Repeated"))
+    // the valid projection still works
+    assert(NestedOps.subColumns(
+      NestedOps.selectSubFields(twoField, "nested", Seq("b")), "nested") ==
+      Seq("b"))
+  }
+
+  test("keep_dtype: replacing a field with a different type raises; a NEW " +
+      "field raises (test_ext_array.py:1756-1790, 1894-1928)") {
+    // same-type replacement is fine
+    val ok = NestedOps.withNestedFieldKeepDtype(twoField, "nested", "a",
+      s => s.getField("a") * 2L)
+    assert(ok.select(expr("transform(nested, e -> e.a)")).where($"id" === 0L)
+      .as[Seq[Long]].head() == Seq(2L, 4L, 6L))
+    // type change: bigint -> string
+    val e1 = intercept[IllegalArgumentException] {
+      NestedOps.withNestedFieldKeepDtype(twoField, "nested", "a",
+        s => s.getField("a").cast("string"))
+    }
+    assert(e1.getMessage.contains("change type"))
+    // new field under keep_dtype
+    val e2 = intercept[IllegalArgumentException] {
+      NestedOps.withNestedFieldKeepDtype(twoField, "nested", "c", _ => lit(1))
+    }
+    assert(e2.getMessage.contains("does not exist"))
+  }
+
+  test("set_list_column raises for a NON-list source column " +
+      "(test_ext_array.py:1862-1875)") {
+    val df = twoField.withColumn("scalar", lit(7))
+    val e = intercept[IllegalArgumentException] {
+      NestedOps.withNestedFieldFromList(df, "nested", "c", "scalar")
+    }
+    assert(e.getMessage.contains("not a list"))
+  }
+
+  test("to_flat on a double-nest keeps the INNER layer packed " +
+      "(test_accessor.py:290-304)") {
+    val inner = Seq(
+      (0L, 0L, 1.0), (0L, 1L, 2.0), (1L, 2L, 3.0), (1L, 3L, 4.0))
+      .toDF("oid", "iid", "t")
+    val packedInner = NestedOps.packFlat(inner, Seq("oid", "iid"), "inner",
+      sortBy = Seq(("t", true)))
+    val outer = NestedOps.packFlat(packedInner, Seq("oid"), "outer",
+      sortBy = Seq(("iid", true)))
+    val flat = NestedOps.toFlat(outer, "outer", baseCols = Seq("oid"))
+    // one row per OUTER element; 'inner' survives as a nested column
+    assert(flat.count() == 4)
+    assert(NestedOps.nestedColumns(flat).contains("inner"))
+    assert(flat.schema("inner").dataType.simpleString
+      .startsWith("array<struct<"))
+  }
+
+  test("mapping-protocol get: existing field matches to_flat, missing " +
+      "field yields the default (test_accessor.py:673-686)") {
+    val got = NestedOps.nestGet(twoField, "nested", "a")
+    assert(got.isDefined)
+    assert(twoField.orderBy("id").select(got.get.as("a"))
+      .as[Seq[Long]].collect().toSeq ==
+      Seq(Seq(1L, 2L, 3L), Seq(1L, 2L, 1L)))
+    assert(NestedOps.nestGet(twoField, "nested", "c")
+      .getOrElse("default_value") == "default_value")
+  }
+
+  test("to_flatten_inner raises for a non-nested inner field " +
+      "(test_accessor.py:1189-1200)") {
+    val two = Seq((0L, Seq((1L, 2.0)), 5.0)).toDF("id", "pairs", "x")
+    val nested = two.select($"id",
+      expr("transform(pairs, p -> struct(p._1 as a, p._2 as b))").as("nested"))
+    val e = intercept[Exception] {
+      NestedOps.flattenInner(nested, "nested", "a").collect()
+    }
+    assert(e.getMessage.contains("not array<struct>") ||
+      e.getMessage.toLowerCase.contains("a"))
+  }
 }
