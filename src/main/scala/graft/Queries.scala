@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import graft.nested.{NestedOps, NestedExpr}
 import graft.nested.syntax._
 
@@ -316,15 +317,33 @@ object Queries {
   // windows / events (inherited surface hardened for scale)
   // ---------------------------------------------------------------------------
 
+  /** events with `ts` normalized to a wall-clock epoch-NANOS long across
+    * every parquet encoding the driver has shipped: TIMESTAMP(NANOS)
+    * (read as a ns long under `spark.sql.legacy.parquet.nanosAsLong`,
+    * rounds 1-6), TIMESTAMP(MICROS) NTZ (round 7 regeneration — read as
+    * TIMESTAMP_NTZ; zone-free calendar-field extraction, matching what
+    * DuckDB's epoch_ns computes on the same naive values), and a
+    * session-zoned TimestampType for completeness. Downstream query code
+    * keeps its exact integer-nanos arithmetic unchanged. */
+  private[graft] def rdEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    ev.schema("ts").dataType match {
+      case LongType => ev
+      case TimestampNTZType => ev.withColumn("ts",
+        graft.operators.Joins.ntzWallClockMicros(col("ts")) * lit(1000L))
+      case TimestampType => ev.withColumn("ts",
+        unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported parquet read type $other")
+    }
+  }
+
   /** Sessionization via lag window: 30-minute gap starts a new session.
-    * events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * nanosecond epoch long (`spark.sql.legacy.parquet.nanosAsLong`); all
-    * arithmetic stays in exact integer milliseconds (`DIV`).
-    * `spark.sql.legacy.parquet.nanosAsLong` is set in the Bench/Verify/test
-    * session builders (a query must not mutate session conf). */
+    * All arithmetic stays in exact integer milliseconds (`DIV`) over the
+    * [[rdEvents]]-normalized ns epoch. */
   val qSessionize: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    rd(s, dir, "events")
+    rdEvents(s, dir)
       .withColumn("ms", expr("ts DIV 1000000"))
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .withColumn("new_session",
@@ -342,7 +361,7 @@ object Queries {
   private def asofClickPurchase(s: SparkSession, dir: String,
                                 direction: String,
                                 tolerance: Option[Long]): DataFrame = {
-    val ev = rd(s, dir, "events")
+    val ev = rdEvents(s, dir)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = ev.where(col("event_type") === "purchase")
@@ -385,7 +404,7 @@ object Queries {
     val tsCast =
       if (ntz) timestamp_micros(expr("ts DIV 1000")).cast("timestamp_ntz")
       else timestamp_micros(expr("ts DIV 1000"))
-    val ev = rd(s, dir, "events").withColumn("tst", tsCast)
+    val ev = rdEvents(s, dir).withColumn("tst", tsCast)
     val clicks = ev.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("tst"))
     val purchases = ev.where(col("event_type") === "purchase")
@@ -427,7 +446,7 @@ object Queries {
     * inequality join as the independent oracle. */
   val qRangeJoin: Q = (s, dir) => {
     val weekNs = 7L * 24 * 3600 * 1000000000L
-    val ev = rd(s, dir, "events")
+    val ev = rdEvents(s, dir)
     val signups = ev.where(col("event_type") === "signup")
       .select(col("event_id"), col("user_id"), col("ts"))
     val purchases = ev.where(col("event_type") === "purchase")

@@ -426,9 +426,10 @@ object SurfaceQueries {
   /** sessionizeEventTime on a BATCH frame: Spark's session_window gives the
     * same event-time sessions in batch and streaming, so the streaming
     * operator's semantics are oracle-checkable here (gaps-and-islands in
-    * DuckDB). events.ts is a ns epoch long (nanosAsLong). */
+    * DuckDB). events.ts normalized to a ns epoch long by
+    * [[Queries.rdEvents]] across the driver's parquet encodings. */
   val qSessionWindow: Q = (s, dir) => {
-    val ev = rd(s, dir, "events")
+    val ev = Queries.rdEvents(s, dir)
       .withColumn("ets", expr("timestamp_micros(ts DIV 1000)"))
     graft.streaming.StreamingOps.sessionizeEventTime(
         ev, "user_id", "ets", gap = "30 minutes", watermark = "0 seconds")

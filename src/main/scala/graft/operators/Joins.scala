@@ -20,6 +20,20 @@ import org.apache.spark.sql.types.{DataType, DateType, DecimalType,
   */
 object Joins {
 
+  /** Zone-free wall-clock epoch micros of a TimestampNTZ column. NTZ is
+    * wall-clock with no zone, so its micros come from CALENDAR-FIELD
+    * arithmetic (days since epoch + time-of-day) — a TimestampType cast
+    * would route through the session zone and shift values exactly across
+    * a DST transition, which is not what pandas computes on naive
+    * datetime64 (merge_asof distances, epoch arithmetic). */
+  private[graft] def ntzWallClockMicros(c: Column): Column =
+    datediff(c.cast(DateType), lit(java.sql.Date.valueOf("1970-01-01")))
+      .cast(LongType) * lit(86400000000L) +
+      hour(c).cast(LongType) * lit(3600000000L) +
+      minute(c).cast(LongType) * lit(60000000L) +
+      call_function("date_part", lit("SECOND"), c)
+        .cast(DecimalType(20, 6)).*(lit(1000000L)).cast(LongType)
+
   private def isTsType(dt: DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType
 
@@ -106,15 +120,9 @@ object Joins {
     // zone and shift distances exactly across a DST transition, which is
     // not what pandas merge_asof on naive datetime64 computes.
     def tsNum(c: Column): Column = tsDt match {
-      case TimestampNTZType =>
-        datediff(c.cast(DateType), lit(java.sql.Date.valueOf("1970-01-01")))
-          .cast(LongType) * lit(86400000000L) +
-          hour(c).cast(LongType) * lit(3600000000L) +
-          minute(c).cast(LongType) * lit(60000000L) +
-          call_function("date_part", lit("SECOND"), c)
-            .cast(DecimalType(20, 6)).*(lit(1000000L)).cast(LongType)
-      case TimestampType => unix_micros(c)
-      case _             => c
+      case TimestampNTZType => Joins.ntzWallClockMicros(c)
+      case TimestampType    => unix_micros(c)
+      case _                => c
     }
     val tolUnits = tolerance.map(t => if (isTsType(tsDt)) t * 1000L else t)
     val rightPayload = right.columns.filterNot(c =>
