@@ -46,6 +46,19 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     failures = 0
     names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    # A query that THREW inside Verify writes no output dir — diff against
+    # the declared battery so missing outputs fail loudly instead of
+    # silently shrinking the denominator (the round-7 events.ts
+    # regeneration slipped through exactly this way).
+    expected_file = Path(out_dir) / "queries.json"
+    if expected_file.exists():
+        expected = set(json.loads(expected_file.read_text()))
+        missing = sorted(expected - set(names))
+        for name in missing:
+            print(f"FAIL {name}: NO OUTPUT (query failed inside Verify)")
+            failures += 1
+    else:
+        missing = []
     for name in names:
         got = pd.read_parquet(Path(out_dir) / name)
         if name not in oracle:
@@ -100,7 +113,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             except AssertionError as e2:
                 print(f"FAIL {name}: value mismatch\n{str(e2)[:500]}")
             failures += 1
-    print(f"\n{len(names) - failures}/{len(names)} queries pass")
+    total = len(names) + len(missing)
+    print(f"\n{total - failures}/{total} queries pass")
     return 1 if failures else 0
 
 
