@@ -393,7 +393,7 @@ object Queries {
   val qAsofNearest: Q = (s, dir) => asofClickPurchase(s, dir, "nearest", None)
 
   /** The clicks/purchases as-of shape over a real TimestampType ts column
-    * (events.ts ns-long truncated to micros), exercising the timestamp
+    * (normalized ns epoch truncated to micros), exercising the timestamp
     * tolerance path: tolerance is in MILLISECONDS, like pandas
     * `merge_asof(tolerance=Timedelta(...))` on datetime64 keys
     * (reference merge_asof usage on astronomy time series). */
@@ -653,11 +653,11 @@ object Queries {
         |       ELSE f_value END AS p_value
         |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)""".stripMargin,
     // timestamp-key as-of with a 3-day MILLISECOND tolerance: native ASOF
-    // + epoch_us distance CASE. events.ts carries sub-microsecond ns
-    // components, and the Spark side matches on µs-TRUNCATED timestamps
-    // (ts DIV 1000) — so the oracle truncates too (CAST TIMESTAMP_NS →
-    // TIMESTAMP floors to µs, verified ≡ DIV 1000 for positive epochs):
-    // parity holds by construction, not by collision luck.
+    // + epoch_us distance CASE. The Spark side matches on µs timestamps
+    // (normalized ns DIV 1000) and the oracle's CAST floors any
+    // finer-grained encoding to µs the same way (verified ≡ DIV 1000 for
+    // positive epochs): parity holds by construction for every events.ts
+    // encoding the driver has shipped (ns in rounds 1-6, µs since r7).
     "q_asof_ts_tol" ->
       """SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS ms,
         | CASE WHEN epoch_us(l.ts) - epoch_us(r.ts)
