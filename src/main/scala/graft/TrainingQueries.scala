@@ -794,6 +794,22 @@ object TrainingQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Deterministic global shuffle (training-order randomization): the first
+    * 15 documents of the seeded-hash permutation, rank-stamped. `limit` on
+    * the range-partitioned + within-partition-sorted frame reads the TRUE
+    * global prefix (partition 0 holds the lowest key range), so the oracle
+    * mismatches if either the range partitioning or the in-partition sort
+    * is wrong — DuckDB replays the identical md5 ordering. */
+  val qGlobalShuffle: Q = (s, dir) => {
+    val first = Sampling.globalShuffle(docs(s, dir), "doc_id", seed = 7L,
+      numPartitions = 8, portableHash = true).limit(15)
+    first
+      .withColumn("gk", md5(concat(col("doc_id").cast("string"), lit(":7"))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("gk"))).cast("long"))
+      .select(col("rank"), col("doc_id"))
+  }
+
   /** Exact dedup with a keep policy: group by a 40-char content prefix, keep
     * the LONGEST doc (ties → min id) — one max_by aggregation, no window. */
   val qDedupKeepBest: Q = (s, dir) =>
@@ -849,6 +865,7 @@ object TrainingQueries {
     "q_stratified" -> qStratified,
     "q_temperature_mix" -> qTemperatureMix,
     "q_per_key_cap" -> qPerKeyCap,
+    "q_global_shuffle" -> qGlobalShuffle,
     "q_dedup_keep_best" -> qDedupKeepBest,
     "q_embed_norm" -> qEmbedNorm,
     "q_para_dedup" -> qParaDedup,
@@ -1493,6 +1510,15 @@ object TrainingQueries {
         |          ORDER BY n_chars DESC, doc_id) AS rn
         |      FROM documents)
         |WHERE rn <= 15 GROUP BY source""".stripMargin,
+    // globalShuffle's portable md5 key replayed verbatim: DuckDB md5()
+    // over 'doc_id:seed' produces the same lowercase hex as Spark's
+    "q_global_shuffle" ->
+      """SELECT CAST(row_number() OVER (ORDER BY
+        |         md5(CAST(doc_id AS VARCHAR) || ':7')) AS BIGINT) AS rank,
+        |       doc_id
+        |FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7')
+        |LIMIT 15""".stripMargin,
     "q_dedup_keep_best" ->
       """SELECT keep_id, n_copies
         |FROM (SELECT doc_id AS keep_id,

@@ -89,6 +89,31 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic GLOBAL SHUFFLE — training-order randomization. Orders
+    * the frame by a seeded hash of `idCol`: a reproducible,
+    * data-independent permutation of the corpus (the shuffle every
+    * training run needs between curation and sharding). Plan:
+    * repartitionByRange on the hash key + sortWithinPartitions — a TOTAL
+    * order across output partitions (partition i's keys all precede
+    * partition i+1's) with no driver-side or single-partition sort, so
+    * shards stream out in shuffled order at any scale, and
+    * `.limit(n)` / shard writes read the true global prefix/order.
+    * Default key is xxhash64(id, seed) (codegen'd); `portableHash` uses
+    * md5 over `"id:seed"` so other engines (DuckDB, pandas) can replay
+    * the exact order. Rows with duplicate ids hash equal and keep an
+    * arbitrary relative order — pass a unique id for a true permutation. */
+  def globalShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+                    numPartitions: Int = 32,
+                    portableHash: Boolean = false): DataFrame = {
+    val key =
+      if (portableHash) md5(concat(col(idCol).cast("string"), lit(s":$seed")))
+      else xxhash64(col(idCol), lit(seed))
+    df.withColumn("__gs_key", key)
+      .repartitionByRange(numPartitions, col("__gs_key"))
+      .sortWithinPartitions("__gs_key")
+      .drop("__gs_key")
+  }
+
   /** Write the frame as `nShards` deterministic hash shards
     * (`__shard=N/part-*.parquet`) — the layout training jobs consume
     * (each data-loader rank reads its own shard directories). The

@@ -1110,4 +1110,44 @@ class TrainingOpsSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("globalShuffle: deterministic seeded permutation, total order " +
+      "across partitions, no global sort") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions.{col, xxhash64, lit, spark_partition_id}
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("payload", col("id") * 3)
+    val out = Sampling.globalShuffle(df, "id", seed = 11L, numPartitions = 7)
+    // multiset preserved
+    assert(out.count() == 1000)
+    assert(out.select("id").exceptAll(df.select("id")).isEmpty)
+    // collect() returns partitions in index order; range partitioning +
+    // within-partition sort must therefore yield the GLOBAL hash order
+    val ids = out.select("id").collect().map(_.getLong(0)).toSeq
+    val expected = df
+      .withColumn("k", xxhash64(col("id"), lit(11L)))
+      .orderBy("k").select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids == expected)
+    // deterministic: a second evaluation gives the identical sequence
+    val again = Sampling.globalShuffle(df, "id", seed = 11L, numPartitions = 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(again == ids)
+    // a different seed gives a different permutation of the same ids
+    val other = Sampling.globalShuffle(df, "id", seed = 12L, numPartitions = 7)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(other != ids && other.sorted == ids.sorted)
+    // plan: range-partitioned exchange + NON-global sort (the scale
+    // property: no single-partition/driver sort anywhere)
+    val plan = Sampling.globalShuffle(df, "id", seed = 11L, numPartitions = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!"Sort \\[[^\\]]*\\], true".r.findFirstIn(plan).isDefined, plan)
+    // portable md5 key replays the same order as the SQL oracle form
+    val p = Sampling.globalShuffle(df, "id", seed = 7L, numPartitions = 4,
+      portableHash = true).select("id").collect().map(_.getLong(0)).toSeq
+    val pExpected = df.selectExpr("id",
+        "md5(concat(cast(id as string), ':7')) AS k")
+      .orderBy("k").select("id").collect().map(_.getLong(0)).toSeq
+    assert(p == pExpected)
+  }
 }
