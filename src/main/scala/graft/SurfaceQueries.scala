@@ -243,6 +243,37 @@ object SurfaceQueries {
         round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** Mixed-struct partial loading end-to-end (reference io
+    * test_io.py:138-226 semantics, driver-gated): write documents as two
+    * struct columns — one mixed (scalar + list field), one all-list —
+    * then partial-load both ways through [[NestedParquet.selectColumns]]:
+    * all-list leaves re-nest under the prefix; a scalar leaf pops every
+    * requested leaf to flat leaf-named columns. The oracle recomputes the
+    * same quantities straight from the source table (the /tmp fixture is
+    * derived deterministically, like q_read_glob). */
+  val qMixedRead: Q = (s, dir) => {
+    import graft.sources.NestedParquet
+    val root = "/tmp/graft_mixed_read"
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        struct(col("lang").as("val1"),
+          split(col("text"), " ").as("toks")).as("mix"),
+        struct(split(col("text"), " ").as("toks"),
+          split(col("source"), "-").as("chunks")).as("lists"))
+      .write.mode("overwrite").parquet(root)
+    val raw = s.read.parquet(root)
+    // all-list leaves re-nest: "lists" comes back a one-field nest
+    val nested = NestedParquet.selectColumns(raw, Seq("doc_id", "lists.toks"))
+    // a scalar leaf rejects the cast: flat leaf-named columns
+    val flat = NestedParquet.selectColumns(raw,
+      Seq("doc_id", "mix.toks", "mix.val1"))
+    nested.join(flat, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("lists")).cast("long").as("n_tok"),
+        size(col("toks")).cast("long").as("n_tok_flat"),
+        col("val1").as("lang"))
+  }
+
   // ---------------------------------------------------------------------------
   // §2.4 cross-nest + multiline eval assignment
   // ---------------------------------------------------------------------------
@@ -482,6 +513,7 @@ object SurfaceQueries {
     "q_generate" -> qGenerate,
     "q_partial_read" -> qPartialRead,
     "q_read_glob" -> qReadGlob,
+    "q_mixed_read" -> qMixedRead,
     "q_eval_cross" -> qEvalCross,
     "q_map_rows_nested" -> qMapRowsNested,
     "q_describe_pct" -> qDescribePct,
@@ -562,6 +594,15 @@ object SurfaceQueries {
     "q_read_glob" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem""".stripMargin,
+    // both partial-load paths reduce to token/chunk counts recomputed
+    // from the source table; Spark split(' ') and DuckDB string_split
+    // agree on empty tokens from consecutive delimiters
+    "q_mixed_read" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok_flat,
+        | lang
+        |FROM documents""".stripMargin,
     "q_eval_cross" ->
       """SELECT l_orderkey AS orderkey,
         | round(sum(2 * l_extendedprice + l_discount * 100 + o_totalprice), 2)
