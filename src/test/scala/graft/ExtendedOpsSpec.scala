@@ -609,4 +609,33 @@ class ExtendedOpsSpec extends SparkSpec {
         s"implausibly many bloom false positives: ${flagged -- exact}")
     } finally q.stop()
   }
+
+  test("rdEvents: the three ts parquet encodings normalize to the same " +
+      "wall-clock epoch nanos") {
+    import spark.implicits._
+    // one instant, 2024-03-15 12:34:56.123456 UTC
+    val us = 1710506096123456L
+    def dirFor(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"evts_$tag").toString
+      s"$d"
+    }
+    // (a) legacy nanos-as-long (rounds 1-6 driver encoding read form)
+    val dLong = dirFor("long")
+    Seq((1L, us * 1000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dLong/events.parquet")
+    // (b) TIMESTAMP_NTZ micros (round-7 regeneration)
+    val dNtz = dirFor("ntz")
+    Seq(1L).toDF("event_id")
+      .withColumn("ts", timestamp_micros(lit(us)).cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$dNtz/events.parquet")
+    // (c) session-zoned TimestampType (UTC session pinned in TestSpark)
+    val dTz = dirFor("tz")
+    Seq(1L).toDF("event_id")
+      .withColumn("ts", timestamp_micros(lit(us)))
+      .write.mode("overwrite").parquet(s"$dTz/events.parquet")
+    val got = Seq(dLong, dNtz, dTz).map { d =>
+      Queries.rdEvents(spark, d).select("ts").as[Long].head()
+    }
+    assert(got.toSet == Set(us * 1000L), got)
+  }
 }
