@@ -233,4 +233,62 @@ class RoundTripPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: selectColumns re-nests exactly the all-list prefixes " +
+      "not rejected, flattens the rest (reference io ruleset)") {
+    import graft.sources.NestedParquet
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    // frame with one nest, one all-list struct, one mixed struct, one base
+    val df = Seq((0L, Seq(1, 2), Seq("x", "y"), 5, "s0"),
+        (1L, Seq(3), Seq("z"), 6, "s1"))
+      .toDF("id", "l1", "l2", "v", "name")
+      .select($"id", $"name",
+        expr("transform(l1, x -> struct(x AS a))").as("nest"),
+        struct($"l1".as("la"), $"l2".as("lb")).as("slist"),
+        struct($"v".as("va"), $"l1".as("lc")).as("smix"))
+    val leaves = Map(
+      "nest" -> Seq("a"), "slist" -> Seq("la", "lb"),
+      "smix" -> Seq("va", "lc"))
+    def leafList(p: String, f: String): Boolean =
+      p == "nest" || (p == "slist") || (p == "smix" && f == "lc")
+    val rnd = new scala.util.Random(99)
+    for (_ <- 1 to 25) {
+      // random request: some bases + a random nonempty leaf subset of a
+      // random subset of prefixes, with a random reject set
+      val bases = Seq("id", "name").filter(_ => rnd.nextBoolean())
+      val prefixes = leaves.keys.toSeq.sorted.filter(_ => rnd.nextBoolean())
+      val req = prefixes.flatMap { p =>
+        val fs = rnd.shuffle(leaves(p)).take(1 + rnd.nextInt(leaves(p).size))
+        fs.map(f => s"$p.$f")
+      }
+      val reject = leaves.keys.toSeq.sorted.filter(_ => rnd.nextInt(4) == 0)
+      if (req.nonEmpty || bases.nonEmpty) {
+        val out = NestedParquet.selectColumns(df, bases ++ req, reject)
+        // model: a prefix re-nests iff not rejected and every requested
+        // leaf extraction is list-typed
+        val byP = req.groupBy(_.split("\\.")(0))
+          .map { case (p, cs) => p -> cs.map(_.split("\\.")(1)) }
+        val expected = bases ++ byP.toSeq.sortBy(t => req.indexWhere(
+            _.startsWith(t._1 + "."))).flatMap { case (p, fs) =>
+          val renest = !reject.contains(p) && fs.forall(leafList(p, _))
+          if (renest) Seq(p) else fs
+        }
+        assert(out.columns.toSeq.sorted == expected.sorted,
+          s"req=$req reject=$reject got=${out.columns.toSeq}")
+        // every re-nested output is array<struct>; flattened leaves are not
+        byP.foreach { case (p, fs) =>
+          val renest = !reject.contains(p) && fs.forall(leafList(p, _))
+          if (renest)
+            assert(out.schema(p).dataType match {
+              case ArrayType(_: StructType, _) => true; case _ => false },
+              s"$p should be a nest: req=$req reject=$reject")
+          else fs.foreach { f =>
+            assert(!out.schema(f).dataType.isInstanceOf[StructType],
+              s"$f should be a flat leaf: req=$req reject=$reject")
+          }
+        }
+        assert(out.count() == 2)
+      }
+    }
+  }
 }
