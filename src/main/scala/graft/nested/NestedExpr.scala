@@ -375,7 +375,25 @@ object NestedExpr {
     "contains" -> ("contains", 1),
     // pandas ≥2 str.replace defaults to regex=False → Spark's literal
     // replace(str, search, replacement) matches
-    "replace" -> ("replace", 1))
+    "replace" -> ("replace", 1),
+    // pandas rjust/ljust(width[, fillchar]) ↔ Spark lpad/rpad(x, len[,
+    // pad]) — both default the fill to a single space
+    "rjust" -> ("lpad", 1), "ljust" -> ("rpad", 1))
+
+  /** Zero-arg character-class predicates, rendered as composite SQL
+    * (pandas Series.str.is*; Unicode classes via Java regex, so e.g.
+    * `isdigit` accepts any decimal-digit script like pandas does). The
+    * empty string is false for all of them, matching pandas. */
+  private val strPredicates: Map[String, String => String] = Map(
+    "isdigit" -> (x => s"regexp_like($x, '^\\\\p{Nd}+$$')"),
+    "isnumeric" -> (x => s"regexp_like($x, '^\\\\p{N}+$$')"),
+    "isalpha" -> (x => s"regexp_like($x, '^\\\\p{L}+$$')"),
+    "isalnum" -> (x => s"regexp_like($x, '^[\\\\p{L}\\\\p{N}]+$$')"),
+    "isspace" -> (x => s"regexp_like($x, '^\\\\s+$$')"),
+    // pandas isupper/islower: every cased char in that case AND at least
+    // one cased char exists (x <> other-case proves the latter)
+    "isupper" -> (x => s"($x = upper($x) and $x <> lower($x))"),
+    "islower" -> (x => s"($x = lower($x) and $x <> upper($x))"))
 
   /** Render a `.str.method` call: zero-arg methods swallow the trailing
     * `()` via the `__LEN_CALL` marker; arg-taking methods open the call
@@ -387,12 +405,15 @@ object NestedExpr {
       case "capitalize" =>
         s"(concat(upper(substring($x, 1, 1)), " +
           s"lower(substring($x, 2)))) __LEN_CALL"
+      case _ if strPredicates.contains(m) =>
+        s"(${strPredicates(m)(x)}) __LEN_CALL"
       case _ => strMethods.get(m) match {
         case Some((fn, 0)) => s"$fn($x) __LEN_CALL"
         case Some((fn, _)) => s"$fn($x, __ARG1"
         case None => throw new IllegalArgumentException(
           s".str.$m is not supported (supported: " +
-            (strMethods.keys.toSeq :+ "capitalize").sorted.mkString(", ") +
+            (strMethods.keys.toSeq ++ strPredicates.keys :+ "capitalize")
+              .sorted.mkString(", ") +
             s") in: $exprStr")
       }
     }

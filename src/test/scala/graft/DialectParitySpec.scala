@@ -84,6 +84,27 @@ class DialectParitySpec extends SparkSpec {
     assert(ex.getMessage.contains("not supported"))
   }
 
+  test(".str character-class predicates and rjust/ljust (pandas is* " +
+      "semantics: empty false, cased-char requirement for isupper)") {
+    // pandas goldens computed on these literals:
+    // ['ab', 'AB', 'Ab', 'a1', '12', '½', ' ', '', 'a b']
+    val df = Seq((0L, Seq("ab", "AB", "Ab", "a1", "12", "½", " ", "",
+        "a b"))).toDF("id", "s").fromLists(Seq("s"), "n")
+    def n(q: String): Int =
+      NestedExpr.query(df, q).select(coalesce(sum(size($"n")), lit(0L)))
+        .as[Long].collect().head.toInt
+    assert(n("n.s.str.isalpha()") == 3)   // ab, AB, Ab
+    assert(n("n.s.str.isdigit()") == 1)   // 12 (½ is No, not Nd)
+    assert(n("n.s.str.isnumeric()") == 2) // 12, ½
+    assert(n("n.s.str.isalnum()") == 6)   // ab AB Ab a1 12 ½
+    assert(n("n.s.str.isspace()") == 1)   // ' '
+    assert(n("n.s.str.isupper()") == 1)   // AB ('12' has no cased char)
+    assert(n("n.s.str.islower()") == 3)   // ab, a1, 'a b'
+    // rjust/ljust pad to width with spaces, like pandas defaults
+    assert(n("n.s.str.rjust(3) == ' ab'") == 1)
+    assert(n("n.s.str.ljust(3, '_') == 'ab_'") == 1)
+  }
+
   test("functions abs/sqrt pass through to Spark SQL") {
     assert(elems("abs(nested.t - 10) < 2") == 5)
     assert(elems("sqrt(nested.flux) > 9") == 3)
