@@ -638,4 +638,30 @@ class ExtendedOpsSpec extends SparkSpec {
     }
     assert(got.toSet == Set(us * 1000L), got)
   }
+
+  test("RemoteIO: storage_options analog — scheme detection, conf " +
+      "application, local read path (ref io.py storage_options, " +
+      "test_io.py:424-478)") {
+    import graft.sources.RemoteIO
+    assert(RemoteIO.schemeOf("s3a://bucket/k/d.parquet") == "s3a")
+    assert(RemoteIO.schemeOf("/tmp/x.parquet") == "file")
+    // per-scheme confs carry the parquet-random-access knobs
+    assert(RemoteIO.storageConf("s3a")
+      .get("fs.s3a.experimental.input.fadvise").contains("random"))
+    assert(RemoteIO.storageConf("abfss").nonEmpty)
+    assert(RemoteIO.storageConf("file").isEmpty)
+    intercept[IllegalArgumentException] { RemoteIO.storageConf("ftp") }
+    // application reaches the session Hadoop conf (with caller extras)
+    val applied = RemoteIO.applyStorageConf(spark, "s3a",
+      Map("fs.s3a.endpoint" -> "http://localhost:9000"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.readahead.range") == "1048576")
+    assert(hc.get("fs.s3a.endpoint") == "http://localhost:9000")
+    assert(applied.size == RemoteIO.storageConf("s3a").size + 1)
+    // the readParquet path works end-to-end on the local scheme
+    val dir = java.nio.file.Files.createTempDirectory("remoteio").toString
+    spark.range(5).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    assert(RemoteIO.readParquet(spark, s"$dir/t.parquet").count() == 5)
+  }
 }
