@@ -1150,6 +1150,11 @@ object syntax {
 
     def withNestedField(nest: String, field: String, f: Column => Column): DataFrame =
       NestedOps.withNestedField(df, nest, field, f)
+    def withNestedFieldKeepDtype(nest: String, field: String,
+                                 f: Column => Column): DataFrame =
+      NestedOps.withNestedFieldKeepDtype(df, nest, field, f)
+    def nestGet(nest: String, field: String): Option[Column] =
+      NestedOps.nestGet(df, nest, field)
     def dropNestedFields(nest: String, fields: String*): DataFrame =
       NestedOps.dropNestedFields(df, nest, fields)
     def nestFieldIterator(nest: String): Iterator[String] =
