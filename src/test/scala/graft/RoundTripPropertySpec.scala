@@ -291,4 +291,52 @@ class RoundTripPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: splitNested partitions each cell's elements by value") {
+    for (seed <- Seq(5, 21)) {
+      val flat = randomChild(seed)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val values = Seq("s0", "s1", "s2")
+      val split = NestedOps.splitNested(packed, "n", "tag", values)
+      // every split nest holds exactly the elements with that tag, and
+      // their union (plus untagged/other elements dropped by split) is
+      // bounded by the original cell
+      val back = values.map { v =>
+        split.select(col("key"), explode(col(s"n_$v")).as("e"))
+          .select(col("key"), col("e.c"), col("e.d"), col("e.tag"))
+      }.reduce(_ unionByName _)
+      val expected = flat.where(col("tag").isin(values: _*))
+      assert(back.exceptAll(expected).isEmpty &&
+        expected.exceptAll(back).isEmpty,
+        s"splitNested partition mismatch at seed=$seed")
+    }
+  }
+
+  test("property: dropNaElements(subset) ≡ explode → notNull filter → " +
+      "repack") {
+    for (seed <- Seq(3, 17)) {
+      val flat = randomChild(seed)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val viaOp = NestedOps.dropNaElements(packed, "n", Seq("tag"))
+        .toFlat("n", baseCols = Seq("key"))
+      val viaExplode = flat.where(col("tag").isNotNull)
+      assert(viaOp.exceptAll(viaExplode).isEmpty &&
+        viaExplode.exceptAll(viaOp).isEmpty,
+        s"dropNaElements semantics mismatch at seed=$seed")
+    }
+  }
+
+  test("property: fillNaElements touches ONLY null fields") {
+    for (seed <- Seq(8, 29)) {
+      val flat = randomChild(seed)
+      val packed = NestedOps.packFlat(flat, Seq("key"), "n")
+      val filled = NestedOps.fillNaElements(packed, "n", Map("tag" -> "zz"))
+        .toFlat("n", baseCols = Seq("key"))
+      val expected = flat.withColumn("tag",
+        coalesce(col("tag"), lit("zz")))
+      assert(filled.exceptAll(expected).isEmpty &&
+        expected.exceptAll(filled).isEmpty,
+        s"fillNaElements semantics mismatch at seed=$seed")
+    }
+  }
 }
