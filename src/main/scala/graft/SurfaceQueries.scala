@@ -253,7 +253,10 @@ object SurfaceQueries {
     * derived deterministically, like q_read_glob). */
   val qMixedRead: Q = (s, dir) => {
     import graft.sources.NestedParquet
-    val root = "/tmp/graft_mixed_read"
+    // per-run temp dir: concurrent battery/verify runs must not race on a
+    // shared fixture path (the data itself is derived deterministically)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mixed_read").toString
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         struct(col("lang").as("val1"),

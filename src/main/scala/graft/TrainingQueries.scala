@@ -795,16 +795,20 @@ object TrainingQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
 
   /** Deterministic global shuffle (training-order randomization): the first
-    * 15 documents of the seeded-hash permutation, rank-stamped. `limit` on
-    * the range-partitioned + within-partition-sorted frame reads the TRUE
-    * global prefix (partition 0 holds the lowest key range), so the oracle
-    * mismatches if either the range partitioning or the in-partition sort
-    * is wrong — DuckDB replays the identical md5 ordering. */
+    * 15 documents of the seeded-hash permutation, rank-stamped. The prefix
+    * is taken with an explicit orderBy(gk) + limit (TakeOrderedAndProject —
+    * a driver-side top-k merge, not a global sort), because LIMIT without a
+    * global ORDER BY has no contractual row order in Spark; globalShuffle
+    * itself stays in the plan, so the oracle (DuckDB replaying the
+    * identical md5 ordering) still fails if the permutation is wrong.
+    * globalShuffle's range-partitioned/partition-local-sort layout remains
+    * the shape for shard WRITES, where per-partition order is the goal. */
   val qGlobalShuffle: Q = (s, dir) => {
-    val first = Sampling.globalShuffle(docs(s, dir), "doc_id", seed = 7L,
-      numPartitions = 8, portableHash = true).limit(15)
-    first
+    val shuffled = Sampling.globalShuffle(docs(s, dir), "doc_id", seed = 7L,
+      numPartitions = 8, portableHash = true)
+    shuffled
       .withColumn("gk", md5(concat(col("doc_id").cast("string"), lit(":7"))))
+      .orderBy(col("gk")).limit(15)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("gk"))).cast("long"))
       .select(col("rank"), col("doc_id"))

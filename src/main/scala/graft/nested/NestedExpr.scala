@@ -362,61 +362,62 @@ object NestedExpr {
     as.map(renderAtom).mkString
   }
 
-  /** `.str` accessor methods resolvable inside query/eval (the reference
-    * reaches pandas' full Series.str surface through the resolver,
-    * expr.py:24-46; we map the commonly-used subset onto Spark SQL string
-    * functions and raise for the rest). method → (sqlFn, arity). */
-  private val strMethods: Map[String, (String, Int)] = Map(
-    "upper" -> ("upper", 0), "lower" -> ("lower", 0),
-    "casefold" -> ("lower", 0), "len" -> ("length", 0),
-    "strip" -> ("trim", 0), "lstrip" -> ("ltrim", 0),
-    "rstrip" -> ("rtrim", 0), "title" -> ("initcap", 0),
-    "startswith" -> ("startswith", 1), "endswith" -> ("endswith", 1),
-    "contains" -> ("contains", 1),
+  /** Simple one-function `.str` methods: method → Spark SQL fn name. */
+  private val strSimple: Map[String, String] = Map(
+    "upper" -> "upper", "lower" -> "lower",
+    "casefold" -> "lower",
+    "strip" -> "trim", "lstrip" -> "ltrim",
+    "rstrip" -> "rtrim", "title" -> "initcap",
+    "startswith" -> "startswith", "endswith" -> "endswith",
+    "contains" -> "contains",
     // pandas ≥2 str.replace defaults to regex=False → Spark's literal
     // replace(str, search, replacement) matches
-    "replace" -> ("replace", 1),
-    // pandas rjust/ljust(width[, fillchar]) ↔ Spark lpad/rpad(x, len[,
-    // pad]) — both default the fill to a single space
-    "rjust" -> ("lpad", 1), "ljust" -> ("rpad", 1))
+    "replace" -> "replace")
 
   /** Zero-arg character-class predicates, rendered as composite SQL
-    * (pandas Series.str.is*; Unicode classes via Java regex, so e.g.
-    * `isdigit` accepts any decimal-digit script like pandas does). The
-    * empty string is false for all of them, matching pandas. */
+    * (pandas Series.str.is*; Unicode classes via Java regex). The empty
+    * string is false for all of them, matching pandas.
+    * Documented divergences from Python's str predicates:
+    *  - isdigit: Python also accepts Numeric_Type=Digit characters that
+    *    are NOT Unicode Nd (e.g. '²' superscript two, category No);
+    *    `\p{Nd}` rejects those (Java regex has no Numeric_Type property).
+    *  - isspace: matched with (?U) so Unicode whitespace (U+00A0 NBSP,
+    *    U+2007 …) is accepted like Python; Java's default \s is
+    *    ASCII-only. */
   private val strPredicates: Map[String, String => String] = Map(
     "isdigit" -> (x => s"regexp_like($x, '^\\\\p{Nd}+$$')"),
     "isnumeric" -> (x => s"regexp_like($x, '^\\\\p{N}+$$')"),
     "isalpha" -> (x => s"regexp_like($x, '^\\\\p{L}+$$')"),
     "isalnum" -> (x => s"regexp_like($x, '^[\\\\p{L}\\\\p{N}]+$$')"),
-    "isspace" -> (x => s"regexp_like($x, '^\\\\s+$$')"),
+    "isspace" -> (x => s"regexp_like($x, '(?U)^\\\\s+$$')"),
     // pandas isupper/islower: every cased char in that case AND at least
     // one cased char exists (x <> other-case proves the latter)
     "isupper" -> (x => s"($x = upper($x) and $x <> lower($x))"),
     "islower" -> (x => s"($x = lower($x) and $x <> upper($x))"))
 
-  /** Render a `.str.method` call: zero-arg methods swallow the trailing
-    * `()` via the `__LEN_CALL` marker; arg-taking methods open the call
-    * and splice the user's argument list in via the `__ARG1` marker. */
-  private def strCall(m: String, x: String, exprStr: String): String =
-    m match {
-      // pandas capitalize: first char upper, REST lower (initcap would
-      // touch every word) — composite SQL, zero-arg
-      case "capitalize" =>
-        s"(concat(upper(substring($x, 1, 1)), " +
-          s"lower(substring($x, 2)))) __LEN_CALL"
-      case _ if strPredicates.contains(m) =>
-        s"(${strPredicates(m)(x)}) __LEN_CALL"
-      case _ => strMethods.get(m) match {
-        case Some((fn, 0)) => s"$fn($x) __LEN_CALL"
-        case Some((fn, _)) => s"$fn($x, __ARG1"
-        case None => throw new IllegalArgumentException(
-          s".str.$m is not supported (supported: " +
-            (strMethods.keys.toSeq ++ strPredicates.keys :+ "capitalize")
-              .sorted.mkString(", ") +
-            s") in: $exprStr")
-      }
-    }
+  /** Every supported `.str` method name (for the raise message and the
+    * analyze-time validation). */
+  private val strSupported: Seq[String] =
+    (strSimple.keys.toSeq ++ strPredicates.keys ++ Seq(
+      "capitalize", "len", "rjust", "ljust", "zfill", "pad", "center",
+      "count", "find", "get", "slice", "split")).sorted
+
+  private def strUnsupported(m: String, exprStr: String): Nothing =
+    throw new IllegalArgumentException(
+      s".str.$m is not supported (supported: " +
+        strSupported.mkString(", ") + s") in: $exprStr")
+
+  /** Open a `.str.method` marker call; the user's textual argument list is
+    * spliced in via the `__ARG1` marker (zero-arg methods swallow the
+    * trailing `()` via `__LEN_CALL`), and the completed
+    * `__GRAFTSTR_method(x, args…)` call is rewritten into final SQL by
+    * [[rewriteStrMarkers]] — which can reference each argument as many
+    * times as the composite needs (pandas semantics like non-truncating
+    * rjust or sign-aware zfill are not single Spark functions). */
+  private def strCall(m: String, x: String, exprStr: String): String = {
+    if (!strSupported.contains(m)) strUnsupported(m, exprStr)
+    s"__GRAFTSTR_$m($x __ARGS0 __ARG1"
+  }
 
   /** SQL keywords / function names we must not treat as column refs. */
   private val keywords = Set(
@@ -539,6 +540,16 @@ object NestedExpr {
                 case Text(t) => t.trim.startsWith("("); case _ => false } =>
             usesBase = true
             strCall(m, bq(base), exprStr)
+          // chained `.str.m` AFTER a preceding .str call, e.g.
+          // `nested.s.str.split(',').str.get(0)` — the `).str.get`
+          // tokenizes as Text(").") + Ident(str, get); emit a chain
+          // marker that rewriteStrMarkers absorbs into the base call
+          case Seq("str", m) if !nestSet.contains("str") &&
+              !baseSet.contains("str") &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("("); case _ => false } =>
+            if (!strSupported.contains(m)) strUnsupported(m, exprStr)
+            s"__GRAFTSTRCHAIN_$m(__ARGS1 __ARG1"
           case Seq(nest, field) if nestSet.contains(nest) =>
             nests += nest
             ref(nest, field)
@@ -557,6 +568,15 @@ object NestedExpr {
               (toks(idx - 1) match {
                 case Text(t) => t.nonEmpty && t.last.isDigit
                 case _       => false }) => one
+          // kwarg name inside a .str argument list (side=, stop=, …):
+          // bare `=` (not `==`) after an unknown ident is not valid
+          // pandas-eval syntax anywhere else — pass it through verbatim
+          // for the marker-call arg parser
+          case Seq(one) if toks.drop(idx + 1).headOption.exists {
+              case Text(t) =>
+                val s = t.trim
+                s.startsWith("=") && !s.startsWith("==")
+              case _ => false } => one
           case Seq(one) =>
             throw new IllegalArgumentException(
               s"Unknown column '$one' in: $exprStr " +
@@ -566,11 +586,332 @@ object NestedExpr {
               s"Unresolvable column path '${other.mkString(".")}' in: $exprStr")
         }
     }.mkString
+    val spliced = sql
       // drop the () of len() calls: "size(n) __LEN_CALL ()" -> "size(n)"
       .replaceAll("""__LEN_CALL\s*\(\s*\)""", "")
-      // splice str-method args: "startswith(x, __ARG1 ('r')" -> "…(x, 'r')"
+      // splice str-method args: "…(x __ARGS0 __ARG1 ('r')" absorbs the
+      // user's argument list into the marker call
       .replaceAll("""__ARG1\s*\(""", "")
-    Analysis(sql, nests.toSeq, usesBase)
+      // __ARGS0 separates the receiver from user args: comma when args
+      // follow, nothing before the closing paren (zero-arg call)
+      .replaceAll("""__ARGS0\s*\)""", ")")
+      .replaceAll("""__ARGS0\s*""", ", ")
+      // __ARGS1 is the no-receiver variant used by chain markers
+      .replaceAll("""__ARGS1\s*\)""", ")")
+      .replaceAll("""__ARGS1\s*""", "")
+    Analysis(rewriteStrMarkers(spliced, exprStr), nests.toSeq, usesBase)
+  }
+
+  // -------------------------------------------------------------------------
+  // `.str` marker rewriting: once the user's textual argument lists are
+  // spliced into `__GRAFTSTR_m(x, args…)` / chained `.__GRAFTSTRCHAIN_m(…)`
+  // calls, parse them (balanced parens, quote-aware) and render final SQL.
+  // Unlike the naive single-function mapping this lets a method reference
+  // its arguments as many times as the pandas semantics need (e.g.
+  // non-truncating rjust, sign-aware zfill, python slice normalization).
+  // -------------------------------------------------------------------------
+
+  /** Parse a parenthesized argument list starting at (or after whitespace
+    * from) `from`; returns the top-level-comma-split args (trimmed) and the
+    * index just past the closing paren. Quote- and nesting-aware. */
+  private def parseArgList(s: String, from: Int,
+                           exprStr: String): (Seq[String], Int) = {
+    var i = from
+    while (i < s.length && s(i).isWhitespace) i += 1
+    require(i < s.length && s(i) == '(',
+      s"malformed .str call in: $exprStr")
+    i += 1
+    val args = collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s(i)
+      if (c == '\'' || c == '"') {
+        val q = c; cur += c; i += 1
+        while (i < s.length && s(i) != q) {
+          if (s(i) == '\\' && i + 1 < s.length) {
+            cur += s(i); cur += s(i + 1); i += 2
+          } else { cur += s(i); i += 1 }
+        }
+        require(i < s.length, s"unclosed quote in: $exprStr")
+        cur += q; i += 1
+      } else if (c == '(' || c == '[') { depth += 1; cur += c; i += 1 }
+      else if (c == ']') { depth -= 1; cur += c; i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) cur += c
+        i += 1
+      } else if (c == ',' && depth == 1) { args += cur.toString; cur.clear(); i += 1 }
+      else { cur += c; i += 1 }
+    }
+    require(depth == 0, s"unbalanced parens in .str call in: $exprStr")
+    args += cur.toString
+    val trimmed = args.toSeq.map(_.trim)
+    (if (trimmed == Seq("")) Nil else trimmed, i)
+  }
+
+  private val strChainRe = """^\.__GRAFTSTRCHAIN_(\w+)""".r
+
+  /** Rewrite every completed str-marker call (and its chain) in `sql0`. */
+  private def rewriteStrMarkers(sql0: String, exprStr: String): String = {
+    val MARK = "__GRAFTSTR_"
+    var sql = sql0
+    var guard = 0
+    while (sql.contains(MARK)) {
+      guard += 1
+      require(guard < 1000, s"str-marker rewrite did not converge: $exprStr")
+      val i = sql.indexOf(MARK)
+      var j = i + MARK.length
+      val nameStart = j
+      while (j < sql.length && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
+      val m0 = sql.substring(nameStart, j)
+      val (args0, end0) = parseArgList(sql, j, exprStr)
+      require(args0.nonEmpty, s"malformed .str.$m0 call in: $exprStr")
+      // receiver + user args; args may themselves contain markers — recurse
+      var cur = rewriteStrMarkers(args0.head, exprStr)
+      var calls = List((m0, args0.tail.map(rewriteStrMarkers(_, exprStr))))
+      var end = end0
+      var chaining = true
+      while (chaining) {
+        strChainRe.findFirstMatchIn(sql.substring(end)) match {
+          case Some(mm) =>
+            val (cargs, cend) =
+              parseArgList(sql, end + mm.matched.length, exprStr)
+            calls = calls :+
+              ((mm.group(1), cargs.map(rewriteStrMarkers(_, exprStr))))
+            end = cend
+          case None => chaining = false
+        }
+      }
+      var isArr = false
+      for ((m, args) <- calls) {
+        val (r, arr) = renderStrMethod(m, cur, args, isArr, exprStr)
+        cur = r; isArr = arr
+      }
+      sql = sql.substring(0, i) + cur + sql.substring(end)
+    }
+    require(!sql.contains("__GRAFTSTRCHAIN_"),
+      s"chained .str is only supported directly after a .str method " +
+        s"call in: $exprStr")
+    sql
+  }
+
+  private def intLit(a: String): Option[Int] = {
+    val t = a.trim
+    if (t.matches("[+-]?\\d+")) Some(t.toInt) else None
+  }
+
+  private val kwargRe = """^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$""".r
+
+  /** Literal single-quoted/double-quoted SQL string content, if `a` is one. */
+  private def strLitContent(a: String): Option[String] = {
+    val t = a.trim
+    if (t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+        t.last == t.head) Some(t.substring(1, t.length - 1))
+    else None
+  }
+
+  private val regexSpecials = "\\^$.|?*+()[]{}"
+
+  /** Render one `.str.method(args)` over the SQL expression `x`.
+    * `arrayInput` is true when x is the ARRAY result of a preceding
+    * `.str.split` in the same chain (pandas Series.str works on lists of
+    * strings too: len → list length, get → element).
+    * Returns (sql, resultIsArray). Pandas parity notes inline; NULL inputs
+    * propagate NULL through every composite (concat/repeat/substring are
+    * all NULL-strict). */
+  private def renderStrMethod(m: String, x: String, args: Seq[String],
+      arrayInput: Boolean, exprStr: String): (String, Boolean) = {
+    def req(n: Int): Unit = require(args.length == n,
+      s".str.$m expects $n argument(s), got ${args.length} in: $exprStr")
+    def fillArg(pos: Int, default: String = "' '"): String =
+      if (args.length > pos) {
+        strLitContent(args(pos)).foreach { c =>
+          require(c.length == 1,
+            s".str.$m fillchar must be exactly one character in: $exprStr")
+        }
+        args(pos)
+      } else default
+    // non-truncating pad amount (pandas rjust/ljust/zfill/pad never
+    // truncate strings already >= width, unlike SQL lpad/rpad)
+    def padN(w: String) = s"greatest(($w) - length($x), 0)"
+    if (arrayInput && m != "get" && m != "len")
+      throw new IllegalArgumentException(
+        s".str.$m after .str.split is not supported (supported on list " +
+          s"results: get, len) in: $exprStr")
+    m match {
+      case _ if strSimple.contains(m) =>
+        val fn = strSimple(m)
+        val nArgs = m match {
+          case "startswith" | "endswith" | "contains" => 1
+          case "replace" => 2
+          case _ => 0
+        }
+        req(nArgs)
+        (s"$fn(${(x +: args).mkString(", ")})", false)
+      case _ if strPredicates.contains(m) =>
+        req(0); (s"(${strPredicates(m)(x)})", false)
+      // pandas capitalize: first char upper, REST lower (initcap would
+      // touch every word)
+      case "capitalize" =>
+        req(0)
+        (s"concat(upper(substring($x, 1, 1)), lower(substring($x, 2)))",
+          false)
+      case "len" =>
+        req(0); (if (arrayInput) s"size($x)" else s"length($x)", false)
+      case "rjust" | "ljust" =>
+        require(args.nonEmpty && args.length <= 2,
+          s".str.$m expects width[, fillchar] in: $exprStr")
+        val w = args(0); val f = fillArg(1)
+        val pad = s"repeat($f, ${padN(w)})"
+        (if (m == "rjust") s"concat($pad, $x)" else s"concat($x, $pad)",
+          false)
+      case "zfill" =>
+        // python str.zfill: '0'-pad on the left, but a leading +/- sign
+        // stays in front of the padding ('-1'.zfill(3) == '-01')
+        req(1)
+        val w = args(0)
+        val z = s"repeat('0', ${padN(w)})"
+        ((s"(case when substring($x, 1, 1) in ('+', '-') then " +
+          s"concat(substring($x, 1, 1), $z, substring($x, 2)) " +
+          s"else concat($z, $x) end)"), false)
+      case "pad" | "center" =>
+        // pandas pad(width, side='left', fillchar=' '); center ≡ side='both'
+        require(args.nonEmpty,
+          s".str.$m expects width[, side][, fillchar] in: $exprStr")
+        var width: Option[String] = None
+        var side: String = if (m == "center") "both" else "left"
+        var fill: String = "' '"
+        var pos = 0
+        args.foreach { a =>
+          kwargRe.findFirstMatchIn(a) match {
+            case Some(mm) => mm.group(1) match {
+              case "width" => width = Some(mm.group(2))
+              case "side" if m == "pad" =>
+                side = strLitContent(mm.group(2)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s".str.pad side must be a string literal in: $exprStr"))
+              case "fillchar" => fill = mm.group(2)
+              case other => throw new IllegalArgumentException(
+                s".str.$m got unexpected keyword '$other' in: $exprStr")
+            }
+            case None =>
+              (pos, m) match {
+                case (0, _) => width = Some(a)
+                case (1, "pad") => side = strLitContent(a).getOrElse(
+                  throw new IllegalArgumentException(
+                    s".str.pad side must be a string literal in: $exprStr"))
+                case (1, "center") => fill = a
+                case (2, "pad") => fill = a
+                case _ => throw new IllegalArgumentException(
+                  s".str.$m: too many arguments in: $exprStr")
+              }
+              pos += 1
+          }
+        }
+        strLitContent(fill).foreach { c =>
+          require(c.length == 1,
+            s".str.$m fillchar must be exactly one character in: $exprStr")
+        }
+        val w = width.getOrElse(throw new IllegalArgumentException(
+          s".str.$m requires width in: $exprStr"))
+        val d = padN(w)
+        side match {
+          case "left"  => (s"concat(repeat($fill, $d), $x)", false)
+          case "right" => (s"concat($x, repeat($fill, $d))", false)
+          case "both" =>
+            // python str.center: left = marg//2 + (marg & width & 1) —
+            // the extra fill char goes LEFT only when both the margin
+            // and the requested width are odd (CPython's parity quirk)
+            val l = s"((($d) div 2) + ((($d) % 2) * (($w) % 2)))"
+            (s"concat(repeat($fill, $l), $x, " +
+              s"repeat($fill, ($d) - $l))", false)
+          case other => throw new IllegalArgumentException(
+            s".str.pad side must be left/right/both, got '$other' in: " +
+              exprStr)
+        }
+      case "count" =>
+        // pandas str.count: pat is a REGEX, non-overlapping matches
+        req(1)
+        (s"size(regexp_extract_all($x, ${args(0)}, 0))", false)
+      case "find" =>
+        // lowest index of LITERAL sub, -1 if absent (instr is 1-based,
+        // 0 when absent); start/end args unsupported → raise via req
+        req(1)
+        (s"(instr($x, ${args(0)}) - 1)", false)
+      case "get" =>
+        req(1)
+        val i = intLit(args(0)).getOrElse(
+          throw new IllegalArgumentException(
+            s".str.get expects a literal int index in: $exprStr"))
+        if (arrayInput) {
+          // spark get() is 0-based and NULL (like pandas NaN) out of
+          // bounds or for a still-negative normalized index
+          val idx = if (i >= 0) i.toString else s"size($x) + ($i)"
+          (s"get($x, $idx)", false)
+        } else if (i >= 0)
+          // substring past the end yields '' → NULL, matching pandas NaN
+          (s"nullif(substring($x, ${i + 1}, 1), '')", false)
+        else
+          ((s"(case when length($x) + ($i) < 0 then null " +
+            s"else nullif(substring($x, length($x) + ($i) + 1, 1), '') " +
+            s"end)"), false)
+      case "slice" =>
+        // python s[start:stop] with literal-int bounds (step other than
+        // 1 unsupported); each bound normalized python-style against len
+        require(args.length <= 3,
+          s".str.slice expects start[, stop[, step]] in: $exprStr")
+        var start: Option[Int] = None; var stop: Option[Int] = None
+        var pos = 0
+        args.foreach { a =>
+          def asInt(v: String, what: String): Int = intLit(v).getOrElse(
+            throw new IllegalArgumentException(
+              s".str.slice $what must be a literal int in: $exprStr"))
+          kwargRe.findFirstMatchIn(a) match {
+            case Some(mm) => mm.group(1) match {
+              case "start" => start = Some(asInt(mm.group(2), "start"))
+              case "stop"  => stop = Some(asInt(mm.group(2), "stop"))
+              case "step" => require(asInt(mm.group(2), "step") == 1,
+                s".str.slice step != 1 is not supported in: $exprStr")
+              case other => throw new IllegalArgumentException(
+                s".str.slice got unexpected keyword '$other' in: $exprStr")
+            }
+            case None =>
+              pos match {
+                case 0 => start = Some(asInt(a, "start"))
+                case 1 => stop = Some(asInt(a, "stop"))
+                case 2 => require(asInt(a, "step") == 1,
+                  s".str.slice step != 1 is not supported in: $exprStr")
+                case _ => ()
+              }
+              pos += 1
+          }
+        }
+        def norm(i: Int): String =
+          if (i >= 0) s"least($i, length($x))"
+          else s"greatest(length($x) + ($i), 0)"
+        val s0 = start.map(norm).getOrElse("0")
+        val s1 = stop.map(norm).getOrElse(s"length($x)")
+        (s"substring($x, ($s0) + 1, greatest(($s1) - ($s0), 0))", false)
+      case "split" =>
+        // pandas str.split: no pat → python whitespace split (unicode ws,
+        // empties dropped); 1-char pat → literal; longer pat → regex
+        // (the pandas regex=None rule)
+        require(args.length <= 1,
+          s".str.split supports at most a pat argument in: $exprStr")
+        if (args.isEmpty)
+          (s"filter(split($x, '(?U)\\\\s+'), __sp -> __sp <> '')", true)
+        else strLitContent(args(0)) match {
+          case Some(c) if c.length == 1 =>
+            val esc =
+              if (regexSpecials.contains(c.head)) "\\\\" + c else c
+            (s"split($x, '$esc')", true)
+          case Some(_) => (s"split($x, ${args(0)})", true)
+          case None => throw new IllegalArgumentException(
+            s".str.split pat must be a string literal in: $exprStr")
+        }
+      case other => strUnsupported(other, exprStr)
+    }
   }
 
   private def analyze(df: DataFrame, exprStr: String,

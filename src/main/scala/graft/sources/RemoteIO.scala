@@ -19,10 +19,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object RemoteIO {
 
+  /** Caller-registered schemes (the fsspec `register_implementation`
+    * analog — the reference rides fsspec, whose protocol registry is
+    * likewise process-global): scheme → Hadoop conf to apply, typically
+    * including an `fs.<scheme>.impl` key naming the FileSystem class. */
+  private val registeredSchemes =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  /** Register a custom filesystem scheme with its Hadoop conf (e.g. a
+    * vendor connector, or a test filesystem). Subsequent
+    * [[storageConf]]/[[readParquet]] calls for the scheme use it. */
+  def registerScheme(scheme: String, conf: Map[String, String]): Unit =
+    registeredSchemes.put(scheme, conf)
+
   /** Parquet-friendly Hadoop conf per filesystem scheme. Local schemes
     * need nothing; unknown schemes raise (like the reference's helpful
     * error on an unsupported protocol). */
-  def storageConf(scheme: String): Map[String, String] = scheme match {
+  def storageConf(scheme: String): Map[String, String] =
+    registeredSchemes.get(scheme).getOrElse(builtinStorageConf(scheme))
+
+  private def builtinStorageConf(scheme: String): Map[String, String] =
+    scheme match {
     case "s3a" => Map(
       "fs.s3a.experimental.input.fadvise" -> "random",
       "fs.s3a.vectored.read.min.seek.size" -> "131072",
@@ -42,9 +59,12 @@ object RemoteIO {
         "(supported: s3a, abfs, abfss, gs, hdfs, file)")
   }
 
-  /** Scheme of a storage URL; bare paths read as local files. */
+  /** Scheme of a storage URL; bare paths read as local files — including
+    * legal local paths that are not legal URIs (spaces, brackets …), for
+    * which URI.create would throw. */
   def schemeOf(url: String): String =
-    Option(java.net.URI.create(url).getScheme).getOrElse("file")
+    try Option(java.net.URI.create(url).getScheme).getOrElse("file")
+    catch { case _: IllegalArgumentException => "file" }
 
   /** Apply the per-scheme conf (plus caller extras — credentials,
     * endpoints) to the session's Hadoop configuration. Returns the

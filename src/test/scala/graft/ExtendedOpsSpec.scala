@@ -663,5 +663,28 @@ class ExtendedOpsSpec extends SparkSpec {
     spark.range(5).toDF("id").write.mode("overwrite")
       .parquet(s"$dir/t.parquet")
     assert(RemoteIO.readParquet(spark, s"$dir/t.parquet").count() == 5)
+    // legal local paths that are not legal URIs still fall back to file
+    assert(RemoteIO.schemeOf("/tmp/my dir/x.parquet") == "file")
+  }
+
+  test("RemoteIO: registered custom scheme end-to-end — testfs:// parquet " +
+      "read dispatches through the scheme's FileSystem with its conf " +
+      "applied (fsspec register_implementation analog)") {
+    import graft.sources.RemoteIO
+    RemoteIO.registerScheme("testfs", Map(
+      "fs.testfs.impl" -> classOf[TestFs].getName,
+      "graft.testfs.marker" -> "applied"))
+    assert(RemoteIO.storageConf("testfs")
+      .get("graft.testfs.marker").contains("applied"))
+    val dir = java.nio.file.Files.createTempDirectory("testfs").toString
+    spark.range(7).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    val before = TestFs.opens
+    val df = RemoteIO.readParquet(spark, s"testfs://$dir/t.parquet")
+    assert(df.count() == 7)
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("graft.testfs.marker") == "applied")
+    // the read was actually served by the custom FileSystem
+    assert(TestFs.opens > before)
   }
 }
