@@ -279,8 +279,17 @@ object Dedup {
                           driverMaxEdges: Long = 10000000L,
                           maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
-    val materialized = edges.select(col("a"), col("b")).localCheckpoint()
-    if (materialized.count() <= driverMaxEdges) {
+    import spark.implicits._
+    // RDD-handle checkpoint (not Dataset.localCheckpoint) so the cached
+    // edge blocks can be EXPLICITLY unpersisted once consumed: CC runs
+    // inside long batteries/pipelines, and relying on the ContextCleaner
+    // to eventually GC checkpoint blocks lets storage memory accumulate
+    // across queries (pressure that showed up as run-to-run bench noise).
+    val edgeRdd = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].rdd
+    edgeRdd.localCheckpoint()
+    val nEdges = edgeRdd.count()
+    if (nEdges <= driverMaxEdges) {
       val parent = collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var root = x
@@ -292,19 +301,24 @@ object Dedup {
         }
         root
       }
-      materialized.collect().foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
+      edgeRdd.collect().foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // union by min id so component == min reachable id
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
         parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
       }
+      edgeRdd.unpersist(blocking = false)
       val rows = parent.keys.toSeq.map(v => (v, find(v)))
-      import spark.implicits._
       return rows.toDF("v", "component")
     }
-    connectedComponentsStars(materialized, maxIter)
+    // stars' first materialize (eager, inside the call) is the only
+    // consumer of the edge checkpoint — safe to release right after
+    val result =
+      connectedComponentsStars(spark.createDataset(edgeRdd).toDF("a", "b"),
+        maxIter)
+    edgeRdd.unpersist(blocking = false)
+    result
   }
 
   /** Distributed CC by alternating large-star/small-star contraction
@@ -350,14 +364,15 @@ object Dedup {
     // round-trip resets the estimate every round.
     val spark = edges.sparkSession
     import spark.implicits._
-    def materialize(e: DataFrame): DataFrame = {
+    def materialize(e: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[(Long, Long)]) = {
       val rdd = e.select(col("a").cast("long"), col("b").cast("long"))
         .as[(Long, Long)].rdd
       rdd.localCheckpoint()
       rdd.count() // force materialization; truncates lineage
-      spark.createDataset(rdd).toDF("a", "b")
+      (spark.createDataset(rdd).toDF("a", "b"), rdd)
     }
-    var cur = materialize(canon(edges))
+    var (cur, curRdd) = materialize(canon(edges))
     // (count, hash-XOR) signature: one cheap agg per round decides
     // convergence without a set-difference join (XOR can't overflow)
     def sig(e: DataFrame) =
@@ -367,10 +382,14 @@ object Dedup {
     var curSig = sig(cur)
     while (iter < maxIter && !done) {
       val t0 = System.nanoTime()
-      val next = materialize(canon(smallStar(largeStar(cur))))
+      val (next, nextRdd) = materialize(canon(smallStar(largeStar(cur))))
       val nextSig = sig(next)
       done = nextSig == curSig
-      cur = next; curSig = nextSig; iter += 1
+      // the previous round's checkpoint blocks are dead once the next
+      // round is materialized — release them instead of letting 20+
+      // rounds of edge snapshots pile up in storage memory
+      curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd; curSig = nextSig; iter += 1
       if (verbose)
         println(f"[ccStars] round $iter: edges=${nextSig.getLong(0)} " +
           f"${(System.nanoTime() - t0) / 1e9}%.1fs")
