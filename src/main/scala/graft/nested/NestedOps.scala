@@ -706,6 +706,55 @@ object NestedOps {
     if (base.nonEmpty) afterNested.drop(base: _*) else afterNested
   }
 
+  /** Positional row selection with pandas `ExtensionArray.take` semantics
+    * (reference test_ext_array.py:1100-1178): rows are addressed by their
+    * value in `orderCol` — a dense 0-based position column the CALLER
+    * provides, because distributed rows carry no implicit position — and
+    * returned in `indices` order (the result is sorted by take position).
+    *
+    *  - allowFill=false: negative indices wrap python-style from the end.
+    *  - allowFill=true: only -1 is a legal negative index and yields an
+    *    all-NULL row, or the caller's `fillRow` values when provided (the
+    *    reference's `fill_value` row).
+    *  - any index out of bounds raises (IndexError in the reference),
+    *    including on an empty frame with non-empty indices.
+    *
+    * Scale shape: `indices` is a driver-side argument by contract (takes
+    * are small reorderings, not data-sized scans), so the index frame
+    * broadcast-joins against one pass of the input — no shuffle of df. */
+  def takeRows(df: DataFrame, orderCol: String, indices: Seq[Long],
+               allowFill: Boolean = false,
+               fillRow: Map[String, Column] = Map.empty): DataFrame = {
+    val n = df.count()
+    val resolved: Seq[Long] = indices.map { i =>
+      if (allowFill) {
+        if (i == -1L) -1L
+        else if (i < 0L) throw new IndexOutOfBoundsException(
+          s"take: negative index $i with allowFill=true (only -1 allowed)")
+        else if (i >= n) throw new IndexOutOfBoundsException(
+          s"take: index $i out of bounds for length $n")
+        else i
+      } else {
+        val j = if (i < 0L) n + i else i
+        if (j < 0L || j >= n) throw new IndexOutOfBoundsException(
+          s"take: index $i out of bounds for length $n")
+        j
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idx = resolved.zipWithIndex
+      .map { case (j, pos) => (pos.toLong, j) }.toDF("__pos", "__idx")
+    val joined = org.apache.spark.sql.functions.broadcast(idx)
+      .join(df, idx("__idx") === df(orderCol), "left")
+    val filled =
+      if (fillRow.isEmpty) joined
+      else fillRow.foldLeft(joined) { case (acc, (c, v)) =>
+        acc.withColumn(c, when(col("__idx") === -1L, v).otherwise(col(c)))
+      }
+    filled.orderBy(col("__pos")).drop("__idx", "__pos")
+  }
+
   // ---------------------------------------------------------------------------
   // Reshaping (reference: core.py explode/split, accessor.py to_flatten_inner)
   // ---------------------------------------------------------------------------
