@@ -1034,14 +1034,24 @@ object NestedOps {
     *
     * Long format (column, stat, value). ONE aggregate per LAYER — all columns
     * of a layer share a single scan/agg (N columns used to cost N scans),
-    * which at 100 TB is the difference between 1 job and N jobs. Exact
-    * percentiles (pandas interpolation); at extreme scale swap `percentile`
-    * for `percentile_approx`. */
+    * which at 100 TB is the difference between 1 job and N jobs.
+    *
+    * `approx = false` (default): exact percentiles with pandas
+    * interpolation — right for oracle parity and anything that fits a
+    * sort-based exact aggregate. `approx = true`: the 100 TB path —
+    * `percentile_approx` (Greenwald-Khanna sketch, mergeable, bounded
+    * memory per partition instead of collecting every value per group);
+    * `approxAccuracy` bounds the RANK error at ±1/accuracy of the value
+    * count (default 10000 → ±0.01% of ranks), values are always members
+    * of the column (no interpolation). count/mean/std/min/max are exact
+    * either way. */
   def describeAll(df: DataFrame,
                   percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
                   excludeNest: Boolean = false,
                   include: Option[Seq[String]] = None,
-                  exclude: Seq[String] = Nil): DataFrame = {
+                  exclude: Seq[String] = Nil,
+                  approx: Boolean = false,
+                  approxAccuracy: Int = 10000): DataFrame = {
     require(percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
     def typeNames(dt: DataType): Set[String] = dt match {
@@ -1073,7 +1083,12 @@ object NestedOps {
               min(col(bqn(c))).cast("double").as(a(c, "min")),
               max(col(bqn(c))).cast("double").as(a(c, "max"))) ++
             percentiles.zipWithIndex.map { case (p, i) =>
-              expr(s"percentile(${bqn(c)}, $p)").as(a(c, s"pct$i"))
+              val pctExpr =
+                if (approx)
+                  s"cast(percentile_approx(${bqn(c)}, cast($p as double), " +
+                    s"$approxAccuracy) as double)"
+                else s"percentile(${bqn(c)}, $p)"
+              expr(pctExpr).as(a(c, s"pct$i"))
             }
         }
         // pandas stat order: count mean std min <percentiles> max

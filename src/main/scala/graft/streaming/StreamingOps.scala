@@ -26,7 +26,17 @@ object StreamingOps {
     * passed their window; rows arriving after it are DROPPED silently —
     * the emitted cell is never updated or retracted. Consumers that
     * cannot tolerate drops should widen `watermark` (state cost grows
-    * linearly with it) rather than expect updates. */
+    * linearly with it) rather than expect updates.
+    *
+    * OUTPUT MODES (spec-pinned): `append` is the production contract
+    * above. `update` is also supported: every micro-batch re-emits the
+    * GROWN cell for each (key, window) it touched — consumers see
+    * intermediate versions and must upsert by (key, window); the final
+    * update equals the append-mode cell, and beyond-watermark rows are
+    * dropped identically. `complete` mode is an ANTI-PATTERN here: it
+    * disables watermark state eviction (every window ever seen must stay
+    * re-emittable), so state grows without bound on an unbounded key
+    * space — use it only for bounded-cardinality debugging sinks. */
   def packStream(child: DataFrame, key: String, tsCol: String,
                  valueCols: Seq[String], name: String,
                  windowLen: String = "10 minutes",

@@ -184,6 +184,31 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(d.count() == 4 * 8)
   }
 
+  test("describeAll approx=true: sketch percentiles track exact within " +
+      "the documented rank bound; all other stats identical") {
+    val df = spark.range(0, 10001).toDF("k")
+      .select(col("k"), (col("k") * 2).cast("double").as("v"))
+    val exact = NestedOps.describeAll(df)
+    val approx = NestedOps.describeAll(df, approx = true)
+    def stat(d: org.apache.spark.sql.DataFrame, c: String, s: String) =
+      d.where($"column" === c && $"stat" === s)
+        .select("value").as[Double].head()
+    // count/mean/std/min/max are exact in both modes
+    for (s <- Seq("count", "mean", "std", "min", "max"))
+      assert(stat(exact, "v", s) == stat(approx, "v", s))
+    // percentile_approx at accuracy=10000 over 10001 distinct values:
+    // rank error <= n/accuracy ~ 1 rank => value within one step (2.0)
+    for (s <- Seq("25%", "50%", "75%")) {
+      val e = stat(exact, "v", s); val a = stat(approx, "v", s)
+      assert(math.abs(e - a) <= 2.0 + 1e-9, s"$s: exact=$e approx=$a")
+      // sketch values are members of the column, not interpolations
+      assert(a % 2.0 == 0.0)
+    }
+    // shape contract unchanged: same (column, stat) grid
+    assert(exact.select("column", "stat").collect().toSet ==
+      approx.select("column", "stat").collect().toSet)
+  }
+
   test("describeAll include/exclude dtype filters; empty selection raises") {
     val df = Seq((1L, 2.0, "x"), (2L, 4.0, "y")).toDF("k", "v", "s")
     val onlyDouble = NestedOps.describeAll(df, include = Some(Seq("double")))
@@ -321,6 +346,43 @@ class ExtendedOpsSpec extends SparkSpec {
       // exactly ONE emission of W1, carrying the two on-time rows plus
       // the in-watermark out-of-order row — and NOT the 99.0 late row
       assert(w1 == Seq((3, 6.0)), s"W1 emissions: $w1")
+    } finally q.stop()
+  }
+
+  test("streaming pack UPDATE-mode contract: each batch re-emits the " +
+      "grown cell for windows it touched; the final update equals the " +
+      "append-mode cell; beyond-watermark rows still dropped") {
+    implicit val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def ts(offMin: Long) =
+      new java.sql.Timestamp(1700000000000L + offMin * 60000L)
+    val df = ms.toDF().toDF("user_id", "ts", "value")
+    val packed = StreamingOps.packStream(df, "user_id", "ts",
+      Seq("value"), "events", "10 minutes", "10 minutes")
+    val q = packed.writeStream.outputMode("update")
+      .format("memory").queryName("updout").start()
+    try {
+      def batch(rows: (Long, java.sql.Timestamp, Double)*): Unit = {
+        ms.addData(rows); q.processAllAvailable()
+      }
+      batch((1L, ts(1), 1.0))               // W1 partial: [1.0]
+      batch((1L, ts(2), 2.0))               // W1 grown:   [1.0, 2.0]
+      batch((2L, ts(25), 9.0))              // watermark past W1.end
+      batch((1L, ts(1), 99.0))              // beyond watermark: dropped
+      batch((2L, ts(45), 8.0))
+      // memory sink in update mode accumulates each batch's updated
+      // rows, so the table holds W1's EMISSION HISTORY
+      val w1 = spark.sql(
+        """SELECT size(events) AS n,
+          |  aggregate(transform(events, e -> e.value),
+          |            cast(0.0 as double), (a, v) -> a + v) AS sv
+          |FROM updout WHERE user_id = 1 ORDER BY n""".stripMargin)
+        .as[(Int, Double)].collect().toSeq
+      assert(w1 == Seq((1, 1.0), (2, 3.0)), s"W1 emission history: $w1")
+      // the last update (2 rows, sum 3.0) is exactly the append-mode
+      // final cell from the late-data spec above; the 99.0 row never
+      // surfaced in any emission
     } finally q.stop()
   }
 
