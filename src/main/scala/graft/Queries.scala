@@ -193,6 +193,35 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** The round-8 `.str` long-tail surface in ONE oracled query: zfill,
+    * python slice, regex count, find, split + chained get(0)/get(-1)/
+    * len(), non-truncating rjust, and center with CPython's parity rule
+    * — each computed per ELEMENT through eval assignments on a nested
+    * frame, then value-hash-checked against DuckDB replaying the same
+    * string semantics in plain SQL (strpos/substr/string_split/list
+    * indexing). */
+  val qDialectStr: Q = (s, dir) => {
+    val d = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val packed = NestedOps.packFlat(d, Seq("lang"), "n",
+      sortBy = Seq(("doc_id", true)))
+    NestedExpr.eval(packed,
+      """n.z = n.source.str.zfill(10)
+        |n.sl = n.source.str.slice(2, 7)
+        |n.cnt = n.text.str.count('e')
+        |n.fnd = n.text.str.find('data')
+        |n.tok = n.text.str.split(' ').str.get(0)
+        |n.ltk = n.text.str.split(' ').str.get(-1)
+        |n.ntk = n.text.str.split(' ').str.len()
+        |n.rj = n.source.str.rjust(8, '.')
+        |n.ctr = n.source.str.center(9, '*')""".stripMargin)
+      .toFlat("n")
+      .select(col("doc_id"), col("z"), col("sl"),
+        col("cnt").cast("long").as("cnt"), col("fnd").cast("long").as("fnd"),
+        col("tok"), col("ltk"), col("ntk").cast("long").as("ntk"),
+        col("rj"), col("ctr"))
+  }
+
   /** dropna / fillna on nested elements (nulls synthesized deterministically). */
   val qDropnaFillna: Q = (s, dir) => {
     val packed = NestedOps.packFlat(
@@ -572,6 +601,7 @@ object Queries {
     "q_asof_ts_nearest" -> qAsofTsNearest,
     "q_asof_ntz_tol" -> qAsofNtzTol,
     "q_dialect_ext" -> qDialectExt,
+    "q_dialect_str" -> qDialectStr,
     "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
@@ -688,6 +718,30 @@ object Queries {
         |        CAST(ts AS TIMESTAMP) AS ts, value FROM events
         |      WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+    // the .str long-tail surface replayed in plain DuckDB string SQL;
+    // `ctr` spells out CPython's center parity rule (extra fill LEFT only
+    // when margin and width are both odd — width 9 here, so left =
+    // marg//2 + marg%2)
+    "q_dialect_str" ->
+      """SELECT doc_id,
+        | repeat('0', greatest(10 - length(source), 0)) || source AS z,
+        | substr(source, least(2, length(source)) + 1,
+        |   greatest(least(7, length(source)) - least(2, length(source)),
+        |            0)) AS sl,
+        | CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT)
+        |   AS cnt,
+        | CAST(strpos(text, 'data') - 1 AS BIGINT) AS fnd,
+        | string_split(text, ' ')[1] AS tok,
+        | string_split(text, ' ')[-1] AS ltk,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS ntk,
+        | repeat('.', greatest(8 - length(source), 0)) || source AS rj,
+        | repeat('*', greatest(9 - length(source), 0) // 2
+        |             + greatest(9 - length(source), 0) % 2)
+        |   || source ||
+        |   repeat('*', greatest(9 - length(source), 0)
+        |               - (greatest(9 - length(source), 0) // 2
+        |                  + greatest(9 - length(source), 0) % 2)) AS ctr
+        |FROM documents""".stripMargin,
     "q_dialect_ext" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty

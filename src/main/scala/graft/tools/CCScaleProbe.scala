@@ -34,6 +34,11 @@ object CCScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "96"))
+      // with a big pre-touched ParallelGC heap, full GCs are rare, so
+      // dereferenced shuffle files linger on disk; at 1B edges each
+      // round writes ~100 GB of shuffle — force the ContextCleaner's
+      // periodic GC often enough that only ~1 round's files are live
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
