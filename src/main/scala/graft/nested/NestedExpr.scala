@@ -652,15 +652,34 @@ object NestedExpr {
 
   private val strChainRe = """^\.__GRAFTSTRCHAIN_(\w+)""".r
 
+  /** First occurrence of `needle` in `s` OUTSIDE any quoted string
+    * literal (marker text typed by a user inside a literal is data, not
+    * a marker call), or -1. */
+  private def indexOfOutsideQuotes(s: String, needle: String): Int = {
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'' || c == '"') {
+        val q = c; i += 1
+        while (i < s.length && s(i) != q) {
+          if (s(i) == '\\' && i + 1 < s.length) i += 2 else i += 1
+        }
+        i += 1
+      } else if (s.startsWith(needle, i)) return i
+      else i += 1
+    }
+    -1
+  }
+
   /** Rewrite every completed str-marker call (and its chain) in `sql0`. */
   private def rewriteStrMarkers(sql0: String, exprStr: String): String = {
     val MARK = "__GRAFTSTR_"
     var sql = sql0
     var guard = 0
-    while (sql.contains(MARK)) {
+    var i = indexOfOutsideQuotes(sql, MARK)
+    while (i >= 0) {
       guard += 1
       require(guard < 1000, s"str-marker rewrite did not converge: $exprStr")
-      val i = sql.indexOf(MARK)
       var j = i + MARK.length
       val nameStart = j
       while (j < sql.length && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
@@ -689,8 +708,9 @@ object NestedExpr {
         cur = r; isArr = arr
       }
       sql = sql.substring(0, i) + cur + sql.substring(end)
+      i = indexOfOutsideQuotes(sql, MARK)
     }
-    require(!sql.contains("__GRAFTSTRCHAIN_"),
+    require(indexOfOutsideQuotes(sql, "__GRAFTSTRCHAIN_") < 0,
       s"chained .str is only supported directly after a .str method " +
         s"call in: $exprStr")
     sql

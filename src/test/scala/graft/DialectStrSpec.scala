@@ -148,6 +148,14 @@ class DialectStrSpec extends SparkSpec {
     assert(ex2.getMessage.contains("not supported"))
   }
 
+  test("marker text inside a user STRING LITERAL is data, not a call") {
+    // a literal containing the internal marker name must pass through
+    // the rewriter untouched (quote-aware marker scan)
+    val r = strs("n.s.str.replace('ab', '__GRAFTSTR_upper(x)')")
+    assert(r.head == "__GRAFTSTR_upper(x)")
+    assert(r(1) == "ABCDE") // untouched non-match
+  }
+
   test("existing methods still work through the marker path (filters)") {
     val g = df
     def n(q: String): Int =
