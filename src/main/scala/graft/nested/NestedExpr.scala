@@ -400,7 +400,9 @@ object NestedExpr {
   private val strSupported: Seq[String] =
     (strSimple.keys.toSeq ++ strPredicates.keys ++ Seq(
       "capitalize", "len", "rjust", "ljust", "zfill", "pad", "center",
-      "count", "find", "get", "slice", "split")).sorted
+      "count", "find", "get", "slice", "split",
+      "removeprefix", "removesuffix", "repeat", "extract",
+      "swapcase")).sorted
 
   private def strUnsupported(m: String, exprStr: String): Nothing =
     throw new IllegalArgumentException(
@@ -854,6 +856,35 @@ object NestedExpr {
         // pandas str.count: pat is a REGEX, non-overlapping matches
         req(1)
         (s"size(regexp_extract_all($x, ${args(0)}, 0))", false)
+      case "removeprefix" | "removesuffix" =>
+        // python 3.9 semantics: strip AT MOST ONE occurrence, only at
+        // the boundary; unchanged when absent
+        req(1)
+        val p = args(0)
+        if (m == "removeprefix")
+          ((s"(case when startswith($x, $p) then " +
+            s"substring($x, length($p) + 1) else $x end)"), false)
+        else
+          ((s"(case when endswith($x, $p) then " +
+            s"substring($x, 1, length($x) - length($p)) else $x end)"),
+            false)
+      case "repeat" =>
+        req(1)
+        (s"repeat($x, ${args(0)})", false)
+      case "swapcase" =>
+        // per-char case flip: non-cased chars satisfy c = lower(c) and
+        // upper(c) = c, so they pass through unchanged
+        req(0)
+        ((s"array_join(transform(filter(split($x, ''), __c -> " +
+          s"__c <> ''), __c -> case when __c = lower(__c) " +
+          s"then upper(__c) else lower(__c) end), '')"), false)
+      case "extract" =>
+        // pandas extract(pat, expand=False) with ONE group: first-match
+        // group value, NaN (NULL) when the pattern does not match
+        // anywhere (rlike is an unanchored search, like re.search)
+        req(1)
+        ((s"(case when $x rlike ${args(0)} then " +
+          s"regexp_extract($x, ${args(0)}, 1) else null end)"), false)
       case "find" =>
         // lowest index of LITERAL sub, -1 if absent (instr is 1-based,
         // 0 when absent); start/end args unsupported → raise via req

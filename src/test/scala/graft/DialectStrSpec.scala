@@ -143,9 +143,39 @@ class DialectStrSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("after .str.split"))
     val ex2 = intercept[IllegalArgumentException] {
-      vals("n.s.str.swapcase()")
+      vals("n.s.str.translate()")
     }
     assert(ex2.getMessage.contains("not supported"))
+  }
+
+  test("removeprefix/removesuffix: at most one boundary occurrence " +
+      "(python 3.9 semantics)") {
+    assert(strs("n.s.str.removeprefix('a')") == Seq(
+      "b", "ABCDE", "1", "", " a b ", "-1", "+2", "x,y,z", ",,b",
+      "Hello World", "½", "|b", null))
+    assert(strs("n.s.str.removesuffix('b')") == Seq(
+      "a", "ABCDE", "a1", "", " a b ", "-1", "+2", "x,y,z", "a,,",
+      "Hello World", "½", "a|", null))
+  }
+
+  test("repeat and swapcase (pandas goldens)") {
+    assert(strs("n.s.str.repeat(2)") == Seq(
+      "abab", "ABCDEABCDE", "a1a1", "", " a b  a b ", "-1-1", "+2+2",
+      "x,y,zx,y,z", "a,,ba,,b", "Hello WorldHello World", "½½",
+      "a|ba|b", null))
+    assert(strs("n.s.str.swapcase()") == Seq(
+      "AB", "abcde", "A1", "", " A B ", "-1", "+2", "X,Y,Z", "A,,B",
+      "hELLO wORLD", "½", "A|B", null))
+  }
+
+  test("extract: first-match single group, NULL when no match " +
+      "(pandas extract expand=False)") {
+    assert(strs("n.s.str.extract('([A-Z]+)')") == Seq(
+      null, "ABCDE", null, null, null, null, null, null, null, "H",
+      null, null, null))
+    assert(strs("n.s.str.extract('(\\\\d)')") == Seq(
+      null, null, "1", null, null, "1", "2", null, null, null, null,
+      null, null))
   }
 
   test("marker text inside a user STRING LITERAL is data, not a call") {
