@@ -439,14 +439,17 @@ object SurfaceQueries {
     * (`nest.f.median()` etc., test_nestedframe.py:2440-2446) — all narrow
     * array expressions, no explode/shuffle. */
   val qEvalReduce: Q = (s, dir) => {
+    // PER-CELL reductions via the programmatic elementReduction columns
+    // (r8: the dialect's `items.l_quantity.median()` spelling now means
+    // the pandas-eval GLOBAL median — reference parity — so the per-row
+    // form this query pins moved to the engine-extension API)
     val packed = NestedOps.packFlat(
       lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
     val e = graft.nested.NestedExpr
-    val r = e.evalSelect(
-      e.evalSelect(
-        e.evalSelect(packed, "items.l_quantity.median()", "med"),
-        "items.l_quantity.mean()", "mn"),
-      "items.l_quantity.std()", "sd")
+    val r = packed
+      .withColumn("med", e.elementReduction("items", "l_quantity", "median"))
+      .withColumn("mn", e.elementReduction("items", "l_quantity", "mean"))
+      .withColumn("sd", e.elementReduction("items", "l_quantity", "std"))
     r.select(col("o_orderkey").as("orderkey"),
       round(col("med") + lit(1e-9), 4).as("med"),
       round(col("mn") + lit(1e-9), 4).as("mn"),

@@ -426,12 +426,58 @@ object NestedExpr {
     "and", "or", "not", "in", "is", "null", "true", "false", "like", "rlike",
     "between", "case", "when", "then", "else", "end", "cast", "as", "distinct")
 
-  /** Element reductions usable as `nest.field.agg()` in eval expressions —
-    * row-level values computed over each cell (reference eval semantics,
-    * test_nestedframe.py:2440-2446 `a + packed.c.median()`). All are narrow
-    * array expressions (no shuffle, no explode). */
+  /** Reductions usable as `nest.field.agg()` in eval expressions. Pandas
+    * eval resolves `nest.field` to the FLAT series and calls the Series
+    * reduction — a GLOBAL scalar broadcast to every row
+    * (test_nestedframe.py test_mixed_eval_funcs: `a + packed.c.median()`
+    * adds the whole-column median, reference-executed golden [4,5,6]).
+    * Until round 8 the dialect computed PER-CELL reductions here — a
+    * silent divergence; the per-cell form remains available
+    * programmatically via [[elementReduction]]. */
   private val reductionAggs = Set(
     "mean", "median", "sum", "min", "max", "count", "std")
+
+  /** GLOBAL reduction literal for `nest.field.agg()` (see
+    * [[reductionAggs]]): one eager distributed aggregate over the
+    * exploded field — scan + partial agg, the same full-column pass
+    * pandas' Series reduction does — spliced into the expression as a
+    * literal. String round-trip through cast('…' as double) preserves
+    * the exact double (including NaN/Infinity). */
+  private def globalReductionLiteral(df: DataFrame, nest: String,
+      field: String, agg: String): String = {
+    import org.apache.spark.sql.functions.{explode, avg, sum, min, max,
+      count, stddev_samp}
+    val flat = df.select(explode(col(bq(nest))).as("__e"))
+      .select(col("__e").getField(field).as("__v"))
+    val aggCol = agg match {
+      case "mean"   => avg(col("__v"))
+      case "median" => expr("percentile(__v, 0.5)")
+      case "sum"    => sum(col("__v"))
+      case "min"    => min(col("__v"))
+      case "max"    => max(col("__v"))
+      case "count"  => count(col("__v"))
+      case "std"    => stddev_samp(col("__v"))
+    }
+    flat.agg(aggCol).head().get(0) match {
+      case null                   => "null"
+      case d: java.lang.Double    => s"cast('$d' as double)"
+      case f: java.lang.Float     => s"cast('$f' as double)"
+      case n: java.lang.Number    => n.toString
+      case other => "'" + other.toString.replace("'", "\\'") + "'"
+    }
+  }
+
+  /** PER-CELL element reduction as a row-level Column — an ENGINE
+    * EXTENSION (the reference's eval reductions are global; there is no
+    * per-cell reduction in its dialect). Same narrow array-expression
+    * core the dialect used before round 8: no shuffle, no explode. */
+  def elementReduction(nest: String, field: String, agg: String)
+      : org.apache.spark.sql.Column = {
+    require(reductionAggs.contains(agg),
+      s"unknown element reduction '$agg' (supported: " +
+        s"${reductionAggs.toSeq.sorted.mkString(", ")})")
+    expr(reductionSql(nest, field, agg))
+  }
 
   private def reductionSql(nest: String, field: String, agg: String): String = {
     val arr = s"transform(${bq(nest)}, __r -> __r.${bq(field)})"
@@ -513,13 +559,15 @@ object NestedExpr {
             usesBase = true
             val not = if (fn == "notna") " not" else ""
             s"(${bq(nest)} is$not null) __LEN_CALL"
-          // nest.field.agg() — row-level element reduction
+          // nest.field.agg() — GLOBAL Series reduction, spliced as a
+          // literal (pandas eval semantics; the r8 parity fix — see
+          // globalReductionLiteral; per-cell via elementReduction)
           case Seq(nest, field, agg) if nestSet.contains(nest) &&
               reductionAggs.contains(agg) &&
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
-            reductionSql(nest, field, agg) + " __LEN_CALL"
+            globalReductionLiteral(df, nest, field, agg) + " __LEN_CALL"
           // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
           // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
           // query("nested.b.isna()") filters elements, not rows)

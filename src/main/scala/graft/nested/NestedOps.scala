@@ -343,7 +343,11 @@ object NestedOps {
   def fromLists(df: DataFrame, listCols: Seq[String], name: String = "nested",
                 dropSource: Boolean = true): DataFrame = {
     val zipped = df.withColumn(name, arrays_zip(listCols.map(col): _*))
-    if (dropSource) zipped.drop(listCols: _*) else zipped
+    // `name` may BE one of the sources (reference nest_lists(["c"], "c"),
+    // test_set_item_combine_nested) — withColumn already replaced it;
+    // dropping it again would drop the result
+    if (dropSource) zipped.drop(listCols.filterNot(_ == name): _*)
+    else zipped
   }
 
   // ---------------------------------------------------------------------------
@@ -704,6 +708,35 @@ object NestedOps {
       dropNestedFields(acc, nest, ns.map(n => resolveDotted(df, n)._2))
     }
     if (base.nonEmpty) afterNested.drop(base: _*) else afterNested
+  }
+
+  /** Combine several SINGLE-or-multi-field nested columns into one nest
+    * whose fields are the union of theirs, element-aligned (the
+    * reference's `nf["nested"] = nf[["c", "d"]]` multi-nest assignment,
+    * test_nestedframe.py test_set_item_combine_nested). Cells must be
+    * equal length per row — `arrays_zip` NULL-pads a shorter cell, which
+    * would silently misalign, so lengths are asserted per row. Narrow op
+    * (one transform, zero shuffle). */
+  def zipNests(df: DataFrame, nests: Seq[String], name: String,
+               dropSource: Boolean = true): DataFrame = {
+    require(nests.nonEmpty, "zipNests needs at least one source nest")
+    val dup = nests.flatMap(n => subColumns(df, n))
+      .groupBy(identity).collect { case (f, vs) if vs.size > 1 => f }
+    require(dup.isEmpty,
+      s"zipNests: duplicate field names across sources: ${dup.mkString(", ")}")
+    val lenOk = nests.tail.foldLeft(lit(true))((acc, n) =>
+      acc && (size(col(nests.head)) <=> size(col(n))))
+    val zipped = arrays_zip(nests.map(col): _*)
+    val fields = nests.flatMap(n =>
+      subColumns(df, n).map(f => (n, f)))
+    val merged = transform(zipped, s =>
+      struct(fields.map { case (n, f) =>
+        s.getField(n).getField(f).as(f) }: _*))
+    val guarded = when(lenOk, merged).otherwise(
+      raise_error(lit(s"zipNests: cell lengths differ across " +
+        s"${nests.mkString(", ")}")))
+    val out = df.withColumn(name, guarded)
+    if (dropSource) out.drop(nests.filterNot(_ == name): _*) else out
   }
 
   /** Positional row selection with pandas `ExtensionArray.take` semantics

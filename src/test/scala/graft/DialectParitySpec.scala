@@ -79,7 +79,7 @@ class DialectParitySpec extends SparkSpec {
     assert(caps.select(size($"n")).as[Int].collect().head == 1)
     // unsupported method raises with a clear message
     val ex = intercept[IllegalArgumentException] {
-      elems("nested.band.str.swapcase() == 'R'")
+      elems("nested.band.str.translate() == 'R'")
     }
     assert(ex.getMessage.contains("not supported"))
   }

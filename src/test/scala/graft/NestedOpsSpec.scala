@@ -357,24 +357,36 @@ class NestedOpsSpec extends SparkSpec {
     }
   }
 
-  test("eval reductions: nest.field.agg() is a row-level value") {
-    // cells (sorted by c,d): [0,2,4], [1,3,4], [1,1,4]
+  test("eval reductions: nest.field.agg() is the GLOBAL Series value " +
+      "(pandas eval semantics, r8 parity fix); per-cell via " +
+      "elementReduction") {
+    // all c: [0,2,4,1,4,3,1,4,1] → global median 2, sum 20, count 9;
+    // all d: [5,4,7,5,3,1,9,3,4] → max-min = 8
     val r = NestedExpr.evalSelect(nf, "a + nested.c.median()", "m")
     assert(r.orderBy($"key").select($"m".cast("double")).as[Double]
-      .collect().toSeq == Seq(1 + 2.0, 2 + 3.0, 3 + 1.0))
+      .collect().toSeq == Seq(3.0, 4.0, 5.0))
     val s2 = NestedExpr.evalSelect(nf, "nested.c.sum()", "s")
     assert(s2.orderBy($"key").select($"s".cast("double")).as[Double]
-      .collect().toSeq == Seq(6.0, 8.0, 6.0))
+      .collect().toSeq == Seq(20.0, 20.0, 20.0))
     val mx = NestedExpr.evalSelect(nf, "nested.d.max() - nested.d.min()", "r")
     assert(mx.orderBy($"key").select($"r".cast("double")).as[Double]
-      .collect().toSeq == Seq(3.0, 4.0, 6.0))
+      .collect().toSeq == Seq(8.0, 8.0, 8.0))
     val cnt = NestedExpr.evalSelect(nf, "nested.c.count()", "n")
     assert(cnt.orderBy($"key").select($"n").as[Long].collect().toSeq ==
-      Seq(3L, 3L, 3L))
+      Seq(9L, 9L, 9L))
+    // the engine-extension PER-CELL reductions (old dialect behavior)
+    // cells (sorted by c,d): [0,2,4], [1,3,4], [1,1,4]
+    val pc = nf.withColumn("m",
+        NestedExpr.elementReduction("nested", "c", "median"))
+      .withColumn("s", NestedExpr.elementReduction("nested", "c", "sum"))
+    assert(pc.orderBy($"key").select($"m".cast("double")).as[Double]
+      .collect().toSeq == Seq(2.0, 3.0, 1.0))
+    assert(pc.orderBy($"key").select($"s".cast("double")).as[Double]
+      .collect().toSeq == Seq(6.0, 8.0, 6.0))
     // reductions are base-layer: assignable to a base column
     val b = NestedExpr.evalAssign(nf, "cmean = nested.c.mean()")
     assert(b.orderBy($"key").select($"cmean".cast("double")).as[Double]
-      .collect().toSeq == Seq(2.0, 8.0 / 3, 2.0))
+      .collect().toSeq == Seq(20.0 / 9, 20.0 / 9, 20.0 / 9))
   }
 
   test("evalSelect element-layer returns an aligned array column") {
@@ -387,8 +399,9 @@ class NestedOpsSpec extends SparkSpec {
     val r = NestedExpr.evalAssign(nf,
       "nested.frac = nested.c / nested.c.sum()")
     val got = flat(r, "nested", "frac")
-    assert(got == Seq(0.0, 2 / 6.0, 4 / 6.0, 1 / 8.0, 3 / 8.0, 4 / 8.0,
-      1 / 6.0, 1 / 6.0, 4 / 6.0))
+    // c.sum() is the GLOBAL series sum (20) since the r8 parity fix
+    assert(got == Seq(0.0, 2 / 20.0, 4 / 20.0, 1 / 20.0, 3 / 20.0,
+      4 / 20.0, 1 / 20.0, 1 / 20.0, 4 / 20.0))
     val l = NestedExpr.evalAssign(nf, "nested.ln = nested.c * nested.len()")
     assert(flat(l, "nested", "ln") ==
       Seq(0.0, 6, 12, 3, 9, 12, 3, 3, 12))

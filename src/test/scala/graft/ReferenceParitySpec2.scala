@@ -443,10 +443,13 @@ class ReferenceParitySpec2 extends SparkSpec {
   }
 
   test("mixed eval: base + nested reduction and broadcast (ref :2420)") {
-    // a + packed.c.median() per row = [4, 5, 6] with this fixture
+    // packed.c.median() is the GLOBAL series median (3 on this fixture):
+    // reference-EXECUTED golden a + 3 = [4, 5, 6] (r8 parity fix — the
+    // per-cell medians [2, 4, 1] the dialect used to compute were a
+    // silent divergence from pandas eval)
     val med = NestedExpr.evalAssign(packedNf, "m = a + packed.c.median()")
       .orderBy("key").select("m").as[Double].collect().toSeq
-    assert(med == Seq(3.0, 6.0, 4.0)) // medians: 2, 4, 1
+    assert(med == Seq(4.0, 5.0, 6.0))
     // across the nest: a + packed.c elementwise equals flat-side sum
     val r = NestedExpr.evalAssign(packedNf, "packed.ac = a + packed.c")
     val pairs = r.select(col("a"), explode(col("packed"))).select(

@@ -279,9 +279,12 @@ class ReferenceParitySpec3 extends SparkSpec {
 
   test("doctest reduce → flat outputs: mean and mean-minus-base " +
       "(core.py:1981-2010)") {
-    val r = NestedExpr.evalSelect(
-      NestedExpr.evalSelect(gen("g55"), "nested.t.mean()", "mean"),
-      "nested.t.mean() - a", "mean_minus_base")
+    // the reference's reduce(np.mean, 'nested.t') is PER-ROW — that is
+    // elementReduction (the dialect's `nested.t.mean()` spelling is the
+    // GLOBAL pandas-eval reduction since the r8 parity fix)
+    val m = NestedExpr.elementReduction("nested", "t", "mean")
+    val r = gen("g55").withColumn("mean", m)
+      .withColumn("mean_minus_base", m - col("a"))
     approx(r.orderBy("id").select("mean").as[Double].collect().toSeq,
       Seq(11.533440362, 10.307750859, 8.294042279, 9.655290781,
         10.687591408))

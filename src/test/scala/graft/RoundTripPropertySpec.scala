@@ -88,9 +88,11 @@ class RoundTripPropertySpec extends SparkSpec {
     for (seed <- Seq(8, 19)) {
       val flat = randomChild(seed).where($"tag".isNotNull)
       val packed = NestedOps.packFlat(flat, Seq("key"), "n")
-      val viaEval = NestedExpr.evalSelect(
-          NestedExpr.evalSelect(packed, "n.d.std()", "sd"),
-          "n.d.median()", "md")
+      // per-cell reductions are the elementReduction extension since the
+      // r8 parity fix (the dialect spelling is the global Series value)
+      val viaEval = packed
+        .withColumn("sd", NestedExpr.elementReduction("n", "d", "std"))
+        .withColumn("md", NestedExpr.elementReduction("n", "d", "median"))
         .where($"sd".isNotNull)
         .select($"key", round($"sd", 6).as("sd"), round($"md", 6).as("md"))
       val viaSql = flat.groupBy("key")
