@@ -70,9 +70,13 @@ object Bench {
       catch { case _: Throwable => () } }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
 
-    // min of 2 runs per query: the first run pays one-time codegen/JIT and
-    // this box shows large ambient-load variance; min-of-N is the standard
-    // way to measure the plan rather than the noise.
+    // min over 2 COMPLETE battery passes (not 2 back-to-back runs per
+    // query): back-to-back samples share whatever ambient transient hits
+    // that instant — a GC pause, page-cache eviction, a background daemon —
+    // so a single loaded moment poisons both samples of one query (r7's
+    // q_dedup_pipeline 14.4s and r8's q_with_field 5.9s were exactly this).
+    // Running the full battery twice puts ~25s of other work between a
+    // query's two samples, decorrelating the noise at zero extra cost.
     // A query that throws is recorded as FAILED — it must not silently
     // contribute its time-to-failure to the totals and exit 0.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -83,21 +87,21 @@ object Bench {
     require(skipped.intersect(headlineKeys).isEmpty,
       s"benchSkipKeys overlap the pinned headline set: " +
         skipped.intersect(headlineKeys))
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val battery = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skipped.contains(name) }
-      .map { case (name, fn) =>
-      var ok = true
-      val times = (1 to 2).map { _ =>
+    val passTimes: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+      battery.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
-          ok = false
+          if (!failed.contains(name)) failed += name
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }
-      if (!ok) failed += name
-      name -> times.min
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = battery.map { case (name, _) =>
+      name -> passTimes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

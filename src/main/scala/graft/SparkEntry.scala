@@ -57,7 +57,11 @@ object SparkEntry {
     * with their time excluded, next to the all-in `total`. */
   val oracleParityKeys: Set[String] = Set(
     "q_minhash_pairs_exact", "q_simhash_pairs_exact",
-    "q_dedup_pipeline_exact", "q_minhash_rank", "q_element_index")
+    "q_dedup_pipeline_exact", "q_minhash_rank", "q_element_index",
+    // r9: global-row_number alignment artifact for takeRows (takes are
+    // small driver-side reorderings by contract; the window exists only
+    // to give the oracle a deterministic position column)
+    "q_take")
 
   /** Parity queries so expensive they distort the timed battery's noise
     * floor (q_simhash_pairs_exact's Hamming-24 star+dual-chain replay was

@@ -251,12 +251,25 @@ object SurfaceQueries {
     * requested leaf to flat leaf-named columns. The oracle recomputes the
     * same quantities straight from the source table (the /tmp fixture is
     * derived deterministically, like q_read_glob). */
+  // One fixture dir per JVM, deleted at exit: concurrent battery/verify
+  // PROCESSES still can't race (each gets its own dir), but repeated
+  // invocations within one process (warm-up pass + two timed passes)
+  // reuse it instead of leaking a /tmp directory per call.
+  private lazy val mixedReadRoot: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_mixed_read")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file._
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      } catch { case _: Throwable => () }))
+    p.toString
+  }
+
   val qMixedRead: Q = (s, dir) => {
     import graft.sources.NestedParquet
-    // per-run temp dir: concurrent battery/verify runs must not race on a
-    // shared fixture path (the data itself is derived deterministically)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_mixed_read").toString
+    val root = mixedReadRoot
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
         struct(col("lang").as("val1"),
@@ -502,10 +515,101 @@ object SurfaceQueries {
   }
 
   // ---------------------------------------------------------------------------
+  // r9: driver-gated queries for the round-8 operators (zipNests, takeRows,
+  // describeAll(approx=true)) — SURVEY's bar is a green CORRECTNESS row per
+  // operator, not spec-only coverage.
+  // ---------------------------------------------------------------------------
+
+  /** zipNests (multi-nest combine, reference test_set_item_combine_nested):
+    * two single-field nests derived from ONE pack (element-aligned by
+    * construction) merged into one nest, then a per-row fold over the
+    * merged elements — the oracle replays sum(q·p) per order straight from
+    * the flat child. Per-order groups are tiny (≤7 elements) so the fold's
+    * FP order is benign at 2-decimal rounding. */
+  val qZipNests: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity", "l_extendedprice"), Seq("o_orderkey"),
+      "items")
+    val twoNests = packed
+      .withColumn("qs",
+        expr("transform(items, x -> named_struct('q', x.l_quantity))"))
+      .withColumn("ps",
+        expr("transform(items, x -> named_struct('p', x.l_extendedprice))"))
+      .drop("items")
+    NestedOps.zipNests(twoNests, Seq("qs", "ps"), "combined")
+      .select(col("o_orderkey"),
+        round(expr("aggregate(combined, cast(0.0 as double), " +
+          "(a, x) -> a + x.q * x.p)") + lit(1e-9), 2).as("dot"))
+  }
+
+  /** takeRows (pandas ExtensionArray.take semantics): positional take with
+    * duplicate and python-negative indices; the oracle resolves the same
+    * positions over a row_number frame. The hash compare is row-sorted, so
+    * the duplicated position contributes multiset-correctly. The global
+    * row_number window is the correctness ARTIFACT here, not the operator
+    * (takes are small driver-side reorderings by contract). */
+  val qTake: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val posed = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      .withColumn("pos",
+        row_number().over(Window.orderBy("o_orderkey")).cast("long") - 1)
+    NestedOps.takeRows(posed, "pos", Seq(2L, 0L, 7L, 7L, -1L, -3L))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
+  /** describeAll(approx=true) — the 100 TB sketch path: exact stats
+    * (count/mean/std/min/max) are oracle-checked value-for-value; each
+    * percentile_approx value is BOUND-CHECKED in-query against the exact
+    * percentiles at p±0.005 (GK rank error at accuracy 10⁴ over ~60k rows
+    * is ±0.0001 of ranks — 50× slack) and emitted as 1.0 when inside the
+    * envelope, the raw value (→ loud hash mismatch) when not. */
+  val qDescribeApprox: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
+      .withColumn("n_items", size(col("items")).cast("double"))
+      .drop("o_orderkey")
+    val pcts = Seq(0.25, 0.5, 0.75)
+    val delta = 0.005
+    val approxD = NestedOps.describeAll(packed, percentiles = pcts,
+      approx = true)
+    def renamed(d: DataFrame, from: Seq[Double], vname: String) = {
+      val mapping = from.zip(pcts).foldLeft(lit(null).cast("string")) {
+        case (acc, (f, t)) =>
+          // reuse describeAll's label renderer shape: "24.5%" -> "25%"
+          val fn = BigDecimal(f * 100).underlying.stripTrailingZeros
+            .toPlainString + "%"
+          val tn = BigDecimal(t * 100).underlying.stripTrailingZeros
+            .toPlainString + "%"
+          when(col("stat") === fn, lit(tn)).otherwise(acc)
+      }
+      d.where(col("stat").endsWith("%"))
+        .select(col("column"), mapping.as("stat"), col("value").as(vname))
+    }
+    val lo = renamed(NestedOps.describeAll(packed,
+      percentiles = pcts.map(_ - delta)), pcts.map(_ - delta), "lo")
+    val hi = renamed(NestedOps.describeAll(packed,
+      percentiles = pcts.map(_ + delta)), pcts.map(_ + delta), "hi")
+    val exactStats = approxD.where(!col("stat").endsWith("%"))
+      .select(col("column"), col("stat"),
+        round(col("value") + lit(1e-9), 4).as("value"))
+    val pctChecked = approxD.where(col("stat").endsWith("%"))
+      .join(lo, Seq("column", "stat")).join(hi, Seq("column", "stat"))
+      .select(col("column"), col("stat"),
+        when(col("value") >= col("lo") - 1e-9 &&
+             col("value") <= col("hi") + 1e-9, lit(1.0))
+          .otherwise(round(col("value"), 4)).as("value"))
+    exactStats.unionAll(pctChecked)
+  }
+
+  // ---------------------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "q_zip_nests" -> qZipNests,
+    "q_take" -> qTake,
+    "q_describe_approx" -> qDescribeApprox,
     "q_pack_seq" -> qPackSeq,
     "q_view_fields" -> qViewFields,
     "q_schema_cols" -> qSchemaCols,
@@ -535,6 +639,43 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zip_nests" ->
+      """SELECT l_orderkey AS o_orderkey,
+        | round(sum(l_quantity * l_extendedprice) + 1e-9, 2) AS dot
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_take" ->
+      """WITH posed AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS pos
+        |  FROM orders),
+        |n AS (SELECT count(*) AS c FROM orders),
+        |idx(i) AS (VALUES (2), (0), (7), (7), (-1), (-3))
+        |SELECT p.o_orderkey, round(p.o_totalprice, 2) AS o_totalprice
+        |FROM idx CROSS JOIN n
+        |JOIN posed p
+        |  ON p.pos = CASE WHEN idx.i < 0 THEN idx.i + n.c ELSE idx.i END"""
+        .stripMargin,
+    "q_describe_approx" -> {
+      // exact stats value-for-value; percentile rows are in-query
+      // bound-checks that emit literal 1.0 when the sketch is inside the
+      // exact p±0.005 envelope (see qDescribeApprox) — the oracle asserts
+      // the 1.0s.
+      def statsOver(src: String, c: String, outName: String) = Seq(
+        s"SELECT '$outName' AS \"column\", 'count' AS stat, " +
+          s"round(CAST(count($c) AS DOUBLE) + 1e-9, 4) AS value FROM $src",
+        s"SELECT '$outName', 'mean', round(avg($c) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'std', round(stddev_samp($c) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'min', round(CAST(min($c) AS DOUBLE) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', 'max', round(CAST(max($c) AS DOUBLE) + 1e-9, 4) FROM $src",
+        s"SELECT '$outName', '25%', 1.0",
+        s"SELECT '$outName', '50%', 1.0",
+        s"SELECT '$outName', '75%', 1.0",
+      ).mkString(" UNION ALL ")
+      statsOver(
+        "(SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem GROUP BY l_orderkey)",
+        "n", "n_items") + " UNION ALL " +
+      statsOver("lineitem", "l_quantity", "items.l_quantity")
+    },
     "q_pack_seq" ->
       """SELECT CAST(key AS BIGINT) AS key, CAST(n AS BIGINT) AS n,
         | CAST(sum_y AS DOUBLE) AS sum_y

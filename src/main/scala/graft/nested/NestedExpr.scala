@@ -437,35 +437,51 @@ object NestedExpr {
   private val reductionAggs = Set(
     "mean", "median", "sum", "min", "max", "count", "std")
 
-  /** GLOBAL reduction literal for `nest.field.agg()` (see
-    * [[reductionAggs]]): one eager distributed aggregate over the
-    * exploded field — scan + partial agg, the same full-column pass
-    * pandas' Series reduction does — spliced into the expression as a
-    * literal. String round-trip through cast('…' as double) preserves
-    * the exact double (including NaN/Infinity). */
-  private def globalReductionLiteral(df: DataFrame, nest: String,
-      field: String, agg: String): String = {
-    import org.apache.spark.sql.functions.{explode, avg, sum, min, max,
-      count, stddev_samp}
-    val flat = df.select(explode(col(bq(nest))).as("__e"))
-      .select(col("__e").getField(field).as("__v"))
-    val aggCol = agg match {
-      case "mean"   => avg(col("__v"))
-      case "median" => expr("percentile(__v, 0.5)")
-      case "sum"    => sum(col("__v"))
-      case "min"    => min(col("__v"))
-      case "max"    => max(col("__v"))
-      case "count"  => count(col("__v"))
-      case "std"    => stddev_samp(col("__v"))
-    }
-    flat.agg(aggCol).head().get(0) match {
-      case null                   => "null"
-      case d: java.lang.Double    => s"cast('$d' as double)"
-      case f: java.lang.Float     => s"cast('$f' as double)"
-      case n: java.lang.Number    => n.toString
-      case other => "'" + other.toString.replace("'", "\\'") + "'"
+  /** One GLOBAL `nest.field.agg()` reduction requested by an expression.
+    * Rendered in the rewritten SQL as a reference to helper column `name`;
+    * the helper is attached LAZILY by [[withReductions]] at consume time. */
+  private case class Reduction(name: String, nest: String, field: String,
+                               agg: String)
+
+  /** The aggregate Column for one reduction over the exploded element
+    * alias `__e` (shared scan — see [[withReductions]]). */
+  private def reductionAggCol(field: String, agg: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{avg, sum, min, max, count,
+      stddev_samp}
+    val v = col("__e").getField(field)
+    agg match {
+      case "mean"   => avg(v)
+      case "median" => expr(s"percentile(__e.${bq(field)}, 0.5)")
+      case "sum"    => sum(v)
+      case "min"    => min(v)
+      case "max"    => max(v)
+      case "count"  => count(v)
+      case "std"    => stddev_samp(v)
     }
   }
+
+  /** Attach the helper columns for an expression's GLOBAL reductions —
+    * LAZILY: one explode+aggregate per referenced nest computes EVERY
+    * reduction of that nest in a single pass (they share the exploded
+    * scan), joined back as a broadcast single-row cross join. Building an
+    * eval/query plan therefore never runs a Spark job (until round 9 each
+    * occurrence ran one eager distributed agg at parse time and spliced
+    * the value as a literal), and Catalyst can reuse/cache the scan.
+    * Pandas edge (documented divergence, unchanged from the eager path):
+    * over an empty/all-null column pandas yields NaN for mean/median/std
+    * where SQL aggregation yields NULL. */
+  private def withReductions(df: DataFrame, reds: Seq[Reduction]): DataFrame =
+    if (reds.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{broadcast, explode}
+      reds.distinct.groupBy(_.nest).toSeq.sortBy(_._1).foldLeft(df) {
+        case (acc, (nest, rs)) =>
+          val exploded = df.select(explode(col(bq(nest))).as("__e"))
+          val aggCols = rs.map(r => reductionAggCol(r.field, r.agg).as(r.name))
+          acc.crossJoin(broadcast(exploded.agg(aggCols.head, aggCols.tail: _*)))
+      }
+    }
 
   /** PER-CELL element reduction as a row-level Column — an ENGINE
     * EXTENSION (the reference's eval reductions are global; there is no
@@ -524,8 +540,14 @@ object NestedExpr {
   }
 
   /** Parse result: rewritten SQL + the nests referenced at element level (in
-    * first-reference order, distinct) + whether base columns are referenced. */
-  private case class Analysis(sql: String, nests: Seq[String], usesBase: Boolean)
+    * first-reference order, distinct) + whether base columns are referenced
+    * + the global reductions the SQL references as helper columns (attach
+    * with [[withReductions]], drop the helper names after consuming). */
+  private case class Analysis(sql: String, nests: Seq[String],
+                              usesBase: Boolean,
+                              reductions: Seq[Reduction] = Nil) {
+    def helperNames: Seq[String] = reductions.map(_.name)
+  }
 
   /** `ref(nest, field)` renders an element-level reference to a nested field;
     * the default targets a single-lambda-variable context. Cross-nest callers
@@ -536,6 +558,8 @@ object NestedExpr {
     val nestSet = NestedOps.nestedColumns(df).toSet
     val baseSet = NestedOps.baseColumns(df).toSet
     val nests = collection.mutable.LinkedHashSet.empty[String]
+    val reds = collection.mutable.LinkedHashMap
+      .empty[(String, String, String), Reduction]
     var usesBase = false
     val toks = tokenize(preprocess(exprStr))
     val sql = toks.zipWithIndex.map {
@@ -559,15 +583,18 @@ object NestedExpr {
             usesBase = true
             val not = if (fn == "notna") " not" else ""
             s"(${bq(nest)} is$not null) __LEN_CALL"
-          // nest.field.agg() — GLOBAL Series reduction, spliced as a
-          // literal (pandas eval semantics; the r8 parity fix — see
-          // globalReductionLiteral; per-cell via elementReduction)
+          // nest.field.agg() — GLOBAL Series reduction (pandas eval
+          // semantics; the r8 parity fix). Rendered as a helper-column
+          // reference, attached lazily by withReductions — building the
+          // expression runs no job. Per-cell via elementReduction.
           case Seq(nest, field, agg) if nestSet.contains(nest) &&
               reductionAggs.contains(agg) &&
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
-            globalReductionLiteral(df, nest, field, agg) + " __LEN_CALL"
+            val r = reds.getOrElseUpdate((nest, field, agg),
+              Reduction(s"__graft_red_${reds.size}", nest, field, agg))
+            bq(r.name) + " __LEN_CALL"
           // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
           // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
           // query("nested.b.isna()") filters elements, not rows)
@@ -649,7 +676,8 @@ object NestedExpr {
       // __ARGS1 is the no-receiver variant used by chain markers
       .replaceAll("""__ARGS1\s*\)""", ")")
       .replaceAll("""__ARGS1\s*""", "")
-    Analysis(rewriteStrMarkers(spliced, exprStr), nests.toSeq, usesBase)
+    Analysis(rewriteStrMarkers(spliced, exprStr), nests.toSeq, usesBase,
+      reds.values.toSeq)
   }
 
   // -------------------------------------------------------------------------
@@ -700,7 +728,11 @@ object NestedExpr {
     (if (trimmed == Seq("")) Nil else trimmed, i)
   }
 
-  private val strChainRe = """^\.__GRAFTSTRCHAIN_(\w+)""".r
+  // leading \s* : pandas accepts whitespace between chained accessor
+  // calls — `x.str.split(',') .str.get(0)` is legal — and the matched
+  // length (whitespace included) keeps the caller's end-offset bookkeeping
+  // exact.
+  private val strChainRe = """^\s*\.__GRAFTSTRCHAIN_(\w+)""".r
 
   /** First occurrence of `needle` in `s` OUTSIDE any quoted string
     * literal (marker text typed by a user inside a literal is data, not
@@ -1022,7 +1054,8 @@ object NestedExpr {
     * the reference (core.py:1610-1614). */
   def query(df: DataFrame, exprStr: String): DataFrame = {
     val a = analyze(df, exprStr, "__x")
-    if (a.nests.isEmpty) df.where(expr(a.sql))
+    val dfR = withReductions(df, a.reductions)
+    if (a.nests.isEmpty) dfR.where(expr(a.sql)).drop(a.helperNames: _*)
     else {
       require(a.nests.size == 1,
         s"Query expression references multiple nests ${a.nests.mkString(", ")}; " +
@@ -1045,7 +1078,7 @@ object NestedExpr {
       // kept rows pay a partial scan + one filter, emptied rows one scan.
       val filtered = expr(s"filter(${bq(nest)}, __x -> ${a.sql})")
       val anyHit = expr(s"exists(${bq(nest)}, __x -> ${a.sql})")
-      df.withColumn(nest, when(anyHit, filtered))
+      dfR.withColumn(nest, when(anyHit, filtered)).drop(a.helperNames: _*)
     }
   }
 
@@ -1121,7 +1154,9 @@ object NestedExpr {
               val v = if (f == field) a.sql else s"__x.${bq(f)}"
               s"${sq(f)}, $v"
             }.mkString(", ")
-            df.withColumn(nest, alignedTransform(df, nest, others, parts))
+            val dfR = withReductions(df, a.reductions)
+            dfR.withColumn(nest, alignedTransform(dfR, nest, others, parts))
+              .drop(a.helperNames: _*)
           // New-nest creation (reference test_nestedframe.py:2448-2540):
           // `newnest.f = <expr>` builds newnest element-aligned with the
           // first nest the RHS references.
@@ -1132,13 +1167,17 @@ object NestedExpr {
               s"Assignment to new nest '$newNest.$field' needs ≥1 nested " +
                 s"reference on the RHS (got a base-only expression)")
             val anchor = a.nests.head
-            df.withColumn(newNest, alignedTransform(df, anchor,
+            val dfR = withReductions(df, a.reductions)
+            dfR.withColumn(newNest, alignedTransform(dfR, anchor,
               a.nests.tail, s"${sq(field)}, ${a.sql}"))
+              .drop(a.helperNames: _*)
           case Seq(name) =>
             val a = analyze(df, rhs, "__x")
             require(a.nests.isEmpty,
               s"Assignment of nested-layer expression to base column '$name'")
-            df.withColumn(name, expr(a.sql))
+            withReductions(df, a.reductions)
+              .withColumn(name, expr(a.sql))
+              .drop(a.helperNames: _*)
           case other => throw new IllegalArgumentException(
             s"Bad assignment target: ${other.mkString(".")} " +
               "(only one nesting level is supported)")
@@ -1194,12 +1233,17 @@ object NestedExpr {
   def evalSelect(df: DataFrame, exprStr: String,
                  outName: String = "result"): DataFrame = {
     val probe = analyze(df, exprStr, "__x")
-    if (probe.nests.isEmpty) df.withColumn(outName, expr(probe.sql))
+    if (probe.nests.isEmpty)
+      withReductions(df, probe.reductions)
+        .withColumn(outName, expr(probe.sql))
+        .drop(probe.helperNames: _*)
     else {
       val anchor = probe.nests.head
       val a = analyzeAnchored(df, exprStr, anchor)
-      df.withColumn(outName,
-        alignedTransformRaw(df, anchor, a.nests.filterNot(_ == anchor), a.sql))
+      val dfR = withReductions(df, a.reductions)
+      dfR.withColumn(outName,
+        alignedTransformRaw(dfR, anchor, a.nests.filterNot(_ == anchor), a.sql))
+        .drop(a.helperNames: _*)
     }
   }
 }

@@ -750,7 +750,12 @@ object NestedOps {
     *    all-NULL row, or the caller's `fillRow` values when provided (the
     *    reference's `fill_value` row).
     *  - any index out of bounds raises (IndexError in the reference),
-    *    including on an empty frame with non-empty indices.
+    *    including on an empty frame with non-empty indices. Negative
+    *    indices are validated eagerly (wrapping already requires the frame
+    *    length); non-negative out-of-bounds indices raise at EXECUTION
+    *    time via the join-miss guard — the Spark-lazy analog — so
+    *    building a take plan runs no job on the common all-non-negative
+    *    path.
     *
     * Scale shape: `indices` is a driver-side argument by contract (takes
     * are small reorderings, not data-sized scans), so the index frame
@@ -758,21 +763,21 @@ object NestedOps {
   def takeRows(df: DataFrame, orderCol: String, indices: Seq[Long],
                allowFill: Boolean = false,
                fillRow: Map[String, Column] = Map.empty): DataFrame = {
-    val n = df.count()
+    // count() is a full job: run it ONLY when a negative index needs
+    // python-style wrapping (impossible without the length).
+    lazy val n = df.count()
     val resolved: Seq[Long] = indices.map { i =>
       if (allowFill) {
         if (i == -1L) -1L
         else if (i < 0L) throw new IndexOutOfBoundsException(
           s"take: negative index $i with allowFill=true (only -1 allowed)")
-        else if (i >= n) throw new IndexOutOfBoundsException(
-          s"take: index $i out of bounds for length $n")
         else i
-      } else {
-        val j = if (i < 0L) n + i else i
+      } else if (i < 0L) {
+        val j = n + i
         if (j < 0L || j >= n) throw new IndexOutOfBoundsException(
           s"take: index $i out of bounds for length $n")
         j
-      }
+      } else i
     }
     val spark = df.sparkSession
     import spark.implicits._
@@ -780,6 +785,14 @@ object NestedOps {
       .map { case (j, pos) => (pos.toLong, j) }.toDF("__pos", "__idx")
     val joined = org.apache.spark.sql.functions.broadcast(idx)
       .join(df, idx("__idx") === df(orderCol), "left")
+      // fail-loud out of bounds WITHOUT a count job: a non-fill index that
+      // matched no row (orderCol is the caller's dense never-null position
+      // column, so a NULL here is a join miss) is out of bounds.
+      // assert_true yields NULL on pass — the filter keeps every row that
+      // doesn't raise, and being a Filter condition it cannot be pruned.
+      .where(assert_true(col("__idx") === -1L || df(orderCol).isNotNull,
+        concat(lit("take: index "), col("__idx"),
+          lit(" out of bounds"))).isNull)
     val filled =
       if (fillRow.isEmpty) joined
       else fillRow.foldLeft(joined) { case (acc, (c, v)) =>

@@ -61,10 +61,21 @@ object RemoteIO {
 
   /** Scheme of a storage URL; bare paths read as local files — including
     * legal local paths that are not legal URIs (spaces, brackets …), for
-    * which URI.create would throw. */
+    * which URI.create would throw. A string that NAMES a scheme
+    * ("s3a://bucket/path with space") but fails URI parsing rethrows:
+    * silently treating a malformed remote URL as a local file would
+    * apply local-file conf to what the caller meant as remote. */
   def schemeOf(url: String): String =
     try Option(java.net.URI.create(url).getScheme).getOrElse("file")
-    catch { case _: IllegalArgumentException => "file" }
+    catch {
+      case e: IllegalArgumentException =>
+        val sep = url.indexOf("://")
+        val hasSchemePrefix = sep > 0 && url.take(sep).matches("[A-Za-z][A-Za-z0-9+.-]*")
+        if (hasSchemePrefix)
+          throw new IllegalArgumentException(
+            s"malformed ${url.take(sep)}:// URL: $url", e)
+        "file"
+    }
 
   /** Apply the per-scheme conf (plus caller extras — credentials,
     * endpoints) to the session's Hadoop configuration. Returns the

@@ -73,11 +73,14 @@ object CCScaleProbe {
       .groupBy("count").agg(count(lit(1)).as("n_components"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val secs = (System.nanoTime() - t0) / 1e9
-    val expected = Map(
+    // Seq of pairs, NOT a Map literal: with default args chainSize ==
+    // treeSize, and a Map would collapse the duplicate key BEFORE the
+    // merge-by-size groupBy runs (losing the chain's 1 component).
+    val expected = Seq(
       chainSize -> 1L, treeSize -> nTrees, smallSize -> nSmall)
       .filter(_._2 > 0)
       // merge strata that share a size
-      .groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
     println(s"[ccscale] histogram=$hist expected=$expected")
     assert(hist == expected,
       s"component size histogram mismatch: got $hist want $expected")

@@ -83,9 +83,15 @@ class ReferenceParitySpec6 extends SparkSpec {
 
   test("take raises out of bounds, incl. empty array + non-empty index " +
       "(test_ext_array.py:1155-1178)") {
-    intercept[IndexOutOfBoundsException] {
-      NestedOps.takeRows(takeFixture, "pos", Seq(100L))
+    // Non-negative out-of-bounds: raised at EXECUTION by the join-miss
+    // guard (r9: plan-building is job-free on the all-non-negative path,
+    // so the IndexError surfaces lazily, at the action).
+    val lazyOob = intercept[Exception] {
+      NestedOps.takeRows(takeFixture, "pos", Seq(100L)).collect()
     }
+    assert(lazyOob.getMessage.contains("out of bounds"),
+      s"unexpected message: ${lazyOob.getMessage}")
+    // Negative indices need the frame length anyway → still eager.
     intercept[IndexOutOfBoundsException] {
       NestedOps.takeRows(takeFixture, "pos", Seq(-100L))
     }
@@ -93,9 +99,22 @@ class ReferenceParitySpec6 extends SparkSpec {
       NestedOps.takeRows(takeFixture, "pos", Seq(-2L), allowFill = true)
     }
     val empty = takeFixture.where(lit(false))
-    intercept[IndexOutOfBoundsException] {
-      NestedOps.takeRows(empty, "pos", Seq(0L, 1L, 2L))
+    val emptyOob = intercept[Exception] {
+      NestedOps.takeRows(empty, "pos", Seq(0L, 1L, 2L)).collect()
     }
+    assert(emptyOob.getMessage.contains("out of bounds"),
+      s"unexpected message: ${emptyOob.getMessage}")
+  }
+
+  test("take: all-non-negative indices build the plan with NO Spark job " +
+      "(r9 — count() only runs for negative-index wrapping)") {
+    val sc = takeFixture.sparkSession.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    NestedOps.takeRows(takeFixture, "pos", Seq(0L, 2L), allowFill = true)
+    NestedOps.takeRows(takeFixture, "pos", Seq(1L, 3L))
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"plan-building ran ${after - before} job(s); expected 0")
   }
 
   test("_concat_same_type: union of four frames incl. empty and " +
