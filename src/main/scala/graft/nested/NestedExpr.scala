@@ -157,8 +157,33 @@ object NestedExpr {
 
   /** Index range [l, r] of the operand ENDING at (searching left from) `from`
     * inclusive: a paren group with optional leading call name, or a single
-    * ident/number atom. */
-  private def operandLeft(as: Vector[Atom], from: Int): (Int, Int) = {
+    * ident/number atom.
+    *
+    * `absorbUnary`: also swallow a UNARY +/- directly before the operand
+    * (one preceded by nothing, another operator, `(`, or a keyword — not
+    * by an operand). Needed wherever Python binds unary minus TIGHTER
+    * than the operator being rewritten: chained comparisons
+    * (`-2 < a <= 7` — the bound is (-2), found by the r9 differential
+    * fuzzer) and `//` (`-3 // 4` is (-3)//4 = -1, not -(3//4) = 0).
+    * Must stay FALSE for `**`, where Python binds unary minus LOOSER
+    * (`-3 ** 2` is -(3**2) = -9). */
+  private def operandLeft(as: Vector[Atom], from: Int,
+                          absorbUnary: Boolean = false): (Int, Int) = {
+    def withUnary(l: Int, r: Int): (Int, Int) = {
+      if (!absorbUnary) return (l, r)
+      var p = l - 1
+      while (p >= 0 && isWs(as(p))) p -= 1
+      val isSign = p >= 0 && (as(p) == AOp("-") || as(p) == AOp("+"))
+      if (!isSign) return (l, r)
+      var q = p - 1
+      while (q >= 0 && isWs(as(q))) q -= 1
+      val unary = q < 0 || (as(q) match {
+        case AOp(")") | AOp("]") => false
+        case _: AOp => true
+        case a => Seq("and", "or", "not", "in").exists(isKw(a, _))
+      })
+      if (unary) (p, r) else (l, r)
+    }
     var r = from
     while (r >= 0 && isWs(as(r))) r -= 1
     require(r >= 0, "operator with no left operand")
@@ -174,8 +199,9 @@ object NestedExpr {
         // include a function-call name directly before the group
         var l2 = l - 1
         while (l2 >= 0 && isWs(as(l2))) l2 -= 1
-        if (l2 >= 0 && as(l2).isInstanceOf[AIdent]) (l2, r) else (l, r)
-      case _: AIdent | _: ARaw | _: AStr => (r, r)
+        if (l2 >= 0 && as(l2).isInstanceOf[AIdent]) withUnary(l2, r)
+        else withUnary(l, r)
+      case _: AIdent | _: ARaw | _: AStr => withUnary(r, r)
       case other => throw new IllegalArgumentException(
         s"cannot read operand ending at '$other' — parenthesize the expression")
     }
@@ -236,7 +262,8 @@ object NestedExpr {
 
   /** All preprocessing passes; returns a Spark-SQL-parseable string.
     * private[graft] for the identity-property spec. */
-  private[graft] def preprocess(exprStr: String): String = {
+  private[graft] def preprocess(exprStr: String,
+                                nestSet: Set[String] = Set.empty): String = {
     var as = atomize(tokenize(exprStr))
 
     // `in [a, b]` → `in (a, b)` (and `not in [...]`)
@@ -274,7 +301,9 @@ object NestedExpr {
       val idx = as.indexWhere(a => a == AOp("**") || a == AOp("//"))
       if (idx >= 0) {
         val op = as(idx).asInstanceOf[AOp].s
-        val (ll, lr) = operandLeft(as, idx - 1)
+        // `//` binds looser than unary minus (−3 // 4 = (−3)//4); `**`
+        // binds tighter (−3 ** 2 = −(3**2)) — see operandLeft
+        val (ll, lr) = operandLeft(as, idx - 1, absorbUnary = op == "//")
         val (rl, rr) = operandRight(as, idx + 1)
         prevSolid(as, ll - 1).foreach {
           case AOp(p) if Set("*", "/", "%", "//", "**").contains(p) =>
@@ -297,6 +326,23 @@ object NestedExpr {
         as = as.patch(ll, Seq(repl), rr - ll + 1)
         changed = true
       }
+    }
+
+    // nest-rooted ref inside text already collapsed by an earlier rewrite
+    // (power/floor-div splice idents into ARaw) — conservative: any
+    // `nest.` occurrence counts, reductions included
+    def rawNestRef(s: String): Boolean = nestSet.exists { n =>
+      ("(^|[^\\w.`])" + java.util.regex.Pattern.quote(n) + "\\s*\\.").r
+        .findFirstIn(s).isDefined
+    }
+    /** Does this span reference a nested field at ELEMENT level (vs only
+      * base columns / global reduction scalars)? Decides Kleene-vs-pandas
+      * missing semantics for the comparison wraps below. */
+    def elementSpan(span: Vector[Atom]): Boolean = span.exists {
+      case AIdent(parts) => parts.headOption.exists(nestSet.contains) &&
+        !(parts.length == 3 && reductionAggs.contains(parts(2)))
+      case ARaw(s) => rawNestRef(s)
+      case _ => false
     }
 
     // chained comparisons: O1 c1 O2 c2 O3 → (O1 c1 O2) and (O2 c2 O3)
@@ -333,7 +379,7 @@ object NestedExpr {
                 }
                 if (!stop) m += 1
               }
-              val (s0, _) = operandLeft(as, firstCmp - 1)
+              val (s0, _) = operandLeft(as, firstCmp - 1, absorbUnary = true)
               val lastCmp = cmps.last
               val (_, eN) = operandRight(as, lastCmp + 1)
               // operands between consecutive cmps
@@ -342,8 +388,15 @@ object NestedExpr {
               val operands = bounds.map { case (a0, a1) =>
                 as.slice(a0, a1 + 1).map(renderAtom).mkString.trim }
               val ops = cmps.toSeq.map(ci => as(ci).asInstanceOf[AOp].s)
+              // each BASE-layer conjunct gets the pandas 2-valued wrap
+              // here (the rewrite collapses to raw text, so the coalesce
+              // pass below can no longer see these comparisons); element
+              // layer keeps Kleene/SQL semantics — see the wrap pass
+              val chainElement = elementSpan(as.slice(s0, eN + 1))
               val joined = ops.zipWithIndex.map { case (c, oi) =>
-                s"(${operands(oi)} $c ${operands(oi + 1)})" }
+                val cmp = s"(${operands(oi)} $c ${operands(oi + 1)})"
+                if (chainElement) cmp
+                else s"coalesce($cmp, ${if (c == "!=") "true" else "false"})" }
                 .mkString(" and ")
               as = as.patch(s0, Seq(ARaw(s" ($joined) ")), eN - s0 + 1)
               changed = true; done = true
@@ -359,6 +412,99 @@ object NestedExpr {
       }
     }
 
+    // pandas 2-VALUED comparison semantics for the BASE layer (found by
+    // the r9 differential fuzzer): a comparison with a missing float64
+    // operand is False — NaN < x, NaN == x, NaN in [...] — EXCEPT `!=`,
+    // which is True (NaN != x, even x != x). SQL's 3-valued NULL instead
+    // propagates, which flips behavior under negation: pandas KEEPS the
+    // rows of `~(b > 1)` where b is missing, SQL drops them. Wrapping
+    // every base-layer comparison span in coalesce(span, false|true)
+    // makes all downstream boolean algebra 2-valued, exactly like pandas.
+    //
+    // ELEMENT-layer spans (any ident rooted at a nest, excluding global
+    // reduction calls, which yield scalars) are NOT wrapped: nested
+    // fields in the reference are always arrow-backed, and arrow NA
+    // follows KLEENE logic — NA propagates through comparisons and ~,
+    // and masks drop NA — which is exactly SQL 3-valued semantics
+    // (fuzzer-verified both ways; COVERAGE.md records the layer split).
+    // Each iteration collapses one comparison span to raw text, so the
+    // scan converges.
+    def depthArr(v: Vector[Atom]): Array[Int] = {
+      val d = new Array[Int](v.length)
+      var cur = 0
+      for (k <- v.indices) v(k) match {
+        case AOp("(") | AOp("[") => d(k) = cur; cur += 1
+        case AOp(")") | AOp("]") => cur -= 1; d(k) = cur
+        case _ => d(k) = cur
+      }
+      d
+    }
+    def isBoolBoundary(a: Atom): Boolean =
+      a == AOp(",") || Seq("and", "or", "not", "in").exists(isKw(a, _))
+    changed = true
+    while (changed) {
+      changed = false
+      val dep = depthArr(as)
+      val found = as.indices.find { k =>
+        as(k) match {
+          case AOp(op) => cmpOps.contains(op)
+          case a => isKw(a, "in")
+        }
+      }
+      found.foreach { c =>
+        val d0 = dep(c)
+        val isIn = as(c) match {
+          case AOp(op) => !cmpOps.contains(op); case _ => true
+        }
+        // `x not in (...)`: the INFIX not sits directly before `in` and
+        // belongs to the span (python's prefix form `not x in (...)`
+        // parses as not(x in ...) and is handled by the plain-in wrap)
+        var scanFrom = c - 1
+        var notInfix = false
+        if (isIn) {
+          var p = c - 1
+          while (p >= 0 && isWs(as(p))) p -= 1
+          if (p >= 0 && isKw(as(p), "not")) { notInfix = true; scanFrom = p - 1 }
+        }
+        var l = scanFrom
+        while (l >= 0 && dep(l) >= d0 &&
+               !(dep(l) == d0 && isBoolBoundary(as(l)))) l -= 1
+        val start = l + 1
+        var r = c + 1
+        if (isIn) {
+          while (r < as.length && as(r) != AOp("(")) r += 1
+          require(r < as.length, s"`in` without a value list in: $exprStr")
+          var depth2 = 1
+          r += 1
+          while (r < as.length && depth2 > 0) {
+            as(r) match {
+              case AOp("(") => depth2 += 1
+              case AOp(")") => depth2 -= 1
+              case _ => ()
+            }
+            if (depth2 > 0) r += 1
+          }
+        } else {
+          while (r < as.length && dep(r) >= d0 &&
+                 !(dep(r) == d0 && isBoolBoundary(as(r)))) r += 1
+          r -= 1
+        }
+        val dflt =
+          if (isIn) { if (notInfix) "true" else "false" }
+          else if (as(c) == AOp("!=")) "true"
+          else "false"
+        val span = as.slice(start, r + 1)
+        val elementLayer = elementSpan(span)
+        val txt = span.map(renderAtom).mkString
+        // element layer: collapse WITHOUT the wrap (Kleene semantics) so
+        // the scan still advances past this comparison
+        val repl = if (elementLayer) ARaw(txt)
+                   else ARaw(s" coalesce(($txt), $dflt) ")
+        as = as.patch(start, Seq(repl), r + 1 - start)
+        changed = true
+      }
+    }
+
     as.map(renderAtom).mkString
   }
 
@@ -367,7 +513,7 @@ object NestedExpr {
     "upper" -> "upper", "lower" -> "lower",
     "casefold" -> "lower",
     "strip" -> "trim", "lstrip" -> "ltrim",
-    "rstrip" -> "rtrim", "title" -> "initcap",
+    "rstrip" -> "rtrim",
     "startswith" -> "startswith", "endswith" -> "endswith",
     "contains" -> "contains",
     // pandas ≥2 str.replace defaults to regex=False → Spark's literal
@@ -402,7 +548,7 @@ object NestedExpr {
       "capitalize", "len", "rjust", "ljust", "zfill", "pad", "center",
       "count", "find", "get", "slice", "split",
       "removeprefix", "removesuffix", "repeat", "extract",
-      "swapcase")).sorted
+      "swapcase", "title")).sorted
 
   private def strUnsupported(m: String, exprStr: String): Nothing =
     throw new IllegalArgumentException(
@@ -561,7 +707,7 @@ object NestedExpr {
     val reds = collection.mutable.LinkedHashMap
       .empty[(String, String, String), Reduction]
     var usesBase = false
-    val toks = tokenize(preprocess(exprStr))
+    val toks = tokenize(preprocess(exprStr, nestSet))
     val sql = toks.zipWithIndex.map {
       case (Text(t), _) => t
       case (Str(t), _)  => t
@@ -853,6 +999,21 @@ object NestedExpr {
         (s"$fn(${(x +: args).mkString(", ")})", false)
       case _ if strPredicates.contains(m) =>
         req(0); (s"(${strPredicates(m)(x)})", false)
+      // python str.title: a letter FOLLOWING A NON-LETTER is uppercased,
+      // any other letter lowercased — words break on every non-letter
+      // ('1a2b3' → '1A2B3', 'x,y' → 'X,Y'), unlike initcap, which only
+      // breaks on whitespace and was the r9 differential fuzzer's first
+      // .str divergence. The outer transform(array(...)) is the
+      // let-binding idiom: the char split is computed once.
+      case "title" =>
+        req(0)
+        val isL = (c: String) => s"regexp_like($c, '^\\\\p{L}$$')"
+        (s"element_at(transform(array(split($x, '')), __tt -> " +
+          s"array_join(transform(__tt, (__tc, __ti) -> " +
+          s"case when ${isL("__tc")} then " +
+          s"case when __ti = 0 or not ${isL("element_at(__tt, __ti)")} " +
+          s"then upper(__tc) else lower(__tc) end " +
+          s"else __tc end), '')), 1)", false)
       // pandas capitalize: first char upper, REST lower (initcap would
       // touch every word)
       case "capitalize" =>

@@ -167,25 +167,36 @@ class DialectParitySpec extends SparkSpec {
       elems("(0 < nested.t) and (nested.t < 10) and (10 < nested.flux)"))
   }
 
-  test("preprocess is the IDENTITY on expressions without Python-isms") {
+  test("preprocess is the IDENTITY on expressions without Python-isms " +
+      "or comparisons; base comparisons get the pandas 2-valued wrap") {
     // every query string in the registry flows through preprocess — an
     // expression using none of the rewritten forms must come out
     // byte-identical (no whitespace scrambling, no backtick loss, no
-    // literal damage)
+    // literal damage). Since r9 a BASE-layer comparison is additionally
+    // wrapped in coalesce(…, false|true) — pandas float64-NaN semantics
+    // (differential-fuzzer finding; element layer keeps Kleene/SQL
+    // semantics and is identity when the nestSet is passed).
     val plain = Seq(
-      "a > 2",
-      "nested.t > 10 and nested.flux <= 50.5",
-      "(a % 2) == 1",
-      "items.l_discount > 0.05",
-      "`bad dog`.`n/a` + `bad dog`.`n/b` > 1e-9",
-      "nested.band == 'r' or nested.band != \"g\"",
-      "not (a > 2) and b is not null",
-      "x in (1, 2, 3)",
-      "abs(t - 10) < 2.5e2",
+      "b is not null",
+      "abs(t - 10) + 2.5e2",
+      "`bad dog`.`n/a` + `bad dog`.`n/b`",
       "nested.t.mean() - a")
     plain.foreach { s =>
       assert(NestedExpr.preprocess(s) == s, s"preprocess changed: '$s'")
     }
+    // element-layer comparisons are identity too (Kleene), modulo the
+    // nestSet being known
+    val elem = Seq("nested.t > 10 and nested.flux <= 50.5",
+      "items.l_discount > 0.05")
+    assert(NestedExpr.preprocess(elem(0), Set("nested")) == elem(0))
+    assert(NestedExpr.preprocess(elem(1), Set("items")) == elem(1))
+    // base-layer comparisons: exact wrapped form, literals untouched
+    assert(NestedExpr.preprocess("a > 2") == " coalesce((a > 2), false) ")
+    assert(NestedExpr.preprocess("(a % 2) == 1") ==
+      " coalesce(((a % 2) == 1), false) ")
+    assert(NestedExpr.preprocess("x != 3") == " coalesce((x != 3), true) ")
+    assert(NestedExpr.preprocess("x in (1, 2, 3)") ==
+      " coalesce((x in (1, 2, 3)), false) ")
   }
 
   test("preprocessing is string-literal-safe and keeps sci-notation") {

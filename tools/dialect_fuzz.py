@@ -1,0 +1,352 @@
+#!/usr/bin/env python3
+"""Differential-fuzz corpus generator: random dialect programs executed
+through the REFERENCE engine (/root/reference/src, run in-sandbox via
+ref_harness stubs), dumped as golden JSONL for graft.DialectFuzzSpec to
+replay through NestedExpr and compare.
+
+This is the generalization of the round-8 technique that caught the
+5-round-old eval-reduction wrong golden: the reference EXECUTES, so the
+goldens are computed, not hand-ported.
+
+Usage: python3 tools/dialect_fuzz.py [n_cases] [seed] [out.jsonl]
+Defaults: 1200 cases, seed 20260814, src/test/resources/fuzz/dialect_fuzz.jsonl
+
+Encoding notes (mirrored by the Scala comparator):
+ - pandas NaN/NA and SQL NULL are BOTH encoded as JSON null (the engines
+   represent missing differently; value-level divergence in missingness
+   still surfaces because present-vs-missing differs).
+ - floats are emitted at full round-trip precision; the comparator uses
+   abs+rel 1e-9 tolerance (distributed vs sequential summation order).
+ - nest cells: null for a missing cell, else [[field values...] per
+   element] in the nest's field order (recorded per result).
+
+Dev tooling only — duckdb/pandas/numpy are driver-side deps, never
+imported by the shipped Scala engine.
+"""
+import json
+import math
+import random
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).parent))
+from ref_harness import load_reference  # noqa: E402
+
+npd = load_reference()
+
+STR_POOL = ["Abc", "de f", "", "aa", "xAbx", "Hello World", "zz9", "  pad  ",
+            "Ab", "b", "CAse", "1a2b3", "na/n", "x,y,z", "aaab"]
+
+# .str methods shared by both engines (graft strSupported ∩ what the
+# fuzzer exercises). Value-returning vs predicate split matters only for
+# where they are syntactically valid.
+STR_VALUE = ["upper", "lower", "strip", "lstrip", "rstrip", "title",
+             "capitalize", "swapcase", "len"]
+STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
+                 ("get", lambda r: str(r.randint(0, 3))),
+                 ("count", lambda r: f"'{r.choice(['a', 'b', 'x'])}'"),
+                 ("find", lambda r: f"'{r.choice(['a', 'b', 'x'])}'"),
+                 ("removeprefix", lambda r: f"'{r.choice(['A', 'a', 'x'])}'"),
+                 ("removesuffix", lambda r: f"'{r.choice(['b', 'x', 'f'])}'"),
+                 ("repeat", lambda r: str(r.randint(0, 3))),
+                 ("slice", lambda r: f"{r.randint(0, 2)}, {r.randint(2, 5)}"),
+                 ("replace", lambda r: f"'a', '{r.choice(['X', ''])}'")]
+STR_PRED = [("contains", lambda r: f"'{r.choice(['a', 'b', 'x', ' '])}'"),
+            ("startswith", lambda r: f"'{r.choice(['A', 'a', 'de'])}'"),
+            ("endswith", lambda r: f"'{r.choice(['b', 'f', 'c'])}'"),
+            ("isdigit", None), ("isalpha", None), ("isspace", None),
+            ("isupper", None), ("islower", None), ("isalnum", None)]
+
+REDUCTIONS = ["mean", "sum", "min", "max", "count", "median", "std"]
+
+
+def gen_frame(r, allow_missing=True):
+    """Random small frame: base (a int, b double-with-NaN, s str) + nests
+    n (x double-with-NaN, y int, t str) and m (u double) — m element-
+    aligned with n per row (cross-nest exprs require alignment).
+
+    allow_missing=False suppresses None cells: pandas' flat-repack on
+    NESTED assignment turns a missing cell into an empty cell, and its
+    index-union alignment on mixed base+element expressions injects a
+    NaN element for missing keys — adjudicated representational
+    divergences (graft keeps missing missing; PARITY.md §fuzz), so those
+    families fuzz over present cells only."""
+    nrows = r.randint(3, 7)
+    a = [r.randint(-5, 12) for _ in range(nrows)]
+    b = [None if r.random() < 0.15 else round(r.uniform(-3, 8), 3)
+         for _ in range(nrows)]
+    s = [r.choice(STR_POOL) for _ in range(nrows)]
+    cells_n, cells_m = [], []
+    for _ in range(nrows):
+        if allow_missing and r.random() < 0.12:
+            cells_n.append(None)
+            cells_m.append(None)
+            continue
+        clen = r.randint(1, 4)
+        cn = []
+        cm = []
+        for _ in range(clen):
+            x = None if r.random() < 0.12 else round(r.uniform(-4, 9), 3)
+            y = r.randint(-3, 9)
+            t = r.choice(STR_POOL)
+            cn.append([x, y, t])
+            cm.append([round(r.uniform(-2, 5), 3)])
+        cells_n.append(cn)
+        cells_m.append(cm)
+    return {"k": list(range(nrows)),
+            "base": {"a": {"t": "i", "v": a}, "b": {"t": "d", "v": b},
+                     "s": {"t": "s", "v": s}},
+            "nests": {"n": {"fields": [["x", "d"], ["y", "i"], ["t", "s"]],
+                            "cells": cells_n},
+                      "m": {"fields": [["u", "d"]], "cells": cells_m}}}
+
+
+def build_ref_frame(spec):
+    nf = npd.NestedFrame(
+        {c: pd.Series(info["v"],
+                      dtype={"i": "int64", "d": "float64", "s": object}[info["t"]])
+         for c, info in spec["base"].items()},
+        index=spec["k"])
+    for nest, ninfo in spec["nests"].items():
+        fields = [f for f, _ in ninfo["fields"]]
+        dtypes = {f: {"i": "int64", "d": "float64", "s": object}[t]
+                  for f, t in ninfo["fields"]}
+        rows, idx = [], []
+        for k, cell in zip(spec["k"], ninfo["cells"]):
+            if cell is None:
+                continue
+            for el in cell:
+                rows.append(el)
+                idx.append(k)
+        child = pd.DataFrame(rows, columns=fields, index=idx)
+        for f in fields:
+            child[f] = child[f].astype(dtypes[f])
+        nf = nf.add_nested(child, nest)
+    return nf
+
+
+def enc_val(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and (math.isnan(v) or pd.isna(v)):
+        return None
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return None if math.isnan(f) else f
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if pd.isna(v):
+        return None
+    return v
+
+
+def enc_frame(nf):
+    """Encode a NestedFrame result: ks + flat base columns + nest cells."""
+    out = {"k": [int(i) for i in nf.index], "base": {}, "nests": {}}
+    nested_cols = set(nf.nested_columns)
+    for c in nf.columns:
+        if c in nested_cols:
+            ser = nf[c]
+            fields = None
+            cells = []
+            for i in nf.index:
+                cell = ser[i]
+                if cell is None or (not hasattr(cell, "columns")
+                                    and pd.isna(cell)):
+                    cells.append(None)
+                    continue
+                if fields is None:
+                    fields = list(cell.columns)
+                cells.append([[enc_val(cell[f].iloc[j]) for f in fields]
+                              for j in range(len(cell))])
+            if fields is None:  # every cell missing: recover from dtype
+                fields = list(nf[c].dtype.fields.keys()) \
+                    if hasattr(nf[c].dtype, "fields") else []
+            out["nests"][c] = {"fields": fields, "cells": cells}
+        else:
+            out["base"][c] = [enc_val(v) for v in nf[c]]
+    return out
+
+
+def enc_series(ser, nf):
+    """Non-assign eval result: base-aligned scalar series or element-level
+    series on the child index (grouped to per-row lists)."""
+    if ser.index.is_unique and len(ser) == len(nf) \
+            and list(ser.index) == list(nf.index):
+        return {"series": [enc_val(v) for v in ser]}
+    cells = []
+    for k in nf.index:
+        if k in ser.index:
+            sub = ser.loc[[k]]
+            cells.append([enc_val(v) for v in sub])
+        else:
+            cells.append(None)
+    return {"cells": cells}
+
+
+# ---------------------------------------------------------------------------
+# program generators
+# ---------------------------------------------------------------------------
+
+def num_atom(r, atoms):
+    roll = r.random()
+    if roll < 0.55:
+        return r.choice(atoms)
+    if roll < 0.8:
+        return str(r.randint(-3, 9))
+    return f"{r.uniform(0.5, 4):.2f}"
+
+
+def num_expr(r, atoms, depth):
+    if depth <= 0:
+        return num_atom(r, atoms)
+    roll = r.random()
+    if roll < 0.12:
+        return f"({num_atom(r, atoms)} ** 2)"
+    if roll < 0.24:
+        return f"({num_expr(r, atoms, depth - 1)} // {r.randint(1, 4)})"
+    if roll < 0.36:
+        return f"({num_expr(r, atoms, depth - 1)} / {r.choice(['2', '4', '2.5'])})"
+    op = r.choice(["+", "-", "*"])
+    return f"({num_expr(r, atoms, depth - 1)} {op} {num_expr(r, atoms, depth - 1)})"
+
+
+def cmp_expr(r, atoms, str_atom=None):
+    roll = r.random()
+    if str_atom is not None and roll < 0.2:
+        sub = roll < 0.1
+        if sub:
+            m, argf = r.choice(STR_PRED)
+            arg = argf(r) if argf else ""
+            return f"{str_atom}.str.{m}({arg})"
+        return f"{str_atom} {r.choice(['==', '!='])} '{r.choice(STR_POOL[:8])}'"
+    if roll < 0.3:
+        ints = ", ".join(str(r.randint(-3, 9)) for _ in range(r.randint(2, 4)))
+        return f"{r.choice(atoms)} in [{ints}]"
+    if roll < 0.4:
+        lo, hi = sorted([r.randint(-3, 6), r.randint(-3, 9)])
+        return f"{lo} < {r.choice(atoms)} <= {hi}"
+    op = r.choice(["<", "<=", ">", ">=", "==", "!="])
+    return f"{num_expr(r, atoms, r.randint(0, 2))} {op} {num_expr(r, atoms, r.randint(0, 1))}"
+
+
+def bool_expr(r, atoms, depth, str_atom=None):
+    if depth <= 0:
+        return cmp_expr(r, atoms, str_atom)
+    roll = r.random()
+    if roll < 0.2:
+        return f"~({bool_expr(r, atoms, depth - 1, str_atom)})"
+    op = r.choice(["&", "|"])
+    return (f"({bool_expr(r, atoms, depth - 1, str_atom)}) {op} "
+            f"({bool_expr(r, atoms, depth - 1, str_atom)})")
+
+
+def reduction_atom(r):
+    field = r.choice(["n.x", "n.y"])
+    return f"{field}.{r.choice(REDUCTIONS)}()"
+
+
+def str_value_call(r, recv):
+    if r.random() < 0.5:
+        m = r.choice(STR_VALUE)
+        return f"{recv}.str.{m}()"
+    m, argf = r.choice(STR_VALUE_ARG)
+    return f"{recv}.str.{m}({argf(r)})"
+
+
+FAMS = ["query_base", "query_elem", "eval_base", "eval_nested",
+        "eval_newnest", "eval_select", "eval_str", "query_str"]
+FAM_WEIGHTS = [20, 20, 15, 15, 8, 10, 7, 5]
+# Families whose program only reads/filters (missing cells flow through
+# identically in both engines); nested-assignment and element-alignment
+# families regenerate frames without missing cells (see gen_frame).
+MISSING_OK = {"query_base", "query_elem", "query_str", "eval_base"}
+
+
+def gen_program(r, fam):
+    if fam == "query_base":
+        return "query", bool_expr(r, ["a", "b"], r.randint(0, 2), "s")
+    if fam == "query_elem":
+        return "query", bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
+    if fam == "eval_base":
+        atoms = ["a", "b"] + [reduction_atom(r) for _ in range(r.randint(1, 2))]
+        return "eval", f"r = {num_expr(r, atoms, r.randint(1, 2))}"
+    if fam == "eval_nested":
+        atoms = ["n.x", "n.y", "a"] + (["m.u"] if r.random() < 0.4 else [])
+        tgt = r.choice(["n.z", "n.x"])
+        return "eval", f"{tgt} = {num_expr(r, atoms, r.randint(1, 2))}"
+    if fam == "eval_newnest":
+        atoms = ["n.x", "n.y"] + (["m.u"] if r.random() < 0.3 else [])
+        return "eval", f"p.w = {num_expr(r, atoms, r.randint(1, 2))}"
+    if fam == "eval_select":
+        if r.random() < 0.5:
+            atoms = ["a", "b", reduction_atom(r)]
+        else:
+            atoms = ["n.x", "n.y", "a"]
+        return "eval_select", num_expr(r, atoms, r.randint(1, 2))
+    if fam == "eval_str":
+        recv = r.choice(["s", "n.t"])
+        tgt = "r" if recv == "s" else "n.w"
+        return "eval", f"{tgt} = {str_value_call(r, recv)}"
+    # query_str
+    recv, lay = (("s", ["a", "b"]) if r.random() < 0.5
+                 else ("n.t", ["n.x", "n.y"]))
+    m, argf = r.choice(STR_PRED)
+    arg = argf(r) if argf else ""
+    return "query", f"{recv}.str.{m}({arg})"
+
+
+def run_reference(nf, kind, text):
+    if kind == "query":
+        return enc_frame(nf.query(text))
+    if kind == "eval":
+        res = nf.eval(text)
+        return enc_frame(res)
+    # eval_select: non-assign eval returns a Series
+    return enc_series(nf.eval(text), nf)
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
+    out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
+        Path(__file__).parent.parent / "src/test/resources/fuzz/dialect_fuzz.jsonl"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    kept, errors, attempts = [], [], 0
+    fam_counts = {}
+    i = 0
+    while len(kept) < n_cases and attempts < n_cases * 4:
+        attempts += 1
+        r = random.Random(seed * 100003 + i)
+        i += 1
+        fam = r.choices(FAMS, weights=FAM_WEIGHTS)[0]
+        frame = gen_frame(r, allow_missing=fam in MISSING_OK)
+        kind, text = gen_program(r, fam)
+        try:
+            nf = build_ref_frame(frame)
+            result = run_reference(nf, kind, text)
+        except Exception as e:  # noqa: BLE001
+            errors.append({"kind": kind, "text": text,
+                           "err": f"{type(e).__name__}: {e}"[:200]})
+            continue
+        kept.append({"id": len(kept), "seed_i": i - 1, "kind": kind,
+                     "text": text, "frame": frame, "expect": result})
+        fam_counts[kind] = fam_counts.get(kind, 0) + 1
+    with out.open("w") as f:
+        for c in kept:
+            f.write(json.dumps(c, allow_nan=False) + "\n")
+    err_path = out.with_suffix(".errors.json")
+    err_path.write_text(json.dumps(
+        {"n_reference_errors": len(errors), "sample": errors[:40]}, indent=1))
+    print(f"wrote {len(kept)} cases to {out} "
+          f"({attempts} attempts, {len(errors)} reference-errored, "
+          f"families={fam_counts})")
+
+
+if __name__ == "__main__":
+    main()
