@@ -548,7 +548,8 @@ object NestedExpr {
       "capitalize", "len", "rjust", "ljust", "zfill", "pad", "center",
       "count", "find", "get", "slice", "split",
       "removeprefix", "removesuffix", "repeat", "extract",
-      "swapcase", "title")).sorted
+      "swapcase", "title",
+      "rsplit", "findall", "match", "fullmatch", "slice_replace")).sorted
 
   private def strUnsupported(m: String, exprStr: String): Nothing =
     throw new IllegalArgumentException(
@@ -1202,6 +1203,37 @@ object NestedExpr {
           case None => throw new IllegalArgumentException(
             s".str.split pat must be a string literal in: $exprStr")
         }
+      // pandas rsplit with no maxsplit IS split (reference-executed r9
+      // probe); a maxsplit argument would differ and raises loudly
+      case "rsplit" =>
+        require(args.length <= 1,
+          s".str.rsplit with maxsplit is not supported (rsplit without " +
+            s"maxsplit equals split; right-counted maxsplit has no Spark " +
+            s"analog) in: $exprStr")
+        renderStrMethod("split", x, args, arrayInput, exprStr)
+      // re.findall: all non-overlapping full matches (group-free
+      // patterns; python returns group contents when the pattern has
+      // groups — pass a non-capturing (?:...) for those)
+      case "findall" =>
+        req(1)
+        (s"regexp_extract_all($x, ${args(0)}, 0)", true)
+      // re.match / re.fullmatch: anchored at start / fully anchored.
+      // concat of literals folds, so the pattern stays a constant.
+      case "match" =>
+        req(1)
+        (s"regexp_like($x, concat('^(?:', ${args(0)}, ')'))", false)
+      case "fullmatch" =>
+        req(1)
+        (s"regexp_like($x, concat('^(?:', ${args(0)}, ')$$'))", false)
+      // pandas slice_replace(start, stop, repl) = x[:start] + repl + x[stop:]
+      case "slice_replace" =>
+        req(3)
+        Seq(0, 1).foreach { p =>
+          intLit(args(p)).foreach(v => require(v >= 0,
+            s".str.slice_replace supports non-negative bounds in: $exprStr"))
+        }
+        (s"concat(substring($x, 1, ${args(0)}), ${args(2)}, " +
+          s"substring($x, (${args(1)}) + 1))", false)
       case other => strUnsupported(other, exprStr)
     }
   }

@@ -95,6 +95,9 @@ class DialectFuzzSpec extends SparkSpec {
     val expMissing = exp == null || exp.isNull
     got match {
       case null => expMissing
+      case seq: scala.collection.Seq[_] =>
+        exp != null && exp.isArray && exp.size() == seq.length &&
+          seq.zipWithIndex.forall { case (v, i) => scalarMatches(v, exp.get(i)) }
       case d: java.lang.Double if d.isNaN => expMissing
       case f: java.lang.Float if f.isNaN => expMissing
       case _ if expMissing => false

@@ -186,6 +186,40 @@ class DialectStrSpec extends SparkSpec {
     assert(r(1) == "ABCDE") // untouched non-match
   }
 
+  test("r9 long-tail: findall / match / fullmatch / rsplit / " +
+      "slice_replace / title (pandas goldens)") {
+    def lists(e: String): Seq[Seq[String]] = vals(e).map {
+      case null => null
+      case s: scala.collection.Seq[_] => s.map(_.asInstanceOf[String]).toSeq
+    }
+    assert(lists("n.s.str.findall('[ab]')") == Seq(
+      Seq("a", "b"), Seq(), Seq("a"), Seq(), Seq("a", "b"), Seq(), Seq(),
+      Seq(), Seq("a", "b"), Seq(), Seq(), Seq("a", "b"), null))
+    assert(vals("n.s.str.match('[Aa]')") == Seq(
+      true, true, true, false, false, false, false, false, true, false,
+      false, true, null))
+    assert(vals("n.s.str.fullmatch('[A-Za-z ]*')") == Seq(
+      true, true, false, true, true, false, false, false, false, true,
+      false, false, null))
+    assert(lists("n.s.str.rsplit(',')") == Seq(
+      Seq("ab"), Seq("ABCDE"), Seq("a1"), Seq(""), Seq(" a b "),
+      Seq("-1"), Seq("+2"), Seq("x", "y", "z"), Seq("a", "", "b"),
+      Seq("Hello World"), Seq("½"), Seq("a|b"), null))
+    assert(strs("n.s.str.slice_replace(1, 3, 'ZZ')") == Seq(
+      "aZZ", "AZZDE", "aZZ", "ZZ", " ZZb ", "-ZZ", "+ZZ", "xZZ,z",
+      "aZZb", "HZZlo World", "½ZZ", "aZZ", null))
+    // title breaks words on EVERY non-letter, unlike initcap
+    assert(strs("n.s.str.title()") == Seq(
+      "Ab", "Abcde", "A1", "", " A B ", "-1", "+2", "X,Y,Z", "A,,B",
+      "Hello World", "½", "A|B", null))
+    // rsplit with maxsplit raises loudly (right-counted maxsplit has no
+    // Spark analog); partition/cat/translate/wrap stay documented raises
+    intercept[IllegalArgumentException] {
+      vals("n.s.str.rsplit(',', 1)")
+    }
+    intercept[IllegalArgumentException] { vals("n.s.str.partition(',')") }
+  }
+
   test("existing methods still work through the marker path (filters)") {
     val g = df
     def n(q: String): Int =

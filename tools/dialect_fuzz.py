@@ -53,12 +53,21 @@ STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
                  ("removesuffix", lambda r: f"'{r.choice(['b', 'x', 'f'])}'"),
                  ("repeat", lambda r: str(r.randint(0, 3))),
                  ("slice", lambda r: f"{r.randint(0, 2)}, {r.randint(2, 5)}"),
-                 ("replace", lambda r: f"'a', '{r.choice(['X', ''])}'")]
+                 ("replace", lambda r: f"'a', '{r.choice(['X', ''])}'"),
+                 # r9 long-tail: list-returning + slice_replace (goldens
+                 # computed by the reference, list cells encoded as arrays)
+                 ("findall", lambda r: f"'[{r.choice(['ab', 'xz', 'a-c'])}]'"),
+                 ("rsplit", lambda r: "' '"),
+                 ("slice_replace",
+                  lambda r: f"{r.randint(0, 2)}, {r.randint(1, 4)}, "
+                            f"'{r.choice(['ZZ', '#'])}'")]
 STR_PRED = [("contains", lambda r: f"'{r.choice(['a', 'b', 'x', ' '])}'"),
             ("startswith", lambda r: f"'{r.choice(['A', 'a', 'de'])}'"),
             ("endswith", lambda r: f"'{r.choice(['b', 'f', 'c'])}'"),
             ("isdigit", None), ("isalpha", None), ("isspace", None),
-            ("isupper", None), ("islower", None), ("isalnum", None)]
+            ("isupper", None), ("islower", None), ("isalnum", None),
+            ("match", lambda r: f"'[{r.choice(['Aa', 'a-d', 'xz'])}]'"),
+            ("fullmatch", lambda r: f"'[{r.choice(['A-Za-z ', 'a-d'])}]*'")]
 
 REDUCTIONS = ["mean", "sum", "min", "max", "count", "median", "std"]
 
@@ -131,6 +140,8 @@ def build_ref_frame(spec):
 def enc_val(v):
     if v is None:
         return None
+    if isinstance(v, (list, np.ndarray)):
+        return [enc_val(e) for e in v]
     if isinstance(v, float) and (math.isnan(v) or pd.isna(v)):
         return None
     if isinstance(v, (np.floating,)):
