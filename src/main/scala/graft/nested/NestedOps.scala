@@ -288,7 +288,19 @@ object NestedOps {
     * much smaller aggregation (`flatten(collect_list(...))`).
     * Use when AQE's skew handling isn't enough (extreme single-key skew);
     * costs one extra (cheap) shuffle. Element order is salt-interleaved —
-    * pass `sortBy` for deterministic order. */
+    * pass `sortBy` for deterministic order.
+    *
+    * 100 TB default (r9 probe, SCALING.md §skew-r9): plain [[packFlat]]
+    * unless the hot key's CELL BYTES (elements × row width) approach
+    * task memory — at 100M rows with a 10⁷-element hot key and narrow
+    * rows, plain beat salted 2.3-2.7× (salting taxes every key with a
+    * second shuffle; the final merged cell is one task's output either
+    * way). When cell bytes are the problem, salting cannot shrink them —
+    * use `packFlat(maxPerKey=)` / [[packFlatCapped]] (bounded by
+    * construction) or keep that key flat. AQE's skew-join never applies:
+    * it splits join/sort partitions, not aggregations, and joinNested's
+    * join side is post-agg (one row per key) — probe-verified
+    * end-to-end. */
   def packFlatSalted(child: DataFrame, on: Seq[String], name: String,
                      saltBuckets: Int,
                      sortBy: Seq[(String, Boolean)] = Nil): DataFrame = {

@@ -90,6 +90,36 @@ object SkewProbe {
       f"(n=$n hotPct=$hotPct payloadBytes=$payloadBytes)")
     println(f"SKEW_PROBE ratio plain/capped = ${plain / capped}%.2f " +
       f"(maxPerKey=10000)")
+    // joinNested END-TO-END under the same skew (r9 verdict item): the
+    // join side is one row per key AFTER the pack, so AQE's skew-join
+    // splitting (sort-merge JOIN partitions only) never sees the hot
+    // key — the skew lives in the pack AGGREGATION, which AQE does not
+    // split. The salted pack is therefore the lever for joinNested too;
+    // these two legs measure that end-to-end.
+    val baseTbl = spark.range(nKeys).select(col("id").as("key"),
+      (col("id") % 97L).cast("int").as("battr"))
+    def timeJoin(label: String)(packed: => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
+      try {
+        val r = baseTbl.join(packed, Seq("key"), "left")
+          .agg(count(lit(1)), sum(size(col("nested")))).collect()(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"SKEW_PROBE joinNested/$label time=$secs%.1fs " +
+          s"rows=${r.getLong(0)} elements=${r.getLong(1)}")
+        secs
+      } catch { case e: Throwable =>
+        println(s"SKEW_PROBE joinNested/$label FAILED: ${rootCause(e)}")
+        Double.NaN
+      }
+    }
+    val jPlain = timeJoin("plain ")(
+      NestedOps.packFlat(child, Seq("key"), "nested"))
+    val jSalted = timeJoin("salted")(
+      NestedOps.packFlatSalted(child, Seq("key"), "nested", cpus.toInt))
+    println(f"SKEW_PROBE joinNested ratio plain/salted = " +
+      f"${jPlain / jSalted}%.2f (AQE skew-join on, agg skew unaffected)")
+
     // divert form: kept + overflow must partition the child exactly
     val (kept, overflow) = NestedOps.packFlatCapped(
       child, Seq("key"), "nested", maxPerKey = 10000)

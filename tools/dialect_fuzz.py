@@ -271,8 +271,9 @@ def str_value_call(r, recv):
 
 
 FAMS = ["query_base", "query_elem", "eval_base", "eval_nested",
-        "eval_newnest", "eval_select", "eval_str", "query_str"]
-FAM_WEIGHTS = [20, 20, 15, 15, 8, 10, 7, 5]
+        "eval_newnest", "eval_select", "eval_str", "query_str",
+        "eval_multiline"]
+FAM_WEIGHTS = [18, 18, 14, 14, 8, 10, 7, 5, 6]
 # Families whose program only reads/filters (missing cells flow through
 # identically in both engines); nested-assignment and element-alignment
 # families regenerate frames without missing cells (see gen_frame).
@@ -304,6 +305,18 @@ def gen_program(r, fam):
         recv = r.choice(["s", "n.t"])
         tgt = "r" if recv == "s" else "n.w"
         return "eval", f"{tgt} = {str_value_call(r, recv)}"
+    if fam == "eval_multiline":
+        # line N sees the column line N-1 created (reference GH#159):
+        # first a base column from base atoms (+ optional reduction),
+        # then a second statement CONSUMING it — either another base
+        # column or a nested field broadcast-mixing it in
+        atoms1 = ["a", "b"] + ([reduction_atom(r)] if r.random() < 0.4 else [])
+        l1 = f"r1 = {num_expr(r, atoms1, r.randint(1, 2))}"
+        if r.random() < 0.5:
+            l2 = f"r2 = {num_expr(r, ['r1', 'a'], r.randint(1, 2))}"
+        else:
+            l2 = f"n.z = {num_expr(r, ['n.x', 'n.y', 'r1'], r.randint(1, 2))}"
+        return "eval", l1 + "\n" + l2
     # query_str
     recv, lay = (("s", ["a", "b"]) if r.random() < 0.5
                  else ("n.t", ["n.x", "n.y"]))
