@@ -464,7 +464,13 @@ object NestedOps {
           s"dropna how= must be 'any' or 'all', got '$other'")
       }
     }
-    filterElements(df, nest, keep)
+    // cells EMPTIED by the drop become NULL, not empty arrays: reference
+    // dropna goes through the same flat-repack as query (absent keys come
+    // back missing) — r9 op-fuzzer vs the executed reference. The
+    // accessor-level element MASK (filterElements) keeps empty cells;
+    // dropna does not.
+    val masked = filterElements(df, nest, keep)
+    masked.withColumn(nest, when(size(col(nest)) > 0, col(nest)))
   }
 
   /** Fill NULLs in nested fields with per-field constants.
@@ -838,7 +844,11 @@ object NestedOps {
       val cleaned =
         if (dropField) transform(filtered, s => s.dropFields(byField))
         else filtered
-      acc.withColumn(s"${nest}_$v", cleaned)
+      // a key with NO elements of this value gets a NULL cell, not an
+      // empty array — the reference repacks the filtered flat rep, so
+      // absent keys come back missing (r9 op-fuzzer vs executed
+      // reference; same rule as query's emptied cells)
+      acc.withColumn(s"${nest}_$v", when(size(cleaned) > 0, cleaned))
     }
     if (dropSource) withSplits.drop(nest) else withSplits
   }

@@ -1,0 +1,107 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import graft.nested.NestedOps
+
+import scala.jdk.CollectionConverters._
+
+/** Operator-level differential fuzz (r9): dropna / fillna / count_nested /
+  * split / to_flat over random frames, goldens computed by EXECUTING the
+  * reference (tools/op_fuzz.py) — the dialect fuzzer's technique pointed
+  * at the operator surface. Regenerate with `python3 tools/op_fuzz.py`. */
+class OpFuzzSpec extends SparkSpec {
+  import FuzzHarness._
+
+  private def runOp(df: DataFrame, op: String, args: JsonNode): DataFrame =
+    op match {
+      case "dropna_nested" =>
+        val subset =
+          if (args.get("subset") == null || args.get("subset").isNull) Nil
+          else args.get("subset").elements().asScala
+            .map(_.asText().stripPrefix("n.")).toSeq
+        val how = Option(args.get("how")).filterNot(_.isNull)
+          .map(_.asText()).getOrElse("any")
+        val thresh = Option(args.get("thresh")).filterNot(_.isNull)
+          .map(_.asInt())
+        NestedOps.dropNaElements(df, "n", subset, how, thresh)
+      case "dropna_base" =>
+        val subset = args.get("subset").elements().asScala.map(_.asText()).toSeq
+        df.na.drop(args.get("how").asText(), subset)
+      case "fillna" =>
+        val values = args.get("values").fields().asScala.map { e =>
+          e.getKey -> (e.getValue.asDouble(): Any)
+        }.toMap
+        NestedOps.fillNaAll(df, values)
+      case "count_nested" =>
+        Option(args.get("by")).filterNot(_.isNull).map(_.asText()) match {
+          case None => NestedOps.countNested(df, "n", None)
+          case Some(by) => NestedOps.countNestedAuto(df, "n", by)
+        }
+      case "split" =>
+        NestedOps.splitNestedAuto(df, "n", args.get("by").asText(),
+          dropField = false, dropSource = false)
+    }
+
+  /** to_flat compare: expected is per-k ORDERED element lists over the
+    * flat columns; our toFlat output is grouped by k in collect order
+    * (narrow explode — array order preserved). */
+  private def compareFlat(df: DataFrame, expect: JsonNode): Option[String] = {
+    val expK = expect.get("k").elements().asScala.map(_.asLong()).toVector
+    val flat = expect.get("flat")
+    val fields = flat.get("fields").elements().asScala.map(_.asText()).toVector
+    val got = df.collect()
+    val byK = scala.collection.mutable.LinkedHashMap.empty[Long, Vector[Row]]
+    got.foreach { r =>
+      val k = r.getAs[Long]("k")
+      byK(k) = byK.getOrElse(k, Vector.empty) :+ r
+    }
+    for ((k, ki) <- expK.zipWithIndex) {
+      val expCell = flat.get("cells").get(ki)
+      val rows = byK.getOrElse(k, Vector.empty)
+      if (expCell == null || expCell.isNull) {
+        if (rows.nonEmpty)
+          return Some(s"k=$k: got ${rows.length} flat rows, expected none")
+      } else {
+        val expEls = expCell.elements().asScala.toVector
+        if (rows.length != expEls.length)
+          return Some(s"k=$k: got ${rows.length} flat rows, expected ${expEls.length}")
+        for ((row, j) <- rows.zipWithIndex; (f, fj) <- fields.zipWithIndex) {
+          val gotV = row.get(row.fieldIndex(f))
+          if (!scalarMatches(gotV, expEls(j).get(fj)))
+            return Some(s"k=$k flat[$j].$f: got $gotV expected ${expEls(j).get(fj)}")
+        }
+      }
+    }
+    val extras = byK.keySet -- expK.toSet
+    if (extras.nonEmpty) return Some(s"unexpected flat keys: $extras")
+    None
+  }
+
+  test("operator fuzz corpus replays green against the executed reference") {
+    val cases = loadCases("/fuzz/op_fuzz.jsonl")
+    assert(cases.length >= 300, s"corpus has ${cases.length} cases; want >= 300")
+    var failures = List.empty[String]
+    for (c <- cases) {
+      val id = c.get("id").asInt()
+      val op = c.get("op").asText()
+      val df = buildFrame(spark, c.get("frame"))
+      val diff =
+        try {
+          if (op == "to_flat")
+            compareFlat(NestedOps.toFlat(df, "n", Seq("k")), c.get("expect"))
+          else compareFrame(runOp(df, op, c.get("args")), c.get("expect"))
+        } catch {
+          case e: Throwable =>
+            Some(s"ENGINE THREW ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").take(200)}")
+        }
+      diff.foreach(d =>
+        failures ::= s"case $id [$op ${c.get("args")}]: $d")
+    }
+    if (failures.nonEmpty)
+      fail(s"${failures.length}/${cases.length} op-fuzz cases diverged:\n" +
+        failures.reverse.take(25).mkString("\n"))
+  }
+}

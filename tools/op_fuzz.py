@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Operator-level differential fuzz corpus: random frames put through the
+REFERENCE's dropna / fillna / count_nested / split / to_flat (executed
+in-sandbox via ref_harness) — goldens replayed by graft.OpFuzzSpec.
+
+Extends the dialect fuzzer (dialect_fuzz.py) from the expression surface
+to the operator surface, same encoding conventions.
+
+Usage: python3 tools/op_fuzz.py [n_cases] [seed] [out.jsonl]
+"""
+import json
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
+                          gen_frame, npd)
+
+OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
+       "to_flat"]
+OP_WEIGHTS = [22, 10, 20, 18, 15, 15]
+
+
+def gen_op(r):
+    op = r.choices(OPS, weights=OP_WEIGHTS)[0]
+    if op == "dropna_nested":
+        mode = r.choice(["subset_any", "subset_all", "thresh", "all_fields"])
+        if mode == "subset_any":
+            return op, {"subset": ["n.x"], "how": "any", "thresh": None}
+        if mode == "subset_all":
+            return op, {"subset": ["n.x"], "how": "all", "thresh": None}
+        if mode == "thresh":
+            return op, {"subset": None, "how": None, "thresh": r.randint(2, 3)}
+        return op, {"subset": None, "how": "any", "thresh": None}
+    if op == "dropna_base":
+        return op, {"subset": ["b"], "how": r.choice(["any", "all"])}
+    if op == "fillna":
+        vals = {}
+        if r.random() < 0.8:
+            vals["n.x"] = round(r.uniform(-9, 9), 2)
+        if r.random() < 0.5:
+            vals["b"] = round(r.uniform(-9, 9), 2)
+        if not vals:
+            vals["n.x"] = -1.0
+        return op, {"values": vals}
+    if op == "count_nested":
+        return op, {"by": r.choice([None, "t"])}
+    if op == "split":
+        return op, {"by": "t"}
+    return op, {}  # to_flat
+
+
+def run_reference(nf, op, args):
+    if op == "dropna_nested":
+        kw = {}
+        if args["subset"]:
+            kw["subset"] = args["subset"]
+            if args["how"]:
+                kw["how"] = args["how"]
+        else:
+            kw["on_nested"] = "n"
+            if args["thresh"] is not None:
+                kw["thresh"] = args["thresh"]
+            elif args["how"]:
+                kw["how"] = args["how"]
+        return enc_frame(nf.dropna(**kw))
+    if op == "dropna_base":
+        return enc_frame(nf.dropna(subset=args["subset"], how=args["how"]))
+    if op == "fillna":
+        return enc_frame(nf.fillna(args["values"]))
+    if op == "count_nested":
+        from nested_pandas.utils import count_nested
+        return enc_frame(count_nested(nf, "n", by=args["by"]))
+    if op == "split":
+        return enc_frame(nf.split("n", args["by"]))
+    if op == "to_flat":
+        flat = nf["n"].nest.to_flat()
+        fields = list(flat.columns)
+        cells = []
+        for k in nf.index:
+            if k in flat.index:
+                sub = flat.loc[[k]]
+                cells.append([[enc_val(sub[f].iloc[j]) for f in fields]
+                              for j in range(len(sub))])
+            else:
+                cells.append(None)
+        return {"k": [int(i) for i in nf.index],
+                "flat": {"fields": fields, "cells": cells}}
+
+
+def main():
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
+    out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
+        Path(__file__).parent.parent / "src/test/resources/fuzz/op_fuzz.jsonl"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    kept, errors, attempts, i = [], [], 0, 0
+    counts = {}
+    while len(kept) < n_cases and attempts < n_cases * 4:
+        attempts += 1
+        r = random.Random(seed * 99991 + i)
+        i += 1
+        op, args = gen_op(r)
+        frame = gen_frame(r, allow_missing=True)
+        try:
+            nf = build_ref_frame(frame)
+            expect = run_reference(nf, op, args)
+        except Exception as e:  # noqa: BLE001
+            errors.append({"op": op, "args": args,
+                           "err": f"{type(e).__name__}: {e}"[:200]})
+            continue
+        kept.append({"id": len(kept), "op": op, "args": args,
+                     "frame": frame, "expect": expect})
+        counts[op] = counts.get(op, 0) + 1
+    with out.open("w") as f:
+        for c in kept:
+            f.write(json.dumps(c, allow_nan=False) + "\n")
+    out.with_suffix(".errors.json").write_text(json.dumps(
+        {"n_reference_errors": len(errors), "sample": errors[:30]}, indent=1))
+    print(f"wrote {len(kept)} cases ({attempts} attempts, "
+          f"{len(errors)} reference-errored, ops={counts})")
+
+
+if __name__ == "__main__":
+    main()
