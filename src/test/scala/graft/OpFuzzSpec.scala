@@ -42,6 +42,10 @@ class OpFuzzSpec extends SparkSpec {
       case "split" =>
         NestedOps.splitNestedAuto(df, "n", args.get("by").asText(),
           dropField = false, dropSource = false)
+      case "sort_nested" =>
+        NestedOps.sortValues(df,
+          Seq((args.get("by").asText(), args.get("asc").asBoolean())),
+          Some(args.get("na_position").asText()))
     }
 
   /** to_flat compare: expected is per-k ORDERED element lists over the
@@ -87,11 +91,42 @@ class OpFuzzSpec extends SparkSpec {
       val id = c.get("id").asInt()
       val op = c.get("op").asText()
       val df = buildFrame(spark, c.get("frame"))
+      val args = c.get("args")
       val diff =
         try {
-          if (op == "to_flat")
-            compareFlat(NestedOps.toFlat(df, "n", Seq("k")), c.get("expect"))
-          else compareFrame(runOp(df, op, c.get("args")), c.get("expect"))
+          op match {
+            case "to_flat" =>
+              compareFlat(NestedOps.toFlat(df, "n", Seq("k")), c.get("expect"))
+            case "explode" =>
+              // reference explode keeps missing-cell rows with all-NA
+              // fields (probe-verified) → keepEmpty analog
+              compareFlat(NestedOps.explodeNested(df.drop("m"), "n",
+                keepEmpty = true), c.get("expect"))
+            case "sort_base" =>
+              val got = NestedOps.sortValues(df,
+                Seq((args.get("by").asText(), args.get("asc").asBoolean())),
+                Some(args.get("na_position").asText()))
+                .collect().map(_.getAs[Long]("k")).toVector
+              val exp = c.get("expect").get("k_order").elements().asScala
+                .map(_.asLong()).toVector
+              if (got == exp) None
+              else Some(s"row order: got ${got.mkString(",")} expected ${exp.mkString(",")}")
+            case "minmax" =>
+              val got = NestedOps.aggAllColumns(df.drop("k"),
+                args.get("fn").asText(), numericOnly = true).collect()(0)
+              val cols = c.get("expect").get("cols")
+              cols.fieldNames().asScala.flatMap { name =>
+                if (!got.schema.fieldNames.contains(name))
+                  Some(s"missing agg column '$name'")
+                else if (!scalarMatches(got.get(got.fieldIndex(name)),
+                    cols.get(name)))
+                  Some(s"agg '$name': got ${got.get(got.fieldIndex(name))} " +
+                    s"expected ${cols.get(name)}")
+                else None
+              }.toSeq.headOption
+            case _ =>
+              compareFrame(runOp(df, op, args), c.get("expect"))
+          }
         } catch {
           case e: Throwable =>
             Some(s"ENGINE THREW ${e.getClass.getSimpleName}: " +

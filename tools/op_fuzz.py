@@ -18,8 +18,47 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
                           gen_frame, npd)
 
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
-       "to_flat"]
-OP_WEIGHTS = [22, 10, 20, 18, 15, 15]
+       "to_flat", "sort_base", "sort_nested", "minmax", "explode"]
+OP_WEIGHTS = [16, 8, 14, 13, 11, 11, 8, 8, 5, 6]
+
+
+def fixup_for_sort(frame, r, nested):
+    """Deterministic order needs tie-free sort keys: distinct b values and
+    at most one null (base sort); distinct x and <=1 null-x per cell
+    (nested sort)."""
+    if not nested:
+        vs = frame["base"]["b"]["v"]
+        seen = set()
+        nulls = 0
+        for i, v in enumerate(vs):
+            if v is None:
+                nulls += 1
+                if nulls > 1:
+                    v = round(r.uniform(-3, 8), 3) + i * 0.0011
+                else:
+                    continue
+            while v in seen:
+                v = round(v + 0.0017, 4)
+            vs[i] = v
+            seen.add(v)
+    else:
+        for cell in frame["nests"]["n"]["cells"]:
+            if cell is None:
+                continue
+            seen = set()
+            nulls = 0
+            for j, el in enumerate(cell):
+                v = el[0]
+                if v is None:
+                    nulls += 1
+                    if nulls > 1:
+                        v = round(r.uniform(-4, 9), 3) + j * 0.0013
+                    else:
+                        continue
+                while v in seen:
+                    v = round(v + 0.0019, 4)
+                el[0] = v
+                seen.add(v)
 
 
 def gen_op(r):
@@ -48,7 +87,15 @@ def gen_op(r):
         return op, {"by": r.choice([None, "t"])}
     if op == "split":
         return op, {"by": "t"}
-    return op, {}  # to_flat
+    if op == "sort_base":
+        return op, {"by": "b", "asc": r.random() < 0.5,
+                    "na_position": r.choice(["first", "last"])}
+    if op == "sort_nested":
+        return op, {"by": "n.x", "asc": r.random() < 0.5,
+                    "na_position": r.choice(["first", "last"])}
+    if op == "minmax":
+        return op, {"fn": r.choice(["min", "max"])}
+    return op, {}  # to_flat / explode
 
 
 def run_reference(nf, op, args):
@@ -74,19 +121,36 @@ def run_reference(nf, op, args):
         return enc_frame(count_nested(nf, "n", by=args["by"]))
     if op == "split":
         return enc_frame(nf.split("n", args["by"]))
+    if op == "sort_base":
+        res = nf.sort_values(by=args["by"], ascending=args["asc"],
+                             na_position=args["na_position"])
+        return {"k_order": [int(i) for i in res.index]}
+    if op == "sort_nested":
+        return enc_frame(nf.sort_values(by=args["by"], ascending=args["asc"],
+                                        na_position=args["na_position"]))
+    if op == "minmax":
+        ser = getattr(nf, args["fn"])(numeric_only=True)
+        return {"cols": {str(k): enc_val(v) for k, v in ser.items()}}
+    if op == "explode":
+        return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
     if op == "to_flat":
-        flat = nf["n"].nest.to_flat()
-        fields = list(flat.columns)
-        cells = []
-        for k in nf.index:
-            if k in flat.index:
-                sub = flat.loc[[k]]
-                cells.append([[enc_val(sub[f].iloc[j]) for f in fields]
-                              for j in range(len(sub))])
-            else:
-                cells.append(None)
-        return {"k": [int(i) for i in nf.index],
-                "flat": {"fields": fields, "cells": cells}}
+        return enc_flat_like(nf["n"].nest.to_flat(), nf)
+
+
+def enc_flat_like(flat, nf):
+    """Encode a flat (duplicated-index) result as per-parent-key ordered
+    element lists over the flat columns."""
+    fields = list(flat.columns)
+    cells = []
+    for k in nf.index:
+        if k in flat.index:
+            sub = flat.loc[[k]]
+            cells.append([[enc_val(sub[f].iloc[j]) for f in fields]
+                          for j in range(len(sub))])
+        else:
+            cells.append(None)
+    return {"k": [int(i) for i in nf.index],
+            "flat": {"fields": fields, "cells": cells}}
 
 
 def main():
@@ -103,6 +167,8 @@ def main():
         i += 1
         op, args = gen_op(r)
         frame = gen_frame(r, allow_missing=True)
+        if op in ("sort_base", "sort_nested"):
+            fixup_for_sort(frame, r, nested=op == "sort_nested")
         try:
             nf = build_ref_frame(frame)
             expect = run_reference(nf, op, args)
