@@ -128,6 +128,36 @@ class DialectParitySpec extends SparkSpec {
     }
   }
 
+  test("r9: eval global reductions build the plan LAZILY and BATCHED — " +
+      "zero Spark jobs at eval time, one agg scan per nest") {
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    // three reductions over the same nest in one expression: until r9
+    // each ran its own eager distributed agg at parse time
+    val out = NestedExpr.eval(g55,
+      "r = id + nested.t.mean() + nested.t.median() + nested.flux.sum()")
+    val mid = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(mid == before,
+      s"eval ran ${mid - before} job(s) while building the plan; expected 0")
+    // the plan joins ONE single-row broadcast agg carrying ALL THREE
+    // reductions (the other Aggregates in the plan are the fixture's own
+    // packs), and the helper columns are dropped from the output
+    val plan = out.queryExecution.optimizedPlan.toString()
+    val redAggs = plan.linesIterator
+      .filter(l => l.contains("Aggregate [") && l.contains("__graft_red"))
+      .toVector
+    assert(redAggs.length == 1,
+      s"expected exactly 1 reduction Aggregate, got ${redAggs.length}:\n$plan")
+    assert(Seq("__graft_red_0", "__graft_red_1", "__graft_red_2")
+      .forall(redAggs.head.contains),
+      s"reduction agg not batched: ${redAggs.head}")
+    assert(plan.contains("Join Cross") && plan.contains("broadcast"),
+      "reductions should attach via a broadcast cross join")
+    assert(!out.columns.exists(_.startsWith("__graft_red")),
+      s"helper columns leaked: ${out.columns.mkString(",")}")
+    out.collect() // still computes
+  }
+
   test("% mod is OUR extension — the reference raises NotImplementedError") {
     // documented divergence: reference query("nested.t % 2 > 1") raises;
     // ours evaluates (Spark SQL %)
