@@ -586,10 +586,12 @@ object SurfaceQueries {
       d.where(col("stat").endsWith("%"))
         .select(col("column"), mapping.as("stat"), col("value").as(vname))
     }
-    val lo = renamed(NestedOps.describeAll(packed,
-      percentiles = pcts.map(_ - delta)), pcts.map(_ - delta), "lo")
-    val hi = renamed(NestedOps.describeAll(packed,
-      percentiles = pcts.map(_ + delta)), pcts.map(_ + delta), "hi")
+    // ONE exact pass computes both envelope edges (6 percentiles in a
+    // single layer-shared aggregate) — 2 scans total with the approx pass
+    val exactBoth = NestedOps.describeAll(packed,
+      percentiles = pcts.map(_ - delta) ++ pcts.map(_ + delta))
+    val lo = renamed(exactBoth, pcts.map(_ - delta), "lo")
+    val hi = renamed(exactBoth, pcts.map(_ + delta), "hi")
     val exactStats = approxD.where(!col("stat").endsWith("%"))
       .select(col("column"), col("stat"),
         round(col("value") + lit(1e-9), 4).as("value"))

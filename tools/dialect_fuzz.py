@@ -263,7 +263,18 @@ def reduction_atom(r):
 
 
 def str_value_call(r, recv):
-    if r.random() < 0.5:
+    roll = r.random()
+    if roll < 0.15:
+        # chained after split: only get/len are list-capable in both
+        sep = r.choice(["' '", "','"])
+        tail = r.choice([f"get({r.randint(0, 2)})", "len()"])
+        return f"{recv}.str.split({sep}).str.{tail}"
+    if roll < 0.3:
+        # scalar-to-scalar chain (reference-executed: strip().str.upper())
+        m1 = r.choice(["strip", "lower", "upper", "swapcase"])
+        m2 = r.choice(["upper", "lower", "capitalize", "len"])
+        return f"{recv}.str.{m1}().str.{m2}()"
+    if roll < 0.65:
         m = r.choice(STR_VALUE)
         return f"{recv}.str.{m}()"
     m, argf = r.choice(STR_VALUE_ARG)
