@@ -494,7 +494,12 @@ object NestedExpr {
           else if (as(c) == AOp("!=")) "true"
           else "false"
         val span = as.slice(start, r + 1)
-        val elementLayer = elementSpan(span)
+        // `in` wraps on BOTH layers: pandas routes membership through
+        // isin, which maps NA → False even for arrow-backed nested
+        // fields (r9 fuzzer, large-frame case: `~(n.x in [...])` KEEPS
+        // null-x elements). Comparisons keep the layer split (element
+        // layer = Kleene).
+        val elementLayer = !isIn && elementSpan(span)
         val txt = span.map(renderAtom).mkString
         // element layer: collapse WITHOUT the wrap (Kleene semantics) so
         // the scan still advances past this comparison

@@ -82,8 +82,11 @@ def gen_frame(r, allow_missing=True):
     index-union alignment on mixed base+element expressions injects a
     NaN element for missing keys — adjudicated representational
     divergences (graft keeps missing missing; PARITY.md §fuzz), so those
-    families fuzz over present cells only."""
-    nrows = r.randint(3, 7)
+    families fuzz over present cells only.
+
+    ~1 in 8 frames is LARGER (15-40 rows) so the Spark side spans
+    multiple partitions (global reductions, joins, order contracts)."""
+    nrows = r.randint(15, 40) if r.random() < 0.125 else r.randint(3, 7)
     a = [r.randint(-5, 12) for _ in range(nrows)]
     b = [None if r.random() < 0.15 else round(r.uniform(-3, 8), 3)
          for _ in range(nrows)]
