@@ -46,6 +46,12 @@ class OpFuzzSpec extends SparkSpec {
         NestedOps.sortValues(df,
           Seq((args.get("by").asText(), args.get("asc").asBoolean())),
           Some(args.get("na_position").asText()))
+      // accessor-level query: element mask + DROP rows whose cell
+      // emptied (reference .nest.query_flat drops absent keys too) —
+      // query NULLs emptied cells, so the isNotNull where IS the drop
+      case "nest_query" =>
+        graft.nested.NestedExpr.query(df, args.get("text").asText())
+          .where(col("n").isNotNull)
     }
 
   /** to_flat compare: expected is per-k ORDERED element lists over the
@@ -124,6 +130,25 @@ class OpFuzzSpec extends SparkSpec {
                     s"expected ${cols.get(name)}")
                 else None
               }.toSeq.headOption
+            case "to_lists" =>
+              val got = NestedOps.toLists(df, "n", Seq("k"))
+                .orderBy(col("k")).collect()
+              val expect = c.get("expect")
+              val expK = expect.get("k").elements().asScala
+                .map(_.asLong()).toVector
+              val lists = expect.get("lists")
+              val bySortedK = expK.zipWithIndex.sortBy(_._1).map(_._2)
+              var d: Option[String] = None
+              for ((row, gi) <- got.zipWithIndex if d.isEmpty;
+                   f <- lists.fieldNames().asScala if d.isEmpty) {
+                val gotV = row.get(row.fieldIndex(f))
+                val exp = lists.get(f).get(bySortedK(gi))
+                if (!scalarMatches(gotV, exp))
+                  d = Some(s"k=${row.getAs[Long]("k")} list '$f': got $gotV expected $exp")
+              }
+              if (got.length != expK.length)
+                d = Some(s"rows: got ${got.length} expected ${expK.length}")
+              d
             case _ =>
               compareFrame(runOp(df, op, args), c.get("expect"))
           }

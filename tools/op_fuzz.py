@@ -15,11 +15,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
-                          gen_frame, npd)
+                          gen_frame, bool_expr, npd)
 
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
-       "to_flat", "sort_base", "sort_nested", "minmax", "explode"]
-OP_WEIGHTS = [16, 8, 14, 13, 11, 11, 8, 8, 5, 6]
+       "to_flat", "sort_base", "sort_nested", "minmax", "explode",
+       "to_lists", "nest_query"]
+OP_WEIGHTS = [14, 7, 12, 11, 10, 10, 7, 7, 5, 5, 6, 6]
 
 
 def fixup_for_sort(frame, r, nested):
@@ -95,7 +96,12 @@ def gen_op(r):
                     "na_position": r.choice(["first", "last"])}
     if op == "minmax":
         return op, {"fn": r.choice(["min", "max"])}
-    return op, {}  # to_flat / explode
+    if op == "nest_query":
+        # same predicate in both dialects: graft sees nest-prefixed
+        # fields, the reference accessor sees flat names
+        text = bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
+        return op, {"text": text, "flat_text": text.replace("n.", "")}
+    return op, {}  # to_flat / explode / to_lists
 
 
 def run_reference(nf, op, args):
@@ -135,6 +141,21 @@ def run_reference(nf, op, args):
         return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
     if op == "to_flat":
         return enc_flat_like(nf["n"].nest.to_flat(), nf)
+    if op == "to_lists":
+        res = nf["n"].nest.to_lists()
+        return {"k": [int(i) for i in nf.index],
+                "lists": {f: [enc_val(res[f].loc[k])
+                              if k in res.index else None
+                              for k in nf.index]
+                          for f in res.columns}}
+    if op == "nest_query":
+        # accessor query: element mask + DROP rows whose cell emptied
+        # (query_flat drops absent keys too)
+        res = nf["n"].nest.query_flat(args["flat_text"])
+        nf2 = npd.NestedFrame({"a": nf["a"]}, index=nf.index)
+        nf2 = nf2.loc[res.index]
+        nf2["n"] = res
+        return enc_frame(nf2)
 
 
 def enc_flat_like(flat, nf):
