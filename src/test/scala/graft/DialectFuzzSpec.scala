@@ -69,8 +69,16 @@ class DialectFuzzSpec extends SparkSpec {
       val kind = c.get("kind").asText()
       val text = c.get("text").asText()
       val df = buildFrame(spark, c.get("frame"))
+      val expectError = c.has("expect_error") && c.get("expect_error").asBoolean()
       val diff =
-        try {
+        if (expectError) {
+          // ERROR PARITY: the reference rejects this program for a
+          // semantic reason (layer mixing / two nests) — graft must too
+          try {
+            NestedExpr.query(df, text).collect()
+            Some("reference REJECTS this program; graft accepted it")
+          } catch { case _: Exception => None }
+        } else try {
           val out = kind match {
             case "query" => NestedExpr.query(df, text)
             case "eval" => NestedExpr.eval(df, text)

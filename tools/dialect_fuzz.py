@@ -286,8 +286,8 @@ def str_value_call(r, recv):
 
 FAMS = ["query_base", "query_elem", "eval_base", "eval_nested",
         "eval_newnest", "eval_select", "eval_str", "query_str",
-        "eval_multiline"]
-FAM_WEIGHTS = [18, 18, 14, 14, 8, 10, 7, 5, 6]
+        "eval_multiline", "query_reject"]
+FAM_WEIGHTS = [17, 17, 13, 13, 8, 10, 7, 5, 6, 4]
 # Families whose program only reads/filters (missing cells flow through
 # identically in both engines); nested-assignment and element-alignment
 # families regenerate frames without missing cells (see gen_frame).
@@ -319,6 +319,19 @@ def gen_program(r, fam):
         recv = r.choice(["s", "n.t"])
         tgt = "r" if recv == "s" else "n.w"
         return "eval", f"{tgt} = {str_value_call(r, recv)}"
+    if fam == "query_reject":
+        # ERROR-PARITY: programs the reference rejects for SEMANTIC
+        # reasons (layer mixing / two nests in one query) must raise in
+        # graft too. The generator keeps a case only when the reference
+        # raises with the layer/nest message (env-level pyarrow errors
+        # don't count).
+        if r.random() < 0.5:
+            text = (f"{r.choice(['a', 'b'])} "
+                    f"{r.choice(['<', '>', '<=', '>='])} n.x")
+        else:
+            text = (f"(n.x > {r.randint(-2, 5)}) "
+                    f"{r.choice(['&', '|'])} (m.u < {r.randint(0, 6)})")
+        return "query_reject", text
     if fam == "eval_multiline":
         # line N sees the column line N-1 created (reference GH#159):
         # first a base column from base atoms (+ optional reduction),
@@ -365,6 +378,28 @@ def main():
         fam = r.choices(FAMS, weights=FAM_WEIGHTS)[0]
         frame = gen_frame(r, allow_missing=fam in MISSING_OK)
         kind, text = gen_program(r, fam)
+        if kind == "query_reject":
+            nf = build_ref_frame(frame)
+            try:
+                nf.query(text)
+                errors.append({"kind": kind, "text": text,
+                               "err": "reference ACCEPTED a reject-case"})
+                continue
+            except ValueError as e:
+                msg = str(e)
+                if not ("struct" in msg or "layer" in msg or "nest" in msg):
+                    errors.append({"kind": kind, "text": text,
+                                   "err": f"non-semantic: {msg[:120]}"})
+                    continue
+            except Exception as e:  # noqa: BLE001
+                errors.append({"kind": kind, "text": text,
+                               "err": f"{type(e).__name__}: {e}"[:150]})
+                continue
+            kept.append({"id": len(kept), "seed_i": i - 1,
+                         "kind": "query", "text": text, "frame": frame,
+                         "expect_error": True})
+            fam_counts[kind] = fam_counts.get(kind, 0) + 1
+            continue
         try:
             nf = build_ref_frame(frame)
             result = run_reference(nf, kind, text)
