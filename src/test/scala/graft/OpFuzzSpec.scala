@@ -130,6 +130,23 @@ class OpFuzzSpec extends SparkSpec {
                     s"expected ${cols.get(name)}")
                 else None
               }.toSeq.headOption
+            case "describe" =>
+              // reference describe() ≡ describeAll long rows pivoted:
+              // same stats, same pandas percentile interpolation
+              val got = NestedOps.describeAll(df.drop("k")).collect()
+                .map(r => (r.getString(0), r.getString(1)) -> r.get(2)).toMap
+              val cols = c.get("expect").get("cols")
+              cols.fieldNames().asScala.flatMap { col0 =>
+                cols.get(col0).fieldNames().asScala.flatMap { stat =>
+                  got.get((col0, stat)) match {
+                    case None => Some(s"missing stat ($col0, $stat)")
+                    case Some(v) =>
+                      if (scalarMatches(v, cols.get(col0).get(stat))) None
+                      else Some(s"($col0, $stat): got $v expected " +
+                        s"${cols.get(col0).get(stat)}")
+                  }
+                }
+              }.toSeq.headOption
             case "to_lists" =>
               val got = NestedOps.toLists(df, "n", Seq("k"))
                 .orderBy(col("k")).collect()

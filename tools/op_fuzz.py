@@ -19,8 +19,8 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
-       "to_lists", "nest_query"]
-OP_WEIGHTS = [14, 7, 12, 11, 10, 10, 7, 7, 5, 5, 6, 6]
+       "to_lists", "nest_query", "describe"]
+OP_WEIGHTS = [13, 7, 11, 10, 10, 9, 7, 7, 5, 5, 5, 6, 5]
 
 
 def fixup_for_sort(frame, r, nested):
@@ -141,6 +141,11 @@ def run_reference(nf, op, args):
         return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
     if op == "to_flat":
         return enc_flat_like(nf["n"].nest.to_flat(), nf)
+    if op == "describe":
+        d = nf.describe()
+        return {"cols": {str(c): {str(stat): enc_val(d[c].loc[stat])
+                                  for stat in d.index}
+                         for c in d.columns}}
     if op == "to_lists":
         res = nf["n"].nest.to_lists()
         return {"k": [int(i) for i in nf.index],
