@@ -130,6 +130,44 @@ class OpFuzzSpec extends SparkSpec {
                     s"expected ${cols.get(name)}")
                 else None
               }.toSeq.headOption
+            case "pack" =>
+              // construction parity: REBUILD both nests with
+              // joinNested/packFlat from flat child rows (keyed,
+              // pos-sorted) — must reproduce the reference's add_nested
+              // frame exactly (cells in child order, absent keys NULL)
+              import org.apache.spark.sql.types._
+              import org.apache.spark.sql.Row
+              val frame = c.get("frame")
+              val ks = frame.get("k").elements().asScala
+                .map(_.asLong()).toVector
+              val baseNames = frame.get("base").fieldNames().asScala.toVector
+              val baseDf = df.select(("k" +: baseNames).map(col): _*)
+              def childDf(nest: String) = {
+                val ninfo = frame.get("nests").get(nest)
+                val fields = ninfo.get("fields").elements().asScala
+                  .map(f => (f.get(0).asText(), f.get(1).asText())).toVector
+                val schema = StructType(
+                  StructField("k", LongType, nullable = false) +:
+                    StructField("__pos", LongType, nullable = false) +:
+                    fields.map { case (f, t) =>
+                      StructField(f, FuzzHarness.sparkType(t), nullable = true)
+                    }.toArray)
+                val rows = for {
+                  (k, i) <- ks.zipWithIndex
+                  cell = ninfo.get("cells").get(i)
+                  if !(cell == null || cell.isNull)
+                  (el, j) <- cell.elements().asScala.zipWithIndex.toSeq
+                } yield Row.fromSeq(k +: j.toLong +:
+                  fields.zipWithIndex.map { case ((_, t), fi) =>
+                    FuzzHarness.scalarOf(el.get(fi), t) })
+                spark.createDataFrame(rows.asJava, schema)
+              }
+              val packed = NestedOps.joinNested(
+                NestedOps.joinNested(baseDf, childDf("n"), Seq("k"), "n",
+                  "left", sortBy = Seq(("__pos", true))),
+                childDf("m"), Seq("k"), "m", "left",
+                sortBy = Seq(("__pos", true)))
+              compareFrame(packed, c.get("expect"))
             case "describe" =>
               // reference describe() ≡ describeAll long rows pivoted:
               // same stats, same pandas percentile interpolation

@@ -19,8 +19,8 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
-       "to_lists", "nest_query", "describe"]
-OP_WEIGHTS = [13, 7, 11, 10, 10, 9, 7, 7, 5, 5, 5, 6, 5]
+       "to_lists", "nest_query", "describe", "pack"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6]
 
 
 def fixup_for_sort(frame, r, nested):
@@ -141,6 +141,12 @@ def run_reference(nf, op, args):
         return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
     if op == "to_flat":
         return enc_flat_like(nf["n"].nest.to_flat(), nf)
+    if op == "pack":
+        # construction parity: the Scala side REBUILDS the nest with
+        # joinNested/packFlat from the flat child rows (keyed, pos-ordered)
+        # and must reproduce the reference's add_nested frame exactly —
+        # the expect is simply the input frame as the reference built it
+        return enc_frame(nf)
     if op == "describe":
         d = nf.describe()
         return {"cols": {str(c): {str(stat): enc_val(d[c].loc[stat])
