@@ -336,9 +336,14 @@ object NestedOps {
     base.join(packFlat(child, on, name, sortBy), on, how)
 
   /** Split one flat frame into base columns (first value per key) + a packed
-    * nested column. Reference: `NestedFrame.from_flat` (core.py:595-658). */
+    * nested column. Reference: `NestedFrame.from_flat` (core.py:595-658).
+    *
+    * `sortBy` (r9): deterministic within-cell element order, like
+    * [[packFlat]] — the reference preserves input row order, which a
+    * shuffle cannot; pass the position/sort columns explicitly. */
   def fromFlat(df: DataFrame, baseCols: Seq[String], nestedCols: Seq[String],
-               on: Seq[String], name: String = "nested"): DataFrame =
+               on: Seq[String], name: String = "nested",
+               sortBy: Seq[(String, Boolean)] = Nil): DataFrame =
   {
     // backtick every reference: column NAMES may contain dots/spaces
     // (reference test_get_dot_names, test_nestedframe.py:417-426) and a
@@ -346,7 +351,10 @@ object NestedOps {
     def c(n: String) = col("`" + n.replace("`", "``") + "`")
     val aggs = baseCols.map(n => first(c(n)).as(n)) :+
       collect_list(struct(nestedCols.map(n => c(n).as(n)): _*)).as(name)
-    df.groupBy(on.map(c): _*).agg(aggs.head, aggs.tail: _*)
+    val packed = df.groupBy(on.map(c): _*).agg(aggs.head, aggs.tail: _*)
+    if (sortBy.isEmpty) packed
+    else packed.withColumn(name,
+      array_sort(c(name), (l, r) => structComparator(l, r, sortBy)))
   }
 
   /** Zip equal-length list columns into one nested column.

@@ -130,6 +130,37 @@ class OpFuzzSpec extends SparkSpec {
                     s"expected ${cols.get(name)}")
                 else None
               }.toSeq.headOption
+            case "from_flat" =>
+              // rebuild the same flat rows, then fromFlat with
+              // sortBy=pos (the reference preserves input order for free)
+              import org.apache.spark.sql.types._
+              import org.apache.spark.sql.Row
+              val frame = c.get("frame")
+              val ks = frame.get("k").elements().asScala
+                .map(_.asLong()).toVector
+              val ninfo = frame.get("nests").get("n")
+              val fTypes = ninfo.get("fields").elements().asScala
+                .map(f => (f.get(0).asText(), f.get(1).asText())).toVector
+              val schema = StructType(Array(
+                StructField("k", LongType, nullable = false),
+                StructField("a", LongType, nullable = true),
+                StructField("pos", LongType, nullable = false)) ++
+                fTypes.map { case (f, t) =>
+                  StructField(f, FuzzHarness.sparkType(t), nullable = true) })
+              val rows = for {
+                (k, i) <- ks.zipWithIndex
+                cell = ninfo.get("cells").get(i)
+                if !(cell == null || cell.isNull)
+                (el, j) <- cell.elements().asScala.zipWithIndex.toSeq
+              } yield Row.fromSeq(
+                k +: frame.get("base").get("a").get("v").get(i).asLong() +:
+                  j.toLong +: fTypes.zipWithIndex.map { case ((_, t), fi) =>
+                    FuzzHarness.scalarOf(el.get(fi), t) })
+              val flat = spark.createDataFrame(rows.asJava, schema)
+              val nested = NestedOps.fromFlat(flat, Seq("a"),
+                "pos" +: fTypes.map(_._1), Seq("k"), "nf",
+                sortBy = Seq(("pos", true)))
+              compareFrame(nested, c.get("expect"))
             case "pack" =>
               // construction parity: REBUILD both nests with
               // joinNested/packFlat from flat child rows (keyed,

@@ -19,8 +19,8 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
-       "to_lists", "nest_query", "describe", "pack"]
-OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6]
+       "to_lists", "nest_query", "describe", "pack", "from_flat"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5]
 
 
 def fixup_for_sort(frame, r, nested):
@@ -141,6 +141,30 @@ def run_reference(nf, op, args):
         return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
     if op == "to_flat":
         return enc_flat_like(nf["n"].nest.to_flat(), nf)
+    if op == "from_flat":
+        # flat rows: index k, base a repeated, nested pos/x/y/t — the
+        # reference re-nests by index; graft's fromFlat groups by k with
+        # sortBy=pos for the order the reference gets for free
+        import pandas as pd
+        ks, As, poss, xs, ys, ts = [], [], [], [], [], []
+        for k, a, cell in zip(nf.index, nf["a"], nf["n"]):
+            if cell is None or not hasattr(cell, "columns"):
+                continue
+            for j in range(len(cell)):
+                ks.append(k)
+                As.append(a)
+                poss.append(j)
+                xs.append(cell["x"].iloc[j])
+                ys.append(cell["y"].iloc[j])
+                ts.append(cell["t"].iloc[j])
+        flat = pd.DataFrame({"a": pd.array(As, dtype="int64"),
+                             "pos": pd.array(poss, dtype="int64"),
+                             "x": pd.array(xs, dtype="float64"),
+                             "y": pd.array(ys, dtype="int64"),
+                             "t": ts}, index=ks)
+        res = npd.NestedFrame.from_flat(npd.NestedFrame(flat),
+                                        base_columns=["a"], name="nf")
+        return enc_frame(res)
     if op == "pack":
         # construction parity: the Scala side REBUILDS the nest with
         # joinNested/packFlat from the flat child rows (keyed, pos-ordered)
