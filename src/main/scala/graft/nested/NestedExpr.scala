@@ -329,11 +329,14 @@ object NestedExpr {
     }
 
     // nest-rooted ref inside text already collapsed by an earlier rewrite
-    // (power/floor-div splice idents into ARaw) — conservative: any
-    // `nest.` occurrence counts, reductions included
+    // (power/floor-div splice idents into ARaw). Global reduction CALLS
+    // (`nest.field.agg(`) are scalars, not element refs — strip them
+    // before testing, matching the direct-ident path's exclusion.
     def rawNestRef(s: String): Boolean = nestSet.exists { n =>
-      ("(^|[^\\w.`])" + java.util.regex.Pattern.quote(n) + "\\s*\\.").r
-        .findFirstIn(s).isDefined
+      val q = java.util.regex.Pattern.quote(n)
+      val cleaned = s.replaceAll(
+        q + "\\.\\w+\\.(?:" + reductionAggs.mkString("|") + ")\\s*\\(", "")
+      ("(^|[^\\w.`])" + q + "\\s*\\.").r.findFirstIn(cleaned).isDefined
     }
     /** Does this span reference a nested field at ELEMENT level (vs only
       * base columns / global reduction scalars)? Decides Kleene-vs-pandas
@@ -1216,11 +1219,18 @@ object NestedExpr {
             s"maxsplit equals split; right-counted maxsplit has no Spark " +
             s"analog) in: $exprStr")
         renderStrMethod("split", x, args, arrayInput, exprStr)
-      // re.findall: all non-overlapping full matches (group-free
-      // patterns; python returns group contents when the pattern has
-      // groups — pass a non-capturing (?:...) for those)
+      // re.findall: all non-overlapping FULL matches. Python returns
+      // group CONTENTS when the pattern has capturing groups — that
+      // form would silently diverge, so it raises (use (?:...)).
       case "findall" =>
         req(1)
+        strLitContent(args(0)).foreach { pat =>
+          val hasCapture = """(^|[^\\])\((?!\?)""".r.findFirstIn(pat).isDefined
+          require(!hasCapture,
+            s".str.findall with a CAPTURING group returns group contents " +
+              s"in pandas but full matches here — use a non-capturing " +
+              s"(?:...) group in: $exprStr")
+        }
         (s"regexp_extract_all($x, ${args(0)}, 0)", true)
       // re.match / re.fullmatch: anchored at start / fully anchored.
       // concat of literals folds, so the pattern stays a constant.

@@ -70,10 +70,14 @@ object RemoteIO {
     catch {
       case e: IllegalArgumentException =>
         val sep = url.indexOf("://")
-        val hasSchemePrefix = sep > 0 && url.take(sep).matches("[A-Za-z][A-Za-z0-9+.-]*")
-        if (hasSchemePrefix)
+        val scheme = if (sep > 0) url.take(sep) else ""
+        val hasSchemePrefix = scheme.matches("[A-Za-z][A-Za-z0-9+.-]*")
+        // file:// is exempt: a spacey local path is still a local read
+        // (Hadoop Path tolerates it); the rethrow protects REMOTE urls
+        // from silently getting local-file conf
+        if (hasSchemePrefix && scheme != "file")
           throw new IllegalArgumentException(
-            s"malformed ${url.take(sep)}:// URL: $url", e)
+            s"malformed $scheme:// URL: $url", e)
         "file"
     }
 

@@ -29,7 +29,11 @@ class StreamFuzzSpec extends SparkSpec {
     * watermark so the stream must not drop anything), split into batches. */
   private def arrivalBatches(evs: Seq[Ev], r: scala.util.Random)
       : Seq[Seq[Ev]] = {
-    val jittered = evs.sortBy(e => e.offMin + r.nextInt(8) - 4)
+    // precompute the jittered key: sortBy re-evaluates its key function
+    // inside the comparator, so a random-valued key would be an
+    // inconsistent (TimSort-breaking) ordering
+    val jittered = evs.map(e => (e, e.offMin + r.nextInt(8) - 4))
+      .sortBy(_._2).map(_._1)
     val nb = 1 + r.nextInt(3)
     val per = math.max(1, jittered.length / nb)
     jittered.grouped(per).toSeq
