@@ -2,6 +2,7 @@ package graft.nested
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, expr, lit, size, when}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
 
 /** String front-end for the reference's query/eval dialect.
   *
@@ -262,8 +263,14 @@ object NestedExpr {
 
   /** All preprocessing passes; returns a Spark-SQL-parseable string.
     * private[graft] for the identity-property spec. */
+  /** `stringElemRefs`: dotted `nest.field` names of STRING-typed nested
+    * fields — string element comparisons are 2-valued in pandas even on
+    * arrow-backed data (NA == x → False, NA != x → True; r9 fuzzer +
+    * probe), while NUMERIC arrow comparisons are Kleene. */
   private[graft] def preprocess(exprStr: String,
-                                nestSet: Set[String] = Set.empty): String = {
+                                nestSet: Set[String] = Set.empty,
+                                stringElemRefs: Set[String] = Set.empty)
+      : String = {
     var as = atomize(tokenize(exprStr))
 
     // `in [a, b]` → `in (a, b)` (and `not in [...]`)
@@ -338,14 +345,27 @@ object NestedExpr {
         q + "\\.\\w+\\.(?:" + reductionAggs.mkString("|") + ")\\s*\\(", "")
       ("(^|[^\\w.`])" + q + "\\s*\\.").r.findFirstIn(cleaned).isDefined
     }
-    /** Does this span reference a nested field at ELEMENT level (vs only
-      * base columns / global reduction scalars)? Decides Kleene-vs-pandas
-      * missing semantics for the comparison wraps below. */
-    def elementSpan(span: Vector[Atom]): Boolean = span.exists {
-      case AIdent(parts) => parts.headOption.exists(nestSet.contains) &&
-        !(parts.length == 3 && reductionAggs.contains(parts(2)))
-      case ARaw(s) => rawNestRef(s)
-      case _ => false
+    /** Does this comparison span keep KLEENE missing semantics? True when
+      * it references a nested field at element level (vs only base
+      * columns / global reduction scalars) — EXCEPT when every element
+      * ref is a plain STRING field: pandas string comparisons are
+      * 2-valued even on arrow NA (probe: `t != 'aa'` keeps NA elements,
+      * `~(t == 'aa')` keeps them; numeric `~(x == 1.0)` drops them).
+      * Dotted refs with extra parts (.str chains, .isna) stay Kleene —
+      * conservative, matching `.str` predicate behavior. */
+    def elementSpan(span: Vector[Atom]): Boolean = {
+      val elemIdents = span.collect {
+        case AIdent(parts) if parts.headOption.exists(nestSet.contains) &&
+          !(parts.length == 3 && reductionAggs.contains(parts(2))) => parts
+      }
+      val rawElem = span.exists {
+        case ARaw(s) => rawNestRef(s)
+        case _ => false
+      }
+      val isElement = elemIdents.nonEmpty || rawElem
+      val allString = !rawElem && elemIdents.nonEmpty && elemIdents.forall(
+        p => p.length == 2 && stringElemRefs.contains(p.mkString(".")))
+      isElement && !allString
     }
 
     // chained comparisons: O1 c1 O2 c2 O3 → (O1 c1 O2) and (O2 c2 O3)
@@ -716,7 +736,16 @@ object NestedExpr {
     val reds = collection.mutable.LinkedHashMap
       .empty[(String, String, String), Reduction]
     var usesBase = false
-    val toks = tokenize(preprocess(exprStr, nestSet))
+    val stringElemRefs: Set[String] = df.schema.fields.toSeq.flatMap { f =>
+      f.dataType match {
+        case ArrayType(s: StructType, _) =>
+          s.fields.toSeq.collect {
+            case sf if sf.dataType == StringType => s"${f.name}.${sf.name}"
+          }
+        case _ => Nil
+      }
+    }.toSet
+    val toks = tokenize(preprocess(exprStr, nestSet, stringElemRefs))
     val sql = toks.zipWithIndex.map {
       case (Text(t), _) => t
       case (Str(t), _)  => t

@@ -846,7 +846,8 @@ object NestedOps {
     * is a driver action); when given, the op is fully narrow. */
   def splitNested(df: DataFrame, nest: String, byField: String,
                   values: Seq[String], dropField: Boolean = false,
-                  dropSource: Boolean = true): DataFrame = {
+                  dropSource: Boolean = true,
+                  naSplit: Boolean = false): DataFrame = {
     val withSplits = values.foldLeft(df) { (acc, v) =>
       val filtered = filter(col(nest), s => s.getField(byField) === lit(v))
       val cleaned =
@@ -858,7 +859,15 @@ object NestedOps {
       // reference; same rule as query's emptied cells)
       acc.withColumn(s"${nest}_$v", when(size(cleaned) > 0, cleaned))
     }
-    if (dropSource) withSplits.drop(nest) else withSplits
+    // NA by-values produce a `<NA>`-named split whose cells are ALL
+    // MISSING: the reference filters with `value == NA`, which matches
+    // nothing, so the column exists but every cell repacks to None
+    // (r9 op-fuzzer + probe vs the executed reference)
+    val withNa =
+      if (!naSplit) withSplits
+      else withSplits.withColumn(s"${nest}_<NA>",
+        lit(null).cast(df.schema(nest).dataType))
+    if (dropSource) withNa.drop(nest) else withNa
   }
 
   /** splitNested with values discovered from the data (a driver-side
@@ -868,12 +877,16 @@ object NestedOps {
   def splitNestedAuto(df: DataFrame, nest: String, byField: String,
                       dropField: Boolean = false,
                       dropSource: Boolean = true): DataFrame = {
-    val values = df
+    val distinctVals = df
       .select(explode(col(s"$nest.$byField")).as("v"))
-      .where(col("v").isNotNull)
       .distinct().orderBy("v")
-      .collect().map(_.get(0).toString).toSeq
-    splitNested(df, nest, byField, values, dropField, dropSource)
+      .collect().map(r => if (r.isNullAt(0)) null else r.get(0).toString)
+      .toSeq
+    val values = distinctVals.filter(_ != null)
+    // NA among the by-values → the reference also emits a `<NA>` split
+    // (always-missing cells; see splitNested.naSplit)
+    splitNested(df, nest, byField, values, dropField, dropSource,
+      naSplit = distinctVals.contains(null))
   }
 
   /** Build a one-column nested frame from local per-row sequences

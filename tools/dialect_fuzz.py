@@ -90,7 +90,11 @@ def gen_frame(r, allow_missing=True):
     a = [r.randint(-5, 12) for _ in range(nrows)]
     b = [None if r.random() < 0.15 else round(r.uniform(-3, 8), 3)
          for _ in range(nrows)]
-    s = [r.choice(STR_POOL) for _ in range(nrows)]
+    # s carries occasional None: pandas object-None comparisons are
+    # 2-valued (None == 'x' → False) and .str methods yield NaN — both
+    # already conflated/verified by the comparator
+    s = [None if r.random() < 0.08 else r.choice(STR_POOL)
+         for _ in range(nrows)]
     cells_n, cells_m = [], []
     for _ in range(nrows):
         if allow_missing and r.random() < 0.12:
@@ -103,7 +107,7 @@ def gen_frame(r, allow_missing=True):
         for _ in range(clen):
             x = None if r.random() < 0.12 else round(r.uniform(-4, 9), 3)
             y = r.randint(-3, 9)
-            t = r.choice(STR_POOL)
+            t = None if r.random() < 0.08 else r.choice(STR_POOL)
             cn.append([x, y, t])
             cm.append([round(r.uniform(-2, 5), 3)])
         cells_n.append(cn)
@@ -189,8 +193,13 @@ def enc_frame(nf):
 
 def enc_series(ser, nf):
     """Non-assign eval result: base-aligned scalar series or element-level
-    series on the child index (grouped to per-row lists)."""
-    if ser.index.is_unique and len(ser) == len(nf) \
+    series on the child index (grouped to per-row lists). Element series
+    are detected by TYPE (_SeriesFromNest), not index shape — a frame of
+    all-1-element cells has an element series whose index coincides with
+    the parent's."""
+    is_elem = type(ser).__name__ == "_SeriesFromNest" \
+        or getattr(ser, "nest_name", None) is not None
+    if not is_elem and ser.index.is_unique and len(ser) == len(nf) \
             and list(ser.index) == list(nf.index):
         return {"series": [enc_val(v) for v in ser]}
     cells = []
