@@ -106,7 +106,7 @@ def gen_frame(r, allow_missing=True):
         cm = []
         for _ in range(clen):
             x = None if r.random() < 0.12 else round(r.uniform(-4, 9), 3)
-            y = r.randint(-3, 9)
+            y = None if r.random() < 0.08 else r.randint(-3, 9)
             t = None if r.random() < 0.08 else r.choice(STR_POOL)
             cn.append([x, y, t])
             cm.append([round(r.uniform(-2, 5), 3)])
@@ -128,7 +128,9 @@ def build_ref_frame(spec):
         index=spec["k"])
     for nest, ninfo in spec["nests"].items():
         fields = [f for f, _ in ninfo["fields"]]
-        dtypes = {f: {"i": "int64", "d": "float64", "s": object}[t]
+        # nested ints use nullable Int64 (arrow int64-with-NA after
+        # add_nested, same as non-null int64 when no NA present)
+        dtypes = {f: {"i": "Int64", "d": "float64", "s": object}[t]
                   for f, t in ninfo["fields"]}
         rows, idx = [], []
         for k, cell in zip(spec["k"], ninfo["cells"]):

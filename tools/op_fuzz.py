@@ -160,7 +160,8 @@ def run_reference(nf, op, args):
         flat = pd.DataFrame({"a": pd.array(As, dtype="int64"),
                              "pos": pd.array(poss, dtype="int64"),
                              "x": pd.array(xs, dtype="float64"),
-                             "y": pd.array(ys, dtype="int64"),
+                             "y": pd.array([None if pd.isna(v) else int(v)
+                                            for v in ys], dtype="Int64"),
                              "t": ts}, index=ks)
         res = npd.NestedFrame.from_flat(npd.NestedFrame(flat),
                                         base_columns=["a"], name="nf")
