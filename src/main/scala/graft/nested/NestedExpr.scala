@@ -365,6 +365,13 @@ object NestedExpr {
       val isElement = elemIdents.nonEmpty || rawElem
       val allString = !rawElem && elemIdents.nonEmpty && elemIdents.forall(
         p => p.length == 2 && stringElemRefs.contains(p.mkString(".")))
+      // NOT modeled (documented divergence, COVERAGE.md): pandas'
+      // np.sqrt over an arrow element series LAUNDERS NA into float64
+      // NaN and the comparison flips to 2-valued — but only until an
+      // arrow operand rehydrates it (probe: `sqrt(x) > 9` launders,
+      // `abs(x)` stays arrow, `y + sqrt(abs(x))` rehydrates). That is
+      // numpy/arrow dtype juggling, not a semantic contract; graft
+      // keeps uniform Kleene for numeric element comparisons.
       isElement && !allString
     }
 

@@ -219,10 +219,22 @@ def enc_series(ser, nf):
 # ---------------------------------------------------------------------------
 
 def num_atom(r, atoms):
+    # sqrt is drawn only over BASE atoms: np.sqrt over an ARROW element
+    # series launders NA -> NaN and flips that comparison to 2-valued
+    # until an arrow operand rehydrates it — a pandas dtype artifact
+    # graft deliberately does not model (COVERAGE.md). abs is
+    # arrow-native (__abs__) and stays Kleene, so it fuzzes both layers.
+    sqrt_ok = not any("." in a for a in atoms)
     roll = r.random()
-    if roll < 0.55:
+    if roll < 0.5:
         return r.choice(atoms)
-    if roll < 0.8:
+    if roll < 0.56:
+        return f"-{r.choice(atoms)}"
+    if roll < 0.62:
+        return f"abs({r.choice(atoms)} - {r.randint(0, 4)})"
+    if roll < 0.66 and sqrt_ok:
+        return f"sqrt(abs({r.choice(atoms)}))"
+    if roll < 0.83:
         return str(r.randint(-3, 9))
     return f"{r.uniform(0.5, 4):.2f}"
 
@@ -265,8 +277,10 @@ def bool_expr(r, atoms, depth, str_atom=None):
         return cmp_expr(r, atoms, str_atom)
     roll = r.random()
     if roll < 0.2:
-        return f"~({bool_expr(r, atoms, depth - 1, str_atom)})"
-    op = r.choice(["&", "|"])
+        # mask tilde or the spelled-out python keyword — both dialects
+        neg = r.choice(["~", "not "])
+        return f"{neg}({bool_expr(r, atoms, depth - 1, str_atom)})"
+    op = r.choice(["&", "|", "and", "or"])
     return (f"({bool_expr(r, atoms, depth - 1, str_atom)}) {op} "
             f"({bool_expr(r, atoms, depth - 1, str_atom)})")
 
