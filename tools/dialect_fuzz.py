@@ -9,7 +9,8 @@ This is the generalization of the round-8 technique that caught the
 goldens are computed, not hand-ported.
 
 Usage: python3 tools/dialect_fuzz.py [n_cases] [seed] [out.jsonl]
-Defaults: 1200 cases, seed 20260814, src/test/resources/fuzz/dialect_fuzz.jsonl
+Defaults: 1250 cases, seed 20260814, src/test/resources/fuzz/dialect_fuzz.jsonl
+(the committed canonical corpus — bare invocation reproduces it exactly)
 
 Encoding notes (mirrored by the Scala comparator):
  - pandas NaN/NA and SQL NULL are BOTH encoded as JSON null (the engines
@@ -388,7 +389,7 @@ def run_reference(nf, kind, text):
 
 
 def main():
-    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1200
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1250
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260814
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
         Path(__file__).parent.parent / "src/test/resources/fuzz/dialect_fuzz.jsonl"
