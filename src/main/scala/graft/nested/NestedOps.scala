@@ -948,17 +948,24 @@ object NestedOps {
         s"Field '$innerField' of '$nest' is not array<struct>: $other")
     }
     val innerFields = innerStruct.fieldNames.toSeq
-    // A NULL inner list must behave as EMPTY (contribute no rows), not
-    // poison the cell: Spark's flatten returns NULL when ANY element is
-    // null, so the per-outer-element null arrays are filtered out first
-    // (reference parity: to_flatten_inner on frames with missing inner
-    // nests, accessor.py to_flatten_inner / test_to_flatten_inner_none_nested).
+    // An outer element whose inner nest is NULL or EMPTY contributes ONE
+    // row carrying its outer fields with NULL inner fields — pandas
+    // explode semantics, verified by EXECUTING the reference (r9
+    // flatten_inner fuzz family). Until r9 this dropped such elements,
+    // citing the reference's empty/none tests — which only assert
+    // no-crash (`_actual` unused), another hand-ported assumption the
+    // executed reference overturned.
+    def row(o: Column, i: Option[Column]): Column =
+      struct(outerFields.map(f => o.getField(f).as(f)) ++
+        innerFields.map { f =>
+          i.map(_.getField(f))
+            .getOrElse(lit(null).cast(innerStruct(f).dataType)).as(f)
+        }: _*)
     df.withColumn(nest,
-      flatten(filter(transform(col(nest), o =>
-        transform(o.getField(innerField), i =>
-          struct(outerFields.map(f => o.getField(f).as(f)) ++
-                 innerFields.map(f => i.getField(f).as(f)): _*))),
-        x => x.isNotNull)))
+      flatten(transform(col(nest), o => {
+        val expanded = transform(o.getField(innerField), i => row(o, Some(i)))
+        when(size(expanded) > 0, expanded).otherwise(array(row(o, None)))
+      })))
   }
 
   // ---------------------------------------------------------------------------

@@ -96,7 +96,8 @@ class OpFuzzSpec extends SparkSpec {
     for (c <- cases) {
       val id = c.get("id").asInt()
       val op = c.get("op").asText()
-      val df = buildFrame(spark, c.get("frame"))
+      // flatten_inner carries its own doubly-nested frame shape
+      lazy val df = buildFrame(spark, c.get("frame"))
       val args = c.get("args")
       val diff =
         try {
@@ -130,6 +131,61 @@ class OpFuzzSpec extends SparkSpec {
                     s"expected ${cols.get(name)}")
                 else None
               }.toSeq.headOption
+            case "flatten_inner" =>
+              import org.apache.spark.sql.types._
+              import org.apache.spark.sql.Row
+              val frame = c.get("frame")
+              val innerT = StructType(Array(
+                StructField("t", DoubleType, nullable = true),
+                StructField("u", LongType, nullable = true)))
+              val outerT = StructType(Array(
+                StructField("v", DoubleType, nullable = true),
+                StructField("inner", ArrayType(innerT), nullable = true)))
+              val schema = StructType(Array(
+                StructField("k", LongType, nullable = false),
+                StructField("outer", ArrayType(outerT), nullable = true)))
+              val ks = frame.get("k").elements().asScala.map(_.asLong()).toVector
+              val rows = ks.zipWithIndex.map { case (k, i) =>
+                val els = frame.get("cells").get(i).elements().asScala.map { el =>
+                  val inner = el.get("inner")
+                  val innerRows =
+                    if (inner == null || inner.isNull) null
+                    else inner.elements().asScala.map(p =>
+                      Row(p.get(0).asDouble(), p.get(1).asLong())).toSeq
+                  Row(el.get("v").asDouble(), innerRows)
+                }.toSeq
+                Row(k, els)
+              }
+              val df2 = spark.createDataFrame(rows.asJava, schema)
+              val out = NestedOps.flattenInner(df2, "outer", "inner")
+                .orderBy(col("k")).collect()
+              val flat = c.get("expect").get("flat")
+              val fields = flat.get("fields").elements().asScala
+                .map(_.asText()).toVector
+              var d: Option[String] = None
+              for ((row, gi) <- out.zipWithIndex if d.isEmpty) {
+                val expCell = flat.get("cells").get(gi)
+                val gotCell =
+                  if (row.isNullAt(row.fieldIndex("outer"))) null
+                  else row.getSeq[Row](row.fieldIndex("outer"))
+                if (gotCell == null || expCell.isNull) {
+                  if (!(gotCell == null && expCell.isNull))
+                    d = Some(s"k=${ks(gi)} cell null-ness mismatch")
+                } else {
+                  val expEls = expCell.elements().asScala.toVector
+                  if (gotCell.length != expEls.length)
+                    d = Some(s"k=${ks(gi)}: got ${gotCell.length} rows " +
+                      s"expected ${expEls.length}")
+                  else for ((el, j) <- gotCell.zipWithIndex if d.isEmpty;
+                            (f, fj) <- fields.zipWithIndex if d.isEmpty) {
+                    val gotV = el.get(el.fieldIndex(f))
+                    if (!scalarMatches(gotV, expEls(j).get(fj)))
+                      d = Some(s"k=${ks(gi)}[$j].$f: got $gotV " +
+                        s"expected ${expEls(j).get(fj)}")
+                  }
+                }
+              }
+              d
             case "from_flat" =>
               // rebuild the same flat rows, then fromFlat with
               // sortBy=pos (the reference preserves input order for free)

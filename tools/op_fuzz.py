@@ -19,8 +19,9 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
-       "to_lists", "nest_query", "describe", "pack", "from_flat"]
-OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5]
+       "to_lists", "nest_query", "describe", "pack", "from_flat",
+       "flatten_inner"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5]
 
 
 def fixup_for_sort(frame, r, nested):
@@ -210,6 +211,66 @@ def enc_flat_like(flat, nf):
             "flat": {"fields": fields, "cells": cells}}
 
 
+def gen_double_nest(r):
+    """Doubly-nested frame spec for to_flatten_inner: outer keys with
+    1-3 elements each; every element carries a scalar v and an INNER
+    nest of 0-3 (t double, u int) rows. JSON shape:
+    {"k": [...], "cells": [[{"v":f, "inner":[[t,u]...]|null}, ...], ...]}"""
+    nkeys = r.randint(2, 4)
+    cells = []
+    for _ in range(nkeys):
+        els = []
+        for _ in range(r.randint(1, 3)):
+            if r.random() < 0.1:
+                inner = None
+            else:
+                inner = [[round(r.uniform(-5, 9), 3), r.randint(0, 9)]
+                         for _ in range(r.randint(0, 3))]
+            els.append({"v": round(r.uniform(-3, 8), 3), "inner": inner})
+        cells.append(els)
+    return {"k": list(range(nkeys)), "cells": cells}
+
+
+def run_flatten_inner(spec):
+    """Execute to_flatten_inner through the reference on the spec."""
+    import pandas as pd
+    gs, vs = [], []
+    in_rows, in_idx = [], []
+    row_id = 0
+    for g, els in zip(spec["k"], spec["cells"]):
+        for el in els:
+            gs.append(g)
+            vs.append(el["v"])
+            if el["inner"] is not None:
+                for t, u in el["inner"]:
+                    in_rows.append((t, u))
+                    in_idx.append(row_id)
+            row_id += 1
+    inner_child = pd.DataFrame(in_rows, columns=["t", "u"], index=in_idx)
+    inner_child["t"] = inner_child["t"].astype("float64")
+    inner_child["u"] = inner_child["u"].astype("Int64")
+    nf = npd.NestedFrame({"g": pd.array(gs, dtype="int64"),
+                          "v": pd.array(vs, dtype="float64")},
+                         index=range(len(gs)))
+    nf = nf.add_nested(inner_child, "inner")
+    nnf = npd.NestedFrame.from_flat(nf, base_columns=[], on="g",
+                                    name="outer")
+    res = nnf["outer"].nest.to_flatten_inner("inner")
+    fields = None
+    cells = []
+    for k in spec["k"]:
+        cell = res[k] if k in res.index else None
+        if cell is None or not hasattr(cell, "columns"):
+            cells.append(None)
+            continue
+        if fields is None:
+            fields = list(cell.columns)
+        cells.append([[enc_val(cell[f].iloc[j]) for f in fields]
+                      for j in range(len(cell))])
+    return {"k": spec["k"],
+            "flat": {"fields": fields or [], "cells": cells}}
+
+
 def main():
     n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 850
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
@@ -223,6 +284,18 @@ def main():
         r = random.Random(seed * 99991 + i)
         i += 1
         op, args = gen_op(r)
+        if op == "flatten_inner":
+            spec = gen_double_nest(r)
+            try:
+                expect = run_flatten_inner(spec)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": args,
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op, "args": {},
+                         "frame": spec, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
         frame = gen_frame(r, allow_missing=True)
         if op in ("sort_base", "sort_nested"):
             fixup_for_sort(frame, r, nested=op == "sort_nested")
