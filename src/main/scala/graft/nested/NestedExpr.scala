@@ -758,12 +758,16 @@ object NestedExpr {
       case (Str(t), _)  => t
       case (Ident(parts), idx) =>
         parts match {
-          // nest.len() — row-level length (core.py:1580-1589)
+          // nest.len() — row-level length (core.py:1580-1589). A NULL
+          // cell is 0, not NULL: the executed reference reports 0
+          // (r9 probe: eval "r = n.len()" on a missing cell → 0, so
+          // query "~(n.len() > 0)" KEEPS it). The programmatic API
+          // (NestedOps.nestLen) stays NULL-distinct by documented choice.
           case Seq(nest, "len") if nestSet.contains(nest) &&
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
-            s"size(${bq(nest)}) __LEN_CALL"
+            s"coalesce(size(${bq(nest)}), 0) __LEN_CALL"
           // nest.isna() / nest.notna() — row-level NULL-cell predicate
           // (the nest treated as a Series; reference
           // test_series_methods_on_nest_in_query_eval)

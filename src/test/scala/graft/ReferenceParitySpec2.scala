@@ -557,18 +557,19 @@ class ReferenceParitySpec2 extends SparkSpec {
     (1L, None),
     (2L, Some(Seq((1, None), (2, Some(0.0))))))) // a, b fields as _1/_2
 
-  test("nest.len over NULL cells: engine NULL vs reference 0 (acc :334,:350)") {
-    // reference list_lengths/len() report 0 for a None cell; the engine
-    // keeps NULL (distinct from empty) and the reference value is the
-    // documented coalesce
+  test("nest.len over NULL cells: API NULL-distinct; DIALECT matches the " +
+      "reference's 0 (acc :334,:350; r9 executed probe)") {
+    // the programmatic API keeps NULL (distinct from empty) by
+    // documented choice
     val raw = seqNf.orderBy("key")
       .select(NestedOps.nestLen("nested")).collect()
       .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
     assert(raw.toSeq == Seq(Some(3), None, Some(2)))
-    val refLen = seqNf.orderBy("key")
-      .select(coalesce(NestedOps.nestLen("nested"), lit(0))).as[Int]
-      .collect().toSeq
-    assert(refLen == Seq(3, 0, 2))
+    // the DIALECT's nest.len() matches pandas: a None cell reports 0
+    // (r9: eval "r = n.len()" on the executed reference → 0)
+    val dial = graft.nested.NestedExpr.eval(seqNf, "r = nested.len()")
+      .orderBy("key").select("r").as[Int].collect().toSeq
+    assert(dial == Seq(3, 0, 2))
   }
 
   test("flat_length is the total element count (acc :363)") {
