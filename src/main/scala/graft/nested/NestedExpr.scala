@@ -1317,9 +1317,10 @@ object NestedExpr {
       // element was dropped are MISSING from the packed series → pd.NA
       // (core.py:1638-1648 _set_filtered_flat_df). This is what makes the
       // `query(...)` → `dropna(subset=nest)` idiom drop them (the dropna
-      // docstring's own example). The accessor-level element MASK
-      // ([[NestedOps.filterElements]]) keeps empty cells — the two layers
-      // genuinely differ in the reference.
+      // docstring's own example). The accessor-level element MASK nulls
+      // emptied cells the same way (r9 executed probe — the r5 claim
+      // that the accessor keeps empties was wrong;
+      // [[NestedOps.filterElements]] now applies the same rule).
       // Gate on exists() rather than size(filter(...)) == 0: HOF lambdas
       // see no codegen CSE, so the when/otherwise pair would run the full
       // filter TWICE per row. exists short-circuits at the first hit, so

@@ -437,17 +437,24 @@ object NestedOps {
   // Element-level filters (reference: core.py query/dropna, accessor.py query)
   // ---------------------------------------------------------------------------
 
-  /** Filter ELEMENTS inside each nested cell, keeping all top-level rows
-    * (emptied cells become empty arrays). Reference: `NestedFrame.query` with a
-    * nested-field predicate (core.py:1526-1648). Narrow HOF, no shuffle. */
-  def filterElements(df: DataFrame, nest: String, pred: Column => Column): DataFrame =
-    df.withColumn(nest, filter(col(nest), pred))
+  /** Filter ELEMENTS inside each nested cell, keeping all top-level rows.
+    * Cells whose every element was dropped become NULL (MISSING), not
+    * empty arrays: the reference repacks the filtered flat rep for the
+    * accessor boolean mask exactly as for query — r9 executed probe,
+    * `ser.nest[mask]` → None for the emptied key — overturning the r5
+    * claim that the accessor layer keeps empties. Reference:
+    * `NestedFrame.query` nested predicate (core.py:1526-1648) +
+    * accessor mask (accessor.py:762-773). Narrow HOF, no shuffle. */
+  def filterElements(df: DataFrame, nest: String, pred: Column => Column): DataFrame = {
+    val filtered = filter(col(nest), pred)
+    df.withColumn(nest, when(size(filtered) > 0, filtered))
+  }
 
   /** Same, but drop rows whose cell emptied.
     * Reference: `.nest.query` (accessor.py:600-638). */
   def filterElementsDropEmpty(df: DataFrame, nest: String,
                               pred: Column => Column): DataFrame =
-    filterElements(df, nest, pred).where(size(col(nest)) > 0)
+    filterElements(df, nest, pred).where(col(nest).isNotNull)
 
   /** Drop elements with NULLs in `subset` fields (all fields if empty).
     * Reference: `dropna(on_nested=...)` (core.py:1699-1849) with pandas'
@@ -472,13 +479,11 @@ object NestedOps {
           s"dropna how= must be 'any' or 'all', got '$other'")
       }
     }
-    // cells EMPTIED by the drop become NULL, not empty arrays: reference
-    // dropna goes through the same flat-repack as query (absent keys come
-    // back missing) — r9 op-fuzzer vs the executed reference. The
-    // accessor-level element MASK (filterElements) keeps empty cells;
-    // dropna does not.
-    val masked = filterElements(df, nest, keep)
-    masked.withColumn(nest, when(size(col(nest)) > 0, col(nest)))
+    // cells EMPTIED by the drop become NULL, not empty arrays: every
+    // flat-repack surface (query, dropna, the accessor mask) nulls
+    // emptied cells — r9 op-fuzzer + probes vs the executed reference;
+    // filterElements itself applies the rule.
+    filterElements(df, nest, keep)
   }
 
   /** Fill NULLs in nested fields with per-field constants.

@@ -258,12 +258,11 @@ class NestedOpsSpec extends SparkSpec {
       Seq(30, 30, 30))
   }
 
-  test("empty cell vs NULL cell are distinct after element filter") {
-    // filter empties all cells of key=0 (c values 0,2,4 vs pred c > 10)
+  test("element filter nulls emptied cells (r9: every flat-repack " +
+      "surface of the executed reference reports missing, not empty)") {
     val q = nf.filterElements("nested", s => s.getField("c") > 10)
-    val sizes = q.orderBy($"key").select(size($"nested")).as[Int].collect()
-    assert(sizes.toSeq == Seq(0, 0, 0)) // empty arrays, NOT nulls
-    assert(q.where($"nested".isNull).count() == 0)
+    assert(q.count() == 3) // rows kept
+    assert(q.where($"nested".isNull).count() == 3) // cells MISSING
   }
 
   test("dialect passes through SQL operators: in / between / and / abs") {

@@ -146,7 +146,10 @@ class ReferenceParitySpec extends SparkSpec {
     val dropEmpty = NestedOps.filterElementsDropEmpty(nf, "nested",
       s => s.getField("c") > 1000)
     assert(dropEmpty.count() == 0)
-    assert(dropEmpty.schema == nf.schema) // schema survives emptiness
+    // names+types survive; the nest becomes nullable (the r9 mask rule
+    // marks emptied cells missing before the drop)
+    assert(dropEmpty.schema.map(f => (f.name, f.dataType)) ==
+      nf.schema.map(f => (f.name, f.dataType)))
   }
 
   test("to_flat through a double nest (ref accessor :290)") {

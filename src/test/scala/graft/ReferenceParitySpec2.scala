@@ -641,11 +641,13 @@ class ReferenceParitySpec2 extends SparkSpec {
     assert(empty.select(explode(col("nested.idx"))).count() == 0)
   }
 
-  test("nest query that empties ALL rows keeps empty cells (acc :575,:592)") {
+  test("nest mask that empties ALL rows nulls the cells; .nest.query " +
+      "drops the rows (acc :575,:592 + r9 executed mask probe)") {
     val q = nf.filterElements("nested", s => s.getField("c") > 100)
-    assert(q.count() == 3) // rows kept
-    assert(q.select(sum(size($"nested"))).as[Long].collect()(0) == 0)
-    // the drop-empties variant removes them (reference .nest.query)
+    assert(q.count() == 3) // rows kept, cells MISSING
+    assert(q.where($"nested".isNull).count() == 3)
+    // the drop-empties variant removes them (reference .nest.query —
+    // "Currently we remove empty rows from the output series")
     val dropped = NestedOps.filterElementsDropEmpty(nf, "nested",
       s => s.getField("c") > 100)
     assert(dropped.count() == 0)
@@ -774,9 +776,11 @@ class ReferenceParitySpec2 extends SparkSpec {
       .collect().toSeq == Seq(1L))
     assert(q3.na.drop(Seq("nested")).select("key").as[Long]
       .collect().sorted.toSeq == Seq(0L, 2L))
-    // the accessor-level element MASK still keeps empty cells (acc :575)
+    // the accessor-level element MASK also nulls emptied cells (r9
+    // executed probe: ser.nest[mask] → None for the emptied key; the
+    // r5 keep-empty claim was wrong)
     val masked = nf.filterElements("nested", s => s.getField("c") > 100)
-    assert(masked.where($"nested".isNull).count() == 0)
+    assert(masked.where($"nested".isNull).count() == masked.count())
   }
 
   test("whole-frame scalar fillna fills base AND nested layers " +
