@@ -257,11 +257,14 @@ def num_expr(r, atoms, depth):
 def cmp_expr(r, atoms, str_atom=None):
     roll = r.random()
     if str_atom is not None and roll < 0.2:
-        sub = roll < 0.1
-        if sub:
+        if roll < 0.1:
             m, argf = r.choice(STR_PRED)
             arg = argf(r) if argf else ""
             return f"{str_atom}.str.{m}({arg})"
+        if roll < 0.13:
+            lits = ", ".join(f"'{v}'" for v in
+                             r.sample(STR_POOL[:8], r.randint(2, 3)))
+            return f"{str_atom} in [{lits}]"
         return f"{str_atom} {r.choice(['==', '!='])} '{r.choice(STR_POOL[:8])}'"
     if roll < 0.3:
         ints = ", ".join(str(r.randint(-3, 9)) for _ in range(r.randint(2, 4)))
