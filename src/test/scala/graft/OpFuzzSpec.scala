@@ -119,8 +119,10 @@ class OpFuzzSpec extends SparkSpec {
               if (got == exp) None
               else Some(s"row order: got ${got.mkString(",")} expected ${exp.mkString(",")}")
             case "minmax" =>
+              val numOnly = !args.has("numeric_only") ||
+                args.get("numeric_only").asBoolean()
               val got = NestedOps.aggAllColumns(df.drop("k"),
-                args.get("fn").asText(), numericOnly = true).collect()(0)
+                args.get("fn").asText(), numericOnly = numOnly).collect()(0)
               val cols = c.get("expect").get("cols")
               cols.fieldNames().asScala.flatMap { name =>
                 if (!got.schema.fieldNames.contains(name))

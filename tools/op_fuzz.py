@@ -96,7 +96,10 @@ def gen_op(r):
         return op, {"by": "n.x", "asc": r.random() < 0.5,
                     "na_position": r.choice(["first", "last"])}
     if op == "minmax":
-        return op, {"fn": r.choice(["min", "max"])}
+        # numeric_only=False includes strings (lexicographic min/max,
+        # r9 probe) — both engines skip missing values
+        return op, {"fn": r.choice(["min", "max"]),
+                    "numeric_only": r.random() < 0.5}
     if op == "nest_query":
         # same predicate in both dialects: graft sees nest-prefixed
         # fields, the reference accessor sees flat names
@@ -136,7 +139,8 @@ def run_reference(nf, op, args):
         return enc_frame(nf.sort_values(by=args["by"], ascending=args["asc"],
                                         na_position=args["na_position"]))
     if op == "minmax":
-        ser = getattr(nf, args["fn"])(numeric_only=True)
+        ser = getattr(nf, args["fn"])(
+            numeric_only=args.get("numeric_only", True))
         return {"cols": {str(k): enc_val(v) for k, v in ser.items()}}
     if op == "explode":
         return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
