@@ -1265,7 +1265,11 @@ object NestedExpr {
       case "findall" =>
         req(1)
         strLitContent(args(0)).foreach { pat =>
-          val hasCapture = """(^|[^\\])\((?!\?)""".r.findFirstIn(pat).isDefined
+          // capture-group detection must count BACKSLASH-RUN PARITY: an
+          // even run before '(' leaves it a metacharacter ('\\\\(' is an
+          // escaped backslash THEN a group), an odd run escapes it
+          val hasCapture =
+            """(?<!\\)(?:\\\\)*\((?!\?)""".r.findFirstIn(pat).isDefined
           require(!hasCapture,
             s".str.findall with a CAPTURING group returns group contents " +
               s"in pandas but full matches here — use a non-capturing " +

@@ -445,10 +445,13 @@ object NestedOps {
     * claim that the accessor layer keeps empties. Reference:
     * `NestedFrame.query` nested predicate (core.py:1526-1648) +
     * accessor mask (accessor.py:762-773). Narrow HOF, no shuffle. */
-  def filterElements(df: DataFrame, nest: String, pred: Column => Column): DataFrame = {
-    val filtered = filter(col(nest), pred)
-    df.withColumn(nest, when(size(filtered) > 0, filtered))
-  }
+  def filterElements(df: DataFrame, nest: String, pred: Column => Column): DataFrame =
+    // gate on exists(), not size(filter(...)) > 0: HOF lambdas get no
+    // codegen CSE, so the when/size pair would run the full filter
+    // TWICE per row; exists short-circuits at the first hit (same rule
+    // as NestedExpr.query's element path)
+    df.withColumn(nest,
+      when(exists(col(nest), pred), filter(col(nest), pred)))
 
   /** Same, but drop rows whose cell emptied.
     * Reference: `.nest.query` (accessor.py:600-638). */
@@ -867,11 +870,16 @@ object NestedOps {
     // NA by-values produce a `<NA>`-named split whose cells are ALL
     // MISSING: the reference filters with `value == NA`, which matches
     // nothing, so the column exists but every cell repacks to None
-    // (r9 op-fuzzer + probe vs the executed reference)
+    // (r9 op-fuzzer + probe vs the executed reference). Its TYPE must
+    // track dropField like the value splits' schemas do.
+    val naType = df.schema(nest).dataType match {
+      case ArrayType(s: StructType, n) if dropField =>
+        ArrayType(StructType(s.fields.filterNot(_.name == byField)), n)
+      case dt => dt
+    }
     val withNa =
       if (!naSplit) withSplits
-      else withSplits.withColumn(s"${nest}_<NA>",
-        lit(null).cast(df.schema(nest).dataType))
+      else withSplits.withColumn(s"${nest}_<NA>", lit(null).cast(naType))
     if (dropSource) withNa.drop(nest) else withNa
   }
 
@@ -969,7 +977,11 @@ object NestedOps {
     df.withColumn(nest,
       flatten(transform(col(nest), o => {
         val expanded = transform(o.getField(innerField), i => row(o, Some(i)))
-        when(size(expanded) > 0, expanded).otherwise(array(row(o, None)))
+        // gate on the RAW inner size (== size(expanded) by construction):
+        // sizing the transform itself would re-run the struct-building
+        // lambda per row (no CSE through HOF lambdas)
+        when(coalesce(size(o.getField(innerField)), lit(0)) > 0, expanded)
+          .otherwise(array(row(o, None)))
       })))
   }
 
@@ -1293,8 +1305,9 @@ object syntax {
                    sortBy: Seq[(String, Boolean)] = Nil): DataFrame =
       NestedOps.joinNested(df, child, on, name, how, sortBy)
     def fromFlat(baseCols: Seq[String], nestedCols: Seq[String],
-                 on: Seq[String], name: String = "nested"): DataFrame =
-      NestedOps.fromFlat(df, baseCols, nestedCols, on, name)
+                 on: Seq[String], name: String = "nested",
+                 sortBy: Seq[(String, Boolean)] = Nil): DataFrame =
+      NestedOps.fromFlat(df, baseCols, nestedCols, on, name, sortBy)
     def fromLists(listCols: Seq[String], name: String = "nested"): DataFrame =
       NestedOps.fromLists(df, listCols, name)
 

@@ -75,7 +75,7 @@ object RemoteIO {
         // file:// is exempt: a spacey local path is still a local read
         // (Hadoop Path tolerates it); the rethrow protects REMOTE urls
         // from silently getting local-file conf
-        if (hasSchemePrefix && scheme != "file")
+        if (hasSchemePrefix && !scheme.equalsIgnoreCase("file"))
           throw new IllegalArgumentException(
             s"malformed $scheme:// URL: $url", e)
         "file"
