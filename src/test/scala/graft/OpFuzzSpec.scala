@@ -133,6 +133,9 @@ class OpFuzzSpec extends SparkSpec {
                     s"expected ${cols.get(name)}")
                 else None
               }.toSeq.headOption
+            case "concat" =>
+              val df2 = buildFrame(spark, c.get("frame2"))
+              compareFrame(df.unionByName(df2), c.get("expect"))
             case "flatten_inner" =>
               import org.apache.spark.sql.types._
               import org.apache.spark.sql.Row

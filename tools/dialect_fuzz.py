@@ -123,7 +123,7 @@ def gen_frame(r, allow_missing=True):
 
 def build_ref_frame(spec):
     nf = npd.NestedFrame(
-        {c: pd.Series(info["v"],
+        {c: pd.Series(info["v"], index=spec["k"],
                       dtype={"i": "int64", "d": "float64", "s": object}[info["t"]])
          for c, info in spec["base"].items()},
         index=spec["k"])

@@ -20,8 +20,8 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
-       "flatten_inner"]
-OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5]
+       "flatten_inner", "concat"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5]
 
 
 def fixup_for_sort(frame, r, nested):
@@ -288,6 +288,24 @@ def main():
         r = random.Random(seed * 99991 + i)
         i += 1
         op, args = gen_op(r)
+        if op == "concat":
+            # pd.concat of two nested frames ≡ unionByName; distinct key
+            # ranges keep the comparator's one-row-per-k contract
+            import pandas as pd
+            f1 = gen_frame(r, allow_missing=True)
+            f2 = gen_frame(r, allow_missing=True)
+            f2["k"] = [k + 100 for k in f2["k"]]
+            try:
+                expect = enc_frame(pd.concat([build_ref_frame(f1),
+                                              build_ref_frame(f2)]))
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": {},
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op, "args": {},
+                         "frame": f1, "frame2": f2, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
         if op == "flatten_inner":
             spec = gen_double_nest(r)
             try:
