@@ -276,7 +276,7 @@ def run_flatten_inner(spec):
 
 
 def main():
-    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 900
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 950
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
         Path(__file__).parent.parent / "src/test/resources/fuzz/op_fuzz.jsonl"
