@@ -35,9 +35,10 @@ class OpFuzzSpec extends SparkSpec {
         }.toMap
         NestedOps.fillNaAll(df, values)
       case "count_nested" =>
+        val dropNa = args.has("dropna") && args.get("dropna").asBoolean()
         Option(args.get("by")).filterNot(_.isNull).map(_.asText()) match {
           case None => NestedOps.countNested(df, "n", None)
-          case Some(by) => NestedOps.countNestedAuto(df, "n", by)
+          case Some(by) => NestedOps.countNestedAuto(df, "n", by, dropNa)
         }
       case "split" =>
         NestedOps.splitNestedAuto(df, "n", args.get("by").asText(),
@@ -110,8 +111,14 @@ class OpFuzzSpec extends SparkSpec {
               compareFlat(NestedOps.explodeNested(df.drop("m"), "n",
                 keepEmpty = true), c.get("expect"))
             case "sort_base" =>
-              val got = NestedOps.sortValues(df,
-                Seq((args.get("by").asText(), args.get("asc").asBoolean())),
+              val keys =
+                if (args.get("by").isArray)
+                  args.get("by").elements().asScala.map(_.asText())
+                    .zip(args.get("asc").elements().asScala.map(_.asBoolean()))
+                    .toSeq
+                else Seq((args.get("by").asText(),
+                  args.get("asc").asBoolean()))
+              val got = NestedOps.sortValues(df, keys,
                 Some(args.get("na_position").asText()))
                 .collect().map(_.getAs[Long]("k")).toVector
               val exp = c.get("expect").get("k_order").elements().asScala

@@ -86,10 +86,19 @@ def gen_op(r):
             vals["n.x"] = -1.0
         return op, {"values": vals}
     if op == "count_nested":
+        # dropna=True ignores NA by-values (r9 probe; dropna=False raises
+        # in BOTH engines — error parity pinned elsewhere)
+        if r.random() < 0.3:
+            return op, {"by": "t", "dropna": True}
         return op, {"by": r.choice([None, "t"])}
     if op == "split":
         return op, {"by": "t"}
     if op == "sort_base":
+        if r.random() < 0.35:
+            # multi-key: a's ties broken by the (fixup-distinct) b
+            return op, {"by": ["a", "b"],
+                        "asc": [r.random() < 0.5, r.random() < 0.5],
+                        "na_position": r.choice(["first", "last"])}
         return op, {"by": "b", "asc": r.random() < 0.5,
                     "na_position": r.choice(["first", "last"])}
     if op == "sort_nested":
@@ -128,7 +137,8 @@ def run_reference(nf, op, args):
         return enc_frame(nf.fillna(args["values"]))
     if op == "count_nested":
         from nested_pandas.utils import count_nested
-        return enc_frame(count_nested(nf, "n", by=args["by"]))
+        return enc_frame(count_nested(nf, "n", by=args["by"],
+                                      dropna=args.get("dropna", False)))
     if op == "split":
         return enc_frame(nf.split("n", args["by"]))
     if op == "sort_base":
