@@ -53,6 +53,41 @@ class OpFuzzSpec extends SparkSpec {
       case "nest_query" =>
         graft.nested.NestedExpr.query(df, args.get("text").asText())
           .where(col("n").isNotNull)
+      // __setitem__ surface: each reference assignment path mapped to
+      // its NestedOps setter (probe-pinned 2026-08-14; missing cells
+      // excluded — the adjudicated flat-repack divergence)
+      case "setitem" =>
+        import org.apache.spark.sql.functions._
+        args.get("var").asText() match {
+          case "scalar" => NestedOps.withNestedFieldFilled(df, "n", "z",
+            lit(args.get("value").asDouble()))
+          case "base" => NestedOps.withNestedFieldFilled(df, "n", "z",
+            col("a") * lit(args.get("mul").asLong()))
+          case "modify" => NestedOps.withNestedField(df, "n", "x",
+            s => s.getField("x") + lit(args.get("delta").asDouble()))
+          case "field" => NestedOps.withNestedField(df, "n", "z",
+            s => s.getField("y") * lit(args.get("mul").asLong()))
+          case "crossnest" =>
+            // element-aligned values from the OTHER nest (the reference's
+            // set_flat_column length-matched path)
+            val d = args.get("delta").asDouble()
+            df.withColumn("n", transform(col("n"), (s, i) =>
+              s.withField("z",
+                element_at(col("m"), i + 1).getField("u") + lit(d))))
+          case "newnest" =>
+            df.withColumn("p", transform(col("n"), s =>
+              struct((s.getField("x") +
+                lit(args.get("delta").asDouble())).as("w"))))
+          case "del_field" =>
+            val out = NestedOps.dropNestedFields(df, "n", Seq("x"))
+            require(!NestedOps.nestedStruct(out, "n").fieldNames
+              .contains("x"), "del_field left 'x' in place")
+            out
+          case "del_base" =>
+            val out = df.drop("b")
+            require(!out.columns.contains("b"), "del_base left 'b' in place")
+            out
+        }
     }
 
   /** to_flat compare: expected is per-k ORDERED element lists over the
@@ -303,6 +338,80 @@ class OpFuzzSpec extends SparkSpec {
               if (got.length != expK.length)
                 d = Some(s"rows: got ${got.length} expected ${expK.length}")
               d
+            case "reduce" =>
+              // NestedFrame.reduce -> MapRows (the typed map_rows
+              // surface). Kernels mirror the generator's numpy calls:
+              // arrow NA launders to NaN and PROPAGATES through
+              // mean/sum/min/max/std (probe 2026-08-14); np.mean([]) is
+              // NaN, np.sum([]) is 0.0, x.size counts NaN elements.
+              import org.apache.spark.sql.types._
+              import graft.nested.MapRows
+              val kernel = args.get("kernel").asText()
+              val cName = args.get("col").asText()
+              def num(v: Any): Double = v match {
+                case null                 => Double.NaN
+                case d: java.lang.Double  => d
+                case l: java.lang.Long    => l.toDouble
+                case i: java.lang.Integer => i.toDouble
+                case f: java.lang.Float   => f.toDouble
+              }
+              def seqOf(v: Any): Seq[Any] = v match {
+                case null                       => Seq.empty
+                case s: scala.collection.Seq[_] => s.toSeq
+              }
+              def red(vs: Seq[Any], empty: Double,
+                      f: Seq[Double] => Double): Double = {
+                val ds = vs.map(num)
+                if (ds.isEmpty) empty
+                else if (ds.exists(_.isNaN)) Double.NaN
+                else f(ds)
+              }
+              def kSchema(fs: StructField*) = StructType(
+                StructField("k", LongType, nullable = false) +: fs)
+              val out = kernel match {
+                case "size" =>
+                  MapRows.mapRows(df, Seq("k", cName),
+                    kSchema(StructField("r", LongType))) {
+                    case Seq(k, xs) => Seq(k, seqOf(xs).length.toLong)
+                  }
+                case "mean_minus_base" =>
+                  MapRows.mapRows(df, Seq("k", "a", cName),
+                    kSchema(StructField("r", DoubleType))) {
+                    case Seq(k, a, xs) =>
+                      Seq(k, red(seqOf(xs), Double.NaN,
+                        ds => ds.sum / ds.length) - num(a))
+                  }
+                case "offsets" =>
+                  MapRows.mapRows(df, Seq("k", "a", cName),
+                    kSchema(StructField("off.d", ArrayType(DoubleType))),
+                    inferNesting = true) {
+                    case Seq(k, a, xs) =>
+                      val av = num(a)
+                      Seq(k, seqOf(xs).map(v => num(v) - av))
+                  }
+                case "append_max" =>
+                  MapRows.mapRowsAppend(df, "k", Seq(cName),
+                    StructType(Seq(StructField("mx", DoubleType)))) {
+                    case Seq(xs) =>
+                      Seq(red(seqOf(xs), Double.NaN, _.max))
+                  }
+                case _ =>
+                  val f: (Seq[Any] => Double) = kernel match {
+                    case "mean" => red(_, Double.NaN, ds => ds.sum / ds.length)
+                    case "sum"  => red(_, 0.0, _.sum)
+                    case "min"  => red(_, Double.NaN, _.min)
+                    case "max"  => red(_, Double.NaN, _.max)
+                    case "std" => red(_, Double.NaN, { ds =>
+                      val m = ds.sum / ds.length
+                      math.sqrt(ds.map(v => (v - m) * (v - m)).sum / ds.length)
+                    })
+                  }
+                  MapRows.mapRows(df, Seq("k", cName),
+                    kSchema(StructField("r", DoubleType))) {
+                    case Seq(k, xs) => Seq(k, f(seqOf(xs)))
+                  }
+              }
+              compareFrame(out, c.get("expect"))
             case _ =>
               compareFrame(runOp(df, op, args), c.get("expect"))
           }

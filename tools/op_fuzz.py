@@ -20,8 +20,21 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
-       "flatten_inner", "concat"]
-OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5]
+       "flatten_inner", "concat", "setitem", "reduce"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9]
+
+# __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
+# nested assignment turns a missing cell into an EMPTY cell (probe
+# 2026-08-14; the adjudicated representational divergence — graft keeps
+# missing missing, PARITY.md §fuzz). reduce kernels that ERROR or pack
+# ambiguously on an empty cell (min/max/std/offsets/append) likewise
+# draw no-missing frames; mean/sum/size keep missing cells (np.mean([])
+# -> NaN, np.sum([]) -> 0.0, size -> 0 — real reduce-over-gaps shapes).
+SETITEM_VARS = ["scalar", "base", "modify", "field", "crossnest",
+                "newnest", "del_field", "del_base"]
+REDUCE_KERNELS = ["mean", "sum", "size", "min", "max", "std",
+                  "mean_minus_base", "offsets", "append_max"]
+NO_MISSING_KERNELS = {"min", "max", "std", "offsets", "append_max"}
 
 
 def fixup_for_sort(frame, r, nested):
@@ -114,6 +127,19 @@ def gen_op(r):
         # fields, the reference accessor sees flat names
         text = bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
         return op, {"text": text, "flat_text": text.replace("n.", "")}
+    if op == "setitem":
+        v = r.choice(SETITEM_VARS)
+        if v == "scalar":
+            return op, {"var": v, "value": round(r.uniform(-6, 8), 3)}
+        if v in ("base", "field"):
+            return op, {"var": v, "mul": r.randint(-3, 4)}
+        if v in ("modify", "crossnest", "newnest"):
+            return op, {"var": v, "delta": round(r.uniform(-5, 5), 3)}
+        return op, {"var": v}  # del_field / del_base
+    if op == "reduce":
+        k = r.choice(REDUCE_KERNELS)
+        col = r.choice(["n.x", "n.y", "m.u"])
+        return op, {"kernel": k, "col": col}
     return op, {}  # to_flat / explode / to_lists
 
 
@@ -199,6 +225,47 @@ def run_reference(nf, op, args):
                               if k in res.index else None
                               for k in nf.index]
                           for f in res.columns}}
+    if op == "setitem":
+        import numpy as np
+        f2 = nf.copy()
+        v = args["var"]
+        if v == "scalar":
+            f2["n.z"] = args["value"]
+        elif v == "base":
+            f2["n.z"] = f2["a"] * args["mul"]
+        elif v == "modify":
+            f2["n.x"] = f2["n.x"] + args["delta"]
+        elif v == "field":
+            f2["n.z"] = f2["n.y"] * args["mul"]
+        elif v == "crossnest":
+            # element-aligned flat series from the OTHER nest (same cell
+            # lengths by construction) -> set_flat_column alignment path
+            f2["n.z"] = f2["m.u"] + args["delta"]
+        elif v == "newnest":
+            f2["p.w"] = f2["n.x"] + args["delta"]
+        elif v == "del_field":
+            del f2["n.x"]
+        elif v == "del_base":
+            del f2["b"]
+        return enc_frame(f2)
+    if op == "reduce":
+        import numpy as np
+        k, c = args["kernel"], args["col"]
+        fns = {"mean": np.mean, "sum": np.sum, "min": np.min,
+               "max": np.max, "std": np.std}
+        if k in fns:
+            res = nf.reduce(lambda x: {"r": fns[k](x)}, c)
+        elif k == "size":
+            res = nf.reduce(lambda x: {"r": x.size}, c)
+        elif k == "mean_minus_base":
+            res = nf.reduce(lambda a, x: {"r": np.mean(x) - a}, "a", c)
+        elif k == "offsets":
+            res = nf.reduce(lambda a, x: {"off.d": x - a}, "a", c,
+                            infer_nesting=True)
+        else:  # append_max
+            res = nf.reduce(lambda x: {"mx": np.max(x)}, c,
+                            append_columns=True)
+        return enc_frame(res)
     if op == "nest_query":
         # accessor query: element mask + DROP rows whose cell emptied
         # (query_flat drops absent keys too)
@@ -286,7 +353,7 @@ def run_flatten_inner(spec):
 
 
 def main():
-    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 950
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1100
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
         Path(__file__).parent.parent / "src/test/resources/fuzz/op_fuzz.jsonl"
@@ -328,7 +395,10 @@ def main():
                          "frame": spec, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
-        frame = gen_frame(r, allow_missing=True)
+        allow_missing = not (
+            op == "setitem" or
+            (op == "reduce" and args["kernel"] in NO_MISSING_KERNELS))
+        frame = gen_frame(r, allow_missing=allow_missing)
         if op in ("sort_base", "sort_nested"):
             fixup_for_sort(frame, r, nested=op == "sort_nested")
         try:
