@@ -338,6 +338,47 @@ class OpFuzzSpec extends SparkSpec {
               if (got.length != expK.length)
                 d = Some(s"rows: got ${got.length} expected ${expK.length}")
               d
+            case "join_how" =>
+              // join_nested(how=) alignment: base columns vs a child
+              // whose per-cell keys were remapped (kept / shifted out of
+              // range / merged / dropped); probe-pinned right/outer key
+              // sets. Global __pos keeps merged cells in input row order.
+              import org.apache.spark.sql.types._
+              import org.apache.spark.sql.Row
+              val frame = c.get("frame")
+              val how = args.get("how").asText()
+              val ks = frame.get("k").elements().asScala
+                .map(_.asLong()).toVector
+              val childKeys = args.get("child_keys").elements().asScala
+                .toVector
+              val baseNames = frame.get("base").fieldNames().asScala.toVector
+              val baseDf = df.select(("k" +: baseNames).map(col): _*)
+              val ninfo = frame.get("nests").get("n")
+              val fTypes = ninfo.get("fields").elements().asScala
+                .map(f => (f.get(0).asText(), f.get(1).asText())).toVector
+              val childSchema = StructType(
+                StructField("k", LongType, nullable = false) +:
+                  StructField("__pos", LongType, nullable = false) +:
+                  fTypes.map { case (f, t) =>
+                    StructField(f, FuzzHarness.sparkType(t), nullable = true)
+                  }.toArray)
+              var pos = -1L
+              val childRows = for {
+                (ck, i) <- childKeys.zipWithIndex
+                if !(ck == null || ck.isNull)
+                cell = ninfo.get("cells").get(i)
+                if !(cell == null || cell.isNull)
+                el <- cell.elements().asScala.toSeq
+              } yield {
+                pos += 1
+                Row.fromSeq(ck.asLong() +: pos +:
+                  fTypes.zipWithIndex.map { case ((_, t), fi) =>
+                    FuzzHarness.scalarOf(el.get(fi), t) })
+              }
+              val childDf = spark.createDataFrame(childRows.asJava,
+                childSchema)
+              compareFrame(NestedOps.joinNested(baseDf, childDf, Seq("k"),
+                "n", how, sortBy = Seq(("__pos", true))), c.get("expect"))
             case "reduce" =>
               // NestedFrame.reduce -> MapRows (the typed map_rows
               // surface). Kernels mirror the generator's numpy calls:

@@ -20,8 +20,8 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
-       "flatten_inner", "concat", "setitem", "reduce"]
-OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9]
+       "flatten_inner", "concat", "setitem", "reduce", "join_how"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -276,6 +276,38 @@ def run_reference(nf, op, args):
         return enc_frame(nf2)
 
 
+def run_join_how(frame, child_keys, how):
+    """join_nested(how=) alignment: the frame's BASE columns against a
+    child whose per-cell keys are remapped (kept / shifted out of the
+    base's key range / merged onto another row's key / dropped).
+    Probe-pinned (2026-08-14): right = the packed child's keys with NaN
+    base values, outer = sorted key union, left/inner as usual; a
+    merged key concatenates cells in input row order."""
+    import pandas as pd
+    base = pd.DataFrame(
+        {c: pd.Series(info["v"], index=frame["k"],
+                      dtype={"i": "int64", "d": "float64",
+                             "s": object}[info["t"]])
+         for c, info in frame["base"].items()},
+        index=frame["k"])
+    nfb = npd.NestedFrame(base)
+    ninfo = frame["nests"]["n"]
+    fields = [f for f, _ in ninfo["fields"]]
+    dtypes = {f: {"i": "Int64", "d": "float64", "s": object}[t]
+              for f, t in ninfo["fields"]}
+    rows, idx = [], []
+    for ck, cell in zip(child_keys, ninfo["cells"]):
+        if ck is None or cell is None:
+            continue
+        for el in cell:
+            rows.append(el)
+            idx.append(ck)
+    child = pd.DataFrame(rows, columns=fields, index=idx)
+    for f in fields:
+        child[f] = child[f].astype(dtypes[f])
+    return enc_frame(nfb.join_nested(child, "n", how=how))
+
+
 def enc_flat_like(flat, nf):
     """Encode a flat (duplicated-index) result as per-parent-key ordered
     element lists over the flat columns."""
@@ -381,6 +413,32 @@ def main():
                 continue
             kept.append({"id": len(kept), "op": op, "args": {},
                          "frame": f1, "frame2": f2, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "join_how":
+            frame = gen_frame(r, allow_missing=True)
+            n = len(frame["k"])
+            child_keys = []
+            for k in frame["k"]:
+                roll = r.random()
+                if roll < 0.15:
+                    child_keys.append(None)          # cell dropped
+                elif roll < 0.35:
+                    child_keys.append(k + 50)        # absent from base
+                elif roll < 0.45 and n > 1:
+                    child_keys.append(frame["k"][r.randrange(n)])  # merge
+                else:
+                    child_keys.append(k)
+            how = r.choice(["left", "inner", "right", "outer"])
+            try:
+                expect = run_join_how(frame, child_keys, how)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": {"how": how},
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op,
+                         "args": {"how": how, "child_keys": child_keys},
+                         "frame": frame, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
         if op == "flatten_inner":
