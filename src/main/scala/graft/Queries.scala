@@ -222,6 +222,31 @@ object Queries {
         col("rj"), col("ctr"))
   }
 
+  /** `.dt` accessor surface end-to-end (r9): events packed per user, a
+    * dt element filter through the query dialect, then eval computing
+    * attribute / strftime / normalize columns — DuckDB replays the same
+    * date arithmetic natively (oracle). Fuzz corpus: tools/dt_fuzz.py. */
+  val qDialectDt: Q = (s, dir) => {
+    val e = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val packed = NestedOps.packFlat(e, Seq("user_id"), "ev",
+      sortBy = Seq(("event_id", true)))
+    val filtered = NestedExpr.query(packed, "ev.ts.dt.month <= 6")
+    NestedExpr.eval(filtered,
+      """ev.yr = ev.ts.dt.year
+        |ev.dow = ev.ts.dt.dayofweek
+        |ev.doy = ev.ts.dt.dayofyear
+        |ev.qtr = ev.ts.dt.quarter
+        |ev.dim = ev.ts.dt.days_in_month
+        |ev.day0 = ev.ts.dt.normalize()
+        |ev.lab = ev.ts.dt.strftime('%Y-%m')""".stripMargin)
+      .toFlat("ev")
+      .select(col("event_id"),
+        col("yr").cast("long").as("yr"), col("dow").cast("long").as("dow"),
+        col("doy").cast("long").as("doy"), col("qtr").cast("long").as("qtr"),
+        col("dim").cast("long").as("dim"), col("day0"), col("lab"))
+  }
+
   /** dropna / fillna on nested elements (nulls synthesized deterministically). */
   val qDropnaFillna: Q = (s, dir) => {
     val packed = NestedOps.packFlat(
@@ -602,6 +627,7 @@ object Queries {
     "q_asof_ntz_tol" -> qAsofNtzTol,
     "q_dialect_ext" -> qDialectExt,
     "q_dialect_str" -> qDialectStr,
+    "q_dialect_dt" -> qDialectDt,
     "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
@@ -742,6 +768,18 @@ object Queries {
         |               - (greatest(9 - length(source), 0) // 2
         |                  + greatest(9 - length(source), 0) % 2)) AS ctr
         |FROM documents""".stripMargin,
+    // pandas dayofweek is Monday=0 -> DuckDB isodow(Mon=1) - 1
+    "q_dialect_dt" ->
+      """SELECT event_id,
+        | CAST(year(ts) AS BIGINT) AS yr,
+        | CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        | CAST(dayofyear(ts) AS BIGINT) AS doy,
+        | CAST(quarter(ts) AS BIGINT) AS qtr,
+        | CAST(day(last_day(ts)) AS BIGINT) AS dim,
+        | date_trunc('day', ts) AS day0,
+        | strftime(ts, '%Y-%m') AS lab
+        |FROM events
+        |WHERE month(ts) <= 6""".stripMargin,
     "q_dialect_ext" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty

@@ -603,6 +603,123 @@ object NestedExpr {
     s"__GRAFTSTR_$m($x __ARGS0 __ARG1"
   }
 
+  // -------------------------------------------------------------------------
+  // `.dt` accessor (pandas Series.dt over datetime64 columns). Reference-
+  // executed 2026-08-14: the reference's query/eval run `.dt` on BOTH
+  // layers (`ts.dt.year >= 2019` / `n.t.dt.year < 2021`), so this is
+  // resolver-reachable surface, not dead API. Missing-value semantics come
+  // free from the existing span classification: `n.t.dt.year` keeps its
+  // nest-rooted ident (element Kleene, probe: NaT elements drop under both
+  // a mask and its negation) while a base `ts.dt.year` span gets the
+  // 2-valued coalesce wrap (probe: `~(ts.dt.year >= 2019)` KEEPS NaT rows).
+  // Attributes render inline; normalize/strftime/floor are calls and route
+  // through the str-marker argument splicing under dt-prefixed names.
+  // -------------------------------------------------------------------------
+  private val dtDow: String => String =
+    // pandas Monday=0..Sunday=6; Spark dayofweek Sunday=1..Saturday=7
+    x => s"((dayofweek($x) + 5) % 7)"
+  private val dtDim: String => String = x => s"day(last_day($x))"
+  private val dtAttrs: Map[String, String => String] = Map(
+    "year" -> (x => s"year($x)"),
+    "month" -> (x => s"month($x)"),
+    "day" -> (x => s"day($x)"),
+    "hour" -> (x => s"hour($x)"),
+    "minute" -> (x => s"minute($x)"),
+    "second" -> (x => s"second($x)"),
+    // fractional-second part in micros (second() truncates)
+    "microsecond" -> (x =>
+      s"(cast(date_part('SECOND', $x) * 1000000 as bigint) % 1000000)"),
+    "dayofweek" -> dtDow, "day_of_week" -> dtDow, "weekday" -> dtDow,
+    "dayofyear" -> (x => s"dayofyear($x)"),
+    "day_of_year" -> (x => s"dayofyear($x)"),
+    "quarter" -> (x => s"quarter($x)"),
+    "days_in_month" -> dtDim, "daysinmonth" -> dtDim,
+    "date" -> (x => s"cast($x as date)"),
+    "is_leap_year" -> (x =>
+      s"(day(last_day(make_date(year($x), 2, 1))) = 29)"),
+    "is_month_start" -> (x => s"(day($x) = 1)"),
+    "is_month_end" -> (x => s"(cast($x as date) = last_day($x))"),
+    "is_year_start" -> (x => s"(dayofyear($x) = 1)"),
+    "is_year_end" -> (x => s"(month($x) = 12 and day($x) = 31)"),
+    "is_quarter_start" -> (x =>
+      s"(day($x) = 1 and month($x) in (1, 4, 7, 10))"),
+    "is_quarter_end" -> (x =>
+      s"(cast($x as date) = last_day($x) and month($x) in (3, 6, 9, 12))"))
+  private val dtMethods = Set("normalize", "strftime", "floor")
+
+  private def dtUnsupported(m: String, exprStr: String): Nothing =
+    throw new IllegalArgumentException(
+      s".dt.$m is not supported (attributes: " +
+        dtAttrs.keys.toSeq.sorted.mkString(", ") +
+        s"; methods: ${dtMethods.toSeq.sorted.mkString(", ")}) in: $exprStr")
+
+  /** Render a `.dt` member: attribute (no parens) inline, method via the
+    * str-marker machinery for argument splicing.
+    *
+    * Boolean attributes (`is_*`) are numpy BOOL arrays on the base layer —
+    * NaT yields False, and `~ts.dt.is_leap_year` KEEPS NaT rows (probe
+    * 2026-08-14) — so the base render coalesces NULL to false. Element-
+    * layer arrow bools keep NA (Kleene), so the nested render does not. */
+  private def dtCall(m: String, x: String, hasParen: Boolean,
+                     nested: Boolean, exprStr: String): String =
+    if (hasParen) {
+      if (!dtMethods.contains(m)) dtUnsupported(m, exprStr)
+      // layer encoded in the marker name: the arrow-backed element layer
+      // renders strftime's %S with a 9-digit ns fraction and %f as a
+      // LITERAL (Arrow strftime, reference-executed) — base numpy doesn't
+      s"__GRAFTSTR_dt${if (nested) "n" else ""}$m($x __ARGS0 __ARG1"
+    } else {
+      // dtype split the dt fuzz corpus exposed (reference-executed):
+      // numpy base `.dt.microsecond` is the FULL fractional part in µs
+      // (.978069 -> 978069) but the arrow-backed ELEMENT layer follows
+      // Arrow's decomposition — µs within the millisecond (-> 69).
+      val sql =
+        if (m == "microsecond" && nested)
+          s"(cast(date_part('SECOND', $x) * 1000000 as bigint) % 1000)"
+        else dtAttrs.getOrElse(m, dtUnsupported(m, exprStr))(x)
+      if (!nested && m.startsWith("is_")) s"coalesce($sql, false)" else sql
+    }
+
+  /** Translate a python strftime format to a Spark/Java date_format
+    * pattern; literal runs are single-quote-escaped (letters are pattern
+    * chars in Java). Unknown %-directives raise (no silent divergence).
+    *
+    * `arrow = true` mirrors the arrow-backed ELEMENT layer (Arrow's
+    * strftime kernel, reference-executed via the dt fuzz corpus): %S
+    * renders seconds WITH a 9-digit nanosecond fraction, and %f is not a
+    * directive at all — it passes through as the literal text "%f". */
+  private def strftimeToJava(fmt: String, exprStr: String,
+                             arrow: Boolean = false): String = {
+    val dir = Map('Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'I' -> "hh", 'M' -> "mm", 'S' -> "ss", 'f' -> "SSSSSS",
+      'j' -> "DDD", 'a' -> "EEE", 'A' -> "EEEE", 'b' -> "MMM",
+      'B' -> "MMMM", 'p' -> "a")
+    val sb = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      sb.append("'").append(lit.toString.replace("'", "''")).append("'")
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val d = fmt(i + 1)
+        if (d == '%') { lit += '%'; i += 2 }
+        else if (arrow && d == 'f') { lit ++= "%f"; i += 2 }
+        else if (arrow && d == 'S') {
+          flush(); sb.append("ss'.'SSSSSSSSS"); i += 2
+        } else dir.get(d) match {
+          case Some(j) => flush(); sb.append(j); i += 2
+          case None => throw new IllegalArgumentException(
+            s".dt.strftime: unsupported directive %$d in: $exprStr")
+        }
+      } else { lit += c; i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
   /** SQL keywords / function names we must not treat as column refs. */
   private val keywords = Set(
     "and", "or", "not", "in", "is", "null", "true", "false", "like", "rlike",
@@ -812,6 +929,18 @@ object NestedExpr {
                 case Text(t) => t.trim.startsWith("("); case _ => false } =>
             usesBase = true
             strCall(m, bq(base), exprStr)
+          // nest.field.dt.m / base.dt.m — pandas Series.dt accessor
+          // (reference-executed on both layers; see the dtAttrs block)
+          case Seq(nest, field, "dt", m) if nestSet.contains(nest) =>
+            nests += nest
+            dtCall(m, ref(nest, field), toks.drop(idx + 1).headOption.exists {
+              case Text(t) => t.trim.startsWith("("); case _ => false },
+              nested = true, exprStr)
+          case Seq(base, "dt", m) if baseSet.contains(base) =>
+            usesBase = true
+            dtCall(m, bq(base), toks.drop(idx + 1).headOption.exists {
+              case Text(t) => t.trim.startsWith("("); case _ => false },
+              nested = false, exprStr)
           // chained `.str.m` AFTER a preceding .str call, e.g.
           // `nested.s.str.split(',').str.get(0)` — the `).str.get`
           // tokenizes as Text(").") + Ident(str, get); emit a chain
@@ -1037,6 +1166,39 @@ object NestedExpr {
         s".str.$m after .str.split is not supported (supported on list " +
           s"results: get, len) in: $exprStr")
     m match {
+      // ---- `.dt` methods routed through the marker machinery ----
+      // date_trunc returns a session-zoned timestamp even for NTZ input;
+      // cast back to NTZ — pandas naive datetime64 is zone-free, and the
+      // engine pins spark.sql.session.timeZone=UTC so the NTZ->LTZ->NTZ
+      // round-trip is wall-clock-exact
+      case "dtnormalize" | "dtnnormalize" =>
+        require(args.isEmpty,
+          s".dt.normalize expects no arguments in: $exprStr")
+        (s"cast(date_trunc('DAY', $x) as timestamp_ntz)", false)
+      case "dtstrftime" | "dtnstrftime" =>
+        require(args.length == 1,
+          s".dt.strftime expects 1 argument in: $exprStr")
+        val fmt = strLitContent(args.head).getOrElse(
+          throw new IllegalArgumentException(
+            s".dt.strftime expects a string-literal format in: $exprStr"))
+        val pat = strftimeToJava(fmt, exprStr, arrow = m == "dtnstrftime")
+        (s"date_format($x, '${pat.replace("'", "''")}')", false)
+      case "dtfloor" | "dtnfloor" =>
+        require(args.length == 1,
+          s".dt.floor expects 1 argument in: $exprStr")
+        val freq = strLitContent(args.head).getOrElse(
+          throw new IllegalArgumentException(
+            s".dt.floor expects a string-literal freq in: $exprStr"))
+        val unit = freq match {
+          case "D" | "d"   => "DAY"
+          case "h" | "H"   => "HOUR"
+          case "min" | "T" => "MINUTE"
+          case "s" | "S"   => "SECOND"
+          case other => throw new IllegalArgumentException(
+            s".dt.floor: unsupported freq '$other' " +
+              s"(supported: D, h, min, s) in: $exprStr")
+        }
+        (s"cast(date_trunc('$unit', $x) as timestamp_ntz)", false)
       case _ if strSimple.contains(m) =>
         val fn = strSimple(m)
         val nArgs = m match {

@@ -59,9 +59,20 @@ class DialectFuzzSpec extends SparkSpec {
   }
 
   test("differential fuzz corpus replays green against the executed reference") {
-    val cases = loadCases("/fuzz/dialect_fuzz.jsonl")
-    assert(cases.length >= 1000,
-      s"corpus has ${cases.length} cases; want >= 1000")
+    replay("/fuzz/dialect_fuzz.jsonl", minCases = 1000)
+  }
+
+  test(".dt fuzz corpus replays green against the executed reference") {
+    // datetime columns on both layers: attrs / strftime / normalize /
+    // floor / boolean-attr predicates / direct ts-vs-string comparisons
+    // (tools/dt_fuzz.py; NaT semantics probe-pinned there)
+    replay("/fuzz/dt_fuzz.jsonl", minCases = 400)
+  }
+
+  private def replay(resource: String, minCases: Int): Unit = {
+    val cases = loadCases(resource)
+    assert(cases.length >= minCases,
+      s"corpus has ${cases.length} cases; want >= $minCases")
     var failures = List.empty[String]
     var ran = 0
     for (c <- cases) {

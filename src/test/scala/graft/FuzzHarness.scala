@@ -25,17 +25,23 @@ object FuzzHarness {
   }
 
   def sparkType(t: String): DataType = t match {
-    case "i" => LongType
-    case "d" => DoubleType
-    case "s" => StringType
+    case "i"  => LongType
+    case "d"  => DoubleType
+    case "s"  => StringType
+    // naive datetime64 ≡ zone-free NTZ (ISO-8601-encoded in the corpus)
+    case "dt" => TimestampNTZType
   }
 
   def scalarOf(node: JsonNode, t: String): Any =
     if (node == null || node.isNull) null
     else t match {
-      case "i" => node.asLong()
-      case "d" => node.asDouble()
-      case "s" => node.asText()
+      case "i"  => node.asLong()
+      case "d"  => node.asDouble()
+      case "s"  => node.asText()
+      // accept both the generator's "YYYY-MM-DD hh:mm:ss.ffffff" input
+      // encoding and Timestamp.isoformat()'s 'T' separator
+      case "dt" =>
+        java.time.LocalDateTime.parse(node.asText().replace(' ', 'T'))
     }
 
   def buildFrame(spark: SparkSession, frame: JsonNode): DataFrame = {
@@ -96,6 +102,10 @@ object FuzzHarness {
         (exp.isBoolean && exp.asBoolean() == b) ||
           (exp.isNumber && numEq(if (b) 1.0 else 0.0, exp.asDouble()))
       case s: String => exp.isTextual && exp.asText() == s
+      // timestamps: corpus encodes pandas Timestamp.isoformat()
+      case t: java.time.LocalDateTime =>
+        exp.isTextual && java.time.LocalDateTime.parse(
+          exp.asText().replace(' ', 'T')) == t
       case other => other.toString == exp.asText()
     }
   }

@@ -150,6 +150,8 @@ def build_ref_frame(spec):
 def enc_val(v):
     if v is None:
         return None
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     if isinstance(v, (list, np.ndarray)):
         return [enc_val(e) for e in v]
     if isinstance(v, float) and (math.isnan(v) or pd.isna(v)):
