@@ -247,6 +247,32 @@ object Queries {
         col("dim").cast("long").as("dim"), col("day0"), col("lab"))
   }
 
+  /** Base-column + dt-derived GLOBAL eval reductions and `.dt` method
+    * chains (r9 dialect extensions, reference-executed fuzz families in
+    * tools/dt_fuzz.py + tools/dialect_fuzz.py): `nv.mean()` and
+    * `t0.dt.dayofyear.mean()` are single global scalars broadcast to
+    * every row — batched into ONE lazy broadcast agg, zero eager jobs —
+    * and `t0.dt.floor('D').dt.year` chains through a method result. */
+  val qEvalReduceBase: Q = (s, dir) => {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val base = ev.groupBy("user_id")
+      .agg(min(col("ts")).as("t0"), count(lit(1)).as("nv"))
+    val packed = NestedOps.packFlat(
+      ev.select("user_id", "event_id", "value"), Seq("user_id"), "ev",
+      sortBy = Seq(("event_id", true)))
+    NestedExpr.eval(base.join(packed, Seq("user_id")),
+      """dv = nv - nv.mean()
+        |dd = t0.dt.dayofyear - t0.dt.dayofyear.mean()
+        |y0 = t0.dt.floor('D').dt.year
+        |lab = t0.dt.normalize().dt.strftime('%Y-%m-%d')""".stripMargin)
+      .select(col("user_id"),
+        round(col("dv") + lit(1e-9), 4).as("dv"),
+        round(col("dd") + lit(1e-9), 4).as("dd"),
+        col("y0").cast("long").as("y0"), col("lab"),
+        size(col("ev")).cast("long").as("n_ev"))
+  }
+
   /** dropna / fillna on nested elements (nulls synthesized deterministically). */
   val qDropnaFillna: Q = (s, dir) => {
     val packed = NestedOps.packFlat(
@@ -628,6 +654,7 @@ object Queries {
     "q_dialect_ext" -> qDialectExt,
     "q_dialect_str" -> qDialectStr,
     "q_dialect_dt" -> qDialectDt,
+    "q_eval_reduce_base" -> qEvalReduceBase,
     "q_range_join" -> qRangeJoin,
     "q_pack_flat" -> qPackFlat,
     "q_pack_salted" -> qPackSalted,
@@ -780,6 +807,19 @@ object Queries {
         | strftime(ts, '%Y-%m') AS lab
         |FROM events
         |WHERE month(ts) <= 6""".stripMargin,
+    // global Series reductions (avg OVER ()) broadcast to every row —
+    // pandas eval `nv.mean()` / `t0.dt.dayofyear.mean()` semantics
+    "q_eval_reduce_base" ->
+      """WITH base AS (
+        |  SELECT user_id, min(ts) AS t0, count(*) AS nv
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  round(nv - avg(nv) OVER () + 1e-9, 4) AS dv,
+        |  round(dayofyear(t0) - avg(dayofyear(t0)) OVER () + 1e-9, 4) AS dd,
+        |  CAST(year(date_trunc('day', t0)) AS BIGINT) AS y0,
+        |  strftime(date_trunc('day', t0), '%Y-%m-%d') AS lab,
+        |  nv AS n_ev
+        |FROM base""".stripMargin,
     "q_dialect_ext" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(sum(l_quantity), 2) AS sum_qty

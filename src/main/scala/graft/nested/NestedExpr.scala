@@ -341,8 +341,11 @@ object NestedExpr {
     // before testing, matching the direct-ident path's exclusion.
     def rawNestRef(s: String): Boolean = nestSet.exists { n =>
       val q = java.util.regex.Pattern.quote(n)
+      // strip global reduction CALLS, incl. the dt-derived form
+      // `nest.field.dt.attr.agg(` — scalars, not element refs
       val cleaned = s.replaceAll(
-        q + "\\.\\w+\\.(?:" + reductionAggs.mkString("|") + ")\\s*\\(", "")
+        q + "\\.\\w+(?:\\.dt\\.\\w+)?\\.(?:" + reductionAggs.mkString("|") +
+          ")\\s*\\(", "")
       ("(^|[^\\w.`])" + q + "\\s*\\.").r.findFirstIn(cleaned).isDefined
     }
     /** Does this comparison span keep KLEENE missing semantics? True when
@@ -356,7 +359,11 @@ object NestedExpr {
     def elementSpan(span: Vector[Atom]): Boolean = {
       val elemIdents = span.collect {
         case AIdent(parts) if parts.headOption.exists(nestSet.contains) &&
-          !(parts.length == 3 && reductionAggs.contains(parts(2))) => parts
+          !(parts.length == 3 && reductionAggs.contains(parts(2))) &&
+          // dt-derived global reduction `nest.field.dt.attr.agg()` is a
+          // scalar, not an element ref
+          !(parts.length == 5 && parts(2) == "dt" &&
+            reductionAggs.contains(parts(4))) => parts
       }
       val rawElem = span.exists {
         case ARaw(s) => rawNestRef(s)
@@ -667,18 +674,23 @@ object NestedExpr {
       // layer encoded in the marker name: the arrow-backed element layer
       // renders strftime's %S with a 9-digit ns fraction and %f as a
       // LITERAL (Arrow strftime, reference-executed) — base numpy doesn't
-      s"__GRAFTSTR_dt${if (nested) "n" else ""}$m($x __ARGS0 __ARG1"
-    } else {
-      // dtype split the dt fuzz corpus exposed (reference-executed):
-      // numpy base `.dt.microsecond` is the FULL fractional part in µs
-      // (.978069 -> 978069) but the arrow-backed ELEMENT layer follows
-      // Arrow's decomposition — µs within the millisecond (-> 69).
-      val sql =
-        if (m == "microsecond" && nested)
-          s"(cast(date_part('SECOND', $x) * 1000000 as bigint) % 1000)"
-        else dtAttrs.getOrElse(m, dtUnsupported(m, exprStr))(x)
-      if (!nested && m.startsWith("is_")) s"coalesce($sql, false)" else sql
-    }
+      s"__GRAFTSTR_dt${if (nested) "e" else "b"}$m($x __ARGS0 __ARG1"
+    } else dtAttrSql(m, x, nested, exprStr)
+
+  /** SQL for one `.dt` attribute over expression `x`, layer-aware:
+    *  - dtype split the dt fuzz corpus exposed (reference-executed):
+    *    numpy base `.dt.microsecond` is the FULL fractional part in µs
+    *    (.978069 -> 978069) but the arrow-backed ELEMENT layer follows
+    *    Arrow's decomposition — µs within the millisecond (-> 69);
+    *  - base `is_*` attrs are numpy bool arrays (NaT -> False). */
+  private def dtAttrSql(m: String, x: String, nested: Boolean,
+                        exprStr: String): String = {
+    val sql =
+      if (m == "microsecond" && nested)
+        s"(cast(date_part('SECOND', $x) * 1000000 as bigint) % 1000)"
+      else dtAttrs.getOrElse(m, dtUnsupported(m, exprStr))(x)
+    if (!nested && m.startsWith("is_")) s"coalesce($sql, false)" else sql
+  }
 
   /** Translate a python strftime format to a Spark/Java date_format
     * pattern; literal runs are single-quote-escaped (letters are pattern
@@ -736,22 +748,26 @@ object NestedExpr {
   private val reductionAggs = Set(
     "mean", "median", "sum", "min", "max", "count", "std")
 
-  /** One GLOBAL `nest.field.agg()` reduction requested by an expression.
+  /** One GLOBAL reduction requested by an expression — `nest.field.agg()`
+    * over exploded elements (`nest` non-empty, `sqlE` references the
+    * exploded alias `__e`), or a BASE-column / dt-derived reduction
+    * (`nest` empty, `sqlE` over the frame's own columns: `a.mean()`,
+    * `ts.dt.year.mean()` — reference-executed r9 session-3 probe).
     * Rendered in the rewritten SQL as a reference to helper column `name`;
     * the helper is attached LAZILY by [[withReductions]] at consume time. */
-  private case class Reduction(name: String, nest: String, field: String,
+  private case class Reduction(name: String, nest: String, sqlE: String,
                                agg: String)
 
-  /** The aggregate Column for one reduction over the exploded element
-    * alias `__e` (shared scan — see [[withReductions]]). */
-  private def reductionAggCol(field: String, agg: String)
+  /** The aggregate Column for one reduction over the SQL expression
+    * `sqlE` (shared scan — see [[withReductions]]). */
+  private def reductionAggCol(sqlE: String, agg: String)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{avg, sum, min, max, count,
       stddev_samp}
-    val v = col("__e").getField(field)
+    val v = expr(sqlE)
     agg match {
       case "mean"   => avg(v)
-      case "median" => expr(s"percentile(__e.${bq(field)}, 0.5)")
+      case "median" => expr(s"percentile($sqlE, 0.5)")
       case "sum"    => sum(v)
       case "min"    => min(v)
       case "max"    => max(v)
@@ -776,9 +792,13 @@ object NestedExpr {
       import org.apache.spark.sql.functions.{broadcast, explode}
       reds.distinct.groupBy(_.nest).toSeq.sortBy(_._1).foldLeft(df) {
         case (acc, (nest, rs)) =>
-          val exploded = df.select(explode(col(bq(nest))).as("__e"))
-          val aggCols = rs.map(r => reductionAggCol(r.field, r.agg).as(r.name))
-          acc.crossJoin(broadcast(exploded.agg(aggCols.head, aggCols.tail: _*)))
+          // base/dt-derived reductions aggregate the frame directly
+          // (no explode); nested ones share one exploded scan per nest
+          val src =
+            if (nest.isEmpty) df
+            else df.select(explode(col(bq(nest))).as("__e"))
+          val aggCols = rs.map(r => reductionAggCol(r.sqlE, r.agg).as(r.name))
+          acc.crossJoin(broadcast(src.agg(aggCols.head, aggCols.tail: _*)))
       }
     }
 
@@ -904,8 +924,41 @@ object NestedExpr {
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
-            val r = reds.getOrElseUpdate((nest, field, agg),
-              Reduction(s"__graft_red_${reds.size}", nest, field, agg))
+            val sqlE = s"__e.${bq(field)}"
+            val r = reds.getOrElseUpdate((nest, sqlE, agg),
+              Reduction(s"__graft_red_${reds.size}", nest, sqlE, agg))
+            bq(r.name) + " __LEN_CALL"
+          // base-column global reduction `a.mean()` (pandas eval Series
+          // reduction — reference-executed r9 session-3 probe)
+          case Seq(base, agg) if baseSet.contains(base) &&
+              reductionAggs.contains(agg) &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
+            usesBase = true
+            val r = reds.getOrElseUpdate(("", bq(base), agg),
+              Reduction(s"__graft_red_${reds.size}", "", bq(base), agg))
+            bq(r.name) + " __LEN_CALL"
+          // dt-derived global reductions: `ts.dt.year.mean()` /
+          // `n.t.dt.year.mean()` — attribute chain into a Series
+          // reduction, still one global scalar broadcast
+          case Seq(base, "dt", attr, agg) if baseSet.contains(base) &&
+              reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
+            usesBase = true
+            val sqlE = dtAttrSql(attr, bq(base), nested = false, exprStr)
+            val r = reds.getOrElseUpdate(("", sqlE, agg),
+              Reduction(s"__graft_red_${reds.size}", "", sqlE, agg))
+            bq(r.name) + " __LEN_CALL"
+          case Seq(nest, field, "dt", attr, agg) if nestSet.contains(nest) &&
+              reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
+              toks.drop(idx + 1).headOption.exists {
+                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
+            usesBase = true
+            val sqlE = dtAttrSql(attr, s"__e.${bq(field)}", nested = true,
+              exprStr)
+            val r = reds.getOrElseUpdate((nest, sqlE, agg),
+              Reduction(s"__graft_red_${reds.size}", nest, sqlE, agg))
             bq(r.name) + " __LEN_CALL"
           // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
           // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
@@ -941,6 +994,22 @@ object NestedExpr {
             dtCall(m, bq(base), toks.drop(idx + 1).headOption.exists {
               case Text(t) => t.trim.startsWith("("); case _ => false },
               nested = false, exprStr)
+          // chained `.dt.m` AFTER a preceding .dt method call, e.g.
+          // `ts.dt.floor('D').dt.year` (reference-executed: chains work
+          // through pandas series results). Attr chains self-close their
+          // parens (no user args); method chains splice like .str chains.
+          // The layer comes from the BASE marker's name at rewrite time.
+          case Seq("dt", m) if !nestSet.contains("dt") &&
+              !baseSet.contains("dt") =>
+            val paren = toks.drop(idx + 1).headOption.exists {
+              case Text(t) => t.trim.startsWith("("); case _ => false }
+            if (paren) {
+              if (!dtMethods.contains(m)) dtUnsupported(m, exprStr)
+              s"__GRAFTSTRCHAIN_dtchain$m(__ARGS1 __ARG1"
+            } else {
+              if (!dtAttrs.contains(m)) dtUnsupported(m, exprStr)
+              s"__GRAFTSTRCHAIN_dtattr$m()"
+            }
           // chained `.str.m` AFTER a preceding .str call, e.g.
           // `nested.s.str.split(',').str.get(0)` — the `).str.get`
           // tokenizes as Text(").") + Ident(str, get); emit a chain
@@ -1109,8 +1178,21 @@ object NestedExpr {
         }
       }
       var isArr = false
+      // `.dt` chains take their LAYER from the base marker's name: a
+      // nested receiver opened `__GRAFTSTR_dte*`, base `__GRAFTSTR_dtb*`
+      // (arrow vs numpy dtype splits — microsecond, strftime %S/%f,
+      // base is_* NaT->False)
+      val dtNestedLayer = m0.startsWith("dte")
       for ((m, args) <- calls) {
-        val (r, arr) = renderStrMethod(m, cur, args, isArr, exprStr)
+        val (r, arr) =
+          if (m.startsWith("dtattr"))
+            (dtAttrSql(m.stripPrefix("dtattr"), cur, dtNestedLayer,
+              exprStr), false)
+          else if (m.startsWith("dtchain"))
+            renderStrMethod(
+              "dt" + (if (dtNestedLayer) "e" else "b") +
+                m.stripPrefix("dtchain"), cur, args, isArr, exprStr)
+          else renderStrMethod(m, cur, args, isArr, exprStr)
         cur = r; isArr = arr
       }
       sql = sql.substring(0, i) + cur + sql.substring(end)
@@ -1171,19 +1253,19 @@ object NestedExpr {
       // cast back to NTZ — pandas naive datetime64 is zone-free, and the
       // engine pins spark.sql.session.timeZone=UTC so the NTZ->LTZ->NTZ
       // round-trip is wall-clock-exact
-      case "dtnormalize" | "dtnnormalize" =>
+      case "dtbnormalize" | "dtenormalize" =>
         require(args.isEmpty,
           s".dt.normalize expects no arguments in: $exprStr")
         (s"cast(date_trunc('DAY', $x) as timestamp_ntz)", false)
-      case "dtstrftime" | "dtnstrftime" =>
+      case "dtbstrftime" | "dtestrftime" =>
         require(args.length == 1,
           s".dt.strftime expects 1 argument in: $exprStr")
         val fmt = strLitContent(args.head).getOrElse(
           throw new IllegalArgumentException(
             s".dt.strftime expects a string-literal format in: $exprStr"))
-        val pat = strftimeToJava(fmt, exprStr, arrow = m == "dtnstrftime")
+        val pat = strftimeToJava(fmt, exprStr, arrow = m == "dtestrftime")
         (s"date_format($x, '${pat.replace("'", "''")}')", false)
-      case "dtfloor" | "dtnfloor" =>
+      case "dtbfloor" | "dtefloor" =>
         require(args.length == 1,
           s".dt.floor expects 1 argument in: $exprStr")
         val freq = strLitContent(args.head).getOrElse(

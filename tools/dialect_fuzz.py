@@ -292,6 +292,10 @@ def bool_expr(r, atoms, depth, str_atom=None):
 
 
 def reduction_atom(r):
+    # base-column Series reductions (`a.mean()`) are plain pandas eval
+    # surface too — reference-executed r9 session-3 probe
+    if r.random() < 0.3:
+        return f"{r.choice(['a', 'b'])}.{r.choice(REDUCTIONS)}()"
     field = r.choice(["n.x", "n.y"])
     return f"{field}.{r.choice(REDUCTIONS)}()"
 

@@ -129,6 +129,13 @@ def gen_program(r, fam):
         elif roll < 0.4:
             # direct timestamp-vs-string comparison (pandas coerces)
             core = f"ts {r.choice(CMPS)} '{rand_ts(r)[:10]}'"
+        elif roll < 0.5:
+            # global dt-derived reduction vs attr (base layer only:
+            # the reference REJECTS reductions inside nested queries —
+            # "cannot target multiple structs/layers")
+            m = r.choice(["year", "month", "dayofyear", "hour"])
+            agg = r.choice(["mean", "min", "max", "median"])
+            core = f"ts.dt.{m} {r.choice(CMPS)} ts.dt.{m}.{agg}()"
         else:
             core = dt_cmp(r, "ts")
         if r.random() < 0.3:
@@ -148,27 +155,36 @@ def gen_program(r, fam):
                    f"(n.x {r.choice(CMPS)} {r.randint(-2, 6)})"
         return "query", core
     if fam == "eval_base":
-        roll = r.random()
-        if roll < 0.4:
-            rhs = f"ts.dt.{r.choice(DT_ATTRS + DT_BOOL_ATTRS)}"
-        elif roll < 0.6:
-            rhs = f"ts.dt.strftime('{r.choice(STRFTIME_FMTS)}')"
-        elif roll < 0.8:
-            rhs = f"ts.dt.floor('{r.choice(FLOOR_FREQS)}')"
-        else:
-            rhs = "ts.dt.normalize()"
-        return "eval", f"r = {rhs}"
+        return "eval", f"r = {dt_rhs(r, 'ts')}"
     # eval_elem (no-missing frames: nested assignment flat-repacks)
+    return "eval", f"n.w = {dt_rhs(r, 'n.t')}"
+
+
+def dt_rhs(r, recv):
     roll = r.random()
-    if roll < 0.4:
-        rhs = f"n.t.dt.{r.choice(DT_ATTRS + DT_BOOL_ATTRS)}"
-    elif roll < 0.6:
-        rhs = f"n.t.dt.strftime('{r.choice(STRFTIME_FMTS)}')"
-    elif roll < 0.8:
-        rhs = f"n.t.dt.floor('{r.choice(FLOOR_FREQS)}')"
-    else:
-        rhs = "n.t.dt.normalize()"
-    return "eval", f"n.w = {rhs}"
+    if roll < 0.1:
+        # dt-derived global reduction broadcast into the expression
+        m = r.choice(["year", "month", "dayofyear", "minute"])
+        agg = r.choice(["mean", "min", "max", "median", "std", "count"])
+        return f"{recv}.dt.{m} - {recv}.dt.{m}.{agg}()"
+    if roll < 0.35:
+        return f"{recv}.dt.{r.choice(DT_ATTRS + DT_BOOL_ATTRS)}"
+    if roll < 0.5:
+        return f"{recv}.dt.strftime('{r.choice(STRFTIME_FMTS)}')"
+    if roll < 0.62:
+        return f"{recv}.dt.floor('{r.choice(FLOOR_FREQS)}')"
+    if roll < 0.72:
+        return f"{recv}.dt.normalize()"
+    # chains off a method result (reference-executed: pandas series
+    # results chain freely)
+    head = f"{recv}.dt.floor('{r.choice(FLOOR_FREQS)}')" \
+        if r.random() < 0.5 else f"{recv}.dt.normalize()"
+    roll2 = r.random()
+    if roll2 < 0.5:
+        return f"{head}.dt.{r.choice(DT_ATTRS + DT_BOOL_ATTRS)}"
+    if roll2 < 0.75:
+        return f"{head}.dt.strftime('{r.choice(STRFTIME_FMTS)}')"
+    return f"{recv}.dt.strftime('{r.choice(STRFTIME_FMTS)}').str.len()"
 
 
 FAMS = ["query_base", "query_elem", "eval_base", "eval_elem"]
