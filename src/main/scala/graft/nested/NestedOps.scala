@@ -359,10 +359,25 @@ object NestedOps {
 
   /** Zip equal-length list columns into one nested column.
     * Reference: `from_lists` / `pack_lists` (core.py:660-743, packer.py:185-252).
-    * Pure narrow op: `arrays_zip` (zero shuffle). */
+    * Pure narrow op: `arrays_zip` (zero shuffle). Mismatched per-row list
+    * lengths RAISE — the reference throws `ValueError: List lengths do not
+    * match` and bare `arrays_zip` would silently NULL-pad the shorter list
+    * (r9 nest_lists fuzz family, executed reference). `<=>` keeps a row
+    * whose lists are ALL NULL a missing cell (graft keeps missing missing;
+    * the reference raises on mixed null/list rows, which `<=>` also
+    * catches as a length mismatch). */
   def fromLists(df: DataFrame, listCols: Seq[String], name: String = "nested",
                 dropSource: Boolean = true): DataFrame = {
-    val zipped = df.withColumn(name, arrays_zip(listCols.map(col): _*))
+    require(listCols.nonEmpty, "fromLists needs at least one list column")
+    val zipped0 = arrays_zip(listCols.map(col): _*)
+    val lenOk = listCols.tail.foldLeft(lit(true))((acc, c) =>
+      acc && (size(col(listCols.head)) <=> size(col(c))))
+    val guarded =
+      if (listCols.length == 1) zipped0
+      else when(lenOk, zipped0).otherwise(raise_error(lit(
+        s"from_lists: list lengths do not match across " +
+          listCols.mkString(", "))))
+    val zipped = df.withColumn(name, guarded)
     // `name` may BE one of the sources (reference nest_lists(["c"], "c"),
     // test_set_item_combine_nested) — withColumn already replaced it;
     // dropping it again would drop the result

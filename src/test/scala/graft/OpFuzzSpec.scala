@@ -379,6 +379,110 @@ class OpFuzzSpec extends SparkSpec {
                 childSchema)
               compareFrame(NestedOps.joinNested(baseDf, childDf, Seq("k"),
                 "n", how, sortBy = Seq(("__pos", true))), c.get("expect"))
+            case "take" =>
+              // ExtensionArray.take semantics (negative wrap / allow_fill /
+              // raise contract): result is POSITIONAL — duplicate source
+              // keys are legal, fill rows are all-NULL (pos_k null)
+              val af = args.get("allow_fill").asBoolean()
+              val indices = args.get("indices").elements().asScala
+                .map(_.asLong()).toSeq
+              val expect = c.get("expect")
+              if (expect.has("raises")) {
+                val thrown =
+                  try {
+                    NestedOps.takeRows(df, "k", indices, allowFill = af)
+                      .collect(); false
+                  } catch { case _: Throwable => true }
+                if (thrown) None
+                else Some(s"expected ${expect.get("raises").asText()}, " +
+                  "engine returned rows")
+              } else {
+                val got = NestedOps.takeRows(df, "k", indices,
+                  allowFill = af).collect()
+                val posK = expect.get("pos_k")
+                val baseCols = expect.get("base").fieldNames().asScala.toVector
+                val nests = expect.get("nests")
+                var d: Option[String] = None
+                if (got.length != posK.size())
+                  d = Some(s"rows: got ${got.length} expected ${posK.size()}")
+                for ((row, i) <- got.zipWithIndex if d.isEmpty) {
+                  val gotK = row.get(row.fieldIndex("k"))
+                  if (!scalarMatches(gotK, posK.get(i)))
+                    d = Some(s"pos $i k: got $gotK expected ${posK.get(i)}")
+                  for (cn <- baseCols if d.isEmpty) {
+                    val gotV = row.get(row.fieldIndex(cn))
+                    val exp = expect.get("base").get(cn).get(i)
+                    if (!scalarMatches(gotV, exp))
+                      d = Some(s"pos $i base '$cn': got $gotV expected $exp")
+                  }
+                  for (n <- nests.fieldNames().asScala if d.isEmpty) {
+                    val ninfo = nests.get(n)
+                    val fields = ninfo.get("fields").elements().asScala
+                      .map(_.asText()).toVector
+                    val expCell = ninfo.get("cells").get(i)
+                    val fi = row.fieldIndex(n)
+                    val gotCell =
+                      if (row.isNullAt(fi)) null else row.getSeq[Row](fi)
+                    if (gotCell == null || expCell == null || expCell.isNull) {
+                      if (!(gotCell == null &&
+                          (expCell == null || expCell.isNull)))
+                        d = Some(s"pos $i nest '$n' cell null-ness mismatch")
+                    } else {
+                      val expEls = expCell.elements().asScala.toVector
+                      if (gotCell.length != expEls.length)
+                        d = Some(s"pos $i nest '$n' length: got " +
+                          s"${gotCell.length} expected ${expEls.length}")
+                      else for ((el, j) <- gotCell.zipWithIndex if d.isEmpty;
+                                (f, fj) <- fields.zipWithIndex if d.isEmpty) {
+                        val gotV = el.get(el.fieldIndex(f))
+                        if (!scalarMatches(gotV, expEls(j).get(fj)))
+                          d = Some(s"pos $i nest '$n'[$j].$f: got $gotV " +
+                            s"expected ${expEls(j).get(fj)}")
+                      }
+                    }
+                  }
+                }
+                d
+              }
+            case "zip_nests" =>
+              // nf['z'] = nf[['n', 'm']]: fields flattened in source order
+              // (sources kept — the reference assignment doesn't consume)
+              compareFrame(NestedOps.zipNests(df, Seq("n", "m"), "z",
+                dropSource = false), c.get("expect"))
+            case "nest_lists" =>
+              import org.apache.spark.sql.types._
+              import org.apache.spark.sql.Row
+              val frame = c.get("frame")
+              val ks = frame.get("k").elements().asScala.map(_.asLong()).toVector
+              val schema = StructType(Array(
+                StructField("k", LongType, nullable = false),
+                StructField("a", LongType, nullable = true),
+                StructField("c", ArrayType(DoubleType, containsNull = true),
+                  nullable = true),
+                StructField("d", ArrayType(LongType, containsNull = true),
+                  nullable = true)))
+              val rows = ks.indices.map { i =>
+                val cArr = frame.get("c").get(i).elements().asScala
+                  .map(v => if (v.isNull) null
+                    else (v.asDouble(): java.lang.Double)).toSeq
+                val dArr = frame.get("d").get(i).elements().asScala
+                  .map(v => (v.asLong(): java.lang.Long)).toSeq
+                Row(ks(i), frame.get("a").get(i).asLong(), cArr, dArr)
+              }
+              val df2 = spark.createDataFrame(rows.asJava, schema)
+              val expect = c.get("expect")
+              if (expect.has("raises")) {
+                val thrown =
+                  try {
+                    NestedOps.fromLists(df2, Seq("c", "d"), "n")
+                      .collect(); false
+                  } catch { case _: Throwable => true }
+                if (thrown) None
+                else Some(s"expected ${expect.get("raises").asText()} on " +
+                  "mismatched list lengths, engine returned rows")
+              } else
+                compareFrame(NestedOps.fromLists(df2, Seq("c", "d"), "n"),
+                  expect)
             case "reduce" =>
               // NestedFrame.reduce -> MapRows (the typed map_rows
               // surface). Kernels mirror the generator's numpy calls:

@@ -20,8 +20,10 @@ from dialect_fuzz import (build_ref_frame, enc_frame, enc_val,  # noqa: E402
 OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
-       "flatten_inner", "concat", "setitem", "reduce", "join_how"]
-OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7]
+       "flatten_inner", "concat", "setitem", "reduce", "join_how",
+       "take", "zip_nests", "nest_lists"]
+OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
+              8, 6, 7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -140,7 +142,12 @@ def gen_op(r):
         k = r.choice(REDUCE_KERNELS)
         col = r.choice(["n.x", "n.y", "m.u"])
         return op, {"kernel": k, "col": col}
-    return op, {}  # to_flat / explode / to_lists
+    if op == "take":
+        return op, {"allow_fill": r.random() < 0.4,
+                    "raise": r.random() < 0.18}
+    if op == "nest_lists":
+        return op, {"mismatch": r.random() < 0.15}
+    return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
 def run_reference(nf, op, args):
@@ -308,6 +315,86 @@ def run_join_how(frame, child_keys, how):
     return enc_frame(nfb.join_nested(child, "n", how=how))
 
 
+def run_take(nf, idx, allow_fill):
+    """Positional take with the reference's ExtensionArray.take semantics,
+    executed per column (nested arrays through NestedExtensionArray.take;
+    base columns through their pandas arrays). Result is POSITIONAL —
+    pos_k carries the taken source key (None for fill rows)."""
+    import numpy as np
+    import pandas as pd
+    ind = np.asarray(idx, dtype=np.int64)
+    out = {"pos_k": [enc_val(v) for v in
+                     pd.Series(nf.index).array.take(ind, allow_fill=allow_fill)],
+           "base": {}, "nests": {}}
+    for c in nf.columns:
+        if c in set(nf.nested_columns):
+            cells = nf[c].array.take(ind, allow_fill=allow_fill)
+            fields, enc_cells = None, []
+            for cell in cells:
+                if cell is None or (not hasattr(cell, "columns")
+                                    and pd.isna(cell)):
+                    enc_cells.append(None)
+                    continue
+                if fields is None:
+                    fields = list(cell.columns)
+                enc_cells.append([[enc_val(cell[f].iloc[j]) for f in fields]
+                                  for j in range(len(cell))])
+            if fields is None:
+                fields = list(nf[c].dtype.fields.keys())
+            out["nests"][c] = {"fields": fields, "cells": enc_cells}
+        else:
+            out["base"][c] = [enc_val(v) for v in
+                              nf[c].array.take(ind, allow_fill=allow_fill)]
+    return out
+
+
+def gen_take_indices(r, n, allow_fill, raise_mode):
+    """Random take indices; raise_mode plants one illegal index (oob, or
+    a negative other than -1 under allow_fill)."""
+    m = r.randint(1, 8)
+    if allow_fill:
+        idx = [-1 if r.random() < 0.3 else r.randrange(n) for _ in range(m)]
+        if raise_mode:
+            idx[r.randrange(m)] = \
+                -r.randint(2, 5) if r.random() < 0.5 else n + r.randint(0, 3)
+    else:
+        idx = [r.randint(-n, n - 1) for _ in range(m)]
+        if raise_mode:
+            idx[r.randrange(m)] = \
+                n + r.randint(0, 3) if r.random() < 0.5 \
+                else -n - r.randint(1, 3)
+    return idx
+
+
+def gen_lists_frame(r, mismatch):
+    """Frame with aligned list columns c (double, NaN elements) and
+    d (int) for nest_lists; `mismatch` appends one extra element to a
+    random d list (the reference RAISES on unequal lengths)."""
+    nrows = r.randint(3, 7)
+    cs, ds = [], []
+    for _ in range(nrows):
+        ln = r.randint(0, 3)
+        cs.append([None if r.random() < 0.15 else round(r.uniform(-5, 9), 3)
+                   for _ in range(ln)])
+        ds.append([r.randint(-3, 9) for _ in range(ln)])
+    if mismatch:
+        ds[r.randrange(nrows)].append(7)
+    return {"k": list(range(nrows)),
+            "a": [r.randint(-5, 9) for _ in range(nrows)],
+            "c": cs, "d": ds}
+
+
+def run_nest_lists(spec):
+    import pandas as pd
+    nf = npd.NestedFrame(
+        {"a": pd.array(spec["a"], dtype="int64"),
+         "c": [[None if v is None else float(v) for v in cell]
+               for cell in spec["c"]],
+         "d": spec["d"]},
+        index=spec["k"])
+    return enc_frame(nf.nest_lists(["c", "d"], "n"))
+
+
 def enc_flat_like(flat, nf):
     """Encode a flat (duplicated-index) result as per-parent-key ordered
     element lists over the flat columns."""
@@ -385,7 +472,7 @@ def run_flatten_inner(spec):
 
 
 def main():
-    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1100
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1300
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
         Path(__file__).parent.parent / "src/test/resources/fuzz/op_fuzz.jsonl"
@@ -439,6 +526,68 @@ def main():
             kept.append({"id": len(kept), "op": op,
                          "args": {"how": how, "child_keys": child_keys},
                          "frame": frame, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "take":
+            # ExtensionArray.take semantics: negative wrap / allow_fill /
+            # raise contract — result is POSITIONAL (duplicate keys legal)
+            frame = gen_frame(r, allow_missing=True)
+            af = args["allow_fill"]
+            idx = gen_take_indices(r, len(frame["k"]), af, args["raise"])
+            try:
+                nf = build_ref_frame(frame)
+                expect = run_take(nf, idx, af)
+                if args["raise"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": "expected raise did not raise"})
+                    continue
+            except Exception as e:  # noqa: BLE001
+                if not args["raise"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": f"{type(e).__name__}: {e}"[:200]})
+                    continue
+                expect = {"raises": type(e).__name__}
+            kept.append({"id": len(kept), "op": op,
+                         "args": {"allow_fill": af, "indices": idx},
+                         "frame": frame, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "zip_nests":
+            # nf['z'] = nf[['n', 'm']] multi-nest combine: fields
+            # flattened in source order (executed reference; missing
+            # cells excluded — the flat-repack missing->empty divergence)
+            frame = gen_frame(r, allow_missing=False)
+            try:
+                nf = build_ref_frame(frame)
+                f2 = nf.copy()
+                f2["z"] = f2[["n", "m"]]
+                expect = enc_frame(f2)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": {},
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op, "args": {},
+                         "frame": frame, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "nest_lists":
+            # list columns -> one nest; unequal per-row lengths RAISE in
+            # the reference (graft's fromLists guard mirrors the raise)
+            spec = gen_lists_frame(r, args["mismatch"])
+            try:
+                expect = run_nest_lists(spec)
+                if args["mismatch"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": "expected raise did not raise"})
+                    continue
+            except Exception as e:  # noqa: BLE001
+                if not args["mismatch"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": f"{type(e).__name__}: {e}"[:200]})
+                    continue
+                expect = {"raises": type(e).__name__}
+            kept.append({"id": len(kept), "op": op, "args": args,
+                         "frame": spec, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
         if op == "flatten_inner":
