@@ -754,9 +754,25 @@ object NestedExpr {
     * (`nest` empty, `sqlE` over the frame's own columns: `a.mean()`,
     * `ts.dt.year.mean()` — reference-executed r9 session-3 probe).
     * Rendered in the rewritten SQL as a reference to helper column `name`;
-    * the helper is attached LAZILY by [[withReductions]] at consume time. */
-  private case class Reduction(name: String, nest: String, sqlE: String,
-                               agg: String)
+    * the helper is attached LAZILY by [[withReductions]] at consume time.
+    * `srcCol` is the top-level column the reduction reads (the nest, or
+    * the base column) — [[eval]]'s cross-line hoist uses it to keep a
+    * reduction per-line when an earlier line writes that column. */
+  private case class Reduction(nest: String, sqlE: String, agg: String,
+                               srcCol: String) {
+    /** Helper-column name, deterministic by CONTENT (not extraction
+      * order) so separate analyze passes over the same expression agree
+      * on the name — [[eval]]'s hoist attaches helpers in a pre-pass and
+      * each line's own analysis must resolve to the same columns. Two
+      * independent 31-bit hashes make a cross-reduction collision (which
+      * would silently alias two different values) vanishingly unlikely. */
+    val name: String = {
+      import scala.util.hashing.MurmurHash3.stringHash
+      val key = s"$nest|$sqlE|$agg"
+      f"__graft_red_${stringHash(key) & 0x7fffffff}%08x" +
+        f"${stringHash(key, 0x9e3779b9) & 0x7fffffff}%08x"
+    }
+  }
 
   /** The aggregate Column for one reduction over the SQL expression
     * `sqlE` (shared scan — see [[withReductions]]). */
@@ -786,11 +802,14 @@ object NestedExpr {
     * Pandas edge (documented divergence, unchanged from the eager path):
     * over an empty/all-null column pandas yields NaN for mean/median/std
     * where SQL aggregation yields NULL. */
-  private def withReductions(df: DataFrame, reds: Seq[Reduction]): DataFrame =
-    if (reds.isEmpty) df
+  private def withReductions(df: DataFrame, reds: Seq[Reduction]): DataFrame = {
+    // helpers already attached (by eval's cross-line hoist) are skipped —
+    // content-hashed names make the two analyze passes agree
+    val pending = reds.distinct.filterNot(r => df.columns.contains(r.name))
+    if (pending.isEmpty) df
     else {
       import org.apache.spark.sql.functions.{broadcast, explode}
-      reds.distinct.groupBy(_.nest).toSeq.sortBy(_._1).foldLeft(df) {
+      pending.groupBy(_.nest).toSeq.sortBy(_._1).foldLeft(df) {
         case (acc, (nest, rs)) =>
           // base/dt-derived reductions aggregate the frame directly
           // (no explode); nested ones share one exploded scan per nest
@@ -801,6 +820,7 @@ object NestedExpr {
           acc.crossJoin(broadcast(src.agg(aggCols.head, aggCols.tail: _*)))
       }
     }
+  }
 
   /** PER-CELL element reduction as a row-level Column — an ENGINE
     * EXTENSION (the reference's eval reductions are global; there is no
@@ -926,7 +946,7 @@ object NestedExpr {
             usesBase = true
             val sqlE = s"__e.${bq(field)}"
             val r = reds.getOrElseUpdate((nest, sqlE, agg),
-              Reduction(s"__graft_red_${reds.size}", nest, sqlE, agg))
+              Reduction(nest, sqlE, agg, srcCol = nest))
             bq(r.name) + " __LEN_CALL"
           // base-column global reduction `a.mean()` (pandas eval Series
           // reduction — reference-executed r9 session-3 probe)
@@ -936,7 +956,7 @@ object NestedExpr {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
             val r = reds.getOrElseUpdate(("", bq(base), agg),
-              Reduction(s"__graft_red_${reds.size}", "", bq(base), agg))
+              Reduction("", bq(base), agg, srcCol = base))
             bq(r.name) + " __LEN_CALL"
           // dt-derived global reductions: `ts.dt.year.mean()` /
           // `n.t.dt.year.mean()` — attribute chain into a Series
@@ -948,7 +968,7 @@ object NestedExpr {
             usesBase = true
             val sqlE = dtAttrSql(attr, bq(base), nested = false, exprStr)
             val r = reds.getOrElseUpdate(("", sqlE, agg),
-              Reduction(s"__graft_red_${reds.size}", "", sqlE, agg))
+              Reduction("", sqlE, agg, srcCol = base))
             bq(r.name) + " __LEN_CALL"
           case Seq(nest, field, "dt", attr, agg) if nestSet.contains(nest) &&
               reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
@@ -958,7 +978,7 @@ object NestedExpr {
             val sqlE = dtAttrSql(attr, s"__e.${bq(field)}", nested = true,
               exprStr)
             val r = reds.getOrElseUpdate((nest, sqlE, agg),
-              Reduction(s"__graft_red_${reds.size}", nest, sqlE, agg))
+              Reduction(nest, sqlE, agg, srcCol = nest))
             bq(r.name) + " __LEN_CALL"
           // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
           // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
@@ -1707,13 +1727,45 @@ object NestedExpr {
   /** Multi-statement eval: one assignment per non-empty line, executed in
     * order — line N sees every column line N−1 created (the reference's
     * GH#159 semantics, test_nestedframe.py:2512-2530). `locals` resolves
-    * pandas-style `@name` references to literals. */
+    * pandas-style `@name` references to literals.
+    *
+    * Global reductions are BATCHED ACROSS LINES: each line's own
+    * withReductions would replay the frame's upstream plan in a separate
+    * broadcast agg, so a pre-pass analyzes every RHS against the ORIGINAL
+    * schema and attaches, in one agg per layer, every reduction whose
+    * source column no earlier line writes. Safe because eval lines only
+    * ADD columns (the row multiset never changes), so a reduction over an
+    * unwritten column has the same value at line 1 as at line N. A
+    * reduction over a column an earlier line creates or modifies is NOT
+    * hoisted — that line's evalAssign attaches it as before (the
+    * content-hashed helper names make both passes agree). */
   def eval(df: DataFrame, program: String,
-           locals: Map[String, Any] = Map.empty): DataFrame =
-    program.split('\n').map(_.trim)
+           locals: Map[String, Any] = Map.empty): DataFrame = {
+    val stmts = program.split('\n').map(_.trim)
       .filter(s => s.nonEmpty && !s.startsWith("#"))
-      .foldLeft(df)((acc, stmt) =>
-        evalAssign(acc, substituteLocals(stmt, locals)))
+      .map(substituteLocals(_, locals)).toSeq
+    val assignRe = """(?s)^\s*(.*?)\s*=(?!=)\s*(.*)$""".r
+    var written = Set.empty[String]
+    val hoisted = Seq.newBuilder[Reduction]
+    for (stmt <- stmts) stmt match {
+      case assignRe(lhs, rhs) =>
+        // a line referencing columns created by EARLIER lines may fail
+        // analysis against the original schema — skip hoisting for it
+        scala.util.Try(analyze(df, rhs, "__x")).toOption.foreach { a =>
+          hoisted ++= a.reductions.filterNot(r => written.contains(r.srcCol))
+        }
+        tokenize(lhs).collectFirst { case Ident(p) => p.head }
+          .foreach(written += _)
+      case _ => ()
+    }
+    val out = stmts.foldLeft(withReductions(df, hoisted.result().distinct)) {
+      (acc, stmt) => evalAssign(acc, stmt)
+    }
+    // hoisted helpers a line's own analysis didn't resolve to (or that no
+    // line consumed) are engine-internal — drop any leftovers
+    val leftovers = out.columns.filter(_.startsWith("__graft_red_"))
+    if (leftovers.isEmpty) out else out.drop(leftovers.toIndexedSeq: _*)
+  }
 
   /** query with `@name` locals (see [[eval]]). */
   def query(df: DataFrame, exprStr: String,

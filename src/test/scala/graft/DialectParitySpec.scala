@@ -148,14 +148,46 @@ class DialectParitySpec extends SparkSpec {
       .toVector
     assert(redAggs.length == 1,
       s"expected exactly 1 reduction Aggregate, got ${redAggs.length}:\n$plan")
-    assert(Seq("__graft_red_0", "__graft_red_1", "__graft_red_2")
-      .forall(redAggs.head.contains),
+    // all three reductions in the ONE agg (helper names are content
+    // hashes since the cross-line batching change)
+    assert("__graft_red_".r.findAllIn(redAggs.head).length == 3,
       s"reduction agg not batched: ${redAggs.head}")
     assert(plan.contains("Join Cross") && plan.contains("broadcast"),
       "reductions should attach via a broadcast cross join")
     assert(!out.columns.exists(_.startsWith("__graft_red")),
       s"helper columns leaked: ${out.columns.mkString(",")}")
     out.collect() // still computes
+  }
+
+  test("r9s4: multiline eval batches independent reductions ACROSS lines; " +
+      "a reduction over a column an earlier line writes stays per-line " +
+      "and sees the written values") {
+    // reductions on two separate lines, neither over a written column
+    // -> ONE reduction Aggregate in the plan (pre-hoisted, shared scan)
+    val out = NestedExpr.eval(g55,
+      """r1 = id + nested.t.mean()
+        |r2 = id - nested.flux.sum()""".stripMargin)
+    val plan = out.queryExecution.optimizedPlan.toString()
+    val redAggs = plan.linesIterator
+      .filter(l => l.contains("Aggregate [") && l.contains("__graft_red"))
+      .toVector
+    assert(redAggs.length == 1,
+      s"expected 1 batched reduction Aggregate across lines, got " +
+        s"${redAggs.length}:\n$plan")
+    assert(!out.columns.exists(_.startsWith("__graft_red")),
+      s"helper columns leaked: ${out.columns.mkString(",")}")
+    // dependency case: line 2 reduces the column line 1 CREATED — must
+    // NOT be hoisted (the original frame has no 's'); value checked
+    val base = Seq((1L, 2.0), (2L, 4.0), (3L, 9.0)).toDF("k", "a")
+    val dep = NestedExpr.eval(base, "s = a * 2\nd = s.mean()")
+    val ds = dep.select("d").as[Double].collect().toSet
+    assert(ds == Set(10.0), s"dependent reduction saw wrong values: $ds")
+    // modification case: line 1 rewrites a nested field, line 2 reduces
+    // it — the reduction must see the MODIFIED elements
+    val mod = NestedExpr.eval(g55,
+      "nested.t = nested.t * 0\nz = id + nested.t.mean()")
+    val zs = mod.select(col("z") - col("id")).as[Double].collect().toSet
+    assert(zs == Set(0.0), s"post-modification reduction diverged: $zs")
   }
 
   test("% mod is OUR extension — the reference raises NotImplementedError") {
