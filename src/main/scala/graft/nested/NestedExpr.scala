@@ -892,6 +892,21 @@ object NestedExpr {
     * the default targets a single-lambda-variable context. Cross-nest callers
     * pass a renderer that distinguishes the anchor nest (`__x`) from other
     * nests (positional `nest[__i]` access). */
+  /** Python float literals must render as Spark DOUBLE literals: a bare
+    * `2.39` parses as DECIMAL(3,2) in Spark SQL, so arithmetic whose
+    * other operands are all integers STAYS decimal and an aggregate over
+    * it rounds to scale+4 digits (a 1,500-case alternate-seed fuzz sweep
+    * caught `(2.39 + abs(y-1)).mean()` diverging in the 7th decimal —
+    * pandas computes in float64). Exponent forms (`1.5E3`) are already
+    * DoubleLiterals and the sci-notation identity test pins them
+    * untouched. Applied to Text tokens only — string literals (Str) and
+    * identifiers (Ident) never pass through. */
+  private val floatLitRe =
+    """(?<![\w.])(?:(\d+\.\d+|\.\d+)|(\d+\.))(?![\dEeDd.\w])""".r
+  private def doubleizeFloats(t: String): String =
+    floatLitRe.replaceAllIn(t, m =>
+      if (m.group(1) != null) m.group(1) + "D" else m.group(2) + "0D")
+
   private def analyze(df: DataFrame, exprStr: String,
                       ref: (String, String) => String): Analysis = {
     val nestSet = NestedOps.nestedColumns(df).toSet
@@ -911,7 +926,7 @@ object NestedExpr {
     }.toSet
     val toks = tokenize(preprocess(exprStr, nestSet, stringElemRefs))
     val sql = toks.zipWithIndex.map {
-      case (Text(t), _) => t
+      case (Text(t), _) => doubleizeFloats(t)
       case (Str(t), _)  => t
       case (Ident(parts), idx) =>
         parts match {
@@ -1725,9 +1740,14 @@ object NestedExpr {
     })
 
   /** Multi-statement eval: one assignment per non-empty line, executed in
-    * order — line N sees every column line N−1 created (the reference's
-    * GH#159 semantics, test_nestedframe.py:2512-2530). `locals` resolves
-    * pandas-style `@name` references to literals.
+    * order — line N sees every column line N−1 created OR modified, on
+    * both layers (the reference's `inplace=True` multiline contract, the
+    * one its GH#159 test pins, test_nestedframe.py:2512-2530; the
+    * reference's `inplace=False` DEFAULT freezes the nested layer
+    * per-line — created fields raise on later lines, modified fields
+    * evaluate against pre-eval values — a pandas-env artifact we do not
+    * mirror, PARITY.md r9 session 4). `locals` resolves pandas-style
+    * `@name` references to literals.
     *
     * Global reductions are BATCHED ACROSS LINES: each line's own
     * withReductions would replay the frame's upstream plan in a separate

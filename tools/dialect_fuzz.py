@@ -371,7 +371,27 @@ def gen_program(r, fam):
         # line N sees the column line N-1 created (reference GH#159):
         # first a base column from base atoms (+ optional reduction),
         # then a second statement CONSUMING it — either another base
-        # column or a nested field broadcast-mixing it in
+        # column or a nested field broadcast-mixing it in. Reduction
+        # variants stress the engine's cross-line hoist (r9 session 4):
+        # independent reductions batch into one agg; a reduction over a
+        # column an earlier line writes must see the written values.
+        roll = r.random()
+        if roll < 0.18:
+            # cross-line INDEPENDENT reductions (engine batches them)
+            l1 = f"r1 = {num_expr(r, ['a', 'b', reduction_atom(r)], r.randint(1, 2))}"
+            l2 = f"r2 = {num_expr(r, ['a', reduction_atom(r)], r.randint(1, 2))}"
+            return "eval", l1 + "\n" + l2
+        if roll < 0.32:
+            # line 2 reduces the column line 1 CREATED (not hoistable)
+            l1 = f"r1 = {num_expr(r, ['a', 'b'], r.randint(1, 2))}"
+            l2 = f"r2 = a - r1.{r.choice(REDUCTIONS)}()"
+            return "eval", l1 + "\n" + l2
+        if roll < 0.45:
+            # line 1 MODIFIES a nested field, line 2 reduces it — the
+            # reduction must see the modified elements, not the original
+            l1 = f"n.x = {num_expr(r, ['n.x', 'n.y'], r.randint(0, 1))}"
+            l2 = f"r2 = a + n.x.{r.choice(['mean', 'sum', 'min', 'max'])}()"
+            return "eval", l1 + "\n" + l2
         atoms1 = ["a", "b"] + ([reduction_atom(r)] if r.random() < 0.4 else [])
         l1 = f"r1 = {num_expr(r, atoms1, r.randint(1, 2))}"
         if r.random() < 0.5:
@@ -391,7 +411,15 @@ def run_reference(nf, kind, text):
     if kind == "query":
         return enc_frame(nf.query(text))
     if kind == "eval":
-        res = nf.eval(text)
+        # inplace=True: the SEQUENTIAL multiline contract the reference's
+        # own GH#159 test pins (each line sees every prior line's nested
+        # creations AND modifications). The inplace=False default freezes
+        # the NESTED layer per-line — created fields raise AttributeError
+        # on later lines, modified fields evaluate against pre-eval
+        # values — a pandas-env artifact graft does not mirror
+        # (PARITY.md, r9 session-4 probe).
+        res = nf.copy()
+        res.eval(text, inplace=True)
         return enc_frame(res)
     # eval_select: non-assign eval returns a Series
     return enc_series(nf.eval(text), nf)
