@@ -577,10 +577,11 @@ object SurfaceQueries {
       val mapping = from.zip(pcts).foldLeft(lit(null).cast("string")) {
         case (acc, (f, t)) =>
           // reuse describeAll's label renderer shape: "24.5%" -> "25%"
-          val fn = BigDecimal(f * 100).underlying.stripTrailingZeros
-            .toPlainString + "%"
-          val tn = BigDecimal(t * 100).underlying.stripTrailingZeros
-            .toPlainString + "%"
+          // (same shortest-decimal conversion — labels must join exactly)
+          val fn = (BigDecimal(f.toString) * 100).underlying
+            .stripTrailingZeros.toPlainString + "%"
+          val tn = (BigDecimal(t.toString) * 100).underlying
+            .stripTrailingZeros.toPlainString + "%"
           when(col("stat") === fn, lit(tn)).otherwise(acc)
       }
       d.where(col("stat").endsWith("%"))
@@ -774,6 +775,8 @@ object SurfaceQueries {
         s"SELECT '$outName', 'std', round(stddev_samp($c) + 1e-9, 4) FROM $src",
         s"SELECT '$outName', 'min', round(CAST(min($c) AS DOUBLE) + 1e-9, 4) FROM $src",
         s"SELECT '$outName', '10%', round(quantile_cont($c, 0.1) + 1e-9, 4) FROM $src",
+        // pandas auto-includes the median even when 0.5 isn't requested
+        s"SELECT '$outName', '50%', round(quantile_cont($c, 0.5) + 1e-9, 4) FROM $src",
         s"SELECT '$outName', '90%', round(quantile_cont($c, 0.9) + 1e-9, 4) FROM $src",
         s"SELECT '$outName', 'max', round(CAST(max($c) AS DOUBLE) + 1e-9, 4) FROM $src",
       ).mkString(" UNION ALL ")

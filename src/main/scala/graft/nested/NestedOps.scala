@@ -1182,6 +1182,10 @@ object NestedOps {
                   approxAccuracy: Int = 10000): DataFrame = {
     require(percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
+    // pandas always includes the median and sorts ascending, even when
+    // 0.5 is not requested (describe(percentiles=[.1,.9]) yields
+    // 10%/50%/90% — r9 executed probe; format_percentiles contract)
+    val pcts = (percentiles :+ 0.5).distinct.sorted
     def typeNames(dt: DataType): Set[String] = dt match {
       case _: NumericType => Set(dt.simpleString, "number")
       case _              => Set(dt.simpleString)
@@ -1194,8 +1198,12 @@ object NestedOps {
       }
       isNum && inOk && !exclude.exists(typeNames(dt).contains)
     }
+    // BigDecimal of the SHORTEST decimal repr, not of p*100: the double
+    // product 0.29*100 is 28.999999999999996 and the label must be "29%"
+    // (pandas format_percentiles; r9 describe fuzz)
     def pctName(p: Double): String =
-      BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString + "%"
+      (BigDecimal(p.toString) * 100).underlying
+        .stripTrailingZeros.toPlainString + "%"
     def bqn(n: String) = "`" + n.replace("`", "``") + "`"
     /** All stats for all `cols` of one layer in a single aggregate, then
       * exploded to (column, stat, value) rows. */
@@ -1210,7 +1218,7 @@ object NestedOps {
               stddev_samp(col(bqn(c))).as(a(c, "std")),
               min(col(bqn(c))).cast("double").as(a(c, "min")),
               max(col(bqn(c))).cast("double").as(a(c, "max"))) ++
-            percentiles.zipWithIndex.map { case (p, i) =>
+            pcts.zipWithIndex.map { case (p, i) =>
               val pctExpr =
                 if (approx)
                   s"cast(percentile_approx(${bqn(c)}, cast($p as double), " +
@@ -1221,11 +1229,11 @@ object NestedOps {
         }
         // pandas stat order: count mean std min <percentiles> max
         val statNames = Seq("count", "mean", "std", "min") ++
-          percentiles.indices.map(i => s"pct$i") :+ "max"
+          pcts.indices.map(i => s"pct$i") :+ "max"
         val entries = cols.flatMap { c =>
           statNames.map { sn =>
             val label = if (sn.startsWith("pct"))
-              pctName(percentiles(sn.drop(3).toInt)) else sn
+              pctName(pcts(sn.drop(3).toInt)) else sn
             struct(lit(prefix + c).as("column"), lit(label).as("stat"),
               col(a(c, sn)).as("value"))
           }

@@ -304,8 +304,15 @@ class OpFuzzSpec extends SparkSpec {
               compareFrame(packed, c.get("expect"))
             case "describe" =>
               // reference describe() ≡ describeAll long rows pivoted:
-              // same stats, same pandas percentile interpolation
-              val got = NestedOps.describeAll(df.drop("k")).collect()
+              // same stats, same pandas percentile interpolation; the
+              // percentiles= variant pins the auto-median + sort contract
+              val pcts =
+                if (args.has("percentiles"))
+                  args.get("percentiles").elements().asScala
+                    .map(_.asDouble()).toSeq
+                else Seq(0.25, 0.5, 0.75)
+              val got = NestedOps.describeAll(df.drop("k"),
+                percentiles = pcts).collect()
                 .map(r => (r.getString(0), r.getString(1)) -> r.get(2)).toMap
               val cols = c.get("expect").get("cols")
               cols.fieldNames().asScala.flatMap { col0 =>

@@ -142,6 +142,15 @@ def gen_op(r):
         k = r.choice(REDUCE_KERNELS)
         col = r.choice(["n.x", "n.y", "m.u"])
         return op, {"kernel": k, "col": col}
+    if op == "describe":
+        # percentiles= variant: pandas auto-includes the median and sorts
+        # ascending (integral percents only — 2-dec rounding — so both
+        # engines render identical labels)
+        if r.random() < 0.5:
+            ps = sorted({round(r.uniform(0.05, 0.95), 2)
+                         for _ in range(r.randint(1, 3))})
+            return op, {"percentiles": ps}
+        return op, {}
     if op == "take":
         return op, {"allow_fill": r.random() < 0.4,
                     "raise": r.random() < 0.18}
@@ -221,7 +230,8 @@ def run_reference(nf, op, args):
         # the expect is simply the input frame as the reference built it
         return enc_frame(nf)
     if op == "describe":
-        d = nf.describe()
+        d = nf.describe(**({"percentiles": args["percentiles"]}
+                           if args.get("percentiles") else {}))
         return {"cols": {str(c): {str(stat): enc_val(d[c].loc[stat])
                                   for stat in d.index}
                          for c in d.columns}}
