@@ -331,7 +331,12 @@ MISSING_OK = {"query_base", "query_elem", "query_str", "eval_base"}
 
 def gen_program(r, fam):
     if fam == "query_base":
-        return "query", bool_expr(r, ["a", "b"], r.randint(0, 2), "s")
+        # ~1 in 5 draws a global-reduction atom into the comparison pool
+        # (query routes through eval, so `a > n.x.mean()` is legal
+        # reference surface; stresses withReductions on the query path)
+        atoms = ["a", "b"] + \
+            ([reduction_atom(r)] if r.random() < 0.2 else [])
+        return "query", bool_expr(r, atoms, r.randint(0, 2), "s")
     if fam == "query_elem":
         return "query", bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
     if fam == "eval_base":
@@ -382,8 +387,19 @@ def gen_program(r, fam):
             l2 = f"r2 = {num_expr(r, ['a', reduction_atom(r)], r.randint(1, 2))}"
             return "eval", l1 + "\n" + l2
         if roll < 0.32:
-            # line 2 reduces the column line 1 CREATED (not hoistable)
-            l1 = f"r1 = {num_expr(r, ['a', 'b'], r.randint(1, 2))}"
+            # line 2 reduces the column line 1 CREATED (not hoistable).
+            # The RHS must reference a real column: a CONSTANT-only
+            # assignment stays a SCALAR in the reference's eval env, so
+            # `r1.sum()` returns the scalar itself rather than the
+            # column sum (same env-artifact family as the inplace=False
+            # nested freeze — PARITY.md r9 s4; graft keeps the column
+            # semantics, which is also what the reference gives across
+            # two separate eval calls)
+            body = num_expr(r, ["a", "b"], r.randint(1, 2))
+            import re as _re
+            if not _re.search(r"\b[ab]\b", body):
+                body = f"a + {body}"
+            l1 = f"r1 = {body}"
             l2 = f"r2 = a - r1.{r.choice(REDUCTIONS)}()"
             return "eval", l1 + "\n" + l2
         if roll < 0.45:
