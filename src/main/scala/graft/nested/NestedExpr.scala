@@ -903,9 +903,43 @@ object NestedExpr {
     * identifiers (Ident) never pass through. */
   private val floatLitRe =
     """(?<![\w.])(?:(\d+\.\d+|\.\d+)|(\d+\.))(?![\dEeDd.\w])""".r
-  private def doubleizeFloats(t: String): String =
+  /** `protectTrailing`: a fractional MANTISSA adjoining a sci exponent
+    * tokenizes as Text("1.5") + Ident("e3") — the lookahead cannot see
+    * across tokens, so the caller flags when the NEXT token is an
+    * exponent ident and the literal flush at the end of this run must
+    * stay untouched (`1.5De3` would not parse). */
+  private def doubleizeFloats(t: String,
+                              protectTrailing: Boolean = false): String =
     floatLitRe.replaceAllIn(t, m =>
-      if (m.group(1) != null) m.group(1) + "D" else m.group(2) + "0D")
+      if (protectTrailing && m.end == t.length)
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else if (m.group(1) != null) m.group(1) + "D"
+      else m.group(2) + "0D")
+
+  /** True when toks(idx) directly follows a call's closing paren — the
+    * previous Text run ends `)` + optional whitespace + `.` (the dot
+    * before a chained accessor is absorbed into the Text). Used to let
+    * `.dt.` / `.str.` chains win over a column literally named dt/str:
+    * a real `dt.year` column path can never directly follow a `)`. */
+  private def followsCallClose(toks: Seq[Tok], idx: Int): Boolean =
+    idx > 0 && (toks(idx - 1) match {
+      case Text(t) => t.matches("""(?s).*\)\s*\.\s*""")
+      case _       => false
+    })
+
+  /** sqlE adjustment for a dt-derived GLOBAL reduction: pandas treats
+    * boolean `is_*` attrs as numeric under aggregation (mean = fraction
+    * of true, sum = count of true) where Spark rejects avg(boolean) —
+    * cast to int. `.dt.date` aggregates only where dates order
+    * (min/max/count); the rest raise with a message (r9 s4 review). */
+  private def dtReduceCast(attr: String, sqlE: String, agg: String,
+                           exprStr: String): String =
+    if (attr.startsWith("is_")) s"cast($sqlE as int)"
+    else if (attr == "date" && !Set("min", "max", "count").contains(agg))
+      throw new IllegalArgumentException(
+        s".dt.date.$agg() is not supported (date-valued attributes " +
+          s"aggregate with min/max/count) in: $exprStr")
+    else sqlE
 
   private def analyze(df: DataFrame, exprStr: String,
                       ref: (String, String) => String): Analysis = {
@@ -926,7 +960,12 @@ object NestedExpr {
     }.toSet
     val toks = tokenize(preprocess(exprStr, nestSet, stringElemRefs))
     val sql = toks.zipWithIndex.map {
-      case (Text(t), _) => doubleizeFloats(t)
+      case (Text(t), idx) =>
+        doubleizeFloats(t, protectTrailing =
+          toks.drop(idx + 1).headOption.exists {
+            case Ident(Seq(one)) => one.matches("[eE][0-9]*")
+            case _               => false
+          })
       case (Str(t), _)  => t
       case (Ident(parts), idx) =>
         parts match {
@@ -981,7 +1020,8 @@ object NestedExpr {
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
-            val sqlE = dtAttrSql(attr, bq(base), nested = false, exprStr)
+            val sqlE = dtReduceCast(attr,
+              dtAttrSql(attr, bq(base), nested = false, exprStr), agg, exprStr)
             val r = reds.getOrElseUpdate(("", sqlE, agg),
               Reduction("", sqlE, agg, srcCol = base))
             bq(r.name) + " __LEN_CALL"
@@ -990,8 +1030,9 @@ object NestedExpr {
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             usesBase = true
-            val sqlE = dtAttrSql(attr, s"__e.${bq(field)}", nested = true,
-              exprStr)
+            val sqlE = dtReduceCast(attr,
+              dtAttrSql(attr, s"__e.${bq(field)}", nested = true, exprStr),
+              agg, exprStr)
             val r = reds.getOrElseUpdate((nest, sqlE, agg),
               Reduction(nest, sqlE, agg, srcCol = nest))
             bq(r.name) + " __LEN_CALL"
@@ -1034,8 +1075,12 @@ object NestedExpr {
           // through pandas series results). Attr chains self-close their
           // parens (no user args); method chains splice like .str chains.
           // The layer comes from the BASE marker's name at rewrite time.
-          case Seq("dt", m) if !nestSet.contains("dt") &&
-              !baseSet.contains("dt") =>
+          // A column literally NAMED `dt` doesn't shadow the chain when
+          // the previous token ends the preceding call's `)` — a real
+          // `dt.year` column path can never directly follow one
+          // (r9 session-4 review).
+          case Seq("dt", m) if (!nestSet.contains("dt") &&
+              !baseSet.contains("dt")) || followsCallClose(toks, idx) =>
             val paren = toks.drop(idx + 1).headOption.exists {
               case Text(t) => t.trim.startsWith("("); case _ => false }
             if (paren) {
@@ -1049,8 +1094,9 @@ object NestedExpr {
           // `nested.s.str.split(',').str.get(0)` — the `).str.get`
           // tokenizes as Text(").") + Ident(str, get); emit a chain
           // marker that rewriteStrMarkers absorbs into the base call
-          case Seq("str", m) if !nestSet.contains("str") &&
-              !baseSet.contains("str") &&
+          // (same `str`-named-column disambiguation as the dt chain)
+          case Seq("str", m) if ((!nestSet.contains("str") &&
+              !baseSet.contains("str")) || followsCallClose(toks, idx)) &&
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("("); case _ => false } =>
             if (!strSupported.contains(m)) strUnsupported(m, exprStr)
@@ -1667,8 +1713,24 @@ object NestedExpr {
     *  - `name = <expr over base cols>` → plain withColumn; a nested-layer RHS
     *    is rejected (it would put element values "between" row labels).
     * One nesting level only: `nest.f.inner = ...` raises. */
-  def evalAssign(df: DataFrame, stmt: String): DataFrame = {
-    val m = """(?s)^\s*(.*?)\s*=(?!=)\s*(.*)$""".r
+  /** `lhs = rhs` splitter. The `=` must be a bare assignment operator:
+    * `(?<![=!<>])` keeps a comparison-only line like `a == b` from
+    * matching on its SECOND `=` (lazy lhs swallows the first) and being
+    * silently executed as `a = b` — it raises "Not an assignment"
+    * instead, like pandas multiline eval does (r9 session-4 review). */
+  private val assignRe = """(?s)^\s*(.*?)\s*(?<![=!<>])=(?!=)\s*(.*)$""".r
+
+  /** `keepHelpers`: reduction helper columns [[eval]] pre-attached whose
+    * source column NO line of the program writes — left in place so a
+    * later line using the same reduction reuses the one agg instead of
+    * re-attaching (eval's final sweep removes them); helpers for
+    * written columns are still dropped per-line, which is what forces
+    * the post-write re-aggregation to see the new values. */
+  def evalAssign(df: DataFrame, stmt: String,
+                 keepHelpers: Set[String] = Set.empty): DataFrame = {
+    val m = assignRe
+    def dropHelpers(d: DataFrame, names: Seq[String]): DataFrame =
+      d.drop(names.filterNot(keepHelpers): _*)
     stmt match {
       case m(lhs, rhs) =>
         val lhsToks = tokenize(lhs)
@@ -1687,8 +1749,9 @@ object NestedExpr {
               s"${sq(f)}, $v"
             }.mkString(", ")
             val dfR = withReductions(df, a.reductions)
-            dfR.withColumn(nest, alignedTransform(dfR, nest, others, parts))
-              .drop(a.helperNames: _*)
+            dropHelpers(
+              dfR.withColumn(nest, alignedTransform(dfR, nest, others, parts)),
+              a.helperNames)
           // New-nest creation (reference test_nestedframe.py:2448-2540):
           // `newnest.f = <expr>` builds newnest element-aligned with the
           // first nest the RHS references.
@@ -1700,16 +1763,18 @@ object NestedExpr {
                 s"reference on the RHS (got a base-only expression)")
             val anchor = a.nests.head
             val dfR = withReductions(df, a.reductions)
-            dfR.withColumn(newNest, alignedTransform(dfR, anchor,
-              a.nests.tail, s"${sq(field)}, ${a.sql}"))
-              .drop(a.helperNames: _*)
+            dropHelpers(
+              dfR.withColumn(newNest, alignedTransform(dfR, anchor,
+                a.nests.tail, s"${sq(field)}, ${a.sql}")),
+              a.helperNames)
           case Seq(name) =>
             val a = analyze(df, rhs, "__x")
             require(a.nests.isEmpty,
               s"Assignment of nested-layer expression to base column '$name'")
-            withReductions(df, a.reductions)
-              .withColumn(name, expr(a.sql))
-              .drop(a.helperNames: _*)
+            dropHelpers(
+              withReductions(df, a.reductions)
+                .withColumn(name, expr(a.sql)),
+              a.helperNames)
           case other => throw new IllegalArgumentException(
             s"Bad assignment target: ${other.mkString(".")} " +
               "(only one nesting level is supported)")
@@ -1764,7 +1829,6 @@ object NestedExpr {
     val stmts = program.split('\n').map(_.trim)
       .filter(s => s.nonEmpty && !s.startsWith("#"))
       .map(substituteLocals(_, locals)).toSeq
-    val assignRe = """(?s)^\s*(.*?)\s*=(?!=)\s*(.*)$""".r
     var written = Set.empty[String]
     val hoisted = Seq.newBuilder[Reduction]
     for (stmt <- stmts) stmt match {
@@ -1778,8 +1842,14 @@ object NestedExpr {
           .foreach(written += _)
       case _ => ()
     }
+    // helpers whose source NO line writes survive across lines (two
+    // lines sharing a reduction reuse one agg); a helper over a column
+    // written ANYWHERE still drops at its consuming line, so any later
+    // use re-aggregates and sees the written values
+    val keep = hoisted.result().distinct
+      .filterNot(r => written.contains(r.srcCol)).map(_.name).toSet
     val out = stmts.foldLeft(withReductions(df, hoisted.result().distinct)) {
-      (acc, stmt) => evalAssign(acc, stmt)
+      (acc, stmt) => evalAssign(acc, stmt, keepHelpers = keep)
     }
     // hoisted helpers a line's own analysis didn't resolve to (or that no
     // line consumed) are engine-internal — drop any leftovers

@@ -366,18 +366,29 @@ object NestedOps {
     * whose lists are ALL NULL a missing cell (graft keeps missing missing;
     * the reference raises on mixed null/list rows, which `<=>` also
     * catches as a length mismatch). */
+  /** Guard VALUE for zipping array columns whose per-row lengths must
+    * agree: `value` where every size matches, raise_error otherwise —
+    * the reference raises ValueError on mismatched lengths and a bare
+    * `arrays_zip` would silently NULL-pad the shorter side. `<=>` keeps
+    * a row whose arrays are ALL NULL a missing cell (graft keeps
+    * missing missing) while a MIXED null/array row raises, like the
+    * reference. Shared by [[zipNests]] and [[fromLists]]. */
+  private def sizeAlignedOrRaise(cols: Seq[String], value: Column,
+                                 err: String): Column =
+    if (cols.lengthCompare(2) < 0) value
+    else {
+      val ok = cols.tail.foldLeft(lit(true))((acc, c) =>
+        acc && (size(col(cols.head)) <=> size(col(c))))
+      when(ok, value).otherwise(raise_error(lit(err)))
+    }
+
   def fromLists(df: DataFrame, listCols: Seq[String], name: String = "nested",
                 dropSource: Boolean = true): DataFrame = {
     require(listCols.nonEmpty, "fromLists needs at least one list column")
-    val zipped0 = arrays_zip(listCols.map(col): _*)
-    val lenOk = listCols.tail.foldLeft(lit(true))((acc, c) =>
-      acc && (size(col(listCols.head)) <=> size(col(c))))
-    val guarded =
-      if (listCols.length == 1) zipped0
-      else when(lenOk, zipped0).otherwise(raise_error(lit(
-        s"from_lists: list lengths do not match across " +
-          listCols.mkString(", "))))
-    val zipped = df.withColumn(name, guarded)
+    val zipped = df.withColumn(name, sizeAlignedOrRaise(listCols,
+      arrays_zip(listCols.map(col): _*),
+      s"from_lists: list lengths do not match across " +
+        listCols.mkString(", ")))
     // `name` may BE one of the sources (reference nest_lists(["c"], "c"),
     // test_set_item_combine_nested) — withColumn already replaced it;
     // dropping it again would drop the result
@@ -773,17 +784,14 @@ object NestedOps {
       .groupBy(identity).collect { case (f, vs) if vs.size > 1 => f }
     require(dup.isEmpty,
       s"zipNests: duplicate field names across sources: ${dup.mkString(", ")}")
-    val lenOk = nests.tail.foldLeft(lit(true))((acc, n) =>
-      acc && (size(col(nests.head)) <=> size(col(n))))
     val zipped = arrays_zip(nests.map(col): _*)
     val fields = nests.flatMap(n =>
       subColumns(df, n).map(f => (n, f)))
     val merged = transform(zipped, s =>
       struct(fields.map { case (n, f) =>
         s.getField(n).getField(f).as(f) }: _*))
-    val guarded = when(lenOk, merged).otherwise(
-      raise_error(lit(s"zipNests: cell lengths differ across " +
-        s"${nests.mkString(", ")}")))
+    val guarded = sizeAlignedOrRaise(nests, merged,
+      s"zipNests: cell lengths differ across ${nests.mkString(", ")}")
     val out = df.withColumn(name, guarded)
     if (dropSource) out.drop(nests.filterNot(_ == name): _*) else out
   }

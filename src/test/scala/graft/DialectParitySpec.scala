@@ -190,6 +190,39 @@ class DialectParitySpec extends SparkSpec {
     assert(zs == Set(0.0), s"post-modification reduction diverged: $zs")
   }
 
+  test("r9s4 review regressions: fractional-mantissa sci-notation, " +
+      "comparison-only eval line raises, dt-named column doesn't shadow " +
+      "chains, float literals are DOUBLE not DECIMAL") {
+    val base = Seq((1L, 4L), (2L, 8L)).toDF("k", "y")
+    // 1.5e2: mantissa and exponent split across tokens — must stay a
+    // sci-notation literal, not become `1.5De2`
+    val sci = NestedExpr.evalAssign(base, "r = y + 1.5e2")
+      .select("r").as[Double].collect().toSet
+    assert(sci == Set(154.0, 158.0), s"sci-notation broke: $sci")
+    // a comparison-only line is NOT an assignment (pandas raises too);
+    // before the lookbehind fix `a == b` executed as `a = b`
+    intercept[IllegalArgumentException] {
+      NestedExpr.evalAssign(base, "k == y")
+    }
+    // float literal arithmetic with all-integer operands must be DOUBLE:
+    // bare 2.39 is DECIMAL(3,2) and sum() would round to scale+4
+    val dec = NestedExpr.eval(base, "r = (2.39 + abs(y - 1)) * 1\ns = r.mean()")
+      .select("s").as[Double].collect().head
+    assert(math.abs(dec - (2.39 + 3 + 2.39 + 7) / 2) < 1e-12,
+      s"decimal-literal arithmetic diverged: $dec")
+    // a column literally named `dt` must not shadow a .dt chain after a
+    // call's closing paren
+    val withDt = Seq((1L, java.time.LocalDateTime.parse("2024-03-05T10:30:00")))
+      .toDF("dt", "ts")
+    val y0 = NestedExpr.evalAssign(withDt, "y0 = ts.dt.floor('D').dt.year")
+      .select("y0").as[Int].collect().head
+    assert(y0 == 2024, s"dt-named column shadowed the chain: $y0")
+    // boolean dt-attr reduction: mean = fraction of true (cast path)
+    val frac = NestedExpr.evalAssign(withDt, "f = ts.dt.is_leap_year.mean()")
+      .select("f").as[Double].collect().head
+    assert(frac == 1.0, s"is_leap_year.mean() diverged: $frac")
+  }
+
   test("% mod is OUR extension — the reference raises NotImplementedError") {
     // documented divergence: reference query("nested.t % 2 > 1") raises;
     // ours evaluates (Spark SQL %)

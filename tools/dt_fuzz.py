@@ -163,6 +163,13 @@ def gen_program(r, fam):
 def dt_rhs(r, recv):
     roll = r.random()
     if roll < 0.1:
+        if r.random() < 0.3:
+            # boolean-attr reduction: pandas aggregates bool as numeric
+            # (mean = fraction of true, sum = count) — pins the
+            # cast-to-int path (Spark rejects avg(boolean))
+            battr = r.choice(["is_leap_year", "is_month_start",
+                              "is_month_end"])
+            return f"{recv}.dt.{battr}.{r.choice(['mean', 'sum'])}()"
         # dt-derived global reduction broadcast into the expression
         m = r.choice(["year", "month", "dayofyear", "minute"])
         agg = r.choice(["mean", "min", "max", "median", "std", "count"])
