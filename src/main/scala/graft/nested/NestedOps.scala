@@ -620,9 +620,12 @@ object NestedOps {
     *
     * `strict` (default, matching the reference's ValueError on a length
     * mismatch — test_ext_array.py:1877-1892): a non-NULL list whose length
-    * differs from the cell's raises at execution. A narrow per-row size
-    * compare — no shuffle, no validation pass. `strict = false` restores
-    * the permissive form (short list → NULL field values beyond its end). */
+    * differs from the cell's raises at execution, and so does a NULL list
+    * against a non-NULL cell (the reference rejects a None entry the same
+    * way — set_list fuzz family, executed 2026-08-15). A narrow per-row
+    * size compare — no shuffle, no validation pass. `strict = false`
+    * restores the permissive form (short or NULL list → NULL field values
+    * beyond its end). */
   def withNestedFieldFromList(df: DataFrame, nest: String, field: String,
                               listCol: String,
                               strict: Boolean = true): DataFrame = {
@@ -637,11 +640,11 @@ object NestedOps {
       s.withField(field, try_element_at(col(listCol), i + 1)))
     if (!strict) df.withColumn(nest, body)
     else df.withColumn(nest,
-      when(col(nest).isNull || col(listCol).isNull ||
+      when(col(nest).isNull ||
         size(col(listCol)) === size(col(nest)), body)
         .otherwise(raise_error(concat(
           lit(s"set_list_column('$field'): list length "),
-          size(col(listCol)).cast("string"),
+          coalesce(size(col(listCol)).cast("string"), lit("NULL")),
           lit(" != cell length "), size(col(nest)).cast("string")))))
   }
 

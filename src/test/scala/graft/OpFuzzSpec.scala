@@ -53,6 +53,16 @@ class OpFuzzSpec extends SparkSpec {
       case "nest_query" =>
         graft.nested.NestedExpr.query(df, args.get("text").asText())
           .where(col("n").isNotNull)
+      // accessor set_filled_column: one scalar per row broadcast into the
+      // row's cell elements; a None value broadcasts NULL (reference NaN —
+      // conflated by the comparator). k is the 0-based row ordinal, so
+      // element_at over a literal array is the aligned per-row source.
+      case "set_filled" =>
+        import org.apache.spark.sql.functions._
+        val vals: Seq[Option[Double]] = args.get("values").elements().asScala
+          .map(v => if (v.isNull) None else Some(v.asDouble())).toSeq
+        NestedOps.withNestedFieldFilled(df, "n", "z",
+          element_at(typedLit(vals), col("k").cast("int") + 1))
       // __setitem__ surface: each reference assignment path mapped to
       // its NestedOps setter (probe-pinned 2026-08-14; missing cells
       // excluded — the adjudicated flat-repack divergence)
@@ -456,6 +466,50 @@ class OpFuzzSpec extends SparkSpec {
               // (sources kept — the reference assignment doesn't consume)
               compareFrame(NestedOps.zipNests(df, Seq("n", "m"), "z",
                 dropSource = false), c.get("expect"))
+            case "set_list" =>
+              // accessor set_list_column: per-row lists, strict length
+              // guard — a mismatched or NULL list raises like the
+              // reference's ValueError (withNestedFieldFromList strict)
+              import org.apache.spark.sql.functions._
+              val lists: Seq[Option[Seq[Option[Double]]]] =
+                args.get("lists").elements().asScala.map { l =>
+                  if (l.isNull) None
+                  else Some(l.elements().asScala.map(v =>
+                    if (v.isNull) None else Some(v.asDouble())).toSeq)
+                }.toSeq
+              val field = args.get("field").asText()
+              val withL = df.withColumn("__lst",
+                element_at(typedLit(lists), col("k").cast("int") + 1))
+              val expect = c.get("expect")
+              if (expect.has("raises")) {
+                val thrown =
+                  try {
+                    NestedOps.withNestedFieldFromList(withL, "n", field,
+                      "__lst").collect(); false
+                  } catch { case _: Throwable => true }
+                if (thrown) None
+                else Some(s"expected ${expect.get("raises").asText()} on " +
+                  "mismatched list length, engine returned rows")
+              } else
+                compareFrame(NestedOps.withNestedFieldFromList(withL, "n",
+                  field, "__lst").drop("__lst"), expect)
+            case "drop_fields" =>
+              // accessor drop: drop-all and unknown-name raise parity
+              val fields = args.get("fields").elements().asScala
+                .map(_.asText()).toSeq
+              val expect = c.get("expect")
+              if (expect.has("raises")) {
+                val thrown =
+                  try {
+                    NestedOps.dropNestedFields(df, "n", fields)
+                      .collect(); false
+                  } catch { case _: Throwable => true }
+                if (thrown) None
+                else Some(s"expected ${expect.get("raises").asText()}, " +
+                  "engine returned rows")
+              } else
+                compareFrame(NestedOps.dropNestedFields(df, "n", fields),
+                  expect)
             case "nest_lists" =>
               import org.apache.spark.sql.types._
               import org.apache.spark.sql.Row

@@ -21,9 +21,10 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_flat", "sort_base", "sort_nested", "minmax", "explode",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
        "flatten_inner", "concat", "setitem", "reduce", "join_how",
-       "take", "zip_nests", "nest_lists"]
+       "take", "zip_nests", "nest_lists", "set_filled", "set_list",
+       "drop_fields"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
-              8, 6, 7]
+              8, 6, 7, 6, 7, 5]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -154,6 +155,11 @@ def gen_op(r):
     if op == "take":
         return op, {"allow_fill": r.random() < 0.4,
                     "raise": r.random() < 0.18}
+    if op == "set_list":
+        return op, {"mismatch": r.random() < 0.22}
+    if op == "drop_fields":
+        return op, {"variant": r.choices(
+            ["one", "two", "all", "missing"], weights=[45, 25, 15, 15])[0]}
     if op == "nest_lists":
         return op, {"mismatch": r.random() < 0.15}
     return op, {}  # to_flat / explode / to_lists / zip_nests
@@ -325,6 +331,31 @@ def run_join_how(frame, child_keys, how):
     return enc_frame(nfb.join_nested(child, "n", how=how))
 
 
+def enc_frame_with(nf, name, series):
+    """enc_frame with nest `name` read from `series` instead of nf[name].
+    Direct encoding — reassigning the series through frame __setitem__
+    would flat-repack MISSING cells into EMPTY ones (executed 2026-08-15),
+    injecting the adjudicated representational divergence into goldens of
+    accessor ops that never touch cell presence."""
+    import pandas as pd
+    out = enc_frame(nf)
+    fields, cells = None, []
+    for i in nf.index:
+        cell = series[i]
+        if cell is None or (not hasattr(cell, "columns") and pd.isna(cell)):
+            cells.append(None)
+            continue
+        if fields is None:
+            fields = list(cell.columns)
+        cells.append([[enc_val(cell[f].iloc[j]) for f in fields]
+                      for j in range(len(cell))])
+    if fields is None:
+        fields = list(series.dtype.fields.keys()) \
+            if hasattr(series.dtype, "fields") else []
+    out["nests"][name] = {"fields": fields, "cells": cells}
+    return out
+
+
 def run_take(nf, idx, allow_fill):
     """Positional take with the reference's ExtensionArray.take semantics,
     executed per column (nested arrays through NestedExtensionArray.take;
@@ -482,7 +513,7 @@ def run_flatten_inner(spec):
 
 
 def main():
-    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1300
+    n_cases = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 20260815
     out = Path(sys.argv[3]) if len(sys.argv) > 3 else \
         Path(__file__).parent.parent / "src/test/resources/fuzz/op_fuzz.jsonl"
@@ -598,6 +629,103 @@ def main():
                 expect = {"raises": type(e).__name__}
             kept.append({"id": len(kept), "op": op, "args": args,
                          "frame": spec, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "set_filled":
+            # accessor set_filled_column: one scalar per row broadcast into
+            # every element of the row's cell; a None value broadcasts NaN
+            # (executed 2026-08-15). Present cells only — the flat-repack
+            # missing->empty divergence.
+            frame = gen_frame(r, allow_missing=False)
+            values = [None if r.random() < 0.15 else round(r.uniform(-6, 9), 3)
+                      for _ in frame["k"]]
+            try:
+                nf = build_ref_frame(frame)
+                res = nf["n"].nest.set_filled_column("z", values)
+                expect = enc_frame_with(nf, "n", res)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": {},
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op,
+                         "args": {"values": values},
+                         "frame": frame, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "set_list":
+            # accessor set_list_column: one list per row, element i of the
+            # list -> field of element i; a length mismatch OR a None row
+            # entry raises ValueError (executed 2026-08-15). ~1 in 4
+            # overwrites the EXISTING x field instead of adding w.
+            frame = gen_frame(r, allow_missing=False)
+            lists = [[None if r.random() < 0.1 else round(r.uniform(-5, 8), 3)
+                      for _ in cell]
+                     for cell in frame["nests"]["n"]["cells"]]
+            if args["mismatch"]:
+                v = r.randrange(len(lists))
+                roll = r.random()
+                if roll < 0.3:
+                    lists[v] = None
+                elif roll < 0.65:
+                    lists[v] = lists[v] + [1.0]
+                else:
+                    lists[v] = lists[v][:-1]
+            field = "x" if r.random() < 0.25 else "w"
+            try:
+                nf = build_ref_frame(frame)
+                res = nf["n"].nest.set_list_column(field, lists)
+                if args["mismatch"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": "expected raise did not raise"})
+                    continue
+                expect = enc_frame_with(nf, "n", res)
+            except Exception as e:  # noqa: BLE001
+                if not args["mismatch"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": f"{type(e).__name__}: {e}"[:200]})
+                    continue
+                expect = {"raises": type(e).__name__}
+            kept.append({"id": len(kept), "op": op,
+                         "args": {"mismatch": args["mismatch"],
+                                  "field": field, "lists": lists},
+                         "frame": frame, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "drop_fields":
+            # accessor drop: list form; dropping ALL fields raises
+            # "Cannot delete all fields", an unknown name raises
+            # "Some fields are not found" (executed 2026-08-15). Present
+            # cells only: the reference's drop itself repacks a MISSING
+            # cell into an EMPTY one (validity buffer probe 2026-08-15) —
+            # the adjudicated flat-repack divergence; graft keeps missing.
+            frame = gen_frame(r, allow_missing=False)
+            pool = ["x", "y", "t"]
+            v = args["variant"]
+            if v == "one":
+                fields = [r.choice(pool)]
+            elif v == "two":
+                fields = r.sample(pool, 2)
+            elif v == "all":
+                fields = list(pool)
+            else:
+                fields = [r.choice(pool), "nope"]
+            try:
+                nf = build_ref_frame(frame)
+                res = nf["n"].nest.drop(fields)
+                if v in ("all", "missing"):
+                    errors.append({"op": op, "args": args,
+                                   "err": "expected raise did not raise"})
+                    continue
+                expect = enc_frame_with(nf, "n", res)
+            except Exception as e:  # noqa: BLE001
+                if v not in ("all", "missing"):
+                    errors.append({"op": op, "args": args,
+                                   "err": f"{type(e).__name__}: {e}"[:200]})
+                    continue
+                expect = {"raises": type(e).__name__}
+            kept.append({"id": len(kept), "op": op,
+                         "args": {"variant": v, "fields": fields},
+                         "frame": frame, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
         if op == "flatten_inner":
