@@ -1074,16 +1074,33 @@ object NestedOps {
     * Reference: `NestedFrame.min/max` (core.py:949-1097) incl. its flags:
     * `excludeNest` restricts to base columns; `numericOnly` keeps only
     * numeric/boolean columns (default includes strings, which minimize
-    * lexicographically — Spark's native string min/max). One global agg. */
+    * lexicographically — Spark's native string min/max); `skipna = false`
+    * is pandas NA propagation — a column with ANY null/NaN value (element
+    * nulls for nested fields; MISSING cells contribute no elements and
+    * don't count, matching the reference's flat-array reduction) yields
+    * NULL. One global agg either way. */
   def aggAllColumns(df: DataFrame, fn: String, excludeNest: Boolean = false,
-                    numericOnly: Boolean = false): DataFrame = {
+                    numericOnly: Boolean = false,
+                    skipNa: Boolean = true): DataFrame = {
     def scalarAgg(c: Column) = fn match {
       case "min" => min(c); case "max" => max(c)
       case other => throw new IllegalArgumentException(s"unsupported: $other")
     }
-    def arrayAgg(c: Column) = fn match {
-      // array_min/array_max ignore nulls inside; min/max over rows ignore null cells
-      case "min" => min(array_min(c)); case "max" => max(array_max(c))
+    def isNa(c: Column, dt: DataType): Column = dt match {
+      case DoubleType | FloatType => c.isNull || isnan(c)
+      case _                      => c.isNull
+    }
+    def guarded(agg: Column, anyNa: Column): Column =
+      if (skipNa) agg else when(!anyNa, agg)
+    def baseAgg(c: Column, dt: DataType) =
+      guarded(scalarAgg(c), max(isNa(c, dt)))
+    def arrayAgg(c: Column, dt: DataType) = {
+      // array_min/array_max ignore nulls inside; min/max over rows ignore
+      // null cells — the skipna=false guard re-detects element NAs
+      val agg = fn match {
+        case "min" => min(array_min(c)); case "max" => max(array_max(c))
+      }
+      guarded(agg, max(coalesce(exists(c, e => isNa(e, dt)), lit(false))))
     }
     def keep(dt: DataType): Boolean = dt match {
       case _: NumericType | BooleanType => true
@@ -1095,10 +1112,10 @@ object NestedOps {
         case ArrayType(s: StructType, _) =>
           s.fields.toSeq.collect {
             case sf if keep(sf.dataType) =>
-              arrayAgg(transform(col(f.name), e => e.getField(sf.name)))
-                .as(s"${f.name}.${sf.name}")
+              arrayAgg(transform(col(f.name), e => e.getField(sf.name)),
+                sf.dataType).as(s"${f.name}.${sf.name}")
           }
-        case dt if keep(dt) => Seq(scalarAgg(col(f.name)).as(f.name))
+        case dt if keep(dt) => Seq(baseAgg(col(f.name), dt).as(f.name))
         case _              => Nil
       }
     }

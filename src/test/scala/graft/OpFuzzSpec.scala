@@ -173,8 +173,13 @@ class OpFuzzSpec extends SparkSpec {
             case "minmax" =>
               val numOnly = !args.has("numeric_only") ||
                 args.get("numeric_only").asBoolean()
+              val skipNa = !args.has("skipna") ||
+                args.get("skipna").asBoolean()
+              val exclNest = args.has("exclude_nest") &&
+                args.get("exclude_nest").asBoolean()
               val got = NestedOps.aggAllColumns(df.drop("k"),
-                args.get("fn").asText(), numericOnly = numOnly).collect()(0)
+                args.get("fn").asText(), excludeNest = exclNest,
+                numericOnly = numOnly, skipNa = skipNa).collect()(0)
               val cols = c.get("expect").get("cols")
               cols.fieldNames().asScala.flatMap { name =>
                 if (!got.schema.fieldNames.contains(name))

@@ -122,7 +122,15 @@ def gen_op(r):
                     "na_position": r.choice(["first", "last"])}
     if op == "minmax":
         # numeric_only=False includes strings (lexicographic min/max,
-        # r9 probe) — both engines skip missing values
+        # r9 probe) — both engines skip missing values. Half the family
+        # draws the flag tier: skipna=False (pandas NA propagation — any
+        # NA in the column -> NA; numeric_only to keep str-vs-float
+        # comparisons out of pandas' own TypeError) and/or exclude_nest.
+        if r.random() < 0.5:
+            return op, {"fn": r.choice(["min", "max"]),
+                        "numeric_only": True,
+                        "skipna": r.random() < 0.5,
+                        "exclude_nest": r.random() < 0.35}
         return op, {"fn": r.choice(["min", "max"]),
                     "numeric_only": r.random() < 0.5}
     if op == "nest_query":
@@ -197,8 +205,12 @@ def run_reference(nf, op, args):
         return enc_frame(nf.sort_values(by=args["by"], ascending=args["asc"],
                                         na_position=args["na_position"]))
     if op == "minmax":
-        ser = getattr(nf, args["fn"])(
-            numeric_only=args.get("numeric_only", True))
+        kw = {"numeric_only": args.get("numeric_only", True)}
+        if "skipna" in args:
+            kw["skipna"] = args["skipna"]
+        if args.get("exclude_nest"):
+            kw["exclude_nest"] = True
+        ser = getattr(nf, args["fn"])(**kw)
         return {"cols": {str(k): enc_val(v) for k, v in ser.items()}}
     if op == "explode":
         return enc_flat_like(nf.drop(columns=["m"]).explode("n"), nf)
