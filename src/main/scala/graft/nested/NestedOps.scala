@@ -1148,11 +1148,19 @@ object NestedOps {
   /** Explode SEVERAL aligned array/nested columns together, one output row
     * per position (lengths must match — reference `NestedFrame.explode`
     * multi-column mode, core.py:1221-1349). `arrays_zip` + one `inline`:
-    * a single generator, not N chained explodes. */
+    * a single generator, not N chained explodes.
+    *
+    * Mismatched per-row lengths RAISE like the reference's "different
+    * element counts" ValueError (a bare `arrays_zip` would silently
+    * NULL-pad the shorter side) — and so does a row where only SOME of
+    * the columns are NULL; all-NULL rows stay missing (keepEmpty emits
+    * their one all-NULL row, the reference's NaN row). Executed-parity:
+    * explode_multi fuzz family, 2026-08-15. */
   def explodeAligned(df: DataFrame, cols: Seq[String],
                      keepEmpty: Boolean = false): DataFrame = {
     val base = df.columns.filterNot(cols.contains).toSeq
-    val zipped = arrays_zip(cols.map(col): _*)
+    val zipped = sizeAlignedOrRaise(cols, arrays_zip(cols.map(col): _*),
+      s"explode: cell lengths differ across ${cols.mkString(", ")}")
     val gen = if (keepEmpty) inline_outer(zipped) else inline(zipped)
     val exploded = df.select(base.map(col) :+ gen: _*)
     // arrays_zip names struct fields after the source columns; nested

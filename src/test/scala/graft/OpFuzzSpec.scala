@@ -471,6 +471,23 @@ class OpFuzzSpec extends SparkSpec {
               // (sources kept — the reference assignment doesn't consume)
               compareFrame(NestedOps.zipNests(df, Seq("n", "m"), "z",
                 dropSource = false), c.get("expect"))
+            case "explode_multi" =>
+              // aligned multi-column explode: one generator over both
+              // nests; missing-both rows keep one all-NULL row
+              // (keepEmpty); mismatched counts raise via the size guard
+              val expect = c.get("expect")
+              if (expect.has("raises")) {
+                val thrown =
+                  try {
+                    NestedOps.explodeAligned(df, Seq("n", "m"),
+                      keepEmpty = true).collect(); false
+                  } catch { case _: Throwable => true }
+                if (thrown) None
+                else Some(s"expected ${expect.get("raises").asText()} on " +
+                  "mismatched element counts, engine returned rows")
+              } else
+                compareFlat(NestedOps.explodeAligned(df, Seq("n", "m"),
+                  keepEmpty = true), expect)
             case "set_list" =>
               // accessor set_list_column: per-row lists, strict length
               // guard — a mismatched or NULL list raises like the

@@ -22,9 +22,9 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
        "flatten_inner", "concat", "setitem", "reduce", "join_how",
        "take", "zip_nests", "nest_lists", "set_filled", "set_list",
-       "drop_fields"]
+       "drop_fields", "explode_multi"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
-              8, 6, 7, 6, 7, 5]
+              8, 6, 7, 6, 7, 5, 6]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -165,6 +165,8 @@ def gen_op(r):
                     "raise": r.random() < 0.18}
     if op == "set_list":
         return op, {"mismatch": r.random() < 0.22}
+    if op == "explode_multi":
+        return op, {"mismatch": r.random() < 0.15}
     if op == "drop_fields":
         return op, {"variant": r.choices(
             ["one", "two", "all", "missing"], weights=[45, 25, 15, 15])[0]}
@@ -700,6 +702,40 @@ def main():
             kept.append({"id": len(kept), "op": op,
                          "args": {"mismatch": args["mismatch"],
                                   "field": field, "lists": lists},
+                         "frame": frame, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "explode_multi":
+            # nf.explode(["n", "m"]) — aligned multi-column explode: both
+            # nests' fields flatten positionally; a MISSING-both row keeps
+            # one all-NA row; mismatched element counts (incl. one side
+            # missing) RAISE "different element counts" (executed
+            # 2026-08-15). graft: explodeAligned(keepEmpty) + size guard.
+            frame = gen_frame(r, allow_missing=True)
+            if args["mismatch"]:
+                cn = frame["nests"]["n"]["cells"]
+                cm = frame["nests"]["m"]["cells"]
+                v = r.randrange(len(cn))
+                if cn[v] is None:
+                    cn[v] = [[1.0, 1, "q"]]      # n present, m missing
+                elif r.random() < 0.5:
+                    cm[v] = None                 # m missing, n present
+                else:
+                    cm[v] = cm[v] + [[1.0]]      # m longer than n
+            try:
+                nf = build_ref_frame(frame)
+                expect = enc_flat_like(nf.explode(["n", "m"]), nf)
+                if args["mismatch"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": "expected raise did not raise"})
+                    continue
+            except Exception as e:  # noqa: BLE001
+                if not args["mismatch"]:
+                    errors.append({"op": op, "args": args,
+                                   "err": f"{type(e).__name__}: {e}"[:200]})
+                    continue
+                expect = {"raises": type(e).__name__}
+            kept.append({"id": len(kept), "op": op, "args": args,
                          "frame": frame, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
