@@ -191,8 +191,12 @@ class OpFuzzSpec extends SparkSpec {
                 else None
               }.toSeq.headOption
             case "concat" =>
+              // allowMissingColumns ≡ pd.concat's schema union: a base
+              // column missing on one side null-fills (reference NaN), a
+              // missing NEST column yields missing cells (dtype kept)
               val df2 = buildFrame(spark, c.get("frame2"))
-              compareFrame(df.unionByName(df2), c.get("expect"))
+              compareFrame(df.unionByName(df2, allowMissingColumns = true),
+                c.get("expect"))
             case "flatten_inner" =>
               import org.apache.spark.sql.types._
               import org.apache.spark.sql.Row

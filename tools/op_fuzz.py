@@ -541,19 +541,33 @@ def main():
         op, args = gen_op(r)
         if op == "concat":
             # pd.concat of two nested frames ≡ unionByName; distinct key
-            # ranges keep the comparator's one-row-per-k contract
+            # ranges keep the comparator's one-row-per-k contract.
+            # Schema-drift variants (shard-merge reality, executed
+            # 2026-08-15): a base column missing on one side NaN-fills;
+            # a NEST column missing on one side yields missing cells and
+            # KEEPS the nested dtype ≡ unionByName(allowMissingColumns).
+            # (Mismatched nest FIELDS degrade to object dtype in the
+            # reference — not representable in Spark, documented in
+            # PARITY.md, not fuzzed.)
             import pandas as pd
+            variant = r.choices(["same", "missing_base", "missing_nest"],
+                                weights=[50, 25, 25])[0]
             f1 = gen_frame(r, allow_missing=True)
             f2 = gen_frame(r, allow_missing=True)
             f2["k"] = [k + 100 for k in f2["k"]]
+            if variant == "missing_base":
+                del f2["base"]["b"]
+            elif variant == "missing_nest":
+                del f2["nests"]["m"]
             try:
                 expect = enc_frame(pd.concat([build_ref_frame(f1),
                                               build_ref_frame(f2)]))
             except Exception as e:  # noqa: BLE001
-                errors.append({"op": op, "args": {},
+                errors.append({"op": op, "args": {"variant": variant},
                                "err": f"{type(e).__name__}: {e}"[:200]})
                 continue
-            kept.append({"id": len(kept), "op": op, "args": {},
+            kept.append({"id": len(kept), "op": op,
+                         "args": {"variant": variant},
                          "frame": f1, "frame2": f2, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
