@@ -116,7 +116,11 @@ object MapRows {
       dotted.partition(c => existingNests.contains(layerOf(c)._1))
     val appended = intoExisting.foldLeft(joined) { (acc, c) =>
       val (nest, sub) = layerOf(c)
-      NestedOps.withNestedFieldFromList(acc, nest, sub, tmp(c)).drop(tmp(c))
+      // strict = false: the documented contract here is "a short Seq
+      // null-pads" — a kernel returning a short or null list for a row
+      // null-fills that row's field instead of failing the job
+      NestedOps.withNestedFieldFromList(acc, nest, sub, tmp(c),
+        strict = false).drop(tmp(c))
     }
     if (inferNesting) {
       val layers = fresh.map(c => layerOf(c)._1).distinct

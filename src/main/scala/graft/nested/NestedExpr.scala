@@ -930,11 +930,14 @@ object NestedExpr {
   /** sqlE adjustment for a dt-derived GLOBAL reduction: pandas treats
     * boolean `is_*` attrs as numeric under aggregation (mean = fraction
     * of true, sum = count of true) where Spark rejects avg(boolean) —
-    * cast to int. `.dt.date` aggregates only where dates order
-    * (min/max/count); the rest raise with a message (r9 s4 review). */
+    * cast to int, EXCEPT min/max, which pandas keeps BOOLEAN
+    * (`is_leap_year.min()` is False, not 0 — executed 2026-08-15; Spark
+    * min/max order booleans natively). `.dt.date` aggregates only where
+    * dates order (min/max/count); the rest raise (r9 s4 review). */
   private def dtReduceCast(attr: String, sqlE: String, agg: String,
                            exprStr: String): String =
-    if (attr.startsWith("is_")) s"cast($sqlE as int)"
+    if (attr.startsWith("is_") && agg != "min" && agg != "max")
+      s"cast($sqlE as int)"
     else if (attr == "date" && !Set("min", "max", "count").contains(agg))
       throw new IllegalArgumentException(
         s".dt.date.$agg() is not supported (date-valued attributes " +
@@ -1114,10 +1117,14 @@ object NestedExpr {
           case Seq(one) if toks.drop(idx + 1).headOption.exists {
               case Text(t) => t.trim.startsWith("("); case _ => false } => one
           // scientific-notation tail: "1e-9" tokenizes as Text("1"),
-          // Ident("e"), Text("-9") — not a column reference
+          // Ident("e"), Text("-9") — not a column reference. A trailing
+          // '.' counts when a digit precedes it: `3.e2` is a valid
+          // python float whose mantissa doubleizeFloats left protected
           case Seq(one) if one.matches("[eE][0-9]*") && idx > 0 &&
               (toks(idx - 1) match {
-                case Text(t) => t.nonEmpty && t.last.isDigit
+                case Text(t) => t.nonEmpty && (t.last.isDigit ||
+                  (t.last == '.' && t.length > 1 &&
+                    t.charAt(t.length - 2).isDigit))
                 case _       => false }) => one
           // kwarg name inside a .str argument list (side=, stop=, …):
           // bare `=` (not `==`) after an unknown ident is not valid
@@ -1714,11 +1721,16 @@ object NestedExpr {
     *    is rejected (it would put element values "between" row labels).
     * One nesting level only: `nest.f.inner = ...` raises. */
   /** `lhs = rhs` splitter. The `=` must be a bare assignment operator:
-    * `(?<![=!<>])` keeps a comparison-only line like `a == b` from
+    * the lookbehind keeps a comparison-only line like `a == b` from
     * matching on its SECOND `=` (lazy lhs swallows the first) and being
     * silently executed as `a = b` — it raises "Not an assignment"
-    * instead, like pandas multiline eval does (r9 session-4 review). */
-  private val assignRe = """(?s)^\s*(.*?)\s*(?<![=!<>])=(?!=)\s*(.*)$""".r
+    * instead, like pandas multiline eval does (r9 session-4 review).
+    * Arithmetic/bitwise chars in the lookbehind reject AUGMENTED
+    * assignment the same way (`a += 1` would otherwise silently run as
+    * `a = 1`; the reference raises NotImplementedError 'AugAssign',
+    * executed 2026-08-15). */
+  private val assignRe =
+    """(?s)^\s*(.*?)\s*(?<![=!<>+\-*/%&|^~@])=(?!=)\s*(.*)$""".r
 
   /** `keepHelpers`: reduction helper columns [[eval]] pre-attached whose
     * source column NO line of the program writes — left in place so a
@@ -1728,11 +1740,10 @@ object NestedExpr {
     * the post-write re-aggregation to see the new values. */
   def evalAssign(df: DataFrame, stmt: String,
                  keepHelpers: Set[String] = Set.empty): DataFrame = {
-    val m = assignRe
     def dropHelpers(d: DataFrame, names: Seq[String]): DataFrame =
       d.drop(names.filterNot(keepHelpers): _*)
     stmt match {
-      case m(lhs, rhs) =>
+      case assignRe(lhs, rhs) =>
         val lhsToks = tokenize(lhs)
         val target = lhsToks.collectFirst { case Ident(p) => p }.getOrElse(
           throw new IllegalArgumentException(s"Bad assignment target: $lhs"))
@@ -1846,9 +1857,10 @@ object NestedExpr {
     // lines sharing a reduction reuse one agg); a helper over a column
     // written ANYWHERE still drops at its consuming line, so any later
     // use re-aggregates and sees the written values
-    val keep = hoisted.result().distinct
-      .filterNot(r => written.contains(r.srcCol)).map(_.name).toSet
-    val out = stmts.foldLeft(withReductions(df, hoisted.result().distinct)) {
+    val reds = hoisted.result().distinct
+    val keep = reds.filterNot(r => written.contains(r.srcCol))
+      .map(_.name).toSet
+    val out = stmts.foldLeft(withReductions(df, reds)) {
       (acc, stmt) => evalAssign(acc, stmt, keepHelpers = keep)
     }
     // hoisted helpers a line's own analysis didn't resolve to (or that no

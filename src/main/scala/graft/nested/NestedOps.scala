@@ -1090,15 +1090,23 @@ object NestedOps {
       case DoubleType | FloatType => c.isNull || isnan(c)
       case _                      => c.isNull
     }
+    // pandas skipna=true skips real NaN values too; Spark min/max ORDER
+    // NaN (as the largest double), so NaN must become NULL on the
+    // default path or a single NaN value hijacks every max()
+    def naToNull(c: Column, dt: DataType): Column = dt match {
+      case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
+      case _                      => c
+    }
     def guarded(agg: Column, anyNa: Column): Column =
       if (skipNa) agg else when(!anyNa, agg)
     def baseAgg(c: Column, dt: DataType) =
-      guarded(scalarAgg(c), max(isNa(c, dt)))
+      guarded(scalarAgg(naToNull(c, dt)), max(isNa(c, dt)))
     def arrayAgg(c: Column, dt: DataType) = {
       // array_min/array_max ignore nulls inside; min/max over rows ignore
       // null cells — the skipna=false guard re-detects element NAs
       val agg = fn match {
-        case "min" => min(array_min(c)); case "max" => max(array_max(c))
+        case "min" => min(array_min(transform(c, e => naToNull(e, dt))))
+        case "max" => max(array_max(transform(c, e => naToNull(e, dt))))
       }
       guarded(agg, max(coalesce(exists(c, e => isNa(e, dt)), lit(false))))
     }

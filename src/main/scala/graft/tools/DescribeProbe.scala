@@ -16,11 +16,14 @@ import graft.nested.NestedOps
 object DescribeProbe {
   def main(args: Array[String]): Unit = {
     val nRows = if (args.length > 0) args(0).toLong else 50000000L
+    // heap comes from the forked JVM's -Xmx (build.sbt javaOptions,
+    // SPARK_DRIVER_MEM env) — spark.driver.memory set here would be a
+    // no-op in local mode, the JVM is already running. Recorded runs:
+    // SPARK_DRIVER_MEM=24g (5M) / 40g (50M).
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     import spark.implicits._

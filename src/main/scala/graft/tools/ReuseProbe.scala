@@ -18,7 +18,10 @@ object ReuseProbe {
     val plan = df.queryExecution.executedPlan.toString
     println(s"REUSED_EXCHANGE=${"ReusedExchange".r.findAllIn(plan).size}")
     println(s"REUSED_SUBQUERY=${"ReusedSubquery".r.findAllIn(plan).size}")
-    println(s"EXCHANGES=${"Exchange".r.findAllIn(plan).size}")
+    // word-boundary so ReusedExchange/BroadcastExchange don't inflate the
+    // shuffle count; broadcasts counted separately
+    println(s"SHUFFLE_EXCHANGES=${"(?<![A-Za-z])Exchange".r.findAllIn(plan).size}")
+    println(s"BROADCAST_EXCHANGES=${"BroadcastExchange".r.findAllIn(plan).size}")
     println(plan.take(6000))
     spark.stop()
   }

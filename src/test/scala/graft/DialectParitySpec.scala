@@ -223,6 +223,32 @@ class DialectParitySpec extends SparkSpec {
     assert(frac == 1.0, s"is_leap_year.mean() diverged: $frac")
   }
 
+  test("r9s5 review regressions: augmented assignment raises, trailing-dot " +
+      "sci mantissa, bool dt-attr min/max stay boolean") {
+    val base = Seq((1L, 4L), (2L, 8L)).toDF("k", "y")
+    // the reference raises NotImplementedError('AugAssign'); before the
+    // lookbehind widening `k += 1` silently executed as `k = 1`
+    for (aug <- Seq("k += 1", "k -= 1", "k *= 2", "y //= 2", "k &= 1"))
+      intercept[IllegalArgumentException] {
+        NestedExpr.evalAssign(base, aug)
+      }
+    // `3.e2` is a valid python float (mantissa `3.` + exponent)
+    val sci = NestedExpr.evalAssign(base, "r = y + 3.e2")
+      .select("r").as[Double].collect().toSet
+    assert(sci == Set(304.0, 308.0), s"trailing-dot sci broke: $sci")
+    // pandas keeps boolean dtype under min/max (False, not 0)
+    val withTs = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-03-05T10:30:00")),
+      (2L, java.time.LocalDateTime.parse("2023-03-05T10:30:00")))
+      .toDF("k", "ts")
+    val mn = NestedExpr.evalAssign(withTs, "f = ts.dt.is_leap_year.min()")
+      .select("f").as[Boolean].collect().toSet
+    assert(mn == Set(false), s"is_leap_year.min() diverged: $mn")
+    val mx = NestedExpr.evalAssign(withTs, "f = ts.dt.is_leap_year.max()")
+      .select("f").as[Boolean].collect().toSet
+    assert(mx == Set(true), s"is_leap_year.max() diverged: $mx")
+  }
+
   test("% mod is OUR extension — the reference raises NotImplementedError") {
     // documented divergence: reference query("nested.t % 2 > 1") raises;
     // ours evaluates (Spark SQL %)

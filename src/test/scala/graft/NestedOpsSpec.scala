@@ -224,6 +224,26 @@ class NestedOpsSpec extends SparkSpec {
     assert(mx.getInt(mx.fieldIndex("nested.d")) == 9)
   }
 
+  test("aggAllColumns skips literal NaN like pandas skipna=True; " +
+      "skipNa=false propagates it") {
+    // Spark max() ORDERS NaN as the largest double — without the
+    // NaN→NULL rewrite one NaN value hijacks every max (r9s5 review)
+    val df = Seq(
+      (1.0, Seq(2.0, Double.NaN)),
+      (Double.NaN, Seq(5.0))).toDF("v", "l")
+      .select($"v", transform($"l", x => struct(x.as("x"))).as("n"))
+    val mx = NestedOps.aggAllColumns(df, "max").collect()(0)
+    assert(mx.getDouble(mx.fieldIndex("v")) == 1.0,
+      s"base max should skip NaN: $mx")
+    assert(mx.getDouble(mx.fieldIndex("n.x")) == 5.0,
+      s"element max should skip NaN: $mx")
+    val strict = NestedOps.aggAllColumns(df, "max", skipNa = false)
+      .collect()(0)
+    assert(strict.isNullAt(strict.fieldIndex("v")) &&
+      strict.isNullAt(strict.fieldIndex("n.x")),
+      s"skipNa=false should yield NA for NaN-containing columns: $strict")
+  }
+
   test("element aggregates (mean/sum/min/max) as columns") {
     val r = nf.select($"key",
       NestedOps.elementMean("nested", "c").as("mc"),

@@ -166,10 +166,12 @@ def dt_rhs(r, recv):
         if r.random() < 0.3:
             # boolean-attr reduction: pandas aggregates bool as numeric
             # (mean = fraction of true, sum = count) — pins the
-            # cast-to-int path (Spark rejects avg(boolean))
+            # cast-to-int path (Spark rejects avg(boolean)) — EXCEPT
+            # min/max, which stay BOOLEAN (False/True, not 0/1)
             battr = r.choice(["is_leap_year", "is_month_start",
                               "is_month_end"])
-            return f"{recv}.dt.{battr}.{r.choice(['mean', 'sum'])}()"
+            agg = r.choice(["mean", "sum", "min", "max"])
+            return f"{recv}.dt.{battr}.{agg}()"
         # dt-derived global reduction broadcast into the expression
         m = r.choice(["year", "month", "dayofyear", "minute"])
         agg = r.choice(["mean", "min", "max", "median", "std", "count"])
