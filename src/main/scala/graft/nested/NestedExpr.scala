@@ -775,15 +775,22 @@ object NestedExpr {
   }
 
   /** The aggregate Column for one reduction over the SQL expression
-    * `sqlE` (shared scan — see [[withReductions]]). */
-  private def reductionAggCol(sqlE: String, agg: String)
+    * `sqlE` (shared scan — see [[withReductions]]). `floating = true`
+    * rewrites NaN → NULL first: pandas reductions are skipna=True, so a
+    * literal NaN value must not poison mean/sum/std or win min/max
+    * (Spark orders NaN as the largest double) — same parity rule as
+    * `aggAllColumns`' default path. */
+  private def reductionAggCol(sqlE: String, agg: String,
+                              floating: Boolean)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{avg, sum, min, max, count,
       stddev_samp}
-    val v = expr(sqlE)
+    val e = if (floating) s"nanvl(($sqlE), cast(null as double))"
+            else s"($sqlE)"
+    val v = expr(e)
     agg match {
       case "mean"   => avg(v)
-      case "median" => expr(s"percentile($sqlE, 0.5)")
+      case "median" => expr(s"percentile($e, 0.5)")
       case "sum"    => sum(v)
       case "min"    => min(v)
       case "max"    => max(v)
@@ -816,7 +823,14 @@ object NestedExpr {
           val src =
             if (nest.isEmpty) df
             else df.select(explode(col(bq(nest))).as("__e"))
-          val aggCols = rs.map(r => reductionAggCol(r.sqlE, r.agg).as(r.name))
+          val aggCols = rs.map { r =>
+            // resolve the value type lazily (no job) to decide whether the
+            // NaN→NULL skipna rewrite applies — only floating types have NaN
+            val vType = src.select(expr(r.sqlE)).schema.head.dataType
+            val floating = vType == org.apache.spark.sql.types.DoubleType ||
+              vType == org.apache.spark.sql.types.FloatType
+            reductionAggCol(r.sqlE, r.agg, floating).as(r.name)
+          }
           acc.crossJoin(broadcast(src.agg(aggCols.head, aggCols.tail: _*)))
       }
     }
@@ -927,17 +941,42 @@ object NestedExpr {
       case _       => false
     })
 
+  /** True when the reduction Ident at `idx` IS the whole expression —
+    * nothing but blank text before it and nothing but its own `()` after.
+    * A bare `is_*.min()/max()` then converts the int helper back to
+    * BOOLEAN (pandas keeps bool dtype); any composed use stays numeric
+    * (bool is duck-numeric in pandas: True + 1 = 2). */
+  private def bareReductionUse(toks: Seq[Tok], idx: Int): Boolean =
+    toks.take(idx).forall {
+      case Text(t) => t.trim.isEmpty; case _ => false
+    } && (toks.drop(idx + 1).toList match {
+      case Text(t) :: rest => t.trim == "()" && rest.forall {
+        case Text(t2) => t2.trim.isEmpty; case _ => false
+      }
+      case _ => false
+    })
+
   /** sqlE adjustment for a dt-derived GLOBAL reduction: pandas treats
     * boolean `is_*` attrs as numeric under aggregation (mean = fraction
     * of true, sum = count of true) where Spark rejects avg(boolean) —
-    * cast to int, EXCEPT min/max, which pandas keeps BOOLEAN
-    * (`is_leap_year.min()` is False, not 0 — executed 2026-08-15; Spark
-    * min/max order booleans natively). `.dt.date` aggregates only where
-    * dates order (min/max/count); the rest raise (r9 s4 review). */
+    * cast to int ALWAYS, so the helper composes with arithmetic
+    * (`is_leap_year.max() + 1` is 2 in pandas — bool is duck-numeric);
+    * a BARE `is_*.min()/max()` use converts back to BOOLEAN at the
+    * splice (pandas keeps the bool dtype there: min() is False, not 0 —
+    * executed 2026-08-15). `.dt.date` aggregates only where dates order
+    * (min/max/count); the rest raise (r9 s4 review). */
+  /** Splice-site reference to a reduction helper: a BARE boolean-attr
+    * min/max converts the int helper back to boolean (see
+    * [[bareReductionUse]]); a NULL helper stays NULL through `= 1`. */
+  private def boolReductionRef(name: String, attr: String, agg: String,
+                               bare: Boolean): String =
+    if (bare && attr.startsWith("is_") && (agg == "min" || agg == "max"))
+      s"(${bq(name)} = 1)"
+    else bq(name)
+
   private def dtReduceCast(attr: String, sqlE: String, agg: String,
                            exprStr: String): String =
-    if (attr.startsWith("is_") && agg != "min" && agg != "max")
-      s"cast($sqlE as int)"
+    if (attr.startsWith("is_")) s"cast($sqlE as int)"
     else if (attr == "date" && !Set("min", "max", "count").contains(agg))
       throw new IllegalArgumentException(
         s".dt.date.$agg() is not supported (date-valued attributes " +
@@ -1027,7 +1066,8 @@ object NestedExpr {
               dtAttrSql(attr, bq(base), nested = false, exprStr), agg, exprStr)
             val r = reds.getOrElseUpdate(("", sqlE, agg),
               Reduction("", sqlE, agg, srcCol = base))
-            bq(r.name) + " __LEN_CALL"
+            boolReductionRef(r.name, attr, agg, bareReductionUse(toks, idx)) +
+              " __LEN_CALL"
           case Seq(nest, field, "dt", attr, agg) if nestSet.contains(nest) &&
               reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
               toks.drop(idx + 1).headOption.exists {
@@ -1038,7 +1078,8 @@ object NestedExpr {
               agg, exprStr)
             val r = reds.getOrElseUpdate((nest, sqlE, agg),
               Reduction(nest, sqlE, agg, srcCol = nest))
-            bq(r.name) + " __LEN_CALL"
+            boolReductionRef(r.name, attr, agg, bareReductionUse(toks, idx)) +
+              " __LEN_CALL"
           // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
           // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
           // query("nested.b.isna()") filters elements, not rows)
@@ -1728,9 +1769,10 @@ object NestedExpr {
     * Arithmetic/bitwise chars in the lookbehind reject AUGMENTED
     * assignment the same way (`a += 1` would otherwise silently run as
     * `a = 1`; the reference raises NotImplementedError 'AugAssign',
-    * executed 2026-08-15). */
+    * executed 2026-08-15); ':' rejects the walrus `a := b` (python ast
+    * SyntaxError at statement level). */
   private val assignRe =
-    """(?s)^\s*(.*?)\s*(?<![=!<>+\-*/%&|^~@])=(?!=)\s*(.*)$""".r
+    """(?s)^\s*(.*?)\s*(?<![=!<>+\-*/%&|^~@:])=(?!=)\s*(.*)$""".r
 
   /** `keepHelpers`: reduction helper columns [[eval]] pre-attached whose
     * source column NO line of the program writes — left in place so a
@@ -1745,8 +1787,18 @@ object NestedExpr {
     stmt match {
       case assignRe(lhs, rhs) =>
         val lhsToks = tokenize(lhs)
-        val target = lhsToks.collectFirst { case Ident(p) => p }.getOrElse(
-          throw new IllegalArgumentException(s"Bad assignment target: $lhs"))
+        // the LHS must be EXACTLY one (possibly dotted/backticked)
+        // identifier: subscript (`a[0] = 5`), tuple (`a, b = t`), starred
+        // and annotated targets would otherwise silently collapse onto
+        // the first identifier — pandas eval raises for all of them
+        val idents = lhsToks.collect { case Ident(p) => p }
+        val junk = lhsToks.exists {
+          case Text(t) => t.trim.nonEmpty; case _ => false
+        }
+        if (idents.length != 1 || junk)
+          throw new IllegalArgumentException(
+            s"Bad assignment target: $lhs (must be a single column name)")
+        val target = idents.head
         target match {
           case Seq(nest, field) if NestedOps.nestedColumns(df).contains(nest) =>
             // Existing nest: anchor the RHS on the TARGET nest.

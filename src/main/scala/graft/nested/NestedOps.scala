@@ -1103,10 +1103,15 @@ object NestedOps {
       guarded(scalarAgg(naToNull(c, dt)), max(isNa(c, dt)))
     def arrayAgg(c: Column, dt: DataType) = {
       // array_min/array_max ignore nulls inside; min/max over rows ignore
-      // null cells — the skipna=false guard re-detects element NAs
+      // null cells — the skipna=false guard re-detects element NAs. The
+      // NaN→NULL transform only exists for floating fields (identity
+      // elsewhere — skip the no-op per-element lambda)
+      val cc = dt match {
+        case DoubleType | FloatType => transform(c, e => naToNull(e, dt))
+        case _                      => c
+      }
       val agg = fn match {
-        case "min" => min(array_min(transform(c, e => naToNull(e, dt))))
-        case "max" => max(array_max(transform(c, e => naToNull(e, dt))))
+        case "min" => min(array_min(cc)); case "max" => max(array_max(cc))
       }
       guarded(agg, max(coalesce(exists(c, e => isNa(e, dt)), lit(false))))
     }

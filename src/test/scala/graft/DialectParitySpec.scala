@@ -247,6 +247,31 @@ class DialectParitySpec extends SparkSpec {
     val mx = NestedExpr.evalAssign(withTs, "f = ts.dt.is_leap_year.max()")
       .select("f").as[Boolean].collect().toSet
     assert(mx == Set(true), s"is_leap_year.max() diverged: $mx")
+    // COMPOSED use stays numeric (pandas bool is duck-numeric: True+1=2)
+    val comp = NestedExpr.evalAssign(withTs,
+      "f = ts.dt.is_leap_year.max() + 1")
+      .select("f").as[Long].collect().toSet
+    assert(comp == Set(2L), s"composed bool reduction diverged: $comp")
+  }
+
+  test("r9s5 review second pass: walrus + non-identifier targets raise; " +
+      "eval reductions skip literal NaN like pandas") {
+    val base = Seq((1L, 4L), (2L, 8L)).toDF("k", "y")
+    // python ast raises on all of these; before the guards each silently
+    // executed as an assignment to the first identifier
+    for (bad <- Seq("k := y", "k[0] = 5", "k, y = y, k", "k: int = 5"))
+      intercept[IllegalArgumentException] {
+        NestedExpr.evalAssign(base, bad)
+      }
+    // literal NaN: pandas mean/max are skipna=True; Spark orders NaN as
+    // the largest double and poisons avg — the nanvl rewrite skips it
+    val withNan = Seq(1.0, 3.0, Double.NaN).toDF("v")
+    val m = NestedExpr.evalAssign(withNan, "r = v.mean()")
+      .select("r").as[Double].collect().head
+    assert(m == 2.0, s"mean should skip NaN: $m")
+    val mx2 = NestedExpr.evalAssign(withNan, "r = v.max()")
+      .select("r").as[Double].collect().head
+    assert(mx2 == 3.0, s"max should skip NaN: $mx2")
   }
 
   test("% mod is OUR extension — the reference raises NotImplementedError") {
