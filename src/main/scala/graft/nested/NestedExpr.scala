@@ -839,7 +839,10 @@ object NestedExpr {
   /** PER-CELL element reduction as a row-level Column — an ENGINE
     * EXTENSION (the reference's eval reductions are global; there is no
     * per-cell reduction in its dialect). Same narrow array-expression
-    * core the dialect used before round 8: no shuffle, no explode. */
+    * core the dialect used before round 8: no shuffle, no explode.
+    * NULLs are filtered; a literal NaN element PARTICIPATES (Spark HOF
+    * semantics) — unlike the GLOBAL reductions, which are pandas-parity
+    * skipna (no pandas analog exists here to diverge from). */
   def elementReduction(nest: String, field: String, agg: String)
       : org.apache.spark.sql.Column = {
     require(reductionAggs.contains(agg),

@@ -1261,18 +1261,27 @@ object NestedOps {
       if (cols.isEmpty) None
       else {
         def a(c: String, stat: String) = s"__${c}__$stat"
+        // pandas describe is skipna: a literal NaN is excluded from count
+        // and every stat — rewrite NaN → NULL for floating columns (same
+        // parity rule as aggAllColumns / the eval reductions, r9s5)
+        def vs(c: String): String = src.schema(c).dataType match {
+          case DoubleType | FloatType =>
+            s"nanvl(${bqn(c)}, cast(null as double))"
+          case _ => bqn(c)
+        }
         val aggs = cols.flatMap { c =>
-          Seq(count(col(bqn(c))).cast("double").as(a(c, "count")),
-              avg(col(bqn(c))).as(a(c, "mean")),
-              stddev_samp(col(bqn(c))).as(a(c, "std")),
-              min(col(bqn(c))).cast("double").as(a(c, "min")),
-              max(col(bqn(c))).cast("double").as(a(c, "max"))) ++
+          val vc = expr(vs(c))
+          Seq(count(vc).cast("double").as(a(c, "count")),
+              avg(vc).as(a(c, "mean")),
+              stddev_samp(vc).as(a(c, "std")),
+              min(vc).cast("double").as(a(c, "min")),
+              max(vc).cast("double").as(a(c, "max"))) ++
             pcts.zipWithIndex.map { case (p, i) =>
               val pctExpr =
                 if (approx)
-                  s"cast(percentile_approx(${bqn(c)}, cast($p as double), " +
+                  s"cast(percentile_approx(${vs(c)}, cast($p as double), " +
                     s"$approxAccuracy) as double)"
-                else s"percentile(${bqn(c)}, $p)"
+                else s"percentile(${vs(c)}, $p)"
               expr(pctExpr).as(a(c, s"pct$i"))
             }
         }

@@ -224,6 +224,15 @@ class NestedOpsSpec extends SparkSpec {
     assert(mx.getInt(mx.fieldIndex("nested.d")) == 9)
   }
 
+  test("describeAll excludes literal NaN from every stat (pandas skipna)") {
+    val df = Seq(1.0, 3.0, Double.NaN).toDF("v")
+    val got = NestedOps.describeAll(df).collect()
+      .map(r => r.getString(1) -> r.get(2)).toMap
+    assert(got("count") == 2.0, s"count should exclude NaN: $got")
+    assert(got("mean") == 2.0, s"mean should skip NaN: $got")
+    assert(got("max") == 3.0, s"max should skip NaN: $got")
+  }
+
   test("aggAllColumns skips literal NaN like pandas skipna=True; " +
       "skipNa=false propagates it") {
     // Spark max() ORDERS NaN as the largest double — without the
