@@ -99,9 +99,17 @@ object NestedOps {
     * (`sort_values(na_position=)`, core.py:1851-1942). */
   private def structComparator(l: Column, r: Column,
                                keys: Seq[(String, Boolean)],
-                               naPosition: Option[String] = None): Column = {
+                               naPosition: Option[String] = None,
+                               floatFields: Set[String] = Set.empty): Column = {
+    // pandas sort_values treats NaN as NA (na_position governs it); Spark
+    // orders NaN as the LARGEST double — rewrite NaN → NULL on floating
+    // keys so the existing null branches apply (r9s5 NaN-parity rule)
+    def key(c: Column, field: String): Column =
+      if (floatFields.contains(field)) when(isnan(c), lit(null)).otherwise(c)
+      else c
     keys.foldRight(lit(0)) { case ((field, asc), tail) =>
-      val (lf, rf) = (l.getField(field), r.getField(field))
+      val (lf, rf) = (key(l.getField(field), field),
+        key(r.getField(field), field))
       val (lt, gt) = if (asc) (lit(-1), lit(1)) else (lit(1), lit(-1))
       val nullsFirst = naPosition match {
         case None      => asc // Spark default: asc→first, desc→last
@@ -496,14 +504,22 @@ object NestedOps {
                      subset: Seq[String] = Nil, how: String = "any",
                      thresh: Option[Int] = None): DataFrame = {
     val fields = if (subset.nonEmpty) subset else subColumns(df, nest)
+    // a literal NaN element counts as NA like pandas dropna (base-layer
+    // na.drop already treats NaN as NA — r9s5 NaN-parity rule)
+    val struct0 = nestedStruct(df, nest)
+    def present(s: Column, f: String): Column = struct0(f).dataType match {
+      case DoubleType | FloatType =>
+        s.getField(f).isNotNull && !isnan(s.getField(f))
+      case _ => s.getField(f).isNotNull
+    }
     def nonNullCount(s: Column): Column =
-      fields.map(f => when(s.getField(f).isNotNull, 1).otherwise(0))
+      fields.map(f => when(present(s, f), 1).otherwise(0))
         .reduce(_ + _)
     val keep: Column => Column = thresh match {
       case Some(t) => s => nonNullCount(s) >= t
       case None => how match {
-        case "any" => s => fields.map(f => s.getField(f).isNotNull).reduce(_ && _)
-        case "all" => s => fields.map(f => s.getField(f).isNotNull).reduce(_ || _)
+        case "any" => s => fields.map(f => present(s, f)).reduce(_ && _)
+        case "all" => s => fields.map(f => present(s, f)).reduce(_ || _)
         case other => throw new IllegalArgumentException(
           s"dropna how= must be 'any' or 'all', got '$other'")
       }
@@ -518,11 +534,19 @@ object NestedOps {
   /** Fill NULLs in nested fields with per-field constants.
     * Reference: `fillna` with dotted keys (core.py:1351-1434). */
   def fillNaElements(df: DataFrame, nest: String,
-                     values: Map[String, Any]): DataFrame =
+                     values: Map[String, Any]): DataFrame = {
+    // pandas fillna fills NaN too (base na.fill already does; coalesce
+    // alone would keep a literal NaN element — r9s5 NaN-parity rule)
+    val struct0 = nestedStruct(df, nest)
+    def na(c: Column, f: String): Column = struct0(f).dataType match {
+      case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
+      case _                      => c
+    }
     df.withColumn(nest, transform(col(nest), s =>
       values.foldLeft(s) { case (acc, (f, v)) =>
-        acc.withField(f, coalesce(s.getField(f), lit(v)))
+        acc.withField(f, coalesce(na(s.getField(f), f), lit(v)))
       }))
+  }
 
   /** MAPPING form of whole-frame fillna (core.py:1415-1428): base keys fill
     * their base columns (Spark `na.fill(Map)` semantics), dotted
@@ -956,13 +980,20 @@ object NestedOps {
     val nests = resolved.collect { case ((Some(n), _), _) => n }.toSet
     if (nests.isEmpty)
       df.orderBy(resolved.map { case ((_, c), asc) =>
+        // NaN sorts as NA like pandas (Spark would order it LARGEST) —
+        // rewrite floating keys so na_position governs NaN rows too
+        val k = df.schema(c).dataType match {
+          case DoubleType | FloatType =>
+            when(isnan(col(c)), lit(null)).otherwise(col(c))
+          case _ => col(c)
+        }
         (asc, naPosition) match {
-          case (true,  None)          => col(c).asc
-          case (false, None)          => col(c).desc
-          case (true,  Some("first")) => col(c).asc_nulls_first
-          case (true,  Some("last"))  => col(c).asc_nulls_last
-          case (false, Some("first")) => col(c).desc_nulls_first
-          case (false, Some("last"))  => col(c).desc_nulls_last
+          case (true,  None)          => k.asc
+          case (false, None)          => k.desc
+          case (true,  Some("first")) => k.asc_nulls_first
+          case (true,  Some("last"))  => k.asc_nulls_last
+          case (false, Some("first")) => k.desc_nulls_first
+          case (false, Some("last"))  => k.desc_nulls_last
           case (_, Some(other)) => throw new IllegalArgumentException(
             s"na_position must be 'first' or 'last', got '$other'")
         }
@@ -1021,9 +1052,14 @@ object NestedOps {
     * Narrow `array_sort` with a struct comparator — no explode/shuffle. */
   def sortElements(df: DataFrame, nest: String,
                    keys: Seq[(String, Boolean)],
-                   naPosition: Option[String] = None): DataFrame =
+                   naPosition: Option[String] = None): DataFrame = {
+    val floats = nestedStruct(df, nest).fields.collect {
+      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+    }.toSet
     df.withColumn(nest,
-      array_sort(col(nest), (l, r) => structComparator(l, r, keys, naPosition)))
+      array_sort(col(nest),
+        (l, r) => structComparator(l, r, keys, naPosition, floats)))
+  }
 
   // ---------------------------------------------------------------------------
   // Aggregations (reference: core.py min/max/describe, utils/utils.py count_nested)

@@ -224,6 +224,40 @@ class NestedOpsSpec extends SparkSpec {
     assert(mx.getInt(mx.fieldIndex("nested.d")) == 9)
   }
 
+  test("dropna / fillna treat literal NaN elements as NA like pandas") {
+    val df = Seq((1L, Seq(1.0, Double.NaN, 3.0))).toDF("k", "l")
+      .select($"k", transform($"l", x => struct(x.as("x"))).as("n"))
+    val dropped = NestedOps.dropNaElements(df, "n")
+      .select(transform($"n", s => s.getField("x")))
+      .as[Seq[Double]].collect().head
+    assert(dropped == Seq(1.0, 3.0), s"dropna should drop NaN: $dropped")
+    val filled = NestedOps.fillNaElements(df, "n", Map("x" -> 9.0))
+      .select(transform($"n", s => s.getField("x")))
+      .as[Seq[Double]].collect().head
+    assert(filled == Seq(1.0, 9.0, 3.0), s"fillna should fill NaN: $filled")
+  }
+
+  test("sort keys treat literal NaN as NA (na_position governs it)") {
+    // pandas sorts NaN with the NA rows; Spark alone would order NaN as
+    // the LARGEST double (desc would put it first, na_position='first'
+    // would NOT move it)
+    val df = Seq((1L, 3.0), (2L, Double.NaN), (3L, 1.0)).toDF("k", "v")
+    val first = NestedOps.sortValues(df, Seq(("v", true)), Some("first"))
+      .select("k").as[Long].collect().toSeq
+    assert(first == Seq(2L, 3L, 1L), s"NaN should sort first: $first")
+    val descLast = NestedOps.sortValues(df, Seq(("v", false)), Some("last"))
+      .select("k").as[Long].collect().toSeq
+    assert(descLast == Seq(1L, 3L, 2L), s"NaN should sort last: $descLast")
+    // element sort inside a cell
+    val nested = Seq((1L, Seq(3.0, Double.NaN, 1.0))).toDF("k", "l")
+      .select($"k", transform($"l", x => struct(x.as("x"))).as("n"))
+    val cell = NestedOps.sortElements(nested, "n", Seq(("x", true)),
+      Some("last")).select(transform($"n", s => s.getField("x")))
+      .as[Seq[Double]].collect().head
+    assert(cell(0) == 1.0 && cell(1) == 3.0 && cell(2).isNaN,
+      s"element NaN should sort last: $cell")
+  }
+
   test("describeAll excludes literal NaN from every stat (pandas skipna)") {
     val df = Seq(1.0, 3.0, Double.NaN).toDF("v")
     val got = NestedOps.describeAll(df).collect()
