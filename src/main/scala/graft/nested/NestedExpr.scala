@@ -1091,8 +1091,20 @@ object NestedExpr {
               toks.drop(idx + 1).headOption.exists {
                 case Text(t) => t.trim.startsWith("()"); case _ => false } =>
             nests += nest
-            val not = if (fn == "notna") " not" else ""
-            s"(${ref(nest, field)} is$not null) __LEN_CALL"
+            // pandas isna(NaN) is True — floating fields test isnan too
+            // (r9s5 NaN-parity rule; non-floating fields NULL-only)
+            val floating = NestedOps.subColumns(df, nest).contains(field) &&
+              (NestedOps.nestedStruct(df, nest)(field).dataType match {
+                case org.apache.spark.sql.types.DoubleType |
+                     org.apache.spark.sql.types.FloatType => true
+                case _ => false
+              })
+            val e = ref(nest, field)
+            val pred =
+              if (floating) s"($e is null or isnan($e))"
+              else s"($e is null)"
+            val body = if (fn == "notna") s"(not $pred)" else pred
+            s"$body __LEN_CALL"
           // nest.field.str.method(...) — pandas Series.str accessor
           // (resolver-reachable in the reference, expr.py:24-46)
           case Seq(nest, field, "str", m) if nestSet.contains(nest) &&

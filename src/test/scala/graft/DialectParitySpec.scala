@@ -274,6 +274,21 @@ class DialectParitySpec extends SparkSpec {
     assert(mx2 == 3.0, s"max should skip NaN: $mx2")
   }
 
+  test("element isna()/notna() treat a literal NaN as NA like pandas") {
+    val df = Seq((1L, Seq(1.0, Double.NaN), Seq("p", "q")))
+      .toDF("k", "xs", "ts")
+      .select($"k", arrays_zip($"xs".as("x"), $"ts".as("t")).as("n"))
+    // query drops elements; NaN must count as NA for x (floating) —
+    // both elements survive for t (string, NULL-only semantics)
+    val kept = NestedExpr.query(df, "n.x.notna()")
+      .select(size($"n")).as[Int].collect().head
+    assert(kept == 1, s"notna should drop the NaN element: $kept")
+    val isnaKept = NestedExpr.query(df, "n.x.isna()")
+      .select(transform($"n", s => s.getField("t")))
+      .as[Seq[String]].collect().head
+    assert(isnaKept == Seq("q"), s"isna should keep only the NaN row: $isnaKept")
+  }
+
   test("% mod is OUR extension — the reference raises NotImplementedError") {
     // documented divergence: reference query("nested.t % 2 > 1") raises;
     // ours evaluates (Spark SQL %)
