@@ -239,12 +239,19 @@ object Queries {
         |ev.qtr = ev.ts.dt.quarter
         |ev.dim = ev.ts.dt.days_in_month
         |ev.day0 = ev.ts.dt.normalize()
-        |ev.lab = ev.ts.dt.strftime('%Y-%m')""".stripMargin)
+        |ev.lab = ev.ts.dt.strftime('%Y-%m')
+        |ev.dn = ev.ts.dt.day_name()
+        |ev.mn = ev.ts.dt.month_name()
+        |ev.rh = ev.ts.dt.round('h')
+        |ev.c15 = ev.ts.dt.ceil('15min')
+        |ev.nns = ev.ts.dt.nanosecond""".stripMargin)
       .toFlat("ev")
       .select(col("event_id"),
         col("yr").cast("long").as("yr"), col("dow").cast("long").as("dow"),
         col("doy").cast("long").as("doy"), col("qtr").cast("long").as("qtr"),
-        col("dim").cast("long").as("dim"), col("day0"), col("lab"))
+        col("dim").cast("long").as("dim"), col("day0"), col("lab"),
+        col("dn"), col("mn"), col("rh"), col("c15"),
+        col("nns").cast("long").as("nns"))
   }
 
   /** Base-column + dt-derived GLOBAL eval reductions and `.dt` method
@@ -795,7 +802,10 @@ object Queries {
         |               - (greatest(9 - length(source), 0) // 2
         |                  + greatest(9 - length(source), 0) % 2)) AS ctr
         |FROM documents""".stripMargin,
-    // pandas dayofweek is Monday=0 -> DuckDB isodow(Mon=1) - 1
+    // pandas dayofweek is Monday=0 -> DuckDB isodow(Mon=1) - 1.
+    // round('h') on the ELEMENT layer is arrow HALF-UP = floor(m + u/2)
+    // in epoch micros; ceil = (m + u - 1) // u * u (floor-division
+    // identities, exact for pre-epoch too); nanosecond ≡ 0 for µs data.
     "q_dialect_dt" ->
       """SELECT event_id,
         | CAST(year(ts) AS BIGINT) AS yr,
@@ -804,7 +814,14 @@ object Queries {
         | CAST(quarter(ts) AS BIGINT) AS qtr,
         | CAST(day(last_day(ts)) AS BIGINT) AS dim,
         | date_trunc('day', ts) AS day0,
-        | strftime(ts, '%Y-%m') AS lab
+        | strftime(ts, '%Y-%m') AS lab,
+        | dayname(ts) AS dn,
+        | monthname(ts) AS mn,
+        | make_timestamp(((epoch_us(ts) + 1800000000) // 3600000000)
+        |                * 3600000000) AS rh,
+        | make_timestamp(((epoch_us(ts) + 899999999) // 900000000)
+        |                * 900000000) AS c15,
+        | CAST(0 AS BIGINT) AS nns
         |FROM events
         |WHERE month(ts) <= 6""".stripMargin,
     // global Series reductions (avg OVER ()) broadcast to every row —

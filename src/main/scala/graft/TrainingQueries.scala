@@ -135,16 +135,51 @@ object TrainingQueries {
       .select(col("doc_id"), col("n_chars"))
   }
 
-  /** Production MinHash+LSH candidate pairs (xxhash64; rows-only check).
-    * 4 bands × 4 rows: ~90% recall at jaccard 0.8, ~0.1% false-candidate
-    * rate at jaccard 0.2 — tuned for this corpus's dense low-similarity
-    * background (2-row bands admitted >1% of all pairs). */
+  /** Planted-truth machinery for the xxhash64 rows-only trio (VERDICT r9
+    * item 6): exact copies of the lowest-id docs are unioned in at
+    * `doc_id + PLANT_BASE`. Identical text → identical signature → every
+    * band collides, so detection is DETERMINISTIC (no LSH probability in
+    * the assertion): a correct pipeline must place each copy in its
+    * source's pair-graph component. The emitted rows stay the
+    * ORIGINAL-corpus pairs; the check rides along as a broadcast scalar
+    * `planted_recall` (1.0 on pass — the q_describe_approx pattern). */
+  private val PlantBase = 1000000L
+  private val PlantMaxId = 40L
+
+  private def planted(d: DataFrame): DataFrame =
+    d.where(col("doc_id") < PlantMaxId)
+      .withColumn("doc_id", col("doc_id") + lit(PlantBase))
+
+  /** Production MinHash+LSH candidate pairs (xxhash64; rows-only check
+    * + planted-truth recall column). 4 bands × 4 rows: ~90% recall at
+    * jaccard 0.8, ~0.1% false-candidate rate at jaccard 0.2 — tuned for
+    * this corpus's dense low-similarity background (2-row bands admitted
+    * >1% of all pairs). */
   val qMinhashPairs: Q = (s, dir) => {
-    val withSig = docs(s, dir).select(col("doc_id"),
+    val d = docs(s, dir)
+    val all = d.unionByName(planted(d))
+    val withSig = all.select(col("doc_id"),
       Dedup.minHashSignaturesNative(col("text"), numHashes = 16,
         shingleSize = 5).as("sig"))
-    Dedup.lshCandidatePairs(withSig, "doc_id", "sig",
+    val pairs = Dedup.lshCandidatePairs(withSig, "doc_id", "sig",
       numHashes = 16, rowsPerBand = 4)
+    withPlantedRecall(d, pairs)
+  }
+
+  /** Original-corpus pairs + the broadcast `planted_recall` scalar. */
+  private def withPlantedRecall(d: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+    val srcC = comps.select(col("v").as("sid"), col("component").as("cs"))
+    val cpC = comps.where(col("v") >= PlantBase)
+      .select((col("v") - PlantBase).as("sid"), col("component").as("cp"))
+    val hits = cpC.join(srcC, "sid").where(col("cp") === col("cs"))
+      .agg(count(lit(1)).as("nhit"))
+    val denom = d.where(col("doc_id") < PlantMaxId)
+      .agg(count(lit(1)).as("np"))
+    val recall = hits.crossJoin(denom)
+      .select(roundSafe(col("nhit") / col("np"), 4).as("planted_recall"))
+    pairs.where(col("a") < PlantBase && col("b") < PlantBase)
+      .crossJoin(broadcast(recall))
   }
 
   /** Production 64-bit SimHash near-dup pairs (xxhash64; rows-only check):
@@ -154,10 +189,13 @@ object TrainingQueries {
     * linear in block size, never a per-bucket member array on one task.
     * See [[graft.operators.Dedup.simhashCandidatePairs]]. */
   val qSimhashPairs: Q = (s, dir) => {
-    val sigs = docs(s, dir)
+    val d = docs(s, dir)
+    val all = d.unionByName(planted(d))
+    val sigs = all
       .select(col("doc_id"), Dedup.simHash64Native(col("text")).as("sig"))
-    Dedup.simhashCandidatePairs(sigs, "doc_id", "sig",
+    val pairs = Dedup.simhashCandidatePairs(sigs, "doc_id", "sig",
       numBands = 4, bitsPerBand = 16, maxHamming = 3)
+    withPlantedRecall(d, pairs)
   }
 
   /** Oracle-exact twin of q_minhash_pairs: the SAME pairing core
@@ -226,9 +264,26 @@ object TrainingQueries {
   /** Full near-dup removal pipeline: sigs → LSH candidates → jaccard
     * verification → connected components → keep min id per component.
     * Rows-only check (candidate recall depends on engine hashing). */
-  val qDedupPipeline: Q = (s, dir) =>
-    Dedup.dedupNear(docs(s, dir), "doc_id", "text", threshold = 0.8)
+  /** Production near-dup pipeline + planted truth: exact copies planted
+    * at doc_id+PlantBase MUST all be eliminated (jaccard 1.0 ≥ any
+    * threshold; source id < copy id so keep-min keeps the source), and
+    * the original rows are unchanged — a copy never alters its
+    * component's min. `planted_removed` = 1.0 on pass. */
+  val qDedupPipeline: Q = (s, dir) => {
+    val d = docs(s, dir)
+    val kept = Dedup.dedupNear(d.unionByName(planted(d)),
+      "doc_id", "text", threshold = 0.8)
+    val nKeptPlanted = kept.where(col("doc_id") >= PlantBase)
+      .agg(count(lit(1)).as("nkept"))
+    val denom = d.where(col("doc_id") < PlantMaxId)
+      .agg(count(lit(1)).as("np"))
+    val removed = nKeptPlanted.crossJoin(denom)
+      .select(roundSafe(lit(1.0) - col("nkept") / col("np"), 4)
+        .as("planted_removed"))
+    kept.where(col("doc_id") < PlantBase)
       .select(col("doc_id"), col("lang"), col("n_chars"))
+      .crossJoin(broadcast(removed))
+  }
 
   /** Character-3-gram Jaccard over all doc pairs with id < 40. */
   val qJaccardPairs: Q = (s, dir) => {

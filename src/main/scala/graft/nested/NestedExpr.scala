@@ -2,7 +2,8 @@ package graft.nested
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, expr, lit, size, when}
-import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructType,
+  TimestampNTZType, TimestampType}
 
 /** String front-end for the reference's query/eval dialect.
   *
@@ -263,13 +264,19 @@ object NestedExpr {
 
   /** All preprocessing passes; returns a Spark-SQL-parseable string.
     * private[graft] for the identity-property spec. */
-  /** `stringElemRefs`: dotted `nest.field` names of STRING-typed nested
-    * fields — string element comparisons are 2-valued in pandas even on
-    * arrow-backed data (NA == x → False, NA != x → True; r9 fuzzer +
-    * probe), while NUMERIC arrow comparisons are Kleene. */
+  /** `twoValuedElemRefs`: dotted `nest.field` names of STRING- or
+    * TIMESTAMP-typed nested fields. The NA-comparison regime splits on the
+    * compared expression's RESULT TYPE (r9 fuzzer + r10 dt-audit probes,
+    * all reference-executed): string and timestamp element comparisons are
+    * 2-VALUED (NA == x → False, NA != x → True — `n.t != '2023-06-16'`
+    * and `n.s.str.upper() != 'BB'` both KEEP the NA element), while
+    * NUMERIC/BOOL element comparisons are Kleene (`n.x != 3.0` and
+    * `n.s.str.len() != 2` both DROP it). Method results count: a chain's
+    * LAST member decides (`n.t.dt.floor('D').dt.year` is numeric →
+    * Kleene; `n.t.dt.day_name()` is string → 2-valued). */
   private[graft] def preprocess(exprStr: String,
                                 nestSet: Set[String] = Set.empty,
-                                stringElemRefs: Set[String] = Set.empty)
+                                twoValuedElemRefs: Set[String] = Set.empty)
       : String = {
     var as = atomize(tokenize(exprStr))
 
@@ -351,27 +358,60 @@ object NestedExpr {
     /** Does this comparison span keep KLEENE missing semantics? True when
       * it references a nested field at element level (vs only base
       * columns / global reduction scalars) — EXCEPT when every element
-      * ref is a plain STRING field: pandas string comparisons are
-      * 2-valued even on arrow NA (probe: `t != 'aa'` keeps NA elements,
-      * `~(t == 'aa')` keeps them; numeric `~(x == 1.0)` drops them).
-      * Dotted refs with extra parts (.str chains, .isna) stay Kleene —
-      * conservative, matching `.str` predicate behavior. */
-    def elementSpan(span: Vector[Atom]): Boolean = {
-      val elemIdents = span.collect {
-        case AIdent(parts) if parts.headOption.exists(nestSet.contains) &&
-          !(parts.length == 3 && reductionAggs.contains(parts(2))) &&
-          // dt-derived global reduction `nest.field.dt.attr.agg()` is a
-          // scalar, not an element ref
-          !(parts.length == 5 && parts(2) == "dt" &&
-            reductionAggs.contains(parts(4))) => parts
-      }
+      * ref's RESULT type is string or timestamp: those comparisons are
+      * 2-valued in pandas even on arrow NA (probes: `t != 'aa'`,
+      * `ts != '2023-06-16'`, `s.str.upper() != 'BB'`,
+      * `ts.dt.day_name() != 'Friday'`, `ts.dt.floor('D') != d` all KEEP
+      * the NA element; numeric `~(x == 1.0)`, `ts.dt.year != 2023`, and
+      * `s.str.len() != 2` drop it). The 2-valued escape applies to
+      * EQUALITY only (`eqOp`): ordering comparisons on string/timestamp
+      * elements are Kleene like numerics (probe: `n.s <= 'ab'` and
+      * `~(n.t.dt.round('h') <= d)` both DROP the NA element, while
+      * `n.s != 'ab'` keeps it). A chained member after an element ref
+      * (`.dt.m` / `.str.m` following a method call) re-types the chain —
+      * the LAST member decides. */
+    def elementSpan(span: Vector[Atom], eqOp: Boolean): Boolean = {
       val rawElem = span.exists {
         case ARaw(s) => rawNestRef(s)
         case _ => false
       }
-      val isElement = elemIdents.nonEmpty || rawElem
-      val allString = !rawElem && elemIdents.nonEmpty && elemIdents.forall(
-        p => p.length == 2 && stringElemRefs.contains(p.mkString(".")))
+      // kinds per element chain: true = 2-valued (string/timestamp result)
+      val chainKinds = collection.mutable.ArrayBuffer.empty[Boolean]
+      def memberTwoValued(acc: String, m: String): Option[Boolean] =
+        acc match {
+          case "str" => Some(strStringResult.contains(m))
+          // dt attrs are all numeric/bool (Kleene); only the string/
+          // timestamp-producing methods flip to 2-valued
+          case "dt" => Some(dtTwoValuedMembers.contains(m))
+          case _ => None
+        }
+      span.foreach {
+        case AIdent(parts) if parts.headOption.exists(nestSet.contains) &&
+            !(parts.length == 3 && reductionAggs.contains(parts(2))) &&
+            // dt-derived global reduction `nest.field.dt.attr.agg()` is a
+            // scalar, not an element ref
+            !(parts.length == 5 && parts(2) == "dt" &&
+              reductionAggs.contains(parts(4))) =>
+          val kind =
+            if (parts.length == 2)
+              twoValuedElemRefs.contains(parts.mkString("."))
+            else if (parts.length == 4)
+              memberTwoValued(parts(2), parts(3)).getOrElse(false)
+            else false // .isna()/.notna() masks etc. — not comparisons
+          chainKinds += kind
+        // chain follower `.dt.m` / `.str.m` after a call: re-types the
+        // most recent element chain (the tokenizer splits `).dt.year`
+        // into its own 2-part ident)
+        case AIdent(Seq(acc, m)) if (acc == "dt" || acc == "str") &&
+            !nestSet.contains(acc) && chainKinds.nonEmpty =>
+          memberTwoValued(acc, m).foreach { k =>
+            chainKinds(chainKinds.length - 1) = k
+          }
+        case _ => ()
+      }
+      val isElement = chainKinds.nonEmpty || rawElem
+      val allTwoValued = eqOp && !rawElem && chainKinds.nonEmpty &&
+        chainKinds.forall(identity)
       // NOT modeled (documented divergence, COVERAGE.md): pandas'
       // np.sqrt over an arrow element series LAUNDERS NA into float64
       // NaN and the comparison flips to 2-valued — but only until an
@@ -379,7 +419,7 @@ object NestedExpr {
       // `abs(x)` stays arrow, `y + sqrt(abs(x))` rehydrates). That is
       // numpy/arrow dtype juggling, not a semantic contract; graft
       // keeps uniform Kleene for numeric element comparisons.
-      isElement && !allString
+      isElement && !allTwoValued
     }
 
     // chained comparisons: O1 c1 O2 c2 O3 → (O1 c1 O2) and (O2 c2 O3)
@@ -429,9 +469,13 @@ object NestedExpr {
               // here (the rewrite collapses to raw text, so the coalesce
               // pass below can no longer see these comparisons); element
               // layer keeps Kleene/SQL semantics — see the wrap pass
-              val chainElement = elementSpan(as.slice(s0, eN + 1))
+              // per-conjunct operator decides the 2-valued-equality escape
+              val chainElemEq = elementSpan(as.slice(s0, eN + 1), eqOp = true)
+              val chainElemOrd = elementSpan(as.slice(s0, eN + 1), eqOp = false)
               val joined = ops.zipWithIndex.map { case (c, oi) =>
                 val cmp = s"(${operands(oi)} $c ${operands(oi + 1)})"
+                val chainElement =
+                  if (c == "==" || c == "!=") chainElemEq else chainElemOrd
                 if (chainElement) cmp
                 else s"coalesce($cmp, ${if (c == "!=") "true" else "false"})" }
                 .mkString(" and ")
@@ -536,7 +580,8 @@ object NestedExpr {
         // fields (r9 fuzzer, large-frame case: `~(n.x in [...])` KEEPS
         // null-x elements). Comparisons keep the layer split (element
         // layer = Kleene).
-        val elementLayer = !isIn && elementSpan(span)
+        val elementLayer = !isIn && elementSpan(span,
+          eqOp = as(c) == AOp("==") || as(c) == AOp("!="))
         val txt = span.map(renderAtom).mkString
         // element layer: collapse WITHOUT the wrap (Kleene semantics) so
         // the scan still advances past this comparison
@@ -636,6 +681,11 @@ object NestedExpr {
     // fractional-second part in micros (second() truncates)
     "microsecond" -> (x =>
       s"(cast(date_part('SECOND', $x) * 1000000 as bigint) % 1000000)"),
+    // ns within the µs — Spark timestamps are µs-precision so this is 0
+    // for every non-NULL value (pandas ns-unit data can be nonzero; the
+    // µs data graft stores never is). Reference-executed r10 audit.
+    "nanosecond" -> (x =>
+      s"(cast(date_part('SECOND', $x) * 1000000000 as bigint) % 1000)"),
     "dayofweek" -> dtDow, "day_of_week" -> dtDow, "weekday" -> dtDow,
     "dayofyear" -> (x => s"dayofyear($x)"),
     "day_of_year" -> (x => s"dayofyear($x)"),
@@ -652,7 +702,46 @@ object NestedExpr {
       s"(day($x) = 1 and month($x) in (1, 4, 7, 10))"),
     "is_quarter_end" -> (x =>
       s"(cast($x as date) = last_day($x) and month($x) in (3, 6, 9, 12))"))
-  private val dtMethods = Set("normalize", "strftime", "floor")
+  private val dtMethods = Set("normalize", "strftime", "floor",
+    "ceil", "round", "day_name", "month_name", "as_unit")
+
+  /** `.dt` members whose RESULT is a string or timestamp — comparisons on
+    * them are 2-VALUED in pandas (see [[preprocess]]'s elementSpan). */
+  private val dtTwoValuedMembers = Set("normalize", "floor", "ceil",
+    "round", "as_unit", "strftime", "day_name", "month_name")
+
+  /** `.str` methods whose RESULT is a string (comparisons 2-valued);
+    * numeric/bool-result methods (len, count, find, predicates, match…)
+    * stay Kleene. */
+  private val strStringResult = Set("upper", "lower", "strip", "lstrip",
+    "rstrip", "replace", "capitalize", "title", "swapcase", "get", "slice",
+    "removeprefix", "removesuffix", "repeat", "pad", "center", "ljust",
+    "rjust", "zfill", "slice_replace", "extract")
+
+  /** pandas fixed-frequency string → micros (`'15min'`, `'2h'`, `'D'`,
+    * `'s'`, `'ms'`, incl. the deprecated single-letter aliases pandas
+    * still accepts); non-fixed freqs (W/M/Y…) raise, matching pandas
+    * `dt.floor/ceil/round` which accept fixed frequencies only. */
+  private def freqMicros(freq: String, m: String, exprStr: String): Long = {
+    val re = """^(\d*)(D|d|h|H|min|T|s|S|ms|L|us|U)$""".r
+    freq match {
+      case re(mult, unit) =>
+        val u = unit match {
+          case "D" | "d"   => 86400000000L
+          case "h" | "H"   => 3600000000L
+          case "min" | "T" => 60000000L
+          case "s" | "S"   => 1000000L
+          case "ms" | "L"  => 1000L
+          case _           => 1L // us | U
+        }
+        val k = if (mult.isEmpty) 1L else mult.toLong
+        require(k > 0, s".dt.$m: zero-multiple freq '$freq' in: $exprStr")
+        k * u
+      case _ => throw new IllegalArgumentException(
+        s".dt.$m: unsupported freq '$freq' (fixed frequencies only: " +
+          s"[n]D, [n]h, [n]min, [n]s, [n]ms, [n]us) in: $exprStr")
+    }
+  }
 
   private def dtUnsupported(m: String, exprStr: String): Nothing =
     throw new IllegalArgumentException(
@@ -949,15 +1038,25 @@ object NestedExpr {
     * A bare `is_*.min()/max()` then converts the int helper back to
     * BOOLEAN (pandas keeps bool dtype); any composed use stays numeric
     * (bool is duck-numeric in pandas: True + 1 = 2). */
-  private def bareReductionUse(toks: Seq[Tok], idx: Int): Boolean =
-    toks.take(idx).forall {
-      case Text(t) => t.trim.isEmpty; case _ => false
-    } && (toks.drop(idx + 1).toList match {
-      case Text(t) :: rest => t.trim == "()" && rest.forall {
-        case Text(t2) => t2.trim.isEmpty; case _ => false
-      }
-      case _ => false
-    })
+  private def bareReductionUse(toks: Seq[Tok], idx: Int): Boolean = {
+    val (pre, post) = (toks.take(idx), toks.drop(idx + 1))
+    val allText = (pre ++ post).forall {
+      case Text(_) => true; case _ => false
+    }
+    if (!allText) false
+    else {
+      // surrounding text may be nothing but balanced parens/whitespace:
+      // `(ts.dt.is_leap_year.min())` is still a bare use (pandas keeps
+      // bool dtype through redundant parens) — ADVICE r10
+      val before = pre.collect { case Text(t) => t }
+        .mkString.filterNot(_.isWhitespace)
+      val after = post.collect { case Text(t) => t }
+        .mkString.filterNot(_.isWhitespace)
+      before.forall(_ == '(') && after.startsWith("()") &&
+        after.drop(2).forall(_ == ')') &&
+        after.length - 2 == before.length
+    }
+  }
 
   /** sqlE adjustment for a dt-derived GLOBAL reduction: pandas treats
     * boolean `is_*` attrs as numeric under aggregation (mean = fraction
@@ -994,16 +1093,21 @@ object NestedExpr {
     val reds = collection.mutable.LinkedHashMap
       .empty[(String, String, String), Reduction]
     var usesBase = false
-    val stringElemRefs: Set[String] = df.schema.fields.toSeq.flatMap { f =>
+    // string- AND timestamp-typed fields: both compare 2-valued on NA
+    // (reference-executed; see preprocess's elementSpan)
+    val twoValuedElemRefs: Set[String] = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case ArrayType(s: StructType, _) =>
           s.fields.toSeq.collect {
-            case sf if sf.dataType == StringType => s"${f.name}.${sf.name}"
+            case sf if sf.dataType == StringType ||
+              sf.dataType == TimestampType ||
+              sf.dataType == TimestampNTZType =>
+              s"${f.name}.${sf.name}"
           }
         case _ => Nil
       }
     }.toSet
-    val toks = tokenize(preprocess(exprStr, nestSet, stringElemRefs))
+    val toks = tokenize(preprocess(exprStr, nestSet, twoValuedElemRefs))
     val sql = toks.zipWithIndex.map {
       case (Text(t), idx) =>
         doubleizeFloats(t, protectTrailing =
@@ -1342,9 +1446,31 @@ object NestedExpr {
       sql = sql.substring(0, i) + cur + sql.substring(end)
       i = indexOfOutsideQuotes(sql, MARK)
     }
-    require(indexOfOutsideQuotes(sql, "__GRAFTSTRCHAIN_") < 0,
-      s"chained .str is only supported directly after a .str method " +
-        s"call in: $exprStr")
+    {
+      val left = indexOfOutsideQuotes(sql, "__GRAFTSTRCHAIN_")
+      if (left >= 0) {
+        // name the accessor that was chained and what it was chained onto,
+        // instead of a blanket '.str' message (ADVICE r10): a leftover
+        // chain marker means the receiver was not a .str/.dt marker call —
+        // e.g. a parenthesized receiver `(ts).dt.year`, which pandas
+        // accepts but this rewriter resolves only on direct column paths.
+        val rest = sql.substring(left + "__GRAFTSTRCHAIN_".length)
+        val (acc, meth) =
+          if (rest.startsWith("dtattr")) (".dt", rest.stripPrefix("dtattr"))
+          else if (rest.startsWith("dtchain"))
+            (".dt", rest.stripPrefix("dtchain"))
+          else (".str", rest)
+        val methName = meth.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
+        val recv = sql.substring(0, left).reverse
+          .dropWhile(ch => ch == '.' || ch.isWhitespace)
+          .takeWhile(!_.isWhitespace).reverse
+        throw new IllegalArgumentException(
+          s"chained $acc.$methName must directly follow a .str/.dt method " +
+            s"call or a plain column path — receiver ending " +
+            s"'${recv.takeRight(40)}' is neither (wrap the whole " +
+            s"expression, not the receiver, in parentheses) in: $exprStr")
+      }
+    }
     sql
   }
 
@@ -1409,22 +1535,69 @@ object NestedExpr {
             s".dt.strftime expects a string-literal format in: $exprStr"))
         val pat = strftimeToJava(fmt, exprStr, arrow = m == "dtestrftime")
         (s"date_format($x, '${pat.replace("'", "''")}')", false)
-      case "dtbfloor" | "dtefloor" =>
+      // floor/ceil/round: epoch-anchored multiples of a FIXED freq, pandas
+      // semantics (multiples like '15min' accepted). Round ties are
+      // LAYER-SPLIT (r10 alt-seed fuzz + probe): numpy base rounds
+      // HALF-TO-EVEN against the multiple index (00:30.round('h') → 00:00
+      // but 01:30 → 02:00), the arrow element layer rounds HALF-UP
+      // (both → next hour). Integer micros arithmetic — exact for all
+      // units, pre-epoch (negative micros) included via pmod's
+      // non-negative remainder; the tie test compares 2·rem vs the unit
+      // so odd-µs multiples can't fake a tie. NULL propagates through
+      // unix_micros.
+      case "dtbfloor" | "dtefloor" | "dtbceil" | "dteceil" |
+           "dtbround" | "dteround" =>
+        val meth = m.drop(3)
         require(args.length == 1,
-          s".dt.floor expects 1 argument in: $exprStr")
+          s".dt.$meth expects 1 argument in: $exprStr")
         val freq = strLitContent(args.head).getOrElse(
           throw new IllegalArgumentException(
-            s".dt.floor expects a string-literal freq in: $exprStr"))
-        val unit = freq match {
-          case "D" | "d"   => "DAY"
-          case "h" | "H"   => "HOUR"
-          case "min" | "T" => "MINUTE"
-          case "s" | "S"   => "SECOND"
-          case other => throw new IllegalArgumentException(
-            s".dt.floor: unsupported freq '$other' " +
-              s"(supported: D, h, min, s) in: $exprStr")
+            s".dt.$meth expects a string-literal freq in: $exprStr"))
+        val u = freqMicros(freq, meth, exprStr)
+        val mi = s"unix_micros(cast($x as timestamp))"
+        val fl = s"($mi - pmod($mi, ${u}L))"
+        val micros = meth match {
+          case "floor" => fl
+          case "ceil"  => s"($mi + pmod(-$mi, ${u}L))"
+          case _ if m.startsWith("dte") => // arrow round: half-UP
+            s"(case when 2 * pmod($mi, ${u}L) >= ${u}L then $fl + ${u}L " +
+              s"else $fl end)"
+          case _ => // numpy round: half-to-even multiple
+            s"(case when 2 * pmod($mi, ${u}L) < ${u}L then $fl " +
+              s"when 2 * pmod($mi, ${u}L) > ${u}L then $fl + ${u}L " +
+              s"else $fl + pmod($fl div ${u}L, 2L) * ${u}L end)"
         }
-        (s"cast(date_trunc('$unit', $x) as timestamp_ntz)", false)
+        (s"cast(timestamp_micros($micros) as timestamp_ntz)", false)
+      // day_name/month_name: date_format's root locale is English, the
+      // pandas locale=None default; an explicit locale argument raises
+      // (JVM locale tables diverge from glibc's — no silent mismatch)
+      case "dtbday_name" | "dteday_name" |
+           "dtbmonth_name" | "dtemonth_name" =>
+        val meth = m.drop(3)
+        require(args.isEmpty,
+          s".dt.$meth: the locale argument is not supported in: $exprStr")
+        val pat = if (meth == "day_name") "EEEE" else "MMMM"
+        (s"date_format($x, '$pat')", false)
+      // as_unit: precision TRUNCATION (probe: .1239 as_unit('ms') → .123,
+      // not rounded); Spark storage stays µs either way, so 'us'/'ns' are
+      // identity and 'ms'/'s' zero the sub-unit digits
+      case "dtbas_unit" | "dteas_unit" =>
+        require(args.length == 1,
+          s".dt.as_unit expects 1 argument in: $exprStr")
+        val unit = strLitContent(args.head).getOrElse(
+          throw new IllegalArgumentException(
+            s".dt.as_unit expects a string-literal unit in: $exprStr"))
+        unit match {
+          case "ns" | "us" => (s"($x)", false)
+          case "ms" | "s" =>
+            val u = if (unit == "ms") 1000L else 1000000L
+            val mi = s"unix_micros(cast($x as timestamp))"
+            (s"cast(timestamp_micros($mi - pmod($mi, ${u}L)) " +
+              s"as timestamp_ntz)", false)
+          case other => throw new IllegalArgumentException(
+            s".dt.as_unit: unsupported unit '$other' " +
+              s"(supported: s, ms, us, ns) in: $exprStr")
+        }
       case _ if strSimple.contains(m) =>
         val fn = strSimple(m)
         val nArgs = m match {
@@ -1679,8 +1852,10 @@ object NestedExpr {
           intLit(args(p)).foreach(v => require(v >= 0,
             s".str.slice_replace supports non-negative bounds in: $exprStr"))
         }
+        // pandas clamps stop to at least start (slice_replace(2, 1, r)
+        // INSERTS at 2, it does not duplicate s[1:2] — r10 alt-seed fuzz)
         (s"concat(substring($x, 1, ${args(0)}), ${args(2)}, " +
-          s"substring($x, (${args(1)}) + 1))", false)
+          s"substring($x, greatest(${args(0)}, ${args(1)}) + 1))", false)
       case other => strUnsupported(other, exprStr)
     }
   }
@@ -1790,11 +1965,12 @@ object NestedExpr {
     """(?s)^\s*(.*?)\s*(?<![=!<>+\-*/%&|^~@:])=(?!=)\s*(.*)$""".r
 
   /** `keepHelpers`: reduction helper columns [[eval]] pre-attached whose
-    * source column NO line of the program writes — left in place so a
+    * source column no line BEFORE this one writes — left in place so a
     * later line using the same reduction reuses the one agg instead of
-    * re-attaching (eval's final sweep removes them); helpers for
-    * written columns are still dropped per-line, which is what forces
-    * the post-write re-aggregation to see the new values. */
+    * re-attaching (eval's final sweep removes them); the moment a line
+    * writes a helper's source column, eval's fold drops the helper,
+    * which is what forces the post-write re-aggregation to see the new
+    * values. */
   def evalAssign(df: DataFrame, stmt: String,
                  keepHelpers: Set[String] = Set.empty): DataFrame = {
     def dropHelpers(d: DataFrame, names: Seq[String]): DataFrame =
@@ -1920,15 +2096,28 @@ object NestedExpr {
           .foreach(written += _)
       case _ => ()
     }
-    // helpers whose source NO line writes survive across lines (two
-    // lines sharing a reduction reuse one agg); a helper over a column
-    // written ANYWHERE still drops at its consuming line, so any later
-    // use re-aggregates and sees the written values
+    // keep is computed PER LINE against only the writes that PRECEDE it
+    // (ADVICE r10): two early lines sharing a reduction over a column only
+    // a later line writes reuse one agg. A helper becomes invalid the
+    // moment its source column is written — the fold drops it right then
+    // (whether or not the writing line consumed it), so any later use
+    // re-aggregates and sees the written values
     val reds = hoisted.result().distinct
-    val keep = reds.filterNot(r => written.contains(r.srcCol))
-      .map(_.name).toSet
-    val out = stmts.foldLeft(withReductions(df, reds)) {
-      (acc, stmt) => evalAssign(acc, stmt, keepHelpers = keep)
+    def writesOf(stmt: String): Set[String] = stmt match {
+      case assignRe(lhs, _) =>
+        tokenize(lhs).collectFirst { case Ident(p) => p.head }.toSet
+      case _ => Set.empty
+    }
+    var writtenSoFar = Set.empty[String]
+    val out = stmts.foldLeft(withReductions(df, reds)) { (acc, stmt) =>
+      val keepNow = reds.filterNot(r => writtenSoFar.contains(r.srcCol))
+        .map(_.name).toSet
+      val res = evalAssign(acc, stmt, keepHelpers = keepNow)
+      val wr = writesOf(stmt)
+      writtenSoFar ++= wr
+      val invalid = reds.filter(r => wr.contains(r.srcCol)).map(_.name)
+        .filter(res.columns.contains)
+      if (invalid.isEmpty) res else res.drop(invalid.toIndexedSeq: _*)
     }
     // hoisted helpers a line's own analysis didn't resolve to (or that no
     // line consumed) are engine-internal — drop any leftovers

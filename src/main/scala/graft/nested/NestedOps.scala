@@ -127,6 +127,19 @@ object NestedOps {
     }
   }
 
+  /** Floating field names among `keys` in a flat `schema` — passed to
+    * [[structComparator]] so a NaN sort key orders as NA (na_position
+    * governs it) at pack time too, matching [[sortElements]] (r9s5
+    * NaN-parity rule; ADVICE r10). */
+  private def floatKeyFields(schema: org.apache.spark.sql.types.StructType,
+                             keys: Seq[(String, Boolean)]): Set[String] = {
+    val names = keys.map(_._1).toSet
+    schema.fields.collect {
+      case f if names.contains(f.name) &&
+        (f.dataType == DoubleType || f.dataType == FloatType) => f.name
+    }.toSet
+  }
+
   /** Pack a flat child frame into one row per key with a nested column.
     *
     * Reference: `pack_flat` (series/packer.py:64-117) — group by index, one
@@ -146,6 +159,11 @@ object NestedOps {
     * Physical plan: ObjectHashAggregate(collect_list) — one shuffle on `on`.
     * At 100 TB: the single shuffle of the pipeline; pre-bucketed tables on the
     * key skip it entirely.
+    *
+    * NaN sort keys order as NA on the uncapped path (r9s5 NaN-parity rule,
+    * same as [[sortElements]]); the `maxPerKey` selection paths (engine
+    * extension — no pandas analog) keep Spark's native struct ordering
+    * (NaN largest) for the kept-k choice.
     */
   def packFlat(child: DataFrame, on: Seq[String], name: String,
                sortBy: Seq[(String, Boolean)] = Nil,
@@ -161,7 +179,8 @@ object NestedOps {
           .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
         if (sortBy.isEmpty) packed
         else packed.withColumn(name,
-          array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
+          array_sort(col(name), (l, r) => structComparator(l, r, sortBy,
+            floatFields = floatKeyFields(child.schema, sortBy))))
     }
 
   /** Guarded pack for hot keys: per key, pack only the first `maxPerKey`
@@ -324,7 +343,8 @@ object NestedOps {
       .agg(flatten(collect_list(col("__part"))).as(name))
     if (sortBy.isEmpty) merged
     else merged.withColumn(name,
-      array_sort(col(name), (l, r) => structComparator(l, r, sortBy)))
+      array_sort(col(name), (l, r) => structComparator(l, r, sortBy,
+        floatFields = floatKeyFields(child.schema, sortBy))))
   }
 
   /** Group-join: pack `child` by `on` and join onto `base`.
@@ -362,7 +382,8 @@ object NestedOps {
     val packed = df.groupBy(on.map(c): _*).agg(aggs.head, aggs.tail: _*)
     if (sortBy.isEmpty) packed
     else packed.withColumn(name,
-      array_sort(c(name), (l, r) => structComparator(l, r, sortBy)))
+      array_sort(c(name), (l, r) => structComparator(l, r, sortBy,
+        floatFields = floatKeyFields(df.schema, sortBy))))
   }
 
   /** Zip equal-length list columns into one nested column.
@@ -1257,14 +1278,24 @@ object NestedOps {
     * `approxAccuracy` bounds the RANK error at ±1/accuracy of the value
     * count (default 10000 → ±0.01% of ranks), values are always members
     * of the column (no interpolation). count/mean/std/min/max are exact
-    * either way. */
+    * either way.
+    *
+    * The exact-percentile CLIFF guard (`exactRowLimit`, VERDICT r9 item 5):
+    * exact `percentile` buffers a whole layer's values in ONE aggregation
+    * buffer — DescribeProbe measured 373.7s/OOM-prone at just 5M rows vs
+    * 8.3s approx (SCALING.md). When `approx = false`, each layer is
+    * pre-counted (one cheap job per layer) and a layer above the limit is
+    * auto-routed to `percentile_approx` with a WARN log; exact stays the
+    * default at oracle scale. `exactRowLimit = Long.MaxValue` disables the
+    * guard (forced exact). */
   def describeAll(df: DataFrame,
                   percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
                   excludeNest: Boolean = false,
                   include: Option[Seq[String]] = None,
                   exclude: Seq[String] = Nil,
                   approx: Boolean = false,
-                  approxAccuracy: Int = 10000): DataFrame = {
+                  approxAccuracy: Int = 10000,
+                  exactRowLimit: Long = 2000000L): DataFrame = {
     require(percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
     // pandas always includes the median and sorts ascending, even when
@@ -1296,6 +1327,22 @@ object NestedOps {
                    prefix: String): Option[DataFrame] = {
       if (cols.isEmpty) None
       else {
+        // cliff guard: an exact layer beyond exactRowLimit rows auto-routes
+        // its percentiles to the sketch (count/mean/std/min/max stay exact)
+        val useApprox = approx ||
+          (pcts.nonEmpty && exactRowLimit != Long.MaxValue && {
+            val n = src.count()
+            val over = n > exactRowLimit
+            if (over) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"describe: layer '${if (prefix.isEmpty) "<base>" else prefix}' " +
+                s"has $n rows > exactRowLimit=$exactRowLimit; exact " +
+                s"percentile would buffer the whole layer in one aggregation " +
+                s"buffer (OOM-prone — SCALING.md DescribeProbe). Routing " +
+                s"percentiles to percentile_approx(accuracy=$approxAccuracy); " +
+                s"pass approx=true explicitly or raise exactRowLimit to " +
+                s"Long.MaxValue to override.")
+            over
+          })
         def a(c: String, stat: String) = s"__${c}__$stat"
         // pandas describe is skipna: a literal NaN is excluded from count
         // and every stat — rewrite NaN → NULL for floating columns (same
@@ -1314,7 +1361,7 @@ object NestedOps {
               max(vc).cast("double").as(a(c, "max"))) ++
             pcts.zipWithIndex.map { case (p, i) =>
               val pctExpr =
-                if (approx)
+                if (useApprox)
                   s"cast(percentile_approx(${vs(c)}, cast($p as double), " +
                     s"$approxAccuracy) as double)"
                 else s"percentile(${vs(c)}, $p)"

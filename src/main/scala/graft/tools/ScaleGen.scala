@@ -1,0 +1,135 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for battery-wide scale validation (VERDICT r9 item 1).
+  *
+  * Reads the driver's synthetic tables at one SF and writes an N×-scaled
+  * copy that preserves each table's DISTRIBUTIONAL shape while growing KEY
+  * CARDINALITY — the TPC-H scaling model (more orders/customers/parts, same
+  * rows-per-key), which is the shape a 100 TB corpus actually has. Each
+  * fact table becomes N replicas with all join keys offset by
+  * `replica * keySpan`, so foreign keys stay consistent (lineitem replica i
+  * joins orders replica i) and per-key group sizes are UNCHANGED — a query
+  * whose time grows faster than ~N on this data has a plan problem, not a
+  * data-shape excuse. Dimension tables (region, nation) stay fixed.
+  *
+  * Two tables get per-replica DECORRELATION so similarity structure scales
+  * linearly instead of quadratically:
+  *  - `documents.text`: a replica-specific salt token is spliced in every
+  *    4 words. In-replica near-dup structure is preserved (the same
+  *    transform is applied to every doc of a replica, so two similar docs
+  *    stay similar), but any word-5-gram shingle crossing replicas now
+  *    contains a distinct salt → cross-replica Jaccard ≈ 0, and the planted
+  *    near-dup pair count grows N×, not N²×.
+  *  - `embeddings.embedding`: replica i's vectors are element-ROTATED by
+  *    i positions — a permutation, so norms and all in-replica distances
+  *    are preserved EXACTLY while cross-replica cosine decorrelates.
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <outDir> <multiplier>
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val n = args(2).toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalegen")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"scalegen: wrote $t")
+    }
+
+    /** keySpan: a power of 10 strictly above the max key, so offset keys
+      * are disjoint across replicas and still readable by eye. */
+    def span(df: DataFrame, key: String): Long = {
+      val mx = df.agg(max(col(key))).head.getLong(0)
+      var s = 1L
+      while (s <= mx) s *= 10
+      s
+    }
+
+    /** N replicas with the given int64 key columns offset by i*span(col). */
+    def replicate(df: DataFrame, keys: Map[String, Long]): DataFrame = {
+      val reps = (0 until n).map { i =>
+        keys.foldLeft(df) { case (d, (k, sp)) =>
+          d.withColumn(k, col(k) + lit(i * sp))
+        }
+      }
+      reps.reduce(_ unionAll _)
+    }
+
+    // ---- dims: copy unchanged ----
+    wr(rd("region"), "region")
+    wr(rd("nation"), "nation")
+
+    // ---- star schema: consistent key offsets ----
+    val cust = rd("customer"); val ord = rd("orders"); val li = rd("lineitem")
+    val part = rd("part"); val sup = rd("supplier")
+    val cSpan = span(cust, "c_custkey")
+    val oSpan = span(ord, "o_orderkey")
+    val pSpan = span(part, "p_partkey")
+    val sSpan = span(sup, "s_suppkey")
+    wr(replicate(cust, Map("c_custkey" -> cSpan)), "customer")
+    wr(replicate(ord, Map("o_orderkey" -> oSpan, "o_custkey" -> cSpan)),
+      "orders")
+    wr(replicate(li, Map("l_orderkey" -> oSpan, "l_partkey" -> pSpan,
+      "l_suppkey" -> sSpan)), "lineitem")
+    wr(replicate(part, Map("p_partkey" -> pSpan)), "part")
+    wr(replicate(sup, Map("s_suppkey" -> sSpan)), "supplier")
+
+    // ---- events: more users over the same time window ----
+    val ev = rd("events")
+    wr(replicate(ev, Map("event_id" -> span(ev, "event_id"),
+      "user_id" -> span(ev, "user_id"))), "events")
+
+    // ---- documents: offset ids + per-replica salt every 4 words ----
+    // replica 0 stays the original corpus byte-identical
+    val docs = rd("documents")
+    val dSpan = span(docs, "doc_id")
+    val docReps = (0 until n).map { i =>
+      val base = docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * dSpan))
+      if (i == 0) base
+      else base.withColumn("text",
+        array_join(
+          flatten(transform(split(col("text"), " "), (w, j) =>
+            when(j % 4 === 3, array(w, lit(s"zq${i}salt")))
+              .otherwise(array(w)))),
+          " "))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    wr(docReps.reduce(_ unionAll _), "documents")
+
+    // ---- embeddings: offset ids + per-replica element rotation ----
+    val emb = rd("embeddings")
+    val eSpan = span(emb, "vec_id")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val embReps = (0 until n).map { i =>
+      val rot = i % dim
+      val base = emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * eSpan))
+      if (rot == 0) base
+      else base.withColumn("embedding",
+        concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot)))
+    }
+    wr(embReps.reduce(_ unionAll _), "embeddings")
+
+    // sanity: print row counts
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      println(s"scalegen: $t -> " +
+        spark.read.parquet(s"$out/$t.parquet").count())
+    }
+    spark.stop()
+  }
+}

@@ -33,10 +33,17 @@ object StreamBench {
       // skip the first batch (cold start); report median + max sustained rate
       val rates = progress.drop(1).map(_.processedRowsPerSecond)
         .filterNot(_.isNaN).sorted
+      // state-store footprint from the LAST progress (steady state):
+      // rows + bytes across all stateful operators; stateless ops report 0
+      val state = progress.lastOption.map(_.stateOperators.toSeq)
+        .getOrElse(Nil)
+      val stateRows = state.map(_.numRowsTotal).sum
+      val stateBytes = state.map(_.memoryUsedBytes).sum
       if (rates.isEmpty) println(s"STREAM_BENCH $name: no progress recorded")
       else println(f"STREAM_BENCH $name: median=${rates(rates.size / 2)}%.0f " +
         f"max=${rates.last}%.0f rows/s over ${progress.size} batches " +
-        f"(source rate $rate rows/s)")
+        f"(source rate $rate rows/s; state $stateRows rows / " +
+        f"${stateBytes / 1024 / 1024}%d MiB)")
     }
 
     val src = spark.readStream.format("rate")
@@ -48,6 +55,32 @@ object StreamBench {
            .withColumn("v", (col("value") % 97).cast("double")),
         "key", "timestamp", Seq("v"), "nested",
         windowLen = "5 seconds", watermark = "5 seconds")
+    }
+    measure("dedupStream") {
+      // exact keyed dedup within the watermark: 200k-key space → ~steady
+      // duplicate rate; state = one row per distinct key in the window
+      StreamingOps.dedupStream(
+        src.withColumn("k1", col("value") % 200000),
+        "timestamp", Seq("k1"), watermark = "30 seconds")
+    }
+    measure("flagContaminationStream", mode = "append") {
+      // stateless bloom gate: 200k-gram benchmark set (~the contamination
+      // suite scale), ~3-gram shingles per doc checked against the blob
+      val sess = spark
+      import sess.implicits._
+      val bench = spark.range(200000).select(
+        concat(lit("benchmark question number "), col("id").cast("string"),
+          lit(" about topic "), (col("id") % 977).cast("string")).as("text"))
+      val grams = bench.select(explode(graft.functions.TextFunctions
+        .tokenShingles(col("text"), 3)).as("__g"))
+      val bloom = graft.operators.Dedup.gramBloom(grams, fpp = 0.01)
+      StreamingOps.flagContaminationStream(
+        src.withColumn("text",
+          concat(lit("stream document discussing topic "),
+            (col("value") % 977).cast("string"),
+            lit(" with benchmark question number "),
+            (col("value") % 400000).cast("string"))),
+        "text", bloom, n = 3)
     }
     measure("dedupNearStream") {
       StreamingOps.dedupNearStream(

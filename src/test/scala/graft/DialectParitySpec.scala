@@ -254,6 +254,114 @@ class DialectParitySpec extends SparkSpec {
     assert(comp == Set(2L), s"composed bool reduction diverged: $comp")
   }
 
+  test("r10 advice: parenthesized bare bool reduction keeps bool dtype; " +
+      "orphan .dt chain error names .dt and the receiver; per-line hoist " +
+      "keeps a shared agg when only a LATER line writes the source") {
+    val withTs = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-03-05T10:30:00")),
+      (2L, java.time.LocalDateTime.parse("2023-03-05T10:30:00")))
+      .toDF("k", "ts")
+    // `(expr)` around a bare bool min/max is still a bare use — pandas
+    // keeps bool dtype through redundant parens
+    val mn = NestedExpr.evalAssign(withTs, "f = (ts.dt.is_leap_year.min())")
+      .select("f").as[Boolean].collect().toSet
+    assert(mn == Set(false), s"parenthesized bare min diverged: $mn")
+    val mn2 = NestedExpr.evalAssign(withTs, "f = ((ts.dt.is_leap_year.max()))")
+      .select("f").as[Boolean].collect().toSet
+    assert(mn2 == Set(true), s"double-parenthesized bare max diverged: $mn2")
+    // unbalanced/composed parens stay numeric
+    val comp = NestedExpr.evalAssign(withTs,
+      "f = (ts.dt.is_leap_year.max()) + 1")
+      .select("f").as[Long].collect().toSet
+    assert(comp == Set(2L), s"composed parens diverged: $comp")
+    // a parenthesized RECEIVER `(ts).dt.year` is unsupported — the error
+    // must name .dt and the actual receiver, not claim a '.str' problem
+    val err = intercept[IllegalArgumentException] {
+      NestedExpr.evalAssign(withTs, "y = (ts).dt.year")
+    }
+    assert(err.getMessage.contains(".dt.year") &&
+      !err.getMessage.contains("chained .str is"),
+      s"orphan-chain error still misleading: ${err.getMessage}")
+    // hoist sharing: two EARLY lines share one reduction over a column a
+    // LATER line writes — one batched agg, both early lines see pre-write
+    // values, a post-write use re-aggregates and sees the new values
+    val base = Seq((1L, 2.0), (2L, 4.0)).toDF("k", "a")
+    val out = NestedExpr.eval(base,
+      """r1 = a.mean()
+        |r2 = a.mean() + 1
+        |a = a * 10
+        |r3 = a.mean()""".stripMargin)
+    val row = out.orderBy("k").collect()
+    assert(row.forall(_.getAs[Double]("r1") == 3.0))
+    assert(row.forall(_.getAs[Double]("r2") == 4.0))
+    assert(row.forall(_.getAs[Double]("r3") == 30.0),
+      "post-write reduction must see the written values")
+    assert(!out.columns.exists(_.startsWith("__graft_red")))
+  }
+
+  test("r10 dt-audit surface: day_name/month_name/ceil/round/as_unit/" +
+      "nanosecond on both layers; round ties split numpy-half-even vs " +
+      "arrow-half-up; NA comparisons split equality-2-valued vs " +
+      "ordering-Kleene (all reference-executed probes 2026-08-15)") {
+    val withTs = Seq(
+      (1L, java.time.LocalDateTime.parse("2024-01-01T00:30:00")),
+      (2L, java.time.LocalDateTime.parse("2024-01-01T01:30:00")),
+      (3L, java.time.LocalDateTime.parse("2024-03-05T10:30:45.123900")))
+      .toDF("k", "ts")
+    def one[T](expr: String, k: Long)(implicit
+        enc: org.apache.spark.sql.Encoder[T]): T =
+      NestedExpr.evalAssign(withTs, expr).where($"k" === k)
+        .select("r").as[T](enc).head()
+    assert(one[String]("r = ts.dt.day_name()", 3L) == "Tuesday")
+    assert(one[String]("r = ts.dt.month_name()", 3L) == "March")
+    assert(one[Long]("r = ts.dt.nanosecond", 3L) == 0L)
+    // numpy HALF-EVEN: 00:30 → 00:00 (even hour index), 01:30 → 02:00
+    def ldt(s: String) = java.time.LocalDateTime.parse(s)
+    assert(one[java.time.LocalDateTime]("r = ts.dt.round('h')", 1L) ==
+      ldt("2024-01-01T00:00:00"))
+    assert(one[java.time.LocalDateTime]("r = ts.dt.round('h')", 2L) ==
+      ldt("2024-01-01T02:00:00"))
+    assert(one[java.time.LocalDateTime]("r = ts.dt.ceil('15min')", 3L) ==
+      ldt("2024-03-05T10:45:00"))
+    assert(one[java.time.LocalDateTime]("r = ts.dt.as_unit('ms')", 3L) ==
+      ldt("2024-03-05T10:30:45.123")) // truncated, not rounded
+    // nested layer: arrow round is HALF-UP (both ties go to next hour)
+    val base = Seq((1L, "b")).toDF("id", "tag")
+    val child = Seq(
+      (1L, ldt("2024-01-01T00:30:00"), "p"),
+      (1L, ldt("2024-01-01T01:30:00"), "q"))
+      .toDF("id", "t", "s")
+    val nf = NestedOps.joinNested(base, child, Seq("id"), "n", "left")
+    val rounded = NestedExpr.evalAssign(nf, "n.r = n.t.dt.round('h')")
+      .select(explode($"n").as("e")).select("e.r")
+      .as[java.time.LocalDateTime].collect().toSeq
+    assert(rounded == Seq(ldt("2024-01-01T01:00:00"),
+      ldt("2024-01-01T02:00:00")), s"arrow half-up diverged: $rounded")
+    // NA regimes on the element layer: equality on a string/timestamp
+    // result is 2-VALUED (NA kept under !=), ordering is KLEENE
+    val childNa = Seq(
+      (1L, Some(ldt("2024-02-29T06:00:00")), Some("aa")),
+      (1L, None: Option[java.time.LocalDateTime], None: Option[String]),
+      (1L, Some(ldt("2023-06-16T00:00:00")), Some("bb")))
+      .toDF("id", "t", "s")
+    val nfNa = NestedOps.joinNested(base, childNa, Seq("id"), "n", "left")
+    def kept(q: String): Long =
+      NestedExpr.query(nfNa, q)
+        .select(coalesce(sum(size($"n")), lit(0L))).as[Long].head()
+    assert(kept("n.t != '2023-06-16'") == 2L)          // NA kept (eq, 2V)
+    assert(kept("n.t.dt.day_name() != 'Friday'") == 2L)
+    assert(kept("~(n.s == 'bb')") == 2L)
+    assert(kept("n.s <= 'ab'") == 1L)                  // NA dropped (ord)
+    assert(kept("~(n.s <= 'ab')") == 1L)
+    assert(kept("~(n.t.dt.round('h') <= '2023-12-31')") == 1L)
+    assert(kept("n.s.str.upper() != 'BB'") == 2L)      // string result, eq
+    assert(kept("n.s.str.len() != 2") == 0L)           // numeric result
+    // slice_replace stop<start clamps to insert (pandas semantics)
+    val st = Seq((1L, "Hello World")).toDF("k", "v")
+    assert(NestedExpr.evalAssign(st, "r = v.str.slice_replace(2, 1, 'ZZ')")
+      .select("r").as[String].head() == "HeZZllo World")
+  }
+
   test("r9s5 review second pass: walrus + non-identifier targets raise; " +
       "eval reductions skip literal NaN like pandas") {
     val base = Seq((1L, 4L), (2L, 8L)).toDF("k", "y")

@@ -209,6 +209,29 @@ class ExtendedOpsSpec extends SparkSpec {
       approx.select("column", "stat").collect().toSet)
   }
 
+  test("describeAll exactRowLimit guard: an over-limit layer auto-routes " +
+      "percentiles to the sketch; under-limit layers stay exact") {
+    val df = spark.range(0, 1000).toDF("k")
+      .select((col("k") * 2 + 1).cast("double").as("v"))
+    // over the limit: percentiles come from percentile_approx (members of
+    // the column — odd values), identical to an explicit approx=true run
+    val guarded = NestedOps.describeAll(df, exactRowLimit = 10L)
+    val explicitApprox = NestedOps.describeAll(df, approx = true)
+    def stats(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("column", "stat").collect().toSeq
+    assert(stats(guarded) == stats(explicitApprox))
+    // under the limit (default 2M): exact pandas interpolation — the 25%
+    // percentile of 1000 evenly spaced odd values interpolates to a
+    // non-member value, proving the exact path ran
+    val exact = NestedOps.describeAll(df)
+    val p25 = exact.where($"column" === "v" && $"stat" === "25%")
+      .select("value").as[Double].head()
+    assert(p25 == 500.5, s"expected interpolated exact percentile, got $p25")
+    // Long.MaxValue disables the guard entirely (forced exact)
+    val forced = NestedOps.describeAll(df, exactRowLimit = Long.MaxValue)
+    assert(stats(forced) == stats(exact))
+  }
+
   test("describeAll include/exclude dtype filters; empty selection raises") {
     val df = Seq((1L, 2.0, "x"), (2L, 4.0, "y")).toDF("k", "v", "s")
     val onlyDouble = NestedOps.describeAll(df, include = Some(Seq("double")))

@@ -258,6 +258,27 @@ class NestedOpsSpec extends SparkSpec {
       s"element NaN should sort last: $cell")
   }
 
+  test("pack-time sortBy treats a NaN element key as NA too (r10 advice): " +
+      "packFlat / packFlatSalted / fromFlat agree with sortElements") {
+    // ascending default places NA first (Spark default null ordering);
+    // before the fix a NaN key ordered as the LARGEST double (last)
+    val child = Seq((1L, 3.0, "a"), (1L, Double.NaN, "b"), (1L, 1.0, "c"))
+      .toDF("k", "v", "t")
+    def order(d: org.apache.spark.sql.DataFrame, nest: String) =
+      d.select(transform(col(nest), s => s.getField("t")))
+        .as[Seq[String]].collect().head
+    val plain = order(
+      NestedOps.packFlat(child, Seq("k"), "n", Seq(("v", true))), "n")
+    assert(plain == Seq("b", "c", "a"), s"packFlat NaN key misordered: $plain")
+    val salted = order(
+      NestedOps.packFlatSalted(child, Seq("k"), "n", 4, Seq(("v", true))), "n")
+    assert(salted == Seq("b", "c", "a"),
+      s"packFlatSalted NaN key misordered: $salted")
+    val ff = order(NestedOps.fromFlat(child, Nil, Seq("v", "t"), Seq("k"),
+      "n", Seq(("v", true))), "n")
+    assert(ff == Seq("b", "c", "a"), s"fromFlat NaN key misordered: $ff")
+  }
+
   test("describeAll excludes literal NaN from every stat (pandas skipna)") {
     val df = Seq(1.0, 3.0, Double.NaN).toDF("v")
     val got = NestedOps.describeAll(df).collect()

@@ -43,6 +43,72 @@ class OpFuzzSpec extends SparkSpec {
       case "split" =>
         NestedOps.splitNestedAuto(df, "n", args.get("by").asText(),
           dropField = false, dropSource = false)
+      // r10: inherited-pandas surface (VERDICT item 2). merge = base-key
+      // join with the nest carried through (unmatched rows get NULL
+      // cells, pandas suffixes on the overlapping column); the golden is
+      // order-independent — both engines sort by the materialized
+      // original index (k0, NULLs last) then the unique other-key.
+      case "merge_base" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types._
+        val o = args.get("other")
+        val keys = o.get("a").elements().asScala.map(_.asLong()).toVector
+        val cs = o.get("c").elements().asScala.map(_.asText()).toVector
+        val hasB = o.has("b")
+        val bs =
+          if (hasB) o.get("b").elements().asScala.map(_.asDouble()).toVector
+          else Vector.empty
+        val rows = keys.indices.map { i =>
+          if (hasB) Row(keys(i), cs(i), bs(i)) else Row(keys(i), cs(i))
+        }
+        val schema = StructType(Array(
+          StructField("a", LongType, nullable = false),
+          StructField("c", StringType, nullable = true)) ++
+          (if (hasB) Array(StructField("b", DoubleType, nullable = true))
+           else Array.empty[StructField]))
+        val other0 = spark.createDataFrame(rows.asJava, schema)
+        val left0 = df.drop("m").withColumnRenamed("k", "k0")
+        val (left, other) =
+          if (hasB) (left0.withColumnRenamed("b", "b_l"),
+            other0.withColumnRenamed("b", "b_r"))
+          else (left0, other0)
+        val joined = left.join(other, Seq("a"), args.get("how").asText())
+        val w = Window.orderBy(col("k0").asc_nulls_last, col("a"))
+        joined.withColumn("k", row_number().over(w).cast("long") - 1)
+      // base groupby().agg(): keyed aggregation over base columns with
+      // count over the NEST column (non-null cells). pandas sum is
+      // min_count=0 (all-NaN group -> 0.0), mirrored with coalesce.
+      case "groupby_agg" =>
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val fns = args.get("fns")
+        val aggs = fns.fieldNames().asScala.toVector.map { out =>
+          val src = fns.get(out)
+          val cn = src.get(0).asText()
+          (src.get(1).asText() match {
+            case "mean"  => avg(col(cn))
+            case "sum"   => coalesce(sum(col(cn)), lit(0.0))
+            case "min"   => min(col(cn))
+            case "max"   => max(col(cn))
+            case "count" => count(col(cn))
+            case "std"   => stddev_samp(col(cn))
+          }).as(out)
+        }
+        val g = df.groupBy("a").agg(aggs.head, aggs.tail: _*)
+        g.withColumn("k",
+          row_number().over(Window.orderBy(col("a"))).cast("long") - 1)
+      // positional head/tail incl. pandas negative counts
+      // (head(-2) = all but the last 2)
+      case "head_tail" =>
+        import org.apache.spark.sql.functions._
+        val n = args.get("n").asInt()
+        val total = df.count()
+        val keep = (if (n >= 0) math.min(n.toLong, total)
+                    else math.max(0L, total + n)).toInt
+        if (args.get("which").asText() == "head")
+          df.orderBy(col("k")).limit(keep)
+        else df.orderBy(col("k").desc).limit(keep)
       case "sort_nested" =>
         NestedOps.sortValues(df,
           Seq((args.get("by").asText(), args.get("asc").asBoolean())),

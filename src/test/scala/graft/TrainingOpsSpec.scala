@@ -1150,4 +1150,18 @@ class TrainingOpsSpec extends SparkSpec {
       .orderBy("k").select("id").collect().map(_.getLong(0)).toSeq
     assert(p == pExpected)
   }
+  test("planted-truth assertions: the xxhash64 rows-only trio proves it " +
+      "finds the planted exact copies (VERDICT r9 item 6)") {
+    val dir = "/root/testdata/sf0.001"
+    def scalarCol(q: String, c: String): Double =
+      SparkEntry.queries(q)(spark, dir)
+        .select(c).distinct().collect() match {
+        case Array(row) => row.getDouble(0)
+        case rows => fail(s"$q.$c not a single scalar: ${rows.toSeq}")
+      }
+    assert(scalarCol("q_minhash_pairs", "planted_recall") == 1.0)
+    assert(scalarCol("q_simhash_pairs", "planted_recall") == 1.0)
+    assert(scalarCol("q_dedup_pipeline", "planted_removed") == 1.0)
+  }
+
 }

@@ -267,7 +267,10 @@ def cmp_expr(r, atoms, str_atom=None):
             lits = ", ".join(f"'{v}'" for v in
                              r.sample(STR_POOL[:8], r.randint(2, 3)))
             return f"{str_atom} in [{lits}]"
-        return f"{str_atom} {r.choice(['==', '!='])} '{r.choice(STR_POOL[:8])}'"
+        # orderings included since r10: string element ORDERING is
+        # Kleene (NA drops under mask and ~mask) while equality is
+        # 2-valued — reference-executed probe 2026-08-15
+        return f"{str_atom} {r.choice(['==', '!=', '==', '!=', '<', '<=', '>', '>='])} '{r.choice(STR_POOL[:8])}'"
     if roll < 0.3:
         ints = ", ".join(str(r.randint(-3, 9)) for _ in range(r.randint(2, 4)))
         return f"{r.choice(atoms)} in [{ints}]"

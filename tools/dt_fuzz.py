@@ -36,7 +36,7 @@ npd = load_reference()
 DT_ATTRS = ["year", "month", "day", "hour", "minute", "second",
             "microsecond", "dayofweek", "weekday", "day_of_week",
             "dayofyear", "day_of_year", "quarter", "days_in_month",
-            "daysinmonth"]
+            "daysinmonth", "nanosecond"]
 DT_BOOL_ATTRS = ["is_leap_year", "is_month_start", "is_month_end",
                  "is_year_start", "is_year_end", "is_quarter_start",
                  "is_quarter_end"]
@@ -46,11 +46,17 @@ ATTR_LIT = {"year": (1995, 2031), "month": (1, 12), "day": (1, 28),
             "weekday": (0, 6), "day_of_week": (0, 6),
             "dayofyear": (1, 366), "day_of_year": (1, 366),
             "quarter": (1, 4), "days_in_month": (28, 31),
-            "daysinmonth": (28, 31)}
+            "daysinmonth": (28, 31), "nanosecond": (0, 1)}
 STRFTIME_FMTS = ["%Y-%m-%d", "%Y/%m/%d %H:%M", "%d %b %Y", "%H:%M:%S",
                  "%Y-%m-%dT%H:%M:%S.%f", "%A %j", "%I %p", "100%% %Y",
                  "%y-%m", "%B"]
 FLOOR_FREQS = ["D", "h", "min", "s"]
+# fixed freqs incl. multiples for floor/ceil/round (r10 dt-audit additions)
+ROUND_FREQS = ["D", "h", "min", "s", "15min", "2h", "30s", "500ms", "12h"]
+DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+        "Saturday", "Sunday"]
+MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+          "August", "September", "October", "November", "December"]
 CMPS = ["<", "<=", ">", ">=", "==", "!="]
 
 # boundary pool exercises the is_* attrs and leap/month-end edges.
@@ -115,6 +121,19 @@ def build_ref_frame_dt(spec):
 
 
 def dt_cmp(r, recv):
+    roll = r.random()
+    if roll < 0.1:
+        # r10 audit: day_name/month_name equality (string result)
+        return f"{recv}.dt.day_name() {r.choice(['==', '!='])} " \
+               f"'{r.choice(DAYS)}'"
+    if roll < 0.18:
+        return f"{recv}.dt.month_name() {r.choice(['==', '!='])} " \
+               f"'{r.choice(MONTHS)}'"
+    if roll < 0.3:
+        # ceil/round vs date-string (pandas coerces the literal)
+        meth = r.choice(["ceil", "round"])
+        return f"{recv}.dt.{meth}('{r.choice(ROUND_FREQS)}') " \
+               f"{r.choice(CMPS)} '{rand_ts(r)[:10]}'"
     m = r.choice(DT_ATTRS)
     lo, hi = ATTR_LIT[m]
     return f"{recv}.dt.{m} {r.choice(CMPS)} {r.randint(lo, hi)}"
@@ -145,6 +164,17 @@ def gen_program(r, fam):
                    f"(a {r.choice(CMPS)} {r.randint(-2, 8)})"
         return "query", core
     if fam == "query_elem":
+        roll = r.random()
+        if roll < 0.12:
+            # direct element timestamp-vs-string comparison: equality is
+            # 2-valued, ordering Kleene (r10 probes, reference-executed)
+            core = f"n.t {r.choice(CMPS)} '{rand_ts(r)[:10]}'"
+            if r.random() < 0.3:
+                core = f"~({core})"
+            if r.random() < 0.25:
+                core = f"({core}) {r.choice(['and', 'or'])} " \
+                       f"(n.x {r.choice(CMPS)} {r.randint(-2, 6)})"
+            return "query", core
         core = dt_cmp(r, "n.t") if r.random() < 0.8 else \
             f"{'' if r.random() < 0.5 else '~'}n.t.dt." \
             f"{r.choice(DT_BOOL_ATTRS)}"
@@ -180,19 +210,38 @@ def dt_rhs(r, recv):
         return f"{recv}.dt.{r.choice(DT_ATTRS + DT_BOOL_ATTRS)}"
     if roll < 0.5:
         return f"{recv}.dt.strftime('{r.choice(STRFTIME_FMTS)}')"
-    if roll < 0.62:
+    if roll < 0.56:
         return f"{recv}.dt.floor('{r.choice(FLOOR_FREQS)}')"
+    if roll < 0.62:
+        meth = r.choice(["ceil", "round"])
+        return f"{recv}.dt.{meth}('{r.choice(ROUND_FREQS)}')"
+    if roll < 0.66:
+        return f"{recv}.dt.{r.choice(['day_name', 'month_name'])}()"
+    if roll < 0.69:
+        return f"{recv}.dt.as_unit('{r.choice(['s', 'ms', 'us'])}')"
     if roll < 0.72:
         return f"{recv}.dt.normalize()"
     # chains off a method result (reference-executed: pandas series
     # results chain freely)
-    head = f"{recv}.dt.floor('{r.choice(FLOOR_FREQS)}')" \
-        if r.random() < 0.5 else f"{recv}.dt.normalize()"
+    hr = r.random()
+    if hr < 0.4:
+        head = f"{recv}.dt.floor('{r.choice(FLOOR_FREQS)}')"
+    elif hr < 0.6:
+        head = f"{recv}.dt.{r.choice(['ceil', 'round'])}" \
+               f"('{r.choice(ROUND_FREQS)}')"
+    else:
+        head = f"{recv}.dt.normalize()"
     roll2 = r.random()
-    if roll2 < 0.5:
+    if roll2 < 0.45:
         return f"{head}.dt.{r.choice(DT_ATTRS + DT_BOOL_ATTRS)}"
-    if roll2 < 0.75:
+    if roll2 < 0.65:
         return f"{head}.dt.strftime('{r.choice(STRFTIME_FMTS)}')"
+    if roll2 < 0.8:
+        # string methods chain off the name methods (r10 audit)
+        nm = r.choice(["day_name", "month_name"])
+        sm = r.choice([".str.len()", ".str.upper()",
+                       ".str.startswith('S')", ".str.slice(0, 3)"])
+        return f"{recv}.dt.{nm}(){sm}"
     return f"{recv}.dt.strftime('{r.choice(STRFTIME_FMTS)}').str.len()"
 
 

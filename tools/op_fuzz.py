@@ -22,9 +22,13 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        "to_lists", "nest_query", "describe", "pack", "from_flat",
        "flatten_inner", "concat", "setitem", "reduce", "join_how",
        "take", "zip_nests", "nest_lists", "set_filled", "set_list",
-       "drop_fields", "explode_multi"]
+       "drop_fields", "explode_multi",
+       # r10: the inherited-pandas surface with nests in flight (VERDICT
+       # item 2) — base-column merge, base groupby().agg() with the nest
+       # carried through, positional head/tail
+       "merge_base", "groupby_agg", "head_tail"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
-              8, 6, 7, 6, 7, 5, 6]
+              8, 6, 7, 6, 7, 5, 6, 9, 8, 6]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -172,6 +176,30 @@ def gen_op(r):
             ["one", "two", "all", "missing"], weights=[45, 25, 15, 15])[0]}
     if op == "nest_lists":
         return op, {"mismatch": r.random() < 0.15}
+    if op == "merge_base":
+        # other: dim-like lookup with UNIQUE keys spanning/overlapping the
+        # frame's `a` range, so merge is many-to-one and (k0, a) is a
+        # total sort key for order-independent goldens
+        n_other = r.randint(2, 6)
+        keys = r.sample(range(-5, 15), n_other)
+        other = {"a": keys,
+                 "c": [r.choice(["X", "Y", "Z", "W", "hi", ""])
+                       for _ in keys]}
+        if r.random() < 0.4:  # overlapping value column -> suffixes
+            other["b"] = [round(r.uniform(-9, 9), 2) for _ in keys]
+        return op, {"how": r.choice(["left", "inner", "right", "outer"]),
+                    "other": other}
+    if op == "groupby_agg":
+        fns = {}
+        for fn in r.sample(["mean", "sum", "min", "max", "count", "std"],
+                           r.randint(1, 3)):
+            fns[f"b_{fn}"] = ["b", fn]
+        if r.random() < 0.6:
+            fns["n_count"] = ["n", "count"]
+        return op, {"fns": fns}
+    if op == "head_tail":
+        return op, {"which": r.choice(["head", "tail"]),
+                    "n": r.choice([1, 2, 3, 5, 40, -1, -2])}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -303,6 +331,22 @@ def run_reference(nf, op, args):
             res = nf.reduce(lambda x: {"mx": np.max(x)}, c,
                             append_columns=True)
         return enc_frame(res)
+    if op == "merge_base":
+        import pandas as pd
+        other = pd.DataFrame(args["other"])
+        left = nf.drop(columns=["m"]).reset_index(names="k0")
+        res = left.merge(other, on="a", how=args["how"],
+                         suffixes=("_l", "_r"))
+        res = res.sort_values(by=["k0", "a"], na_position="last") \
+                 .reset_index(drop=True)
+        return enc_frame(res)
+    if op == "groupby_agg":
+        spec = {out: tuple(src) for out, src in args["fns"].items()}
+        g = nf.groupby("a").agg(**spec).reset_index()
+        g = g.sort_values("a").reset_index(drop=True)
+        return enc_frame(npd.NestedFrame(g))
+    if op == "head_tail":
+        return enc_frame(getattr(nf, args["which"])(args["n"]))
     if op == "nest_query":
         # accessor query: element mask + DROP rows whose cell emptied
         # (query_flat drops absent keys too)
