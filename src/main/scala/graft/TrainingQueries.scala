@@ -166,13 +166,31 @@ object TrainingQueries {
     withPlantedRecall(d, pairs)
   }
 
-  /** Original-corpus pairs + the broadcast `planted_recall` scalar. */
-  private def withPlantedRecall(d: DataFrame, pairs: DataFrame): DataFrame = {
-    val comps = Dedup.connectedComponents(pairs)
-    val srcC = comps.select(col("v").as("sid"), col("component").as("cs"))
-    val cpC = comps.where(col("v") >= PlantBase)
-      .select((col("v") - PlantBase).as("sid"), col("component").as("cp"))
-    val hits = cpC.join(srcC, "sid").where(col("cp") === col("cs"))
+  /** Original-corpus pairs + the broadcast `planted_recall` scalar.
+    *
+    * Connectivity check is 1-or-2-hop, NOT full CC, and that is SOUND
+    * here: an exact copy shares EVERY band bucket with its source, and
+    * each shared bucket yields either the direct pair (all-pairs ≤ cap,
+    * or the source IS the bucket min) or star edges from both endpoints
+    * to the same bucket-min (a common neighbor). Staying in pure
+    * DataFrame ops would still replicate the expensive sig+window subtree
+    * (plan-audited: 44 scans / 35 windows, zero ReusedExchange — each
+    * reference splices a copy), so the SMALL pair list (~40k rows at
+    * sf0.1) is cached: one pipeline pass feeds both the output and the
+    * recall aggregate. Battery-artifact cache, bounded by the candidate
+    * pair count. */
+  private def withPlantedRecall(d: DataFrame, pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.cache()
+    val sym = pairs.select(col("a"), col("b"))
+      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    // edges INTO planted copies, keyed by the neighbor
+    val toCopy = sym.where(col("b") >= PlantBase)
+      .select(col("a").as("x"), (col("b") - PlantBase).as("sid"))
+    val direct = toCopy.where(col("x") === col("sid")).select("sid")
+    val toSrc = sym.where(col("b") < PlantMaxId)
+      .select(col("a").as("x"), col("b").as("sid"))
+    val twoHop = toCopy.join(toSrc, Seq("x", "sid")).select("sid")
+    val hits = direct.unionAll(twoHop).distinct()
       .agg(count(lit(1)).as("nhit"))
     val denom = d.where(col("doc_id") < PlantMaxId)
       .agg(count(lit(1)).as("np"))
@@ -271,8 +289,11 @@ object TrainingQueries {
     * component's min. `planted_removed` = 1.0 on pass. */
   val qDedupPipeline: Q = (s, dir) => {
     val d = docs(s, dir)
+    // cache: `kept` feeds both the output and the planted-removal
+    // aggregate — without it the whole LSH+verify+CC pipeline replays
+    // (small: one slim row per surviving doc)
     val kept = Dedup.dedupNear(d.unionByName(planted(d)),
-      "doc_id", "text", threshold = 0.8)
+      "doc_id", "text", threshold = 0.8).cache()
     val nKeptPlanted = kept.where(col("doc_id") >= PlantBase)
       .agg(count(lit(1)).as("nkept"))
     val denom = d.where(col("doc_id") < PlantMaxId)
