@@ -589,7 +589,11 @@ object Queries {
   val qDescribeAll: Q = (s, dir) => {
     val packed = NestedOps.packFlat(
       lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
-    NestedOps.describeAll(packed.drop("o_orderkey"))
+    // exactRowLimit=MaxValue: the oracle PINS exact percentile semantics
+    // vs DuckDB, so the cliff guard (which would pre-count each layer and
+    // auto-route to the sketch) is explicitly disabled here
+    NestedOps.describeAll(packed.drop("o_orderkey"),
+      exactRowLimit = Long.MaxValue)
       .select(col("column"), col("stat"),
         roundSafe(col("value"), 4).as("value"))
   }

@@ -345,7 +345,8 @@ object SurfaceQueries {
       lines(s, dir, "l_quantity"), Seq("o_orderkey"), "items")
       .withColumn("n_items", size(col("items")).cast("double"))
       .drop("o_orderkey")
-    NestedOps.describeAll(packed, percentiles = Seq(0.1, 0.9))
+    NestedOps.describeAll(packed, percentiles = Seq(0.1, 0.9),
+      exactRowLimit = Long.MaxValue) // oracle pins exact (guard off)
       .select(col("column"), col("stat"),
         round(col("value") + lit(1e-9), 4).as("value"))
   }
@@ -369,7 +370,8 @@ object SurfaceQueries {
     val packed = NestedOps.packFlat(
       lines(s, dir, "l_quantity", "l_linenumber"), Seq("o_orderkey"), "items")
       .withColumn("n_items", size(col("items")).cast("double"))
-    NestedOps.describeAll(packed, include = Some(Seq("double")))
+    NestedOps.describeAll(packed, include = Some(Seq("double")),
+      exactRowLimit = Long.MaxValue) // oracle pins exact (guard off)
       .select(col("column"), col("stat"),
         round(col("value") + lit(1e-9), 4).as("value"))
   }
@@ -590,7 +592,8 @@ object SurfaceQueries {
     // ONE exact pass computes both envelope edges (6 percentiles in a
     // single layer-shared aggregate) — 2 scans total with the approx pass
     val exactBoth = NestedOps.describeAll(packed,
-      percentiles = pcts.map(_ - delta) ++ pcts.map(_ + delta))
+      percentiles = pcts.map(_ - delta) ++ pcts.map(_ + delta),
+      exactRowLimit = Long.MaxValue) // envelope must stay exact (guard off)
     val lo = renamed(exactBoth, pcts.map(_ - delta), "lo")
     val hi = renamed(exactBoth, pcts.map(_ + delta), "hi")
     val exactStats = approxD.where(!col("stat").endsWith("%"))

@@ -45,8 +45,19 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("WARN")
 
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    // single FILE per table (like the driver's testdata) so the DuckDB
+    // oracle's read_parquet('<dir>/<t>.parquet') pattern also works
     def wr(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      val tmp = s"$out/__tmp_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file for $t"))
+      val dest = new java.io.File(s"$out/$t.parquet")
+      if (dest.exists()) dest.delete()
+      require(part.renameTo(dest), s"rename failed for $t")
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
       println(s"scalegen: wrote $t")
     }
 
