@@ -267,6 +267,12 @@ def cmp_expr(r, atoms, str_atom=None):
             lits = ", ".join(f"'{v}'" for v in
                              r.sample(STR_POOL[:8], r.randint(2, 3)))
             return f"{str_atom} in [{lits}]"
+        if roll < 0.155:
+            # CHAINED string comparison: each conjunct keeps its own
+            # operator's NA regime (ordering Kleene / equality 2-valued)
+            a1, a2 = sorted(r.sample(STR_POOL[:8], 2))
+            op2 = r.choice(["<", "<=", "=="])
+            return f"'{a1}' <= {str_atom} {op2} '{a2}'"
         # orderings included since r10: string element ORDERING is
         # Kleene (NA drops under mask and ~mask) while equality is
         # 2-valued — reference-executed probe 2026-08-15

@@ -169,6 +169,10 @@ def gen_program(r, fam):
             # direct element timestamp-vs-string comparison: equality is
             # 2-valued, ordering Kleene (r10 probes, reference-executed)
             core = f"n.t {r.choice(CMPS)} '{rand_ts(r)[:10]}'"
+            if r.random() < 0.35:
+                # CHAINED range: each conjunct keeps its own NA regime
+                lo, hi = sorted((rand_ts(r)[:10], rand_ts(r)[:10]))
+                core = f"'{lo}' <= n.t < '{hi}'"
             if r.random() < 0.3:
                 core = f"~({core})"
             if r.random() < 0.25:
