@@ -808,8 +808,11 @@ object Queries {
         |FROM documents""".stripMargin,
     // pandas dayofweek is Monday=0 -> DuckDB isodow(Mon=1) - 1.
     // round('h') on the ELEMENT layer is arrow HALF-UP = floor(m + u/2)
-    // in epoch micros; ceil = (m + u - 1) // u * u (floor-division
-    // identities, exact for pre-epoch too); nanosecond ≡ 0 for µs data.
+    // in epoch micros; ceil = (m + u - 1) // u * u. NOTE: DuckDB `//`
+    // TRUNCATES toward zero (SELECT (-7)//2 = -3), so these identities
+    // hold only for POSITIVE epoch micros — fine here (events are all
+    // post-2020) but NOT a general pre-epoch replay; graft's own pmod
+    // arithmetic is floor-correct for all signs. nanosecond ≡ 0 for µs.
     "q_dialect_dt" ->
       """SELECT event_id,
         | CAST(year(ts) AS BIGINT) AS yr,

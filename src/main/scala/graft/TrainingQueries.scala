@@ -140,10 +140,21 @@ object TrainingQueries {
     * `doc_id + PLANT_BASE`. Identical text → identical signature → every
     * band collides, so detection is DETERMINISTIC (no LSH probability in
     * the assertion): a correct pipeline must place each copy in its
-    * source's pair-graph component. The emitted rows stay the
-    * ORIGINAL-corpus pairs; the check rides along as a broadcast scalar
-    * `planted_recall` (1.0 on pass — the q_describe_approx pattern). */
-  private val PlantBase = 1000000L
+    * source's pair-graph component. The emitted rows are the
+    * original-corpus pairs (planted ids filtered); NOTE the planting is
+    * not perfectly invisible — a copy raises its buckets' member counts
+    * by one, so a bucket sitting exactly at allPairsCap flips to
+    * star+chain emission and that bucket's original-pair set changes
+    * (bounded: at most the ≤40 buckets a planted doc joins. These
+    * queries are rows-only checks; the `_exact` oracle twins pin the
+    * un-planted pair semantics value-for-value). The check rides along
+    * as a broadcast scalar `planted_recall` (1.0 on pass — the
+    * q_describe_approx pattern). */
+  // 2^40: far above any realistic doc_id (ScaleGen replicas offset by
+  // powers of 10 — a 10000x scale of sf0.1 tops out ~5e7), so planted
+  // ids can never collide with real ones and the `< PlantBase` output
+  // filters never drop legitimate rows
+  private val PlantBase = 1L << 40
   private val PlantMaxId = 40L
 
   private def planted(d: DataFrame): DataFrame =
@@ -284,9 +295,13 @@ object TrainingQueries {
     * Rows-only check (candidate recall depends on engine hashing). */
   /** Production near-dup pipeline + planted truth: exact copies planted
     * at doc_id+PlantBase MUST all be eliminated (jaccard 1.0 ≥ any
-    * threshold; source id < copy id so keep-min keeps the source), and
-    * the original rows are unchanged — a copy never alters its
-    * component's min. `planted_removed` = 1.0 on pass. */
+    * threshold; source id < copy id so keep-min keeps the source).
+    * A copy never alters its component's MIN, but it can (rarely) grow
+    * the component: a chain edge through the copy in an over-cap bucket
+    * verifies at jaccard(other, source) and may merge another doc into
+    * the source's component — bounded by the 40 planted docs' buckets;
+    * the un-planted pipeline semantics stay value-pinned by
+    * q_dedup_pipeline_exact. `planted_removed` = 1.0 on pass. */
   val qDedupPipeline: Q = (s, dir) => {
     val d = docs(s, dir)
     // cache: `kept` feeds both the output and the planted-removal

@@ -1284,8 +1284,12 @@ object NestedOps {
     * exact `percentile` buffers a whole layer's values in ONE aggregation
     * buffer — DescribeProbe measured 373.7s/OOM-prone at just 5M rows vs
     * 8.3s approx (SCALING.md). When `approx = false`, each layer is
-    * pre-counted (one cheap job per layer) and a layer above the limit is
-    * auto-routed to `percentile_approx` with a WARN log; exact stays the
+    * pre-counted and a layer above the limit is
+    * auto-routed to `percentile_approx` with a WARN log (NOTE: the
+    * pre-count replays the layer's UPSTREAM plan — over an expensive
+    * uncached pipeline that is a second full pass; cache the input or
+    * pass `exactRowLimit = Long.MaxValue` when exact is known safe, as
+    * the oracle queries do); exact stays the
     * default at oracle scale. `exactRowLimit = Long.MaxValue` disables the
     * guard (forced exact). */
   def describeAll(df: DataFrame,

@@ -60,7 +60,8 @@ object DescribeProbe {
     // 8.3s; skip it past 10M (the rank check below is exact regardless)
     if (nRows <= 10000000L)
       time("describe exact (sort-based percentile)") {
-        NestedOps.describeAll(base, percentiles = pcts).collect()
+        NestedOps.describeAll(base, percentiles = pcts,
+          exactRowLimit = Long.MaxValue).collect() // probe MEASURES exact
       }
 
     // verify the rank contract for every approx percentile of both layers

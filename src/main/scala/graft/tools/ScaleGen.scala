@@ -125,6 +125,10 @@ object ScaleGen {
     val emb = rd("embeddings")
     val eSpan = span(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    // rotation is the decorrelator: replicas i ≡ j (mod dim) would share
+    // a rotation and reintroduce exact cross-replica duplicates
+    require(n <= dim, s"multiplier $n exceeds embedding dim $dim — " +
+      "replica rotations would repeat and cross-replica vectors collide")
     val embReps = (0 until n).map { i =>
       val rot = i % dim
       val base = emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * eSpan))
