@@ -1759,22 +1759,30 @@ object NestedExpr {
             s"else nullif(substring($x, length($x) + ($i) + 1, 1), '') " +
             s"end)"), false)
       case "slice" =>
-        // python s[start:stop] with literal-int bounds (step other than
-        // 1 unsupported); each bound normalized python-style against len
+        // python s[start:stop:step] with literal-int bounds; bounds
+        // normalized python-style against len. Positive steps render as a
+        // char-gather over sequence() (r10 — the reference accepts step;
+        // negative steps stay a documented raise).
         require(args.length <= 3,
           s".str.slice expects start[, stop[, step]] in: $exprStr")
         var start: Option[Int] = None; var stop: Option[Int] = None
+        var step = 1
         var pos = 0
         args.foreach { a =>
           def asInt(v: String, what: String): Int = intLit(v).getOrElse(
             throw new IllegalArgumentException(
               s".str.slice $what must be a literal int in: $exprStr"))
+          def setStep(v: String): Unit = {
+            step = asInt(v, "step")
+            require(step >= 1,
+              s".str.slice step must be a positive int (negative/zero " +
+                s"steps are not supported) in: $exprStr")
+          }
           kwargRe.findFirstMatchIn(a) match {
             case Some(mm) => mm.group(1) match {
               case "start" => start = Some(asInt(mm.group(2), "start"))
               case "stop"  => stop = Some(asInt(mm.group(2), "stop"))
-              case "step" => require(asInt(mm.group(2), "step") == 1,
-                s".str.slice step != 1 is not supported in: $exprStr")
+              case "step"  => setStep(mm.group(2))
               case other => throw new IllegalArgumentException(
                 s".str.slice got unexpected keyword '$other' in: $exprStr")
             }
@@ -1782,8 +1790,7 @@ object NestedExpr {
               pos match {
                 case 0 => start = Some(asInt(a, "start"))
                 case 1 => stop = Some(asInt(a, "stop"))
-                case 2 => require(asInt(a, "step") == 1,
-                  s".str.slice step != 1 is not supported in: $exprStr")
+                case 2 => setStep(a)
                 case _ => ()
               }
               pos += 1
@@ -1794,7 +1801,17 @@ object NestedExpr {
           else s"greatest(length($x) + ($i), 0)"
         val s0 = start.map(norm).getOrElse("0")
         val s1 = stop.map(norm).getOrElse(s"length($x)")
-        (s"substring($x, ($s0) + 1, greatest(($s1) - ($s0), 0))", false)
+        if (step == 1)
+          (s"substring($x, ($s0) + 1, greatest(($s1) - ($s0), 0))", false)
+        else
+          // every step-th char of s[s0:s1]; empty range → '' (matches
+          // pandas); NULL input needs an explicit guard (array_join over
+          // the NULL sequence renders '' rather than NULL)
+          ((s"(case when $x is null then null " +
+            s"when ($s1) - ($s0) <= 0 then '' " +
+            s"else array_join(transform(" +
+            s"sequence($s0, ($s1) - 1, $step), " +
+            s"__si -> substring($x, __si + 1, 1)), '') end)"), false)
       case "split" =>
         // pandas str.split: no pat → python whitespace split (unicode ws,
         // empties dropped); 1-char pat → literal; longer pat → regex

@@ -102,7 +102,11 @@ class DialectStrSpec extends SparkSpec {
     assert(strs("n.s.str.slice(1)") == Seq(
       "b", "BCDE", "1", "", "a b ", "1", "2", ",y,z", ",,b",
       "ello World", "", "|b", null))
-    intercept[IllegalArgumentException] { vals("n.s.str.slice(1, 5, 2)") }
+    // positive step gathers every step-th char (pandas golden, r10);
+    // negative steps stay a documented raise
+    assert(strs("n.s.str.slice(1, 5, 2)") == Seq(
+      "b", "BD", "1", "", "ab", "1", "2", ",,", ",b", "el", "", "|", null))
+    intercept[IllegalArgumentException] { vals("n.s.str.slice(1, 5, -1)") }
   }
 
   test("split: literal 1-char pat (regex-special escaped) and chained get/len") {

@@ -27,8 +27,16 @@ class OpFuzzSpec extends SparkSpec {
           .map(_.asInt())
         NestedOps.dropNaElements(df, "n", subset, how, thresh)
       case "dropna_base" =>
-        val subset = args.get("subset").elements().asScala.map(_.asText()).toSeq
-        df.na.drop(args.get("how").asText(), subset)
+        Option(args.get("thresh")).filterNot(_.isNull).map(_.asInt()) match {
+          case Some(t) =>
+            // pandas thresh counts non-NA across the DATA columns (nest
+            // cells included); the Spark frame carries the index as
+            // column k (always non-null) → t + 1
+            df.na.drop(t + 1)
+          case None =>
+            df.na.drop(args.get("how").asText(),
+              args.get("subset").elements().asScala.map(_.asText()).toSeq)
+        }
       case "fillna" =>
         val values = args.get("values").fields().asScala.map { e =>
           e.getKey -> (e.getValue.asDouble(): Any)

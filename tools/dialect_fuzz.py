@@ -47,13 +47,20 @@ STR_POOL = ["Abc", "de f", "", "aa", "xAbx", "Hello World", "zz9", "  pad  ",
 STR_VALUE = ["upper", "lower", "strip", "lstrip", "rstrip", "title",
              "capitalize", "swapcase", "len"]
 STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
-                 ("get", lambda r: str(r.randint(0, 3))),
+                 ("get", lambda r: str(r.randint(-2, 3))),
                  ("count", lambda r: f"'{r.choice(['a', 'b', 'x'])}'"),
                  ("find", lambda r: f"'{r.choice(['a', 'b', 'x'])}'"),
                  ("removeprefix", lambda r: f"'{r.choice(['A', 'a', 'x'])}'"),
                  ("removesuffix", lambda r: f"'{r.choice(['b', 'x', 'f'])}'"),
                  ("repeat", lambda r: str(r.randint(0, 3))),
-                 ("slice", lambda r: f"{r.randint(0, 2)}, {r.randint(2, 5)}"),
+                 # negative python bounds + positive steps (r10: the
+                 # reference accepts them; graft normalizes / gathers)
+                 ("slice", lambda r: r.choice([
+                     f"{r.randint(0, 2)}, {r.randint(2, 5)}",
+                     f"{r.randint(-4, -1)}",
+                     f"{r.randint(0, 1)}, {r.randint(-3, -1)}",
+                     f"{r.randint(0, 2)}, {r.randint(3, 8)}, {r.randint(2, 3)}",
+                 ])),
                  ("replace", lambda r: f"'a', '{r.choice(['X', ''])}'"),
                  # r9 long-tail: list-returning + slice_replace (goldens
                  # computed by the reference, list cells encoded as arrays)

@@ -95,6 +95,11 @@ def gen_op(r):
             return op, {"subset": None, "how": None, "thresh": r.randint(2, 3)}
         return op, {"subset": None, "how": "any", "thresh": None}
     if op == "dropna_base":
+        if r.random() < 0.35:
+            # pandas thresh counts non-NA across ALL columns, the nest
+            # cell included (r10 probe) — no subset/how with thresh
+            return op, {"subset": None, "how": None,
+                        "thresh": r.randint(3, 6)}
         return op, {"subset": ["b"], "how": r.choice(["any", "all"])}
     if op == "fillna":
         vals = {}
@@ -218,6 +223,8 @@ def run_reference(nf, op, args):
                 kw["how"] = args["how"]
         return enc_frame(nf.dropna(**kw))
     if op == "dropna_base":
+        if args.get("thresh") is not None:
+            return enc_frame(nf.dropna(thresh=args["thresh"]))
         return enc_frame(nf.dropna(subset=args["subset"], how=args["how"]))
     if op == "fillna":
         return enc_frame(nf.fillna(args["values"]))
