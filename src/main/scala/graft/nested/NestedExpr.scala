@@ -274,9 +274,13 @@ object NestedExpr {
     * `n.s.str.len() != 2` both DROP it). Method results count: a chain's
     * LAST member decides (`n.t.dt.floor('D').dt.year` is numeric →
     * Kleene; `n.t.dt.day_name()` is string → 2-valued). */
+  /** `stringBaseCols`: plain STRING base columns — pandas object-dtype
+    * None MATCHES a None value in `isin` (`s in ['a', None]` keeps the
+    * missing row) while float NaN and NaT match nothing (r10 probes). */
   private[graft] def preprocess(exprStr: String,
                                 nestSet: Set[String] = Set.empty,
-                                twoValuedElemRefs: Set[String] = Set.empty)
+                                twoValuedElemRefs: Set[String] = Set.empty,
+                                stringBaseCols: Set[String] = Set.empty)
       : String = {
     var as = atomize(tokenize(exprStr))
 
@@ -409,9 +413,17 @@ object NestedExpr {
           }
         case _ => ()
       }
+      // a bare None literal in the span forces KLEENE even for
+      // string/timestamp equality: `n.t != None` drops EVERY element in
+      // pandas (arrow comparison vs None → NA throughout; r10 probe),
+      // unlike `n.t != 'x'` which keeps the NA element
+      val hasNoneLit = span.exists {
+        case AIdent(Seq("None")) => true
+        case _ => false
+      }
       val isElement = chainKinds.nonEmpty || rawElem
-      val allTwoValued = eqOp && !rawElem && chainKinds.nonEmpty &&
-        chainKinds.forall(identity)
+      val allTwoValued = eqOp && !rawElem && !hasNoneLit &&
+        chainKinds.nonEmpty && chainKinds.forall(identity)
       // NOT modeled (documented divergence, COVERAGE.md): pandas'
       // np.sqrt over an arrow element series LAUNDERS NA into float64
       // NaN and the comparison flips to 2-valued — but only until an
@@ -552,9 +564,11 @@ object NestedExpr {
                !(dep(l) == d0 && isBoolBoundary(as(l)))) l -= 1
         val start = l + 1
         var r = c + 1
+        var listOpen = -1
         if (isIn) {
           while (r < as.length && as(r) != AOp("(")) r += 1
           require(r < as.length, s"`in` without a value list in: $exprStr")
+          listOpen = r
           var depth2 = 1
           r += 1
           while (r < as.length && depth2 > 0) {
@@ -582,7 +596,56 @@ object NestedExpr {
         // layer = Kleene).
         val elementLayer = !isIn && elementSpan(span,
           eqOp = as(c) == AOp("==") || as(c) == AOp("!="))
-        val txt = span.map(renderAtom).mkString
+        // element-layer isin with a None VALUE in the list: pandas arrow
+        // isin matches NA against None (`n.x in [1, None]` KEEPS the NA
+        // element; r10 probe) while SQL `x in (1, null)` is NULL there —
+        // rewrite to `x in (values-sans-None) or x is null`, which also
+        // renders False (not NULL) for a non-matching x against the
+        // null-bearing list, exactly pandas. BASE isin keeps the plain
+        // wrap: numpy NaN matches nothing, None included (probe: base
+        // `b in [1, None]` drops the NaN row).
+        val noneInList = isIn && as.slice(listOpen + 1, r).exists {
+          case AIdent(Seq("None")) => true
+          case _ => false
+        }
+        val elemIn = isIn && noneInList &&
+          elementSpan(span, eqOp = false) // == "references nest elements"
+        // base OBJECT-dtype strings also match None in isin (float NaN
+        // and NaT do not — r10 probes): rewrite when the operand is
+        // exactly one plain string base column
+        val baseStrIn = isIn && noneInList && !elemIn && {
+          val opAtoms = as.slice(start, c)
+            .filterNot(a => isWs(a) || isKw(a, "not"))
+          opAtoms match {
+            case Vector(AIdent(Seq(one))) => stringBaseCols.contains(one)
+            case _ => false
+          }
+        }
+        val txt =
+          if (!elemIn && !baseStrIn) span.map(renderAtom).mkString
+          else {
+            val opTxt = as.slice(start, c)
+              .filterNot(a => isKw(a, "not"))
+              .map(renderAtom).mkString.trim
+            // comma-split the list atoms, drop the None groups
+            val groups = collection.mutable.ListBuffer.empty[Vector[Atom]]
+            var cur = Vector.empty[Atom]
+            var d2 = 0
+            as.slice(listOpen + 1, r).foreach {
+              case a @ AOp("(") => d2 += 1; cur :+= a
+              case a @ AOp(")") => d2 -= 1; cur :+= a
+              case AOp(",") if d2 == 0 => groups += cur; cur = Vector.empty
+              case a => cur :+= a
+            }
+            groups += cur
+            val vals = groups.toList.map(_.map(renderAtom).mkString.trim)
+              .filter(v => v.nonEmpty && v != "None")
+            val membership =
+              if (vals.isEmpty) s"(($opTxt) is null)"
+              else s"((($opTxt) in (${vals.mkString(", ")})) " +
+                s"or (($opTxt) is null))"
+            if (notInfix) s"(not $membership)" else membership
+          }
         // element layer: collapse WITHOUT the wrap (Kleene semantics) so
         // the scan still advances past this comparison
         val repl = if (elementLayer) ARaw(txt)
@@ -1107,7 +1170,11 @@ object NestedExpr {
         case _ => Nil
       }
     }.toSet
-    val toks = tokenize(preprocess(exprStr, nestSet, twoValuedElemRefs))
+    val stringBaseCols: Set[String] = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
+    val toks = tokenize(preprocess(exprStr, nestSet, twoValuedElemRefs,
+      stringBaseCols))
     val sql = toks.zipWithIndex.map {
       case (Text(t), idx) =>
         doubleizeFloats(t, protectTrailing =
@@ -1270,6 +1337,12 @@ object NestedExpr {
           case Seq(one) if baseSet.contains(one) =>
             usesBase = true; bq(one)
           case Seq(one) if keywords.contains(one.toLowerCase) => one
+          // python None literal → SQL null (True/False already parse via
+          // the case-insensitive keyword pass above). Comparisons against
+          // it: base 2-valued wrap (== None → no rows, != None → all,
+          // matching numpy), element layer FORCED Kleene (probe: every
+          // element drops under == and !=) — see elementSpan.
+          case Seq("None") => "null"
           case Seq(one) if nestSet.contains(one) => usesBase = true; bq(one)
           // unknown single token: a SQL function CALL (followed by `(`) passes
           // through to Spark's parser; anything else is a typo'd column —

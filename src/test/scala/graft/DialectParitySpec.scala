@@ -362,6 +362,41 @@ class DialectParitySpec extends SparkSpec {
       .select("r").as[String].head() == "HeZZllo World")
   }
 
+  test("r10: python None/True/False literals — base 2-valued vs None, " +
+      "element FORCED Kleene, isin matches NA against a None list value " +
+      "on the element layer only (all reference-executed probes)") {
+    val base = Seq((1L, Some(1.0)), (2L, None: Option[Double]),
+      (3L, Some(3.0))).toDF("k", "b")
+    def baseKeys(q: String): Seq[Long] =
+      NestedExpr.query(base, q).select("k").as[Long].collect().toSeq.sorted
+    assert(baseKeys("b == None").isEmpty)
+    assert(baseKeys("b != None") == Seq(1L, 2L, 3L))
+    assert(baseKeys("b in [1, None]") == Seq(1L))       // numpy: NaN∉
+    assert(baseKeys("~(b in [1, None])") == Seq(2L, 3L))
+    // element layer: comparison vs None drops EVERYTHING (Kleene even
+    // for the string field); isin DOES match NA against None
+    val child = Seq(
+      (1L, Some(1.0), Some("a")), (1L, None: Option[Double],
+        None: Option[String]), (1L, Some(3.0), Some("c")))
+      .toDF("id", "x", "t")
+    val nf = NestedOps.joinNested(Seq((1L, "r")).toDF("id", "tag"),
+      child, Seq("id"), "n", "left")
+    def kept(q: String): Long =
+      NestedExpr.query(nf, q)
+        .select(coalesce(sum(size($"n")), lit(0L))).as[Long].head()
+    assert(kept("n.x == None") == 0L)
+    assert(kept("n.x != None") == 0L)
+    assert(kept("n.t != None") == 0L) // None forces Kleene past the
+                                      // string 2-valued rule
+    assert(kept("n.x in [1, None]") == 2L)   // 1.0 and the NA element
+    assert(kept("~(n.x in [1, None])") == 1L) // 3.0
+    assert(kept("n.x not in [1, None]") == 1L)
+    // True/False literals parse (case-insensitive SQL booleans)
+    val ev = NestedExpr.evalAssign(base, "r = True")
+      .select("r").as[Boolean].collect().toSet
+    assert(ev == Set(true))
+  }
+
   test("r9s5 review second pass: walrus + non-identifier targets raise; " +
       "eval reductions skip literal NaN like pandas") {
     val base = Seq((1L, 4L), (2L, 8L)).toDF("k", "y")

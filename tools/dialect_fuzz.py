@@ -273,6 +273,8 @@ def cmp_expr(r, atoms, str_atom=None):
         if roll < 0.13:
             lits = ", ".join(f"'{v}'" for v in
                              r.sample(STR_POOL[:8], r.randint(2, 3)))
+            if r.random() < 0.3:  # r10: None in the value list / vs None
+                lits += ", None"
             return f"{str_atom} in [{lits}]"
         if roll < 0.155:
             # CHAINED string comparison: each conjunct keeps its own
@@ -284,9 +286,15 @@ def cmp_expr(r, atoms, str_atom=None):
         # Kleene (NA drops under mask and ~mask) while equality is
         # 2-valued — reference-executed probe 2026-08-15
         return f"{str_atom} {r.choice(['==', '!=', '==', '!=', '<', '<=', '>', '>='])} '{r.choice(STR_POOL[:8])}'"
-    if roll < 0.3:
+    if roll < 0.27:
         ints = ", ".join(str(r.randint(-3, 9)) for _ in range(r.randint(2, 4)))
+        if r.random() < 0.25:  # r10: None as a list value
+            ints += ", None"
         return f"{r.choice(atoms)} in [{ints}]"
+    if roll < 0.3:
+        # r10: comparison against the None literal (base 2-valued,
+        # element forced Kleene)
+        return f"{r.choice(atoms)} {r.choice(['==', '!='])} None"
     if roll < 0.4:
         lo, hi = sorted([r.randint(-3, 6), r.randint(-3, 9)])
         return f"{lo} < {r.choice(atoms)} <= {hi}"
