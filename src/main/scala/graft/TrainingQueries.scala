@@ -168,47 +168,52 @@ object TrainingQueries {
     * >1% of all pairs). */
   val qMinhashPairs: Q = (s, dir) => {
     val d = docs(s, dir)
-    val all = d.unionByName(planted(d))
-    val withSig = all.select(col("doc_id"),
-      Dedup.minHashSignaturesNative(col("text"), numHashes = 16,
-        shingleSize = 5).as("sig"))
-    val pairs = Dedup.lshCandidatePairs(withSig, "doc_id", "sig",
-      numHashes = 16, rowsPerBand = 4)
-    withPlantedRecall(d, pairs)
+    def pairsOf(src: DataFrame): DataFrame = {
+      val withSig = src.select(col("doc_id"),
+        Dedup.minHashSignaturesNative(col("text"), numHashes = 16,
+          shingleSize = 5).as("sig"))
+      Dedup.lshCandidatePairs(withSig, "doc_id", "sig",
+        numHashes = 16, rowsPerBand = 4)
+    }
+    withPlantedRecall(d, pairsOf)
   }
 
-  /** Original-corpus pairs + the broadcast `planted_recall` scalar.
+  /** Un-planted pairs + the `planted_recall` scalar from a SEPARATE
+    * planted run (r11, ADVICE: the planted copies must not perturb the
+    * shipped rows — over-cap bucket emissions could flip under the
+    * union, so the output is now byte-identical to the plain pipeline).
     *
     * Connectivity check is 1-or-2-hop, NOT full CC, and that is SOUND
     * here: an exact copy shares EVERY band bucket with its source, and
     * each shared bucket yields either the direct pair (all-pairs ≤ cap,
     * or the source IS the bucket min) or star edges from both endpoints
-    * to the same bucket-min (a common neighbor). Staying in pure
-    * DataFrame ops would still replicate the expensive sig+window subtree
-    * (plan-audited: 44 scans / 35 windows, zero ReusedExchange — each
-    * reference splices a copy), so the SMALL pair list (~40k rows at
-    * sf0.1) is cached: one pipeline pass feeds both the output and the
-    * recall aggregate. Battery-artifact cache, bounded by the candidate
-    * pair count. */
-  private def withPlantedRecall(d: DataFrame, pairs0: DataFrame): DataFrame = {
-    val pairs = pairs0.cache()
-    val sym = pairs.select(col("a"), col("b"))
-      .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-    // edges INTO planted copies, keyed by the neighbor
-    val toCopy = sym.where(col("b") >= PlantBase)
-      .select(col("a").as("x"), (col("b") - PlantBase).as("sid"))
-    val direct = toCopy.where(col("x") === col("sid")).select("sid")
-    val toSrc = sym.where(col("b") < PlantMaxId)
-      .select(col("a").as("x"), col("b").as("sid"))
-    val twoHop = toCopy.join(toSrc, Seq("x", "sid")).select("sid")
-    val hits = direct.unionAll(twoHop).distinct()
-      .agg(count(lit(1)).as("nhit"))
-    val denom = d.where(col("doc_id") < PlantMaxId)
-      .agg(count(lit(1)).as("np"))
-    val recall = hits.crossJoin(denom)
-      .select(roundSafe(col("nhit") / col("np"), 4).as("planted_recall"))
-    pairs.where(col("a") < PlantBase && col("b") < PlantBase)
-      .crossJoin(broadcast(recall))
+    * to the same bucket-min (a common neighbor). The planted run's SMALL
+    * pair list (~40k rows at sf0.1) is cached only while the recall
+    * scalar materializes (one 1-row collect), then unpersisted — no
+    * cached RDD outlives the query build. */
+  private def withPlantedRecall(d: DataFrame,
+                                pairsOf: DataFrame => DataFrame): DataFrame = {
+    val pairs = pairsOf(d.unionByName(planted(d))).cache()
+    val recall: Double =
+      try {
+        val sym = pairs.select(col("a"), col("b"))
+          .unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+        // edges INTO planted copies, keyed by the neighbor
+        val toCopy = sym.where(col("b") >= PlantBase)
+          .select(col("a").as("x"), (col("b") - PlantBase).as("sid"))
+        val direct = toCopy.where(col("x") === col("sid")).select("sid")
+        val toSrc = sym.where(col("b") < PlantMaxId)
+          .select(col("a").as("x"), col("b").as("sid"))
+        val twoHop = toCopy.join(toSrc, Seq("x", "sid")).select("sid")
+        val hits = direct.unionAll(twoHop).distinct()
+          .agg(count(lit(1)).as("nhit"))
+        val denom = d.where(col("doc_id") < PlantMaxId)
+          .agg(count(lit(1)).as("np"))
+        hits.crossJoin(denom)
+          .select(roundSafe(col("nhit") / col("np"), 4))
+          .head.getDouble(0)
+      } finally pairs.unpersist()
+    pairsOf(d).withColumn("planted_recall", lit(recall))
   }
 
   /** Production 64-bit SimHash near-dup pairs (xxhash64; rows-only check):
@@ -219,12 +224,13 @@ object TrainingQueries {
     * See [[graft.operators.Dedup.simhashCandidatePairs]]. */
   val qSimhashPairs: Q = (s, dir) => {
     val d = docs(s, dir)
-    val all = d.unionByName(planted(d))
-    val sigs = all
-      .select(col("doc_id"), Dedup.simHash64Native(col("text")).as("sig"))
-    val pairs = Dedup.simhashCandidatePairs(sigs, "doc_id", "sig",
-      numBands = 4, bitsPerBand = 16, maxHamming = 3)
-    withPlantedRecall(d, pairs)
+    def pairsOf(src: DataFrame): DataFrame = {
+      val sigs = src
+        .select(col("doc_id"), Dedup.simHash64Native(col("text")).as("sig"))
+      Dedup.simhashCandidatePairs(sigs, "doc_id", "sig",
+        numBands = 4, bitsPerBand = 16, maxHamming = 3)
+    }
+    withPlantedRecall(d, pairsOf)
   }
 
   /** Oracle-exact twin of q_minhash_pairs: the SAME pairing core
@@ -296,29 +302,29 @@ object TrainingQueries {
   /** Production near-dup pipeline + planted truth: exact copies planted
     * at doc_id+PlantBase MUST all be eliminated (jaccard 1.0 ≥ any
     * threshold; source id < copy id so keep-min keeps the source).
-    * A copy never alters its component's MIN, but it can (rarely) grow
-    * the component: a chain edge through the copy in an over-cap bucket
-    * verifies at jaccard(other, source) and may merge another doc into
-    * the source's component — bounded by the 40 planted docs' buckets;
-    * the un-planted pipeline semantics stay value-pinned by
-    * q_dedup_pipeline_exact. `planted_removed` = 1.0 on pass. */
+    * r11 (ADVICE): the planted run is SEPARATE — its `kept` frame is
+    * cached only while the 1-row removal scalar collects, then
+    * unpersisted, and the shipped rows come from the plain un-planted
+    * pipeline (byte-identical to q_dedup_pipeline_exact's subject;
+    * previously a planted copy's chain edge could merge an extra doc
+    * into a component). `planted_removed` = 1.0 on pass. */
   val qDedupPipeline: Q = (s, dir) => {
     val d = docs(s, dir)
-    // cache: `kept` feeds both the output and the planted-removal
-    // aggregate — without it the whole LSH+verify+CC pipeline replays
-    // (small: one slim row per surviving doc)
-    val kept = Dedup.dedupNear(d.unionByName(planted(d)),
+    val plantedKept = Dedup.dedupNear(d.unionByName(planted(d)),
       "doc_id", "text", threshold = 0.8).cache()
-    val nKeptPlanted = kept.where(col("doc_id") >= PlantBase)
-      .agg(count(lit(1)).as("nkept"))
-    val denom = d.where(col("doc_id") < PlantMaxId)
-      .agg(count(lit(1)).as("np"))
-    val removed = nKeptPlanted.crossJoin(denom)
-      .select(roundSafe(lit(1.0) - col("nkept") / col("np"), 4)
-        .as("planted_removed"))
-    kept.where(col("doc_id") < PlantBase)
+    val removed: Double =
+      try {
+        val nKeptPlanted = plantedKept.where(col("doc_id") >= PlantBase)
+          .agg(count(lit(1)).as("nkept"))
+        val denom = d.where(col("doc_id") < PlantMaxId)
+          .agg(count(lit(1)).as("np"))
+        nKeptPlanted.crossJoin(denom)
+          .select(roundSafe(lit(1.0) - col("nkept") / col("np"), 4))
+          .head.getDouble(0)
+      } finally plantedKept.unpersist()
+    Dedup.dedupNear(d, "doc_id", "text", threshold = 0.8)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .crossJoin(broadcast(removed))
+      .withColumn("planted_removed", lit(removed))
   }
 
   /** Character-3-gram Jaccard over all doc pairs with id < 40. */

@@ -776,10 +776,10 @@ object NestedExpr {
   /** `.str` methods whose RESULT is a string (comparisons 2-valued);
     * numeric/bool-result methods (len, count, find, predicates, match…)
     * stay Kleene. */
-  private val strStringResult = Set("upper", "lower", "strip", "lstrip",
-    "rstrip", "replace", "capitalize", "title", "swapcase", "get", "slice",
-    "removeprefix", "removesuffix", "repeat", "pad", "center", "ljust",
-    "rjust", "zfill", "slice_replace", "extract")
+  private val strStringResult = Set("upper", "lower", "casefold", "strip",
+    "lstrip", "rstrip", "replace", "capitalize", "title", "swapcase", "get",
+    "slice", "removeprefix", "removesuffix", "repeat", "pad", "center",
+    "ljust", "rjust", "zfill", "slice_replace", "extract")
 
   /** pandas fixed-frequency string → micros (`'15min'`, `'2h'`, `'D'`,
     * `'s'`, `'ms'`, incl. the deprecated single-letter aliases pandas

@@ -1325,6 +1325,10 @@ object NestedOps {
       (BigDecimal(p.toString) * 100).underlying
         .stripTrailingZeros.toPlainString + "%"
     def bqn(n: String) = "`" + n.replace("`", "``") + "`"
+    // layers whose percentiles the cliff guard routed to the sketch —
+    // surfaced to callers as schema metadata on `value` (ADVICE r11:
+    // a WARN line alone was too easy to miss for a value-changing switch)
+    val routedLayers = collection.mutable.ArrayBuffer.empty[String]
     /** All stats for all `cols` of one layer in a single aggregate, then
       * exploded to (column, stat, value) rows. */
     def layerStats(src: DataFrame, cols: Seq[String],
@@ -1332,11 +1336,19 @@ object NestedOps {
       if (cols.isEmpty) None
       else {
         // cliff guard: an exact layer beyond exactRowLimit rows auto-routes
-        // its percentiles to the sketch (count/mean/std/min/max stay exact)
+        // its percentiles to the sketch (count/mean/std/min/max stay exact).
+        // The pre-count is SKIPPED when the optimizer already knows a row
+        // count at or under the limit (local relations, range, limited
+        // plans — ADVICE r11: no job just to clear a tiny frame).
+        val staticallySmall =
+          src.queryExecution.optimizedPlan.stats.rowCount
+            .exists(_ <= BigInt(exactRowLimit))
         val useApprox = approx ||
-          (pcts.nonEmpty && exactRowLimit != Long.MaxValue && {
+          (pcts.nonEmpty && exactRowLimit != Long.MaxValue &&
+            !staticallySmall && {
             val n = src.count()
             val over = n > exactRowLimit
+            if (over) routedLayers += (if (prefix.isEmpty) "<base>" else prefix)
             if (over) org.slf4j.LoggerFactory.getLogger(getClass).warn(
               s"describe: layer '${if (prefix.isEmpty) "<base>" else prefix}' " +
                 s"has $n rows > exactRowLimit=$exactRowLimit; exact " +
@@ -1404,7 +1416,15 @@ object NestedOps {
         }
       })
     require(parts.nonEmpty, "describe: no numeric columns")
-    parts.reduce(_ unionAll _)
+    val out = parts.reduce(_ unionAll _)
+    if (routedLayers.isEmpty) out
+    else {
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean("graft.describe.approxPercentiles", true)
+        .putStringArray("graft.describe.approxLayers", routedLayers.toArray)
+        .build()
+      out.withColumn("value", col("value").as("value", md))
+    }
   }
 
   /** Non-numeric describe: count / unique / top / freq for every string base

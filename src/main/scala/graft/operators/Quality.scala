@@ -57,16 +57,22 @@ object Quality {
   def trainVocab(df: DataFrame, textCol: String,
                  topK: Int): (DataFrame, Double) = {
     require(topK > 0, s"topK must be > 0, got $topK")
-    // persisted: the total action below materializes the aggregate and the
-    // returned top-K frame re-reads the (vocab-sized, small) cache instead
-    // of re-running the whole-corpus explode+groupBy a second time
+    // persisted across the two actions (total agg + top-K collect), then
+    // released: the returned vocab is a topK-bounded LOCAL relation (it is
+    // broadcast by every consumer anyway), so no cache outlives this call
     val counts = df.select(
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("count"))
       .persist()
-    val total = counts.agg(sum(col("count")))
-      .head().getLong(0).toDouble
-    (counts.orderBy(col("count").desc, col("token").asc).limit(topK), total)
+    try {
+      val total = counts.agg(sum(col("count")))
+        .head().getLong(0).toDouble
+      val topk = counts.orderBy(col("count").desc, col("token").asc)
+        .limit(topK)
+      val local = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(topk.collect(): _*), topk.schema)
+      (local, total)
+    } finally counts.unpersist()
   }
 
   /** Score documents against a PRE-TRAINED broadcast vocabulary

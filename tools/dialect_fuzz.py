@@ -44,8 +44,8 @@ STR_POOL = ["Abc", "de f", "", "aa", "xAbx", "Hello World", "zz9", "  pad  ",
 # .str methods shared by both engines (graft strSupported ∩ what the
 # fuzzer exercises). Value-returning vs predicate split matters only for
 # where they are syntactically valid.
-STR_VALUE = ["upper", "lower", "strip", "lstrip", "rstrip", "title",
-             "capitalize", "swapcase", "len"]
+STR_VALUE = ["upper", "lower", "casefold", "strip", "lstrip", "rstrip",
+             "title", "capitalize", "swapcase", "len"]
 STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
                  ("get", lambda r: str(r.randint(-2, 3))),
                  ("count", lambda r: f"'{r.choice(['a', 'b', 'x'])}'"),
