@@ -19,643 +19,498 @@ import org.apache.spark.sql.types.{ArrayType, StringType, StructType,
   *    supported (core.py:195-203, 1580-1589; expr.py:212-228).
   *
   * Implementation: we do NOT re-implement an evaluator. The expression is
-  * tokenized just enough to (a) classify each dotted reference by layer and
-  * (b) rewrite nested refs to a lambda variable; the result is handed to
-  * Spark's own SQL parser via `expr(...)` — either directly (base layer) or
-  * wrapped in `filter(nest, __x -> ...)` (element layer). Everything stays a
-  * Column expression: Catalyst optimizes, codegen applies, no shuffle.
+  * parsed once by [[ExprParser]] (python operator precedence), each AST
+  * node is classified against the frame's schema — layer, NA regime,
+  * accessor chains, global reductions — and rendered to Spark SQL, which
+  * is handed to Spark's own parser via `expr(...)` — either directly
+  * (base layer) or wrapped in `filter(nest, __x -> ...)` (element
+  * layer). Everything stays a Column expression: Catalyst optimizes,
+  * codegen applies, no shuffle.
   */
 object NestedExpr {
-
-  /** One lexical chunk of the expression. */
-  private sealed trait Tok
-  private case class Text(s: String) extends Tok
-  /** A dotted or simple identifier path; parts keep no backticks. */
-  private case class Ident(parts: Seq[String]) extends Tok
-  private case class Str(s: String) extends Tok
-
-  private def isIdentStart(c: Char) = c.isLetter || c == '_'
-  private def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
-
-  /** Tokenize: split out quoted strings and (possibly backticked, possibly
-    * dotted) identifier paths; everything else passes through verbatim. */
-  private def tokenize(s: String): Seq[Tok] = {
-    val out = collection.mutable.ArrayBuffer.empty[Tok]
-    val text = new StringBuilder
-    var i = 0
-    def flushText(): Unit =
-      if (text.nonEmpty) { out += Text(text.toString); text.clear() }
-
-    def readSegment(): Option[String] = {
-      if (i < s.length && s(i) == '`') {
-        val end = s.indexOf('`', i + 1)
-        require(end > 0, s"Unclosed backtick in expression: $s")
-        val seg = s.substring(i + 1, end); i = end + 1; Some(seg)
-      } else if (i < s.length && isIdentStart(s(i))) {
-        val start = i
-        while (i < s.length && isIdentChar(s(i))) i += 1
-        Some(s.substring(start, i))
-      } else None
-    }
-
-    while (i < s.length) {
-      val c = s(i)
-      if (c == '\'' || c == '"') {
-        flushText()
-        val quote = c; val start = i; i += 1
-        // honor backslash escapes (\' \\ …) like the SQL parser will
-        while (i < s.length && s(i) != quote) {
-          if (s(i) == '\\' && i + 1 < s.length) i += 2 else i += 1
-        }
-        require(i < s.length, s"Unclosed quote in expression: $s")
-        i += 1
-        out += Str(s.substring(start, i))
-      } else if (c == '`' || isIdentStart(c)) {
-        flushText()
-        val parts = collection.mutable.ArrayBuffer(readSegment().get)
-        while (i < s.length && s(i) == '.' && {
-                 // lookahead: dot must be followed by a segment
-                 val save = i; i += 1
-                 readSegment() match {
-                   case Some(seg) => parts += seg; true
-                   case None      => i = save; false
-                 }
-               }) {}
-        out += Ident(parts.toSeq)
-      } else { text += c; i += 1 }
-    }
-    flushText()
-    out.toSeq
-  }
 
   private def bq(name: String): String = "`" + name.replace("`", "``") + "`"
 
   // -------------------------------------------------------------------------
-  // pandas-eval surface preprocessing (reference expr.py:24-46 rides pandas'
-  // PandasExprVisitor, so query strings may use Python-isms Spark SQL does
-  // not parse). Rewrites, string-literal-safe:
-  //   `x in [a, b]`      → `x in (a, b)`      (list literal → IN list)
+  // AST classification + SQL rendering (r11). The expression is parsed ONCE
+  // by [[ExprParser]] (python operator precedence, SQL passthrough forms),
+  // then each node is classified against the frame's schema and rendered
+  // straight to Spark SQL — replacing the r1-r10 string-marker pipeline
+  // (no `__GRAFT*` markers, no post-render regex splices).
+  //
+  // Python-isms handled structurally at render time:
+  //   `x in [a, b]`      → `x in (a, b)`      (IN list)
   //   `~cond`            → `not cond`
   //   `a & b` / `a | b`  → `a and b` / `a or b`  (mask operators)
-  //   `a ** b`           → `power(a, b)`
-  //   `a // b`           → `floor((a) / (b))`  (Python floor semantics —
-  //                        -7 // 2 = -4, unlike SQL div's truncation)
+  //   `a ** b`           → `power(a, b)`   (python precedence: binds
+  //                        tighter than unary minus, right-associative)
+  //   `a // b`           → `floor((a) / (b))`  (python floor semantics —
+  //                        -7 // 2 = -4, unlike SQL div's truncation;
+  //                        binds looser than unary minus)
   //   `a < b < c`        → `(a < b) and (b < c)`  (chained comparisons)
-  // Ambiguous precedence we will not guess at (e.g. `a * b // c`,
-  // `a ** b ** c`) raises with a "parenthesize" message instead of
-  // silently diverging from Python.
+  //
+  // NA-regime rules (all reference-executed; r9/r10 fuzz findings):
+  //   - BASE-layer comparisons are 2-VALUED: wrapped coalesce(cmp,
+  //     false|true-for-!=) — pandas float64-NaN semantics (NaN == x is
+  //     False, NaN != x is True), where SQL's 3-valued NULL would flip
+  //     behavior under negation.
+  //   - ELEMENT-layer comparisons keep KLEENE (SQL) semantics — arrow NA
+  //     propagates — EXCEPT equality on chains whose RESULT type is
+  //     string/timestamp (2-valued; orderings stay Kleene), and a bare
+  //     None literal in the comparison forces Kleene even there.
+  //   - `in` wraps on BOTH layers (pandas isin maps NA → False), with the
+  //     r10 None-in-list splits: element isin with a None value matches
+  //     NA (`x in (vals) or x is null`); base OBJECT-dtype strings match
+  //     None too; float NaN and NaT match nothing.
   // -------------------------------------------------------------------------
 
-  private sealed trait Atom
-  private case class AIdent(parts: Seq[String]) extends Atom
-  private case class AStr(s: String) extends Atom
-  private case class AOp(s: String) extends Atom
-  private case class ARaw(s: String) extends Atom
+  /** Rendered subtree + the classification facts the NA-regime rules
+    * need:
+    *  - `kinds`: one entry per ELEMENT-level chain in the subtree — true
+    *    when the chain's RESULT is string/timestamp-typed (equality on it
+    *    is 2-valued in pandas), false when numeric/bool (Kleene). A
+    *    chain's LAST member decides (`n.t.dt.floor('D').dt.year` is
+    *    numeric → Kleene; `n.t.dt.day_name()` is string → 2-valued).
+    *  - `hasNone`: a python None literal occurs in the subtree (forces
+    *    Kleene even for string/timestamp equality — r10 probe: `n.t !=
+    *    None` drops EVERY element, unlike `n.t != 'x'`).
+    *  - `isArray`: the value is the ARRAY result of .str.split/rsplit/
+    *    findall (later chain members switch to list semantics). */
+  private case class Rnd(sql: String, kinds: List[Boolean] = Nil,
+                         hasNone: Boolean = false, isArray: Boolean = false)
+  private def merge(rs: Seq[Rnd]): Rnd =
+    Rnd("", rs.flatMap(_.kinds).toList, rs.exists(_.hasNone))
 
-  private val opChars = "<>~&|()[],+-*/%="
-  private val twoCharOps = Seq("**", "//", "<=", ">=", "==", "!=", "&&", "||")
-  private val cmpOps = Set("<", "<=", ">", ">=", "==", "!=")
-  private val identRe = "[A-Za-z_][A-Za-z0-9_]*".r
+  /** Mutable per-analysis state threaded through rendering. */
+  private final class Ctx(
+      val nestSet: Set[String], val baseSet: Set[String],
+      val twoValuedElemRefs: Set[String], val stringBaseCols: Set[String],
+      val df: DataFrame, val ref: (String, String) => String,
+      val exprStr: String) {
+    val nests = collection.mutable.LinkedHashSet.empty[String]
+    var usesBase = false
+    val reds = collection.mutable.LinkedHashMap
+      .empty[(String, String, String), Reduction]
+    /** The node that IS the whole expression modulo redundant parens — a
+      * bare boolean-attr `min()/max()` reduction there keeps bool dtype
+      * (pandas); any composed use stays numeric. Reference equality, so a
+      * structurally equal twin elsewhere in the tree must not count. */
+    var bareNode: AnyRef = null
+  }
 
-  private def atomize(toks: Seq[Tok]): Vector[Atom] =
-    toks.iterator.flatMap {
-      case Ident(p) => Vector(AIdent(p))
-      case Str(s)   => Vector(AStr(s))
-      case Text(t) =>
-        val out = Vector.newBuilder[Atom]
-        var i = 0
-        while (i < t.length) {
-          val two = if (i + 1 < t.length) t.substring(i, i + 2) else ""
-          if (twoCharOps.contains(two)) { out += AOp(two); i += 2 }
-          else if (opChars.contains(t(i))) { out += AOp(t(i).toString); i += 1 }
-          else {
-            val start = i
-            while (i < t.length && !opChars.contains(t(i)) &&
-                   !(i + 1 < t.length &&
-                     twoCharOps.contains(t.substring(i, i + 2)))) i += 1
-            out += ARaw(t.substring(start, i))
-          }
+  /** Python float literals must render as Spark DOUBLE literals: a bare
+    * `2.39` parses as DECIMAL(3,2) in Spark SQL, so arithmetic whose
+    * other operands are all integers STAYS decimal and an aggregate over
+    * it rounds to scale+4 digits (r8 alternate-seed fuzz catch — pandas
+    * computes in float64). Exponent forms (`1.5E3`) are already
+    * DoubleLiterals and stay verbatim. */
+  private def numSql(t: String): String =
+    if (t.exists(c => c == 'e' || c == 'E')) t
+    else if (t.contains('.')) { if (t.last == '.') t + "0D" else t + "D" }
+    else t
+
+  /** Does a comparison over operands with facts `info` keep KLEENE
+    * (element-layer) semantics? True when element chains are present and
+    * the 2-valued escape does not apply (escape: EQUALITY where every
+    * chain result is string/timestamp and no None literal occurs). */
+  private def cmpIsElement(info: Rnd, eqOp: Boolean): Boolean = {
+    val allTwoValued = eqOp && !info.hasNone &&
+      info.kinds.nonEmpty && info.kinds.forall(identity)
+    info.kinds.nonEmpty && !allTwoValued
+  }
+
+  private def renderAst(a: ExprAst.Ast, ctx: Ctx): Rnd = {
+    import ExprAst._
+    a match {
+      case Num(t)    => Rnd(numSql(t))
+      case StrLit(t) => Rnd(t)
+      case NoneLit   => Rnd("null", hasNone = true)
+      case Word(t)   => Rnd(t)
+      case Un("not", e) =>
+        val r = renderAst(e, ctx)
+        r.copy(sql = s"not ${r.sql}", isArray = false)
+      case Un(op, e) =>
+        val r = renderAst(e, ctx)
+        val sql = e match {
+          case _: Num => op + r.sql // "-2" stays a literal-int method arg
+          case _      => s"($op ${r.sql})"
         }
-        out.result()
-    }.toVector
-
-  private def renderAtom(a: Atom): String = a match {
-    case AIdent(parts) => parts.map { p =>
-      if (identRe.pattern.matcher(p).matches()) p else bq(p) }.mkString(".")
-    case AStr(s) => s
-    case AOp(s)  => s
-    case ARaw(s) => s
-  }
-  private def isWs(a: Atom): Boolean = a match {
-    case ARaw(s) => s.forall(_.isWhitespace); case _ => false
-  }
-  private def isKw(a: Atom, kw: String): Boolean = a match {
-    case AIdent(Seq(one)) => one.equalsIgnoreCase(kw)
-    // the &/|/~ rewrites splice keywords in as raw text — they are
-    // chain/operand boundaries exactly like typed-out keywords
-    case ARaw(s)          => s.trim.equalsIgnoreCase(kw)
-    case _                => false
-  }
-
-  /** Index range [l, r] of the operand ENDING at (searching left from) `from`
-    * inclusive: a paren group with optional leading call name, or a single
-    * ident/number atom.
-    *
-    * `absorbUnary`: also swallow a UNARY +/- directly before the operand
-    * (one preceded by nothing, another operator, `(`, or a keyword — not
-    * by an operand). Needed wherever Python binds unary minus TIGHTER
-    * than the operator being rewritten: chained comparisons
-    * (`-2 < a <= 7` — the bound is (-2), found by the r9 differential
-    * fuzzer) and `//` (`-3 // 4` is (-3)//4 = -1, not -(3//4) = 0).
-    * Must stay FALSE for `**`, where Python binds unary minus LOOSER
-    * (`-3 ** 2` is -(3**2) = -9). */
-  private def operandLeft(as: Vector[Atom], from: Int,
-                          absorbUnary: Boolean = false): (Int, Int) = {
-    def withUnary(l: Int, r: Int): (Int, Int) = {
-      if (!absorbUnary) return (l, r)
-      var p = l - 1
-      while (p >= 0 && isWs(as(p))) p -= 1
-      val isSign = p >= 0 && (as(p) == AOp("-") || as(p) == AOp("+"))
-      if (!isSign) return (l, r)
-      var q = p - 1
-      while (q >= 0 && isWs(as(q))) q -= 1
-      val unary = q < 0 || (as(q) match {
-        case AOp(")") | AOp("]") => false
-        case _: AOp => true
-        case a => Seq("and", "or", "not", "in").exists(isKw(a, _))
-      })
-      if (unary) (p, r) else (l, r)
-    }
-    var r = from
-    while (r >= 0 && isWs(as(r))) r -= 1
-    require(r >= 0, "operator with no left operand")
-    as(r) match {
-      case AOp(")") =>
-        var depth = 1; var l = r - 1
-        while (l >= 0 && depth > 0) {
-          as(l) match { case AOp("(") => depth -= 1; case AOp(")") => depth += 1
-            case _ => () }
-          if (depth > 0) l -= 1
-        }
-        require(l >= 0, "unbalanced parens")
-        // include a function-call name directly before the group
-        var l2 = l - 1
-        while (l2 >= 0 && isWs(as(l2))) l2 -= 1
-        if (l2 >= 0 && as(l2).isInstanceOf[AIdent]) withUnary(l2, r)
-        else withUnary(l, r)
-      case _: AIdent | _: ARaw | _: AStr => withUnary(r, r)
-      case other => throw new IllegalArgumentException(
-        s"cannot read operand ending at '$other' — parenthesize the expression")
-    }
-  }
-
-  /** Index range [l, r] of the operand STARTING at (searching right from)
-    * `from` inclusive; consumes an optional unary +/-. */
-  private def operandRight(as: Vector[Atom], from: Int): (Int, Int) = {
-    var l = from
-    while (l < as.length && isWs(as(l))) l += 1
-    require(l < as.length, "operator with no right operand")
-    val start = as(l) match {
-      case AOp("+") | AOp("-") =>
-        var n = l + 1
-        while (n < as.length && isWs(as(n))) n += 1
-        n
-      case _ => l
-    }
-    as(start) match {
-      case AOp("(") =>
-        var depth = 1; var r = start + 1
-        while (r < as.length && depth > 0) {
-          as(r) match { case AOp("(") => depth += 1; case AOp(")") => depth -= 1
-            case _ => () }
-          if (depth > 0) r += 1
-        }
-        require(r < as.length, "unbalanced parens")
-        (l, r)
-      case _: AIdent =>
-        // possible call: ident '(' args ')'
-        var n = start + 1
-        while (n < as.length && isWs(as(n))) n += 1
-        if (n < as.length && as(n) == AOp("(")) {
-          var depth = 1; var r = n + 1
-          while (r < as.length && depth > 0) {
-            as(r) match { case AOp("(") => depth += 1
-              case AOp(")") => depth -= 1; case _ => () }
-            if (depth > 0) r += 1
-          }
-          (l, r)
-        } else (l, start)
-      case _: ARaw | _: AStr => (l, start)
-      case other => throw new IllegalArgumentException(
-        s"cannot read operand starting at '$other' — parenthesize the expression")
+        r.copy(sql = sql, isArray = false)
+      case Bin("**", l, r) =>
+        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
+        merge(Seq(lr, rr)).copy(sql = s"power(${lr.sql}, ${rr.sql})")
+      case Bin("//", l, r) =>
+        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
+        merge(Seq(lr, rr)).copy(sql = s"floor((${lr.sql}) / (${rr.sql}))")
+      // python modulo follows the DIVISOR's sign (-7 % 3 = 2, 7 % -3 =
+      // -2) where SQL % follows the dividend's (-1, 1). pmod matches
+      // python for positive divisors; a negative divisor mirrors:
+      // l % r = -pmod(-l, -r). Integer inputs stay integer (pandas
+      // int64 % int64 is int64). r11 probe: the old verbatim `%` was a
+      // silent wrong-answer divergence on negative operands.
+      case Bin("%", l, r) =>
+        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
+        val (a, b) = (lr.sql, rr.sql)
+        merge(Seq(lr, rr)).copy(sql =
+          s"(case when ($b) < 0 then -pmod(-($a), -($b)) " +
+            s"else pmod(($a), ($b)) end)")
+      case Bin(op, l, r) =>
+        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
+        merge(Seq(lr, rr)).copy(sql = s"${lr.sql} $op ${rr.sql}")
+      case Paren(inner, Nil) =>
+        val r = renderAst(inner, ctx)
+        r.copy(sql = s"(${r.sql})")
+      case Paren(inner, trailers) =>
+        // `(ts).dt.year`: accessor chain over a parenthesized receiver —
+        // the layer comes from whether the receiver is element-level
+        val r = renderAst(inner, ctx)
+        foldTrailers(r.copy(sql = s"(${r.sql})"), trailers,
+          nestedLayer = r.kinds.nonEmpty, ctx)
+      case c: Cmp    => renderCmp(c, ctx)
+      case i: InList => renderIn(i, ctx)
+      case IsNull(e, neg) =>
+        val r = renderAst(e, ctx)
+        r.copy(sql = s"${r.sql} is${if (neg) " not" else ""} null",
+          isArray = false)
+      case Between(e, lo, hi, neg) =>
+        val rs = Seq(e, lo, hi).map(renderAst(_, ctx))
+        merge(rs).copy(sql = s"${rs(0).sql} ${if (neg) "not " else ""}" +
+          s"between ${rs(1).sql} and ${rs(2).sql}")
+      case LikeOp(op, l, r, neg) =>
+        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
+        merge(Seq(lr, rr)).copy(
+          sql = s"${lr.sql} ${if (neg) "not " else ""}$op ${rr.sql}")
+      case CaseWhen(branches, orElse) =>
+        val parts = branches.map { case (c, v) =>
+          (renderAst(c, ctx), renderAst(v, ctx)) }
+        val er = orElse.map(renderAst(_, ctx))
+        val sql = "case" + parts.map { case (c, v) =>
+          s" when ${c.sql} then ${v.sql}" }.mkString +
+          er.map(e => s" else ${e.sql}").getOrElse("") + " end"
+        merge(parts.flatMap(p => Seq(p._1, p._2)) ++ er.toSeq)
+          .copy(sql = sql)
+      case CastE(e, typ) =>
+        val r = renderAst(e, ctx)
+        r.copy(sql = s"cast(${r.sql} as $typ)", isArray = false)
+      case KwArg(n, v) =>
+        val r = renderAst(v, ctx)
+        r.copy(sql = s"$n=${r.sql}")
+      case DistinctArg(e) =>
+        val r = renderAst(e, ctx)
+        r.copy(sql = s"distinct ${r.sql}")
+      case p: PathCall => renderPath(p, ctx)
     }
   }
 
-  private def prevSolid(as: Vector[Atom], i: Int): Option[Atom] = {
-    var j = i
-    while (j >= 0 && isWs(as(j))) j -= 1
-    if (j >= 0) Some(as(j)) else None
+  /** Comparison render, chains included: `O1 c1 O2 c2 O3` → `(O1 c1 O2)
+    * and (O2 c2 O3)`, each conjunct's wrap decided by ITS operator (the
+    * 2-valued-equality escape is per-conjunct — r10). */
+  private def renderCmp(c: ExprAst.Cmp, ctx: Ctx): Rnd = {
+    val operands = (c.first :: c.rest.map(_._2)).map(renderAst(_, ctx))
+    val info = merge(operands)
+    val eqElem = cmpIsElement(info, eqOp = true)
+    val ordElem = cmpIsElement(info, eqOp = false)
+    def wrap(op: String, cmp: String): String = {
+      val elem = if (op == "==" || op == "!=") eqElem else ordElem
+      if (elem) cmp
+      else s"coalesce(($cmp), ${if (op == "!=") "true" else "false"})"
+    }
+    val sql =
+      if (c.rest.length == 1)
+        wrap(c.rest.head._1,
+          s"${operands(0).sql} ${c.rest.head._1} ${operands(1).sql}")
+      else {
+        val joined = c.rest.map(_._1).zipWithIndex.map { case (op, i) =>
+          val cmp = s"(${operands(i).sql} $op ${operands(i + 1).sql})"
+          val elem = if (op == "==" || op == "!=") eqElem else ordElem
+          if (elem) cmp
+          else s"coalesce($cmp, ${if (op == "!=") "true" else "false"})"
+        }.mkString(" and ")
+        s"($joined)"
+      }
+    info.copy(sql = sql)
   }
-  private def nextSolid(as: Vector[Atom], i: Int): Option[Atom] = {
-    var j = i
-    while (j < as.length && isWs(as(j))) j += 1
-    if (j < as.length) Some(as(j)) else None
+
+  /** `in` membership: wraps on BOTH layers (pandas isin maps NA → False
+    * even for arrow-backed nested fields). None-in-list splits (r10
+    * probes): an element-layer operand, or exactly one plain string base
+    * column, rewrites to `(x in (values-sans-None)) or (x is null)`;
+    * float NaN / NaT operands keep the plain wrap (match nothing). */
+  private def renderIn(i: ExprAst.InList, ctx: Ctx): Rnd = {
+    import ExprAst.{NoneLit, PathCall}
+    val eR = renderAst(i.e, ctx)
+    val itemRs = i.items.map(renderAst(_, ctx))
+    val info = merge(eR +: itemRs)
+    val noneInList = itemRs.exists(_.hasNone)
+    val elemIn = noneInList && info.kinds.nonEmpty
+    val baseStrIn = noneInList && !elemIn && (i.e match {
+      case PathCall(List(one), None, Nil) =>
+        ctx.stringBaseCols.contains(one)
+      case _ => false
+    })
+    val dflt = if (i.negated) "true" else "false"
+    val txt =
+      if (elemIn || baseStrIn) {
+        val vals = i.items.zip(itemRs).collect {
+          case (it, r) if it != NoneLit => r.sql }
+        val opTxt = eR.sql
+        val membership =
+          if (vals.isEmpty) s"(($opTxt) is null)"
+          else s"((($opTxt) in (${vals.mkString(", ")})) " +
+            s"or (($opTxt) is null))"
+        if (i.negated) s"(not $membership)" else membership
+      } else
+        s"${eR.sql}${if (i.negated) " not" else ""} in " +
+          s"(${itemRs.map(_.sql).mkString(", ")})"
+    info.copy(sql = s"coalesce(($txt), $dflt)")
   }
 
-  /** All preprocessing passes; returns a Spark-SQL-parseable string.
-    * private[graft] for the identity-property spec. */
-  /** `twoValuedElemRefs`: dotted `nest.field` names of STRING- or
-    * TIMESTAMP-typed nested fields. The NA-comparison regime splits on the
-    * compared expression's RESULT TYPE (r9 fuzzer + r10 dt-audit probes,
-    * all reference-executed): string and timestamp element comparisons are
-    * 2-VALUED (NA == x → False, NA != x → True — `n.t != '2023-06-16'`
-    * and `n.s.str.upper() != 'BB'` both KEEP the NA element), while
-    * NUMERIC/BOOL element comparisons are Kleene (`n.x != 3.0` and
-    * `n.s.str.len() != 2` both DROP it). Method results count: a chain's
-    * LAST member decides (`n.t.dt.floor('D').dt.year` is numeric →
-    * Kleene; `n.t.dt.day_name()` is string → 2-valued). */
-  /** `stringBaseCols`: plain STRING base columns — pandas object-dtype
-    * None MATCHES a None value in `isin` (`s in ['a', None]` keeps the
-    * missing row) while float NaN and NaT match nothing (r10 probes). */
-  private[graft] def preprocess(exprStr: String,
-                                nestSet: Set[String] = Set.empty,
-                                twoValuedElemRefs: Set[String] = Set.empty,
-                                stringBaseCols: Set[String] = Set.empty)
-      : String = {
-    var as = atomize(tokenize(exprStr))
-
-    // `in [a, b]` → `in (a, b)` (and `not in [...]`)
-    var i = 0
-    while (i < as.length) {
-      if (isKw(as(i), "in")) {
-        var j = i + 1
-        while (j < as.length && isWs(as(j))) j += 1
-        if (j < as.length && as(j) == AOp("[")) {
-          var depth = 1; var k = j + 1
-          while (k < as.length && depth > 0) {
-            as(k) match { case AOp("[") => depth += 1
-              case AOp("]") => depth -= 1; case _ => () }
-            if (depth > 0) k += 1
-          }
-          require(k < as.length, s"unbalanced [ in: $exprStr")
-          as = as.updated(j, AOp("(")).updated(k, AOp(")"))
+  /** Fold accessor trailers (`.str.m(...)`, `.dt.m`, `[i]`) over an
+    * already-rendered receiver. `nestedLayer` picks the arrow-vs-numpy
+    * split for `.dt` members (microsecond decomposition, strftime %S/%f,
+    * round ties). When the receiver carries an element chain, its LAST
+    * kind entry is retyped by the final member. */
+  private def foldTrailers(recv: Rnd, trailers: List[ExprAst.Trailer],
+                           nestedLayer: Boolean, ctx: Ctx): Rnd = {
+    var cur = recv.sql
+    var isArr = recv.isArray
+    var kind: Option[Boolean] = None
+    val extras = List.newBuilder[Rnd]
+    trailers.foreach {
+      case ExprAst.Trailer(Nil, _, Some(idx)) =>
+        val ir = renderAst(idx, ctx)
+        extras += ir
+        cur = s"$cur[${ir.sql}]"
+        isArr = false
+      case ExprAst.Trailer(List("str", m), Some(args), _) =>
+        if (!strSupported.contains(m)) strUnsupported(m, ctx.exprStr)
+        val ars = args.map(renderAst(_, ctx))
+        extras ++= ars
+        val (s2, a2) =
+          renderStrMethod(m, cur, ars.map(_.sql), isArr, ctx.exprStr)
+        cur = s2; isArr = a2
+        kind = Some(strStringResult.contains(m))
+      case ExprAst.Trailer(List("dt", m), argsOpt, _) =>
+        argsOpt match {
+          case None =>
+            if (!dtAttrs.contains(m)) dtUnsupported(m, ctx.exprStr)
+            cur = dtAttrSql(m, cur, nestedLayer, ctx.exprStr)
+            isArr = false
+          case Some(args) =>
+            if (!dtMethods.contains(m)) dtUnsupported(m, ctx.exprStr)
+            val ars = args.map(renderAst(_, ctx))
+            extras ++= ars
+            val (s2, a2) = renderStrMethod(
+              "dt" + (if (nestedLayer) "e" else "b") + m, cur,
+              ars.map(_.sql), isArr, ctx.exprStr)
+            cur = s2; isArr = a2
         }
-      }
-      i += 1
+        kind = Some(dtTwoValuedMembers.contains(m))
+      case ExprAst.Trailer(names, _, _) =>
+        throw new IllegalArgumentException(
+          s"Unresolvable column path '${names.mkString(".")}' " +
+            s"(chained accessors support .str.<m> / .dt.<m>) in: " +
+            ctx.exprStr)
     }
+    val extraInfo = merge(extras.result())
+    val kinds0 =
+      if (nestedLayer && recv.kinds.nonEmpty && kind.isDefined)
+        recv.kinds.init :+ kind.get
+      else recv.kinds
+    Rnd(cur, kinds0 ++ extraInfo.kinds,
+      recv.hasNone || extraInfo.hasNone, isArr)
+  }
 
-    // mask operators → logical keywords; ~ → not
-    as = as.map {
-      case AOp("~") | AOp("!") => ARaw(" not ")
-      case AOp("&") | AOp("&&") => ARaw(" and ")
-      case AOp("|") | AOp("||") => ARaw(" or ")
-      case a => a
+  /** Classify one dotted path (+ optional call args + trailers) against
+    * the frame's schema — the column-resolution core. Pattern order is
+    * semantic precedence, mirrored from the r1-r10 resolver. */
+  private def renderPath(p: ExprAst.PathCall, ctx: Ctx): Rnd = {
+    import ExprAst._
+    val exprStr = ctx.exprStr
+    val nestSet = ctx.nestSet
+    val baseSet = ctx.baseSet
+    /** Called with EXACTLY zero arguments — `n.len()`, `n.x.mean()`. */
+    val emptyCall = p.args.exists(_.isEmpty)
+    def reduction(nest: String, sqlE: String, agg: String,
+                  srcCol: String): Reduction =
+      ctx.reds.getOrElseUpdate((nest, sqlE, agg),
+        Reduction(nest, sqlE, agg, srcCol))
+    /** Verbatim-call suffix for passthrough paths (`abs(x)`,
+      * `` `col`(…) `` — garbage in, garbage out, as before). */
+    def argSuffix(info: List[Rnd] => Unit = _ => ()): String =
+      p.args match {
+        case None => ""
+        case Some(args) =>
+          val ars = args.map(renderAst(_, ctx))
+          info(ars)
+          s"(${ars.map(_.sql).mkString(", ")})"
+      }
+    def elemRef(nest: String, field: String): Rnd = {
+      ctx.nests += nest
+      Rnd(ctx.ref(nest, field),
+        kinds = List(ctx.twoValuedElemRefs.contains(s"$nest.$field")))
     }
-
-    // ** and // → power / floor-div, operand-grabbed; iterate to fixpoint
-    var changed = true
-    while (changed) {
-      changed = false
-      val idx = as.indexWhere(a => a == AOp("**") || a == AOp("//"))
-      if (idx >= 0) {
-        val op = as(idx).asInstanceOf[AOp].s
-        // `//` binds looser than unary minus (−3 // 4 = (−3)//4); `**`
-        // binds tighter (−3 ** 2 = −(3**2)) — see operandLeft
-        val (ll, lr) = operandLeft(as, idx - 1, absorbUnary = op == "//")
-        val (rl, rr) = operandRight(as, idx + 1)
-        prevSolid(as, ll - 1).foreach {
-          case AOp(p) if Set("*", "/", "%", "//", "**").contains(p) =>
-            throw new IllegalArgumentException(
-              s"ambiguous `$p` next to `$op` — parenthesize: $exprStr")
-          case _ => ()
-        }
-        nextSolid(as, rr + 1).foreach {
-          case AOp(p) if Set("**").contains(p) =>
-            throw new IllegalArgumentException(
-              s"chained `**` is right-associative in Python — " +
-                s"parenthesize: $exprStr")
-          case _ => ()
-        }
-        val left = as.slice(ll, lr + 1).map(renderAtom).mkString
-        val right = as.slice(rl, rr + 1).map(renderAtom).mkString
-        val repl =
-          if (op == "**") ARaw(s" power($left, $right) ")
-          else ARaw(s" floor(($left) / ($right)) ")
-        as = as.patch(ll, Seq(repl), rr - ll + 1)
-        changed = true
+    def fold(head: Rnd, firstMember: Option[Trailer],
+             nested: Boolean): Rnd =
+      foldTrailers(head, firstMember.toList ++ p.trailers, nested, ctx)
+    /** `.str.cat(sep=…, na_rep=…)` argument surface: string-literal
+      * kwargs only — a positional first argument is pandas' `others`
+      * (element-wise concat against another series), which has no global
+      * scalar analog and raises loudly. */
+    def catArgs(args: List[Ast]): (String, Option[String]) = {
+      var sep = ""; var naRep: Option[String] = None
+      args.foreach {
+        case KwArg("sep", StrLit(t)) =>
+          sep = strLitContent(t).getOrElse("")
+        case KwArg("na_rep", StrLit(t)) =>
+          naRep = strLitContent(t)
+        case other => throw new IllegalArgumentException(
+          s".str.cat supports only sep=/na_rep= string-literal keyword " +
+            s"arguments (pandas `others` concat is not supported), got " +
+            s"'$other' in: $exprStr")
       }
-    }
-
-    // nest-rooted ref inside text already collapsed by an earlier rewrite
-    // (power/floor-div splice idents into ARaw). Global reduction CALLS
-    // (`nest.field.agg(`) are scalars, not element refs — strip them
-    // before testing, matching the direct-ident path's exclusion.
-    def rawNestRef(s: String): Boolean = nestSet.exists { n =>
-      val q = java.util.regex.Pattern.quote(n)
-      // strip global reduction CALLS, incl. the dt-derived form
-      // `nest.field.dt.attr.agg(` — scalars, not element refs
-      val cleaned = s.replaceAll(
-        q + "\\.\\w+(?:\\.dt\\.\\w+)?\\.(?:" + reductionAggs.mkString("|") +
-          ")\\s*\\(", "")
-      ("(^|[^\\w.`])" + q + "\\s*\\.").r.findFirstIn(cleaned).isDefined
-    }
-    /** Does this comparison span keep KLEENE missing semantics? True when
-      * it references a nested field at element level (vs only base
-      * columns / global reduction scalars) — EXCEPT when every element
-      * ref's RESULT type is string or timestamp: those comparisons are
-      * 2-valued in pandas even on arrow NA (probes: `t != 'aa'`,
-      * `ts != '2023-06-16'`, `s.str.upper() != 'BB'`,
-      * `ts.dt.day_name() != 'Friday'`, `ts.dt.floor('D') != d` all KEEP
-      * the NA element; numeric `~(x == 1.0)`, `ts.dt.year != 2023`, and
-      * `s.str.len() != 2` drop it). The 2-valued escape applies to
-      * EQUALITY only (`eqOp`): ordering comparisons on string/timestamp
-      * elements are Kleene like numerics (probe: `n.s <= 'ab'` and
-      * `~(n.t.dt.round('h') <= d)` both DROP the NA element, while
-      * `n.s != 'ab'` keeps it). A chained member after an element ref
-      * (`.dt.m` / `.str.m` following a method call) re-types the chain —
-      * the LAST member decides. */
-    def elementSpan(span: Vector[Atom], eqOp: Boolean): Boolean = {
-      val rawElem = span.exists {
-        case ARaw(s) => rawNestRef(s)
-        case _ => false
-      }
-      // kinds per element chain: true = 2-valued (string/timestamp result)
-      val chainKinds = collection.mutable.ArrayBuffer.empty[Boolean]
-      def memberTwoValued(acc: String, m: String): Option[Boolean] =
-        acc match {
-          case "str" => Some(strStringResult.contains(m))
-          // dt attrs are all numeric/bool (Kleene); only the string/
-          // timestamp-producing methods flip to 2-valued
-          case "dt" => Some(dtTwoValuedMembers.contains(m))
-          case _ => None
-        }
-      span.foreach {
-        case AIdent(parts) if parts.headOption.exists(nestSet.contains) &&
-            !(parts.length == 3 && reductionAggs.contains(parts(2))) &&
-            // dt-derived global reduction `nest.field.dt.attr.agg()` is a
-            // scalar, not an element ref
-            !(parts.length == 5 && parts(2) == "dt" &&
-              reductionAggs.contains(parts(4))) =>
-          val kind =
-            if (parts.length == 2)
-              twoValuedElemRefs.contains(parts.mkString("."))
-            else if (parts.length == 4)
-              memberTwoValued(parts(2), parts(3)).getOrElse(false)
-            else false // .isna()/.notna() masks etc. — not comparisons
-          chainKinds += kind
-        // chain follower `.dt.m` / `.str.m` after a call: re-types the
-        // most recent element chain (the tokenizer splits `).dt.year`
-        // into its own 2-part ident)
-        case AIdent(Seq(acc, m)) if (acc == "dt" || acc == "str") &&
-            !nestSet.contains(acc) && chainKinds.nonEmpty =>
-          memberTwoValued(acc, m).foreach { k =>
-            chainKinds(chainKinds.length - 1) = k
-          }
-        case _ => ()
-      }
-      // a bare None literal in the span forces KLEENE even for
-      // string/timestamp equality: `n.t != None` drops EVERY element in
-      // pandas (arrow comparison vs None → NA throughout; r10 probe),
-      // unlike `n.t != 'x'` which keeps the NA element
-      val hasNoneLit = span.exists {
-        case AIdent(Seq("None")) => true
-        case _ => false
-      }
-      val isElement = chainKinds.nonEmpty || rawElem
-      val allTwoValued = eqOp && !rawElem && !hasNoneLit &&
-        chainKinds.nonEmpty && chainKinds.forall(identity)
-      // NOT modeled (documented divergence, COVERAGE.md): pandas'
-      // np.sqrt over an arrow element series LAUNDERS NA into float64
-      // NaN and the comparison flips to 2-valued — but only until an
-      // arrow operand rehydrates it (probe: `sqrt(x) > 9` launders,
-      // `abs(x)` stays arrow, `y + sqrt(abs(x))` rehydrates). That is
-      // numpy/arrow dtype juggling, not a semantic contract; graft
-      // keeps uniform Kleene for numeric element comparisons.
-      isElement && !allTwoValued
+      (sep, naRep)
     }
 
-    // chained comparisons: O1 c1 O2 c2 O3 → (O1 c1 O2) and (O2 c2 O3)
-    changed = true
-    while (changed) {
-      changed = false
-      // find two cmp ops at the same depth with only operand atoms between
-      var depth = 0
-      var firstCmp = -1; var firstDepth = -1
-      var k = 0
-      var done = false
-      while (k < as.length && !done) {
-        as(k) match {
-          case AOp("(") | AOp("[") => depth += 1
-          case AOp(")") | AOp("]") => depth -= 1
-          case AOp(c) if cmpOps.contains(c) =>
-            if (firstCmp >= 0 && depth == firstDepth) {
-              // chain found: [firstCmp, k]; gather full run of cmps
-              val cmps = collection.mutable.ArrayBuffer(firstCmp, k)
-              var d2 = depth; var m = k + 1
-              var stop = false
-              while (m < as.length && !stop) {
-                as(m) match {
-                  case AOp("(") | AOp("[") => d2 += 1
-                  case AOp(")") | AOp("]") =>
-                    d2 -= 1; if (d2 < depth) stop = true
-                  case AOp(c2) if cmpOps.contains(c2) && d2 == depth =>
-                    cmps += m
-                  case AOp(",") if d2 == depth => stop = true
-                  case a if (isKw(a, "and") || isKw(a, "or") ||
-                    isKw(a, "not") || isKw(a, "in")) && d2 == depth =>
-                    stop = true
-                  case _ => ()
-                }
-                if (!stop) m += 1
-              }
-              val (s0, _) = operandLeft(as, firstCmp - 1, absorbUnary = true)
-              val lastCmp = cmps.last
-              val (_, eN) = operandRight(as, lastCmp + 1)
-              // operands between consecutive cmps
-              val bounds = (s0 +: cmps.toSeq.map(_ + 1)).zip(
-                cmps.toSeq.map(_ - 1) :+ eN)
-              val operands = bounds.map { case (a0, a1) =>
-                as.slice(a0, a1 + 1).map(renderAtom).mkString.trim }
-              val ops = cmps.toSeq.map(ci => as(ci).asInstanceOf[AOp].s)
-              // each BASE-layer conjunct gets the pandas 2-valued wrap
-              // here (the rewrite collapses to raw text, so the coalesce
-              // pass below can no longer see these comparisons); element
-              // layer keeps Kleene/SQL semantics — see the wrap pass
-              // per-conjunct operator decides the 2-valued-equality escape
-              val chainElemEq = elementSpan(as.slice(s0, eN + 1), eqOp = true)
-              val chainElemOrd = elementSpan(as.slice(s0, eN + 1), eqOp = false)
-              val joined = ops.zipWithIndex.map { case (c, oi) =>
-                val cmp = s"(${operands(oi)} $c ${operands(oi + 1)})"
-                val chainElement =
-                  if (c == "==" || c == "!=") chainElemEq else chainElemOrd
-                if (chainElement) cmp
-                else s"coalesce($cmp, ${if (c == "!=") "true" else "false"})" }
-                .mkString(" and ")
-              as = as.patch(s0, Seq(ARaw(s" ($joined) ")), eN - s0 + 1)
-              changed = true; done = true
-            } else if (firstCmp < 0 || depth != firstDepth) {
-              firstCmp = k; firstDepth = depth
-            }
-          case AOp(",") => firstCmp = -1
-          case a if isKw(a, "and") || isKw(a, "or") || isKw(a, "not") ||
-            isKw(a, "in") => firstCmp = -1
-          case _ => ()
-        }
-        k += 1
-      }
-    }
-
-    // pandas 2-VALUED comparison semantics for the BASE layer (found by
-    // the r9 differential fuzzer): a comparison with a missing float64
-    // operand is False — NaN < x, NaN == x, NaN in [...] — EXCEPT `!=`,
-    // which is True (NaN != x, even x != x). SQL's 3-valued NULL instead
-    // propagates, which flips behavior under negation: pandas KEEPS the
-    // rows of `~(b > 1)` where b is missing, SQL drops them. Wrapping
-    // every base-layer comparison span in coalesce(span, false|true)
-    // makes all downstream boolean algebra 2-valued, exactly like pandas.
-    //
-    // ELEMENT-layer spans (any ident rooted at a nest, excluding global
-    // reduction calls, which yield scalars) are NOT wrapped: nested
-    // fields in the reference are always arrow-backed, and arrow NA
-    // follows KLEENE logic — NA propagates through comparisons and ~,
-    // and masks drop NA — which is exactly SQL 3-valued semantics
-    // (fuzzer-verified both ways; COVERAGE.md records the layer split).
-    // Each iteration collapses one comparison span to raw text, so the
-    // scan converges.
-    def depthArr(v: Vector[Atom]): Array[Int] = {
-      val d = new Array[Int](v.length)
-      var cur = 0
-      for (k <- v.indices) v(k) match {
-        case AOp("(") | AOp("[") => d(k) = cur; cur += 1
-        case AOp(")") | AOp("]") => cur -= 1; d(k) = cur
-        case _ => d(k) = cur
-      }
-      d
-    }
-    def isBoolBoundary(a: Atom): Boolean =
-      a == AOp(",") || Seq("and", "or", "not", "in").exists(isKw(a, _))
-    changed = true
-    while (changed) {
-      changed = false
-      val dep = depthArr(as)
-      val found = as.indices.find { k =>
-        as(k) match {
-          case AOp(op) => cmpOps.contains(op)
-          case a => isKw(a, "in")
-        }
-      }
-      found.foreach { c =>
-        val d0 = dep(c)
-        val isIn = as(c) match {
-          case AOp(op) => !cmpOps.contains(op); case _ => true
-        }
-        // `x not in (...)`: the INFIX not sits directly before `in` and
-        // belongs to the span (python's prefix form `not x in (...)`
-        // parses as not(x in ...) and is handled by the plain-in wrap)
-        var scanFrom = c - 1
-        var notInfix = false
-        if (isIn) {
-          var p = c - 1
-          while (p >= 0 && isWs(as(p))) p -= 1
-          if (p >= 0 && isKw(as(p), "not")) { notInfix = true; scanFrom = p - 1 }
-        }
-        var l = scanFrom
-        while (l >= 0 && dep(l) >= d0 &&
-               !(dep(l) == d0 && isBoolBoundary(as(l)))) l -= 1
-        val start = l + 1
-        var r = c + 1
-        var listOpen = -1
-        if (isIn) {
-          while (r < as.length && as(r) != AOp("(")) r += 1
-          require(r < as.length, s"`in` without a value list in: $exprStr")
-          listOpen = r
-          var depth2 = 1
-          r += 1
-          while (r < as.length && depth2 > 0) {
-            as(r) match {
-              case AOp("(") => depth2 += 1
-              case AOp(")") => depth2 -= 1
-              case _ => ()
-            }
-            if (depth2 > 0) r += 1
-          }
-        } else {
-          while (r < as.length && dep(r) >= d0 &&
-                 !(dep(r) == d0 && isBoolBoundary(as(r)))) r += 1
-          r -= 1
-        }
-        val dflt =
-          if (isIn) { if (notInfix) "true" else "false" }
-          else if (as(c) == AOp("!=")) "true"
-          else "false"
-        val span = as.slice(start, r + 1)
-        // `in` wraps on BOTH layers: pandas routes membership through
-        // isin, which maps NA → False even for arrow-backed nested
-        // fields (r9 fuzzer, large-frame case: `~(n.x in [...])` KEEPS
-        // null-x elements). Comparisons keep the layer split (element
-        // layer = Kleene).
-        val elementLayer = !isIn && elementSpan(span,
-          eqOp = as(c) == AOp("==") || as(c) == AOp("!="))
-        // element-layer isin with a None VALUE in the list: pandas arrow
-        // isin matches NA against None (`n.x in [1, None]` KEEPS the NA
-        // element; r10 probe) while SQL `x in (1, null)` is NULL there —
-        // rewrite to `x in (values-sans-None) or x is null`, which also
-        // renders False (not NULL) for a non-matching x against the
-        // null-bearing list, exactly pandas. BASE isin keeps the plain
-        // wrap: numpy NaN matches nothing, None included (probe: base
-        // `b in [1, None]` drops the NaN row).
-        val noneInList = isIn && as.slice(listOpen + 1, r).exists {
-          case AIdent(Seq("None")) => true
-          case _ => false
-        }
-        val elemIn = isIn && noneInList &&
-          elementSpan(span, eqOp = false) // == "references nest elements"
-        // base OBJECT-dtype strings also match None in isin (float NaN
-        // and NaT do not — r10 probes): rewrite when the operand is
-        // exactly one plain string base column
-        val baseStrIn = isIn && noneInList && !elemIn && {
-          val opAtoms = as.slice(start, c)
-            .filterNot(a => isWs(a) || isKw(a, "not"))
-          opAtoms match {
-            case Vector(AIdent(Seq(one))) => stringBaseCols.contains(one)
+    p.names match {
+      // nest.len() — row-level length (core.py:1580-1589). A NULL cell is
+      // 0, not NULL (executed reference probe r9); the programmatic API
+      // (NestedOps.nestLen) stays NULL-distinct by documented choice.
+      case List(nest, "len") if nestSet.contains(nest) && emptyCall =>
+        ctx.usesBase = true
+        fold(Rnd(s"coalesce(size(${bq(nest)}), 0)"), None, nested = false)
+      // nest.isna() / nest.notna() — row-level NULL-cell predicate
+      case List(nest, fn) if nestSet.contains(nest) &&
+          (fn == "isna" || fn == "notna") && emptyCall =>
+        ctx.usesBase = true
+        val not = if (fn == "notna") " not" else ""
+        fold(Rnd(s"(${bq(nest)} is$not null)"), None, nested = false)
+      // nest.field.agg() — GLOBAL Series reduction (pandas eval
+      // semantics; r8 parity fix). Rendered as a helper-column
+      // reference, attached lazily by withReductions.
+      case List(nest, field, agg) if nestSet.contains(nest) &&
+          reductionAggs.contains(agg) && emptyCall =>
+        ctx.usesBase = true
+        val r = reduction(nest, s"__e.${bq(field)}", agg, srcCol = nest)
+        fold(Rnd(bq(r.name)), None, nested = false)
+      // base-column global reduction `a.mean()`
+      case List(base, agg) if baseSet.contains(base) &&
+          reductionAggs.contains(agg) && emptyCall =>
+        ctx.usesBase = true
+        val r = reduction("", bq(base), agg, srcCol = base)
+        fold(Rnd(bq(r.name)), None, nested = false)
+      // dt-derived global reductions: `ts.dt.year.mean()` — one global
+      // scalar broadcast; a BARE boolean-attr min/max keeps bool dtype
+      case List(base, "dt", attr, agg) if baseSet.contains(base) &&
+          reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
+          emptyCall =>
+        ctx.usesBase = true
+        val sqlE = dtReduceCast(attr,
+          dtAttrSql(attr, bq(base), nested = false, exprStr), agg, exprStr)
+        val r = reduction("", sqlE, agg, srcCol = base)
+        fold(Rnd(boolReductionRef(r.name, attr, agg,
+          bare = p eq ctx.bareNode)), None, nested = false)
+      case List(nest, field, "dt", attr, agg) if nestSet.contains(nest) &&
+          reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
+          emptyCall =>
+        ctx.usesBase = true
+        val sqlE = dtReduceCast(attr,
+          dtAttrSql(attr, s"__e.${bq(field)}", nested = true, exprStr),
+          agg, exprStr)
+        val r = reduction(nest, sqlE, agg, srcCol = nest)
+        fold(Rnd(boolReductionRef(r.name, attr, agg,
+          bare = p eq ctx.bareNode)), None, nested = false)
+      // nest.field.isna()/.notna() — ELEMENT-level NULL predicate;
+      // pandas isna(NaN) is True, so floating fields test isnan too
+      case List(nest, field, fn) if nestSet.contains(nest) &&
+          (fn == "isna" || fn == "notna") && emptyCall =>
+        ctx.nests += nest
+        val floating = NestedOps.subColumns(ctx.df, nest)
+          .contains(field) &&
+          (NestedOps.nestedStruct(ctx.df, nest)(field).dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType => true
             case _ => false
-          }
-        }
-        val txt =
-          if (!elemIn && !baseStrIn) span.map(renderAtom).mkString
-          else {
-            val opTxt = as.slice(start, c)
-              .filterNot(a => isKw(a, "not"))
-              .map(renderAtom).mkString.trim
-            // comma-split the list atoms, drop the None groups
-            val groups = collection.mutable.ListBuffer.empty[Vector[Atom]]
-            var cur = Vector.empty[Atom]
-            var d2 = 0
-            as.slice(listOpen + 1, r).foreach {
-              case a @ AOp("(") => d2 += 1; cur :+= a
-              case a @ AOp(")") => d2 -= 1; cur :+= a
-              case AOp(",") if d2 == 0 => groups += cur; cur = Vector.empty
-              case a => cur :+= a
-            }
-            groups += cur
-            val vals = groups.toList.map(_.map(renderAtom).mkString.trim)
-              .filter(v => v.nonEmpty && v != "None")
-            val membership =
-              if (vals.isEmpty) s"(($opTxt) is null)"
-              else s"((($opTxt) in (${vals.mkString(", ")})) " +
-                s"or (($opTxt) is null))"
-            if (notInfix) s"(not $membership)" else membership
-          }
-        // element layer: collapse WITHOUT the wrap (Kleene semantics) so
-        // the scan still advances past this comparison
-        val repl = if (elementLayer) ARaw(txt)
-                   else ARaw(s" coalesce(($txt), $dflt) ")
-        as = as.patch(start, Seq(repl), r + 1 - start)
-        changed = true
-      }
+          })
+        val e = ctx.ref(nest, field)
+        val pred =
+          if (floating) s"($e is null or isnan($e))"
+          else s"($e is null)"
+        val body = if (fn == "notna") s"(not $pred)" else pred
+        fold(Rnd(body, kinds = List(false)), None, nested = true)
+      // nest.field.str.cat(...) / base.str.cat(...) — GLOBAL reduction
+      // (pandas Series.str.cat joins the whole flat series into one
+      // scalar, broadcast to every row — same shape as .mean())
+      case List(nest, field, "str", "cat") if nestSet.contains(nest) &&
+          p.args.isDefined =>
+        ctx.usesBase = true
+        val (sep, naRep) = catArgs(p.args.get)
+        val r = ctx.reds.getOrElseUpdate(
+          (nest, s"__e.${bq(field)}", s"cat\u0000$sep\u0000$naRep"),
+          Reduction(nest, s"__e.${bq(field)}", "cat", srcCol = nest,
+            catSep = sep, catNaRep = naRep))
+        fold(Rnd(bq(r.name)), None, nested = false)
+      case List(base, "str", "cat") if baseSet.contains(base) &&
+          p.args.isDefined =>
+        ctx.usesBase = true
+        val (sep, naRep) = catArgs(p.args.get)
+        val r = ctx.reds.getOrElseUpdate(
+          ("", bq(base), s"cat\u0000$sep\u0000$naRep"),
+          Reduction("", bq(base), "cat", srcCol = base,
+            catSep = sep, catNaRep = naRep))
+        fold(Rnd(bq(r.name)), None, nested = false)
+      // nest.field.str.method(...) — pandas Series.str accessor
+      case List(nest, field, "str", m) if nestSet.contains(nest) &&
+          p.args.isDefined =>
+        fold(elemRef(nest, field), Some(Trailer(List("str", m), p.args)),
+          nested = true)
+      case List(base, "str", m) if baseSet.contains(base) &&
+          p.args.isDefined =>
+        ctx.usesBase = true
+        fold(Rnd(bq(base)), Some(Trailer(List("str", m), p.args)),
+          nested = false)
+      // nest.field.dt.m / base.dt.m — pandas Series.dt accessor
+      // (attribute when uncalled, method when called)
+      case List(nest, field, "dt", m) if nestSet.contains(nest) =>
+        fold(elemRef(nest, field), Some(Trailer(List("dt", m), p.args)),
+          nested = true)
+      case List(base, "dt", m) if baseSet.contains(base) =>
+        ctx.usesBase = true
+        fold(Rnd(bq(base)), Some(Trailer(List("dt", m), p.args)),
+          nested = false)
+      // plain element reference nest.field
+      case List(nest, field) if nestSet.contains(nest) =>
+        val head = elemRef(nest, field)
+        fold(head.copy(sql = head.sql + argSuffix()), None, nested = true)
+      case List(one) if baseSet.contains(one) =>
+        ctx.usesBase = true
+        fold(Rnd(bq(one) + argSuffix()), None, nested = false)
+      // SQL keyword operands (true/false/null) pass through verbatim
+      case List(one) if keywords.contains(one.toLowerCase) =>
+        Rnd(one + argSuffix())
+      // python None literal → SQL null. Comparisons against it: base
+      // 2-valued wrap, element FORCED Kleene — see cmpIsElement.
+      case List("None") =>
+        Rnd("null" + argSuffix(), hasNone = true)
+      case List(one) if nestSet.contains(one) =>
+        ctx.usesBase = true
+        fold(Rnd(bq(one)), None, nested = false)
+      // unknown single name WITH args: a SQL function call passes
+      // through to Spark's parser (abs, sqrt, concat, …)
+      case List(one) if p.args.isDefined =>
+        var inf: List[Rnd] = Nil
+        val sql = one + argSuffix(ars => inf = ars)
+        val ai = merge(inf)
+        fold(Rnd(sql, ai.kinds, ai.hasNone), None,
+          nested = ai.kinds.nonEmpty)
+      case List(one) =>
+        throw new IllegalArgumentException(
+          s"Unknown column '$one' in: $exprStr " +
+            s"(known: ${(baseSet ++ nestSet).toSeq.sorted.mkString(", ")})")
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unresolvable column path '${other.mkString(".")}' in: $exprStr")
     }
-
-    as.map(renderAtom).mkString
   }
 
   /** Simple one-function `.str` methods: method → Spark SQL fn name. */
@@ -706,17 +561,6 @@ object NestedExpr {
       s".str.$m is not supported (supported: " +
         strSupported.mkString(", ") + s") in: $exprStr")
 
-  /** Open a `.str.method` marker call; the user's textual argument list is
-    * spliced in via the `__ARG1` marker (zero-arg methods swallow the
-    * trailing `()` via `__LEN_CALL`), and the completed
-    * `__GRAFTSTR_method(x, args…)` call is rewritten into final SQL by
-    * [[rewriteStrMarkers]] — which can reference each argument as many
-    * times as the composite needs (pandas semantics like non-truncating
-    * rjust or sign-aware zfill are not single Spark functions). */
-  private def strCall(m: String, x: String, exprStr: String): String = {
-    if (!strSupported.contains(m)) strUnsupported(m, exprStr)
-    s"__GRAFTSTR_$m($x __ARGS0 __ARG1"
-  }
 
   // -------------------------------------------------------------------------
   // `.dt` accessor (pandas Series.dt over datetime64 columns). Reference-
@@ -769,7 +613,7 @@ object NestedExpr {
     "ceil", "round", "day_name", "month_name", "as_unit")
 
   /** `.dt` members whose RESULT is a string or timestamp — comparisons on
-    * them are 2-VALUED in pandas (see [[preprocess]]'s elementSpan). */
+    * them are 2-VALUED in pandas (see [[cmpIsElement]]). */
   private val dtTwoValuedMembers = Set("normalize", "floor", "ceil",
     "round", "as_unit", "strftime", "day_name", "month_name")
 
@@ -812,22 +656,6 @@ object NestedExpr {
         dtAttrs.keys.toSeq.sorted.mkString(", ") +
         s"; methods: ${dtMethods.toSeq.sorted.mkString(", ")}) in: $exprStr")
 
-  /** Render a `.dt` member: attribute (no parens) inline, method via the
-    * str-marker machinery for argument splicing.
-    *
-    * Boolean attributes (`is_*`) are numpy BOOL arrays on the base layer —
-    * NaT yields False, and `~ts.dt.is_leap_year` KEEPS NaT rows (probe
-    * 2026-08-14) — so the base render coalesces NULL to false. Element-
-    * layer arrow bools keep NA (Kleene), so the nested render does not. */
-  private def dtCall(m: String, x: String, hasParen: Boolean,
-                     nested: Boolean, exprStr: String): String =
-    if (hasParen) {
-      if (!dtMethods.contains(m)) dtUnsupported(m, exprStr)
-      // layer encoded in the marker name: the arrow-backed element layer
-      // renders strftime's %S with a 9-digit ns fraction and %f as a
-      // LITERAL (Arrow strftime, reference-executed) — base numpy doesn't
-      s"__GRAFTSTR_dt${if (nested) "e" else "b"}$m($x __ARGS0 __ARG1"
-    } else dtAttrSql(m, x, nested, exprStr)
 
   /** SQL for one `.dt` attribute over expression `x`, layer-aware:
     *  - dtype split the dt fuzz corpus exposed (reference-executed):
@@ -911,7 +739,8 @@ object NestedExpr {
     * the base column) — [[eval]]'s cross-line hoist uses it to keep a
     * reduction per-line when an earlier line writes that column. */
   private case class Reduction(nest: String, sqlE: String, agg: String,
-                               srcCol: String) {
+                               srcCol: String, catSep: String = "",
+                               catNaRep: Option[String] = None) {
     /** Helper-column name, deterministic by CONTENT (not extraction
       * order) so separate analyze passes over the same expression agree
       * on the name — [[eval]]'s hoist attaches helpers in a pre-pass and
@@ -920,7 +749,7 @@ object NestedExpr {
       * would silently alias two different values) vanishingly unlikely. */
     val name: String = {
       import scala.util.hashing.MurmurHash3.stringHash
-      val key = s"$nest|$sqlE|$agg"
+      val key = s"$nest|$sqlE|$agg|$catSep|${catNaRep.getOrElse("\u0000")}"
       f"__graft_red_${stringHash(key) & 0x7fffffff}%08x" +
         f"${stringHash(key, 0x9e3779b9) & 0x7fffffff}%08x"
     }
@@ -951,6 +780,27 @@ object NestedExpr {
     }
   }
 
+  /** Aggregate Column for a `.str.cat` GLOBAL reduction: every non-NA
+    * value of the flat series joined by `sep` in INDEX ORDER — realized
+    * as collect_list of (order-key, value) structs sorted by the key
+    * (`__row` = row order via monotonically_increasing_id, `__pos` =
+    * element position within the cell). `na_rep` substitutes missing
+    * values instead of dropping them (pandas Series.str.cat contract,
+    * reference-executed 2026-08-15). */
+  private def catAggCol(r: Reduction, nested: Boolean)
+      : org.apache.spark.sql.Column = {
+    val ord =
+      if (nested) "named_struct('r', __row, 'p', __pos)"
+      else "named_struct('r', __row)"
+    val v = r.catNaRep match {
+      case Some(rep) => s"coalesce((${r.sqlE}), ${sq(rep)})"
+      case None      => s"(${r.sqlE})"
+    }
+    expr(s"array_join(transform(array_sort(collect_list(" +
+      s"case when ($v) is not null then named_struct('o', $ord, 'v', ($v)) " +
+      s"end)), __p -> __p.v), ${sq(r.catSep)})").as(r.name)
+  }
+
   /** Attach the helper columns for an expression's GLOBAL reductions —
     * LAZILY: one explode+aggregate per referenced nest computes EVERY
     * reduction of that nest in a single pass (they share the exploded
@@ -967,21 +817,34 @@ object NestedExpr {
     val pending = reds.distinct.filterNot(r => df.columns.contains(r.name))
     if (pending.isEmpty) df
     else {
-      import org.apache.spark.sql.functions.{broadcast, explode}
+      import org.apache.spark.sql.functions.{broadcast, explode,
+        monotonically_increasing_id, posexplode}
       pending.groupBy(_.nest).toSeq.sortBy(_._1).foldLeft(df) {
         case (acc, (nest, rs)) =>
           // base/dt-derived reductions aggregate the frame directly
-          // (no explode); nested ones share one exploded scan per nest
+          // (no explode); nested ones share one exploded scan per nest.
+          // A `cat` reduction needs the frame's row order (and element
+          // position) carried through — str.cat joins in index order.
+          val needOrd = rs.exists(_.agg == "cat")
+          val ordered =
+            if (needOrd) df.withColumn("__row", monotonically_increasing_id())
+            else df
           val src =
-            if (nest.isEmpty) df
-            else df.select(explode(col(bq(nest))).as("__e"))
+            if (nest.isEmpty) ordered
+            else if (needOrd) ordered.select(col("__row"),
+              posexplode(col(bq(nest))).as(Seq("__pos", "__e")))
+            else ordered.select(explode(col(bq(nest))).as("__e"))
           val aggCols = rs.map { r =>
-            // resolve the value type lazily (no job) to decide whether the
-            // NaN→NULL skipna rewrite applies — only floating types have NaN
-            val vType = src.select(expr(r.sqlE)).schema.head.dataType
-            val floating = vType == org.apache.spark.sql.types.DoubleType ||
-              vType == org.apache.spark.sql.types.FloatType
-            reductionAggCol(r.sqlE, r.agg, floating).as(r.name)
+            if (r.agg == "cat") catAggCol(r, nested = nest.nonEmpty)
+            else {
+              // resolve the value type lazily (no job) to decide whether
+              // the NaN→NULL skipna rewrite applies — only floating types
+              // have NaN
+              val vType = src.select(expr(r.sqlE)).schema.head.dataType
+              val floating = vType == org.apache.spark.sql.types.DoubleType ||
+                vType == org.apache.spark.sql.types.FloatType
+              reductionAggCol(r.sqlE, r.agg, floating).as(r.name)
+            }
           }
           acc.crossJoin(broadcast(src.agg(aggCols.head, aggCols.tail: _*)))
       }
@@ -1057,69 +920,6 @@ object NestedExpr {
     def helperNames: Seq[String] = reductions.map(_.name)
   }
 
-  /** `ref(nest, field)` renders an element-level reference to a nested field;
-    * the default targets a single-lambda-variable context. Cross-nest callers
-    * pass a renderer that distinguishes the anchor nest (`__x`) from other
-    * nests (positional `nest[__i]` access). */
-  /** Python float literals must render as Spark DOUBLE literals: a bare
-    * `2.39` parses as DECIMAL(3,2) in Spark SQL, so arithmetic whose
-    * other operands are all integers STAYS decimal and an aggregate over
-    * it rounds to scale+4 digits (a 1,500-case alternate-seed fuzz sweep
-    * caught `(2.39 + abs(y-1)).mean()` diverging in the 7th decimal —
-    * pandas computes in float64). Exponent forms (`1.5E3`) are already
-    * DoubleLiterals and the sci-notation identity test pins them
-    * untouched. Applied to Text tokens only — string literals (Str) and
-    * identifiers (Ident) never pass through. */
-  private val floatLitRe =
-    """(?<![\w.])(?:(\d+\.\d+|\.\d+)|(\d+\.))(?![\dEeDd.\w])""".r
-  /** `protectTrailing`: a fractional MANTISSA adjoining a sci exponent
-    * tokenizes as Text("1.5") + Ident("e3") — the lookahead cannot see
-    * across tokens, so the caller flags when the NEXT token is an
-    * exponent ident and the literal flush at the end of this run must
-    * stay untouched (`1.5De3` would not parse). */
-  private def doubleizeFloats(t: String,
-                              protectTrailing: Boolean = false): String =
-    floatLitRe.replaceAllIn(t, m =>
-      if (protectTrailing && m.end == t.length)
-        scala.util.matching.Regex.quoteReplacement(m.matched)
-      else if (m.group(1) != null) m.group(1) + "D"
-      else m.group(2) + "0D")
-
-  /** True when toks(idx) directly follows a call's closing paren — the
-    * previous Text run ends `)` + optional whitespace + `.` (the dot
-    * before a chained accessor is absorbed into the Text). Used to let
-    * `.dt.` / `.str.` chains win over a column literally named dt/str:
-    * a real `dt.year` column path can never directly follow a `)`. */
-  private def followsCallClose(toks: Seq[Tok], idx: Int): Boolean =
-    idx > 0 && (toks(idx - 1) match {
-      case Text(t) => t.matches("""(?s).*\)\s*\.\s*""")
-      case _       => false
-    })
-
-  /** True when the reduction Ident at `idx` IS the whole expression —
-    * nothing but blank text before it and nothing but its own `()` after.
-    * A bare `is_*.min()/max()` then converts the int helper back to
-    * BOOLEAN (pandas keeps bool dtype); any composed use stays numeric
-    * (bool is duck-numeric in pandas: True + 1 = 2). */
-  private def bareReductionUse(toks: Seq[Tok], idx: Int): Boolean = {
-    val (pre, post) = (toks.take(idx), toks.drop(idx + 1))
-    val allText = (pre ++ post).forall {
-      case Text(_) => true; case _ => false
-    }
-    if (!allText) false
-    else {
-      // surrounding text may be nothing but balanced parens/whitespace:
-      // `(ts.dt.is_leap_year.min())` is still a bare use (pandas keeps
-      // bool dtype through redundant parens) — ADVICE r10
-      val before = pre.collect { case Text(t) => t }
-        .mkString.filterNot(_.isWhitespace)
-      val after = post.collect { case Text(t) => t }
-        .mkString.filterNot(_.isWhitespace)
-      before.forall(_ == '(') && after.startsWith("()") &&
-        after.drop(2).forall(_ == ')') &&
-        after.length - 2 == before.length
-    }
-  }
 
   /** sqlE adjustment for a dt-derived GLOBAL reduction: pandas treats
     * boolean `is_*` attrs as numeric under aggregation (mean = fraction
@@ -1148,16 +948,17 @@ object NestedExpr {
           s"aggregate with min/max/count) in: $exprStr")
     else sqlE
 
+  /** Parse + classify + render: the single pipeline behind query/eval.
+    * `ref(nest, field)` renders an element-level reference to a nested
+    * field; the default targets a single-lambda-variable context.
+    * Cross-nest callers pass a renderer that distinguishes the anchor
+    * nest (`__x`) from other nests (positional `nest[__i]` access). */
   private def analyze(df: DataFrame, exprStr: String,
                       ref: (String, String) => String): Analysis = {
     val nestSet = NestedOps.nestedColumns(df).toSet
     val baseSet = NestedOps.baseColumns(df).toSet
-    val nests = collection.mutable.LinkedHashSet.empty[String]
-    val reds = collection.mutable.LinkedHashMap
-      .empty[(String, String, String), Reduction]
-    var usesBase = false
     // string- AND timestamp-typed fields: both compare 2-valued on NA
-    // (reference-executed; see preprocess's elementSpan)
+    // (reference-executed; see cmpIsElement)
     val twoValuedElemRefs: Set[String] = df.schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case ArrayType(s: StructType, _) =>
@@ -1170,382 +971,31 @@ object NestedExpr {
         case _ => Nil
       }
     }.toSet
+    // plain STRING base columns — pandas object-dtype None MATCHES a None
+    // value in `isin` while float NaN and NaT match nothing (r10 probes)
     val stringBaseCols: Set[String] = df.schema.fields.collect {
       case f if f.dataType == StringType => f.name
     }.toSet
-    val toks = tokenize(preprocess(exprStr, nestSet, twoValuedElemRefs,
-      stringBaseCols))
-    val sql = toks.zipWithIndex.map {
-      case (Text(t), idx) =>
-        doubleizeFloats(t, protectTrailing =
-          toks.drop(idx + 1).headOption.exists {
-            case Ident(Seq(one)) => one.matches("[eE][0-9]*")
-            case _               => false
-          })
-      case (Str(t), _)  => t
-      case (Ident(parts), idx) =>
-        parts match {
-          // nest.len() — row-level length (core.py:1580-1589). A NULL
-          // cell is 0, not NULL: the executed reference reports 0
-          // (r9 probe: eval "r = n.len()" on a missing cell → 0, so
-          // query "~(n.len() > 0)" KEEPS it). The programmatic API
-          // (NestedOps.nestLen) stays NULL-distinct by documented choice.
-          case Seq(nest, "len") if nestSet.contains(nest) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            usesBase = true
-            s"coalesce(size(${bq(nest)}), 0) __LEN_CALL"
-          // nest.isna() / nest.notna() — row-level NULL-cell predicate
-          // (the nest treated as a Series; reference
-          // test_series_methods_on_nest_in_query_eval)
-          case Seq(nest, fn) if nestSet.contains(nest) &&
-              (fn == "isna" || fn == "notna") &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            usesBase = true
-            val not = if (fn == "notna") " not" else ""
-            s"(${bq(nest)} is$not null) __LEN_CALL"
-          // nest.field.agg() — GLOBAL Series reduction (pandas eval
-          // semantics; the r8 parity fix). Rendered as a helper-column
-          // reference, attached lazily by withReductions — building the
-          // expression runs no job. Per-cell via elementReduction.
-          case Seq(nest, field, agg) if nestSet.contains(nest) &&
-              reductionAggs.contains(agg) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            usesBase = true
-            val sqlE = s"__e.${bq(field)}"
-            val r = reds.getOrElseUpdate((nest, sqlE, agg),
-              Reduction(nest, sqlE, agg, srcCol = nest))
-            bq(r.name) + " __LEN_CALL"
-          // base-column global reduction `a.mean()` (pandas eval Series
-          // reduction — reference-executed r9 session-3 probe)
-          case Seq(base, agg) if baseSet.contains(base) &&
-              reductionAggs.contains(agg) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            usesBase = true
-            val r = reds.getOrElseUpdate(("", bq(base), agg),
-              Reduction("", bq(base), agg, srcCol = base))
-            bq(r.name) + " __LEN_CALL"
-          // dt-derived global reductions: `ts.dt.year.mean()` /
-          // `n.t.dt.year.mean()` — attribute chain into a Series
-          // reduction, still one global scalar broadcast
-          case Seq(base, "dt", attr, agg) if baseSet.contains(base) &&
-              reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            usesBase = true
-            val sqlE = dtReduceCast(attr,
-              dtAttrSql(attr, bq(base), nested = false, exprStr), agg, exprStr)
-            val r = reds.getOrElseUpdate(("", sqlE, agg),
-              Reduction("", sqlE, agg, srcCol = base))
-            boolReductionRef(r.name, attr, agg, bareReductionUse(toks, idx)) +
-              " __LEN_CALL"
-          case Seq(nest, field, "dt", attr, agg) if nestSet.contains(nest) &&
-              reductionAggs.contains(agg) && dtAttrs.contains(attr) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            usesBase = true
-            val sqlE = dtReduceCast(attr,
-              dtAttrSql(attr, s"__e.${bq(field)}", nested = true, exprStr),
-              agg, exprStr)
-            val r = reds.getOrElseUpdate((nest, sqlE, agg),
-              Reduction(nest, sqlE, agg, srcCol = nest))
-            boolReductionRef(r.name, attr, agg, bareReductionUse(toks, idx)) +
-              " __LEN_CALL"
-          // nest.field.isna()/.notna() — ELEMENT-level NULL predicate
-          // (reference test_eval_funcs, test_nestedframe.py:2406-2418:
-          // query("nested.b.isna()") filters elements, not rows)
-          case Seq(nest, field, fn) if nestSet.contains(nest) &&
-              (fn == "isna" || fn == "notna") &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("()"); case _ => false } =>
-            nests += nest
-            // pandas isna(NaN) is True — floating fields test isnan too
-            // (r9s5 NaN-parity rule; non-floating fields NULL-only)
-            val floating = NestedOps.subColumns(df, nest).contains(field) &&
-              (NestedOps.nestedStruct(df, nest)(field).dataType match {
-                case org.apache.spark.sql.types.DoubleType |
-                     org.apache.spark.sql.types.FloatType => true
-                case _ => false
-              })
-            val e = ref(nest, field)
-            val pred =
-              if (floating) s"($e is null or isnan($e))"
-              else s"($e is null)"
-            val body = if (fn == "notna") s"(not $pred)" else pred
-            s"$body __LEN_CALL"
-          // nest.field.str.method(...) — pandas Series.str accessor
-          // (resolver-reachable in the reference, expr.py:24-46)
-          case Seq(nest, field, "str", m) if nestSet.contains(nest) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("("); case _ => false } =>
-            nests += nest
-            strCall(m, ref(nest, field), exprStr)
-          case Seq(base, "str", m) if baseSet.contains(base) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("("); case _ => false } =>
-            usesBase = true
-            strCall(m, bq(base), exprStr)
-          // nest.field.dt.m / base.dt.m — pandas Series.dt accessor
-          // (reference-executed on both layers; see the dtAttrs block)
-          case Seq(nest, field, "dt", m) if nestSet.contains(nest) =>
-            nests += nest
-            dtCall(m, ref(nest, field), toks.drop(idx + 1).headOption.exists {
-              case Text(t) => t.trim.startsWith("("); case _ => false },
-              nested = true, exprStr)
-          case Seq(base, "dt", m) if baseSet.contains(base) =>
-            usesBase = true
-            dtCall(m, bq(base), toks.drop(idx + 1).headOption.exists {
-              case Text(t) => t.trim.startsWith("("); case _ => false },
-              nested = false, exprStr)
-          // chained `.dt.m` AFTER a preceding .dt method call, e.g.
-          // `ts.dt.floor('D').dt.year` (reference-executed: chains work
-          // through pandas series results). Attr chains self-close their
-          // parens (no user args); method chains splice like .str chains.
-          // The layer comes from the BASE marker's name at rewrite time.
-          // A column literally NAMED `dt` doesn't shadow the chain when
-          // the previous token ends the preceding call's `)` — a real
-          // `dt.year` column path can never directly follow one
-          // (r9 session-4 review).
-          case Seq("dt", m) if (!nestSet.contains("dt") &&
-              !baseSet.contains("dt")) || followsCallClose(toks, idx) =>
-            val paren = toks.drop(idx + 1).headOption.exists {
-              case Text(t) => t.trim.startsWith("("); case _ => false }
-            if (paren) {
-              if (!dtMethods.contains(m)) dtUnsupported(m, exprStr)
-              s"__GRAFTSTRCHAIN_dtchain$m(__ARGS1 __ARG1"
-            } else {
-              if (!dtAttrs.contains(m)) dtUnsupported(m, exprStr)
-              s"__GRAFTSTRCHAIN_dtattr$m()"
-            }
-          // chained `.str.m` AFTER a preceding .str call, e.g.
-          // `nested.s.str.split(',').str.get(0)` — the `).str.get`
-          // tokenizes as Text(").") + Ident(str, get); emit a chain
-          // marker that rewriteStrMarkers absorbs into the base call
-          // (same `str`-named-column disambiguation as the dt chain)
-          case Seq("str", m) if ((!nestSet.contains("str") &&
-              !baseSet.contains("str")) || followsCallClose(toks, idx)) &&
-              toks.drop(idx + 1).headOption.exists {
-                case Text(t) => t.trim.startsWith("("); case _ => false } =>
-            if (!strSupported.contains(m)) strUnsupported(m, exprStr)
-            s"__GRAFTSTRCHAIN_$m(__ARGS1 __ARG1"
-          case Seq(nest, field) if nestSet.contains(nest) =>
-            nests += nest
-            ref(nest, field)
-          case Seq(one) if baseSet.contains(one) =>
-            usesBase = true; bq(one)
-          case Seq(one) if keywords.contains(one.toLowerCase) => one
-          // python None literal → SQL null (True/False already parse via
-          // the case-insensitive keyword pass above). Comparisons against
-          // it: base 2-valued wrap (== None → no rows, != None → all,
-          // matching numpy), element layer FORCED Kleene (probe: every
-          // element drops under == and !=) — see elementSpan.
-          case Seq("None") => "null"
-          case Seq(one) if nestSet.contains(one) => usesBase = true; bq(one)
-          // unknown single token: a SQL function CALL (followed by `(`) passes
-          // through to Spark's parser; anything else is a typo'd column —
-          // fail HERE with a clear message instead of deep in analysis
-          case Seq(one) if toks.drop(idx + 1).headOption.exists {
-              case Text(t) => t.trim.startsWith("("); case _ => false } => one
-          // scientific-notation tail: "1e-9" tokenizes as Text("1"),
-          // Ident("e"), Text("-9") — not a column reference. A trailing
-          // '.' counts when a digit precedes it: `3.e2` is a valid
-          // python float whose mantissa doubleizeFloats left protected
-          case Seq(one) if one.matches("[eE][0-9]*") && idx > 0 &&
-              (toks(idx - 1) match {
-                case Text(t) => t.nonEmpty && (t.last.isDigit ||
-                  (t.last == '.' && t.length > 1 &&
-                    t.charAt(t.length - 2).isDigit))
-                case _       => false }) => one
-          // kwarg name inside a .str argument list (side=, stop=, …):
-          // bare `=` (not `==`) after an unknown ident is not valid
-          // pandas-eval syntax anywhere else — pass it through verbatim
-          // for the marker-call arg parser
-          case Seq(one) if toks.drop(idx + 1).headOption.exists {
-              case Text(t) =>
-                val s = t.trim
-                s.startsWith("=") && !s.startsWith("==")
-              case _ => false } => one
-          case Seq(one) =>
-            throw new IllegalArgumentException(
-              s"Unknown column '$one' in: $exprStr " +
-                s"(known: ${(baseSet ++ nestSet).toSeq.sorted.mkString(", ")})")
-          case other =>
-            throw new IllegalArgumentException(
-              s"Unresolvable column path '${other.mkString(".")}' in: $exprStr")
-        }
-    }.mkString
-    val spliced = sql
-      // drop the () of len() calls: "size(n) __LEN_CALL ()" -> "size(n)"
-      .replaceAll("""__LEN_CALL\s*\(\s*\)""", "")
-      // splice str-method args: "…(x __ARGS0 __ARG1 ('r')" absorbs the
-      // user's argument list into the marker call
-      .replaceAll("""__ARG1\s*\(""", "")
-      // __ARGS0 separates the receiver from user args: comma when args
-      // follow, nothing before the closing paren (zero-arg call)
-      .replaceAll("""__ARGS0\s*\)""", ")")
-      .replaceAll("""__ARGS0\s*""", ", ")
-      // __ARGS1 is the no-receiver variant used by chain markers
-      .replaceAll("""__ARGS1\s*\)""", ")")
-      .replaceAll("""__ARGS1\s*""", "")
-    Analysis(rewriteStrMarkers(spliced, exprStr), nests.toSeq, usesBase,
-      reds.values.toSeq)
+    val ctx = new Ctx(nestSet, baseSet, twoValuedElemRefs, stringBaseCols,
+      df, ref, exprStr)
+    val ast = new ExprParser(exprStr).parse()
+    @annotation.tailrec
+    def strip(a: ExprAst.Ast): ExprAst.Ast = a match {
+      case ExprAst.Paren(i, Nil) => strip(i)
+      case x => x
+    }
+    ctx.bareNode = strip(ast) match {
+      case pc: ExprAst.PathCall if pc.trailers.isEmpty => pc
+      case _ => null
+    }
+    val r = renderAst(ast, ctx)
+    Analysis(r.sql, ctx.nests.toSeq, ctx.usesBase, ctx.reds.values.toSeq)
   }
 
-  // -------------------------------------------------------------------------
-  // `.str` marker rewriting: once the user's textual argument lists are
-  // spliced into `__GRAFTSTR_m(x, args…)` / chained `.__GRAFTSTRCHAIN_m(…)`
-  // calls, parse them (balanced parens, quote-aware) and render final SQL.
-  // Unlike the naive single-function mapping this lets a method reference
-  // its arguments as many times as the pandas semantics need (e.g.
-  // non-truncating rjust, sign-aware zfill, python slice normalization).
-  // -------------------------------------------------------------------------
-
-  /** Parse a parenthesized argument list starting at (or after whitespace
-    * from) `from`; returns the top-level-comma-split args (trimmed) and the
-    * index just past the closing paren. Quote- and nesting-aware. */
-  private def parseArgList(s: String, from: Int,
-                           exprStr: String): (Seq[String], Int) = {
-    var i = from
-    while (i < s.length && s(i).isWhitespace) i += 1
-    require(i < s.length && s(i) == '(',
-      s"malformed .str call in: $exprStr")
-    i += 1
-    val args = collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var depth = 1
-    while (i < s.length && depth > 0) {
-      val c = s(i)
-      if (c == '\'' || c == '"') {
-        val q = c; cur += c; i += 1
-        while (i < s.length && s(i) != q) {
-          if (s(i) == '\\' && i + 1 < s.length) {
-            cur += s(i); cur += s(i + 1); i += 2
-          } else { cur += s(i); i += 1 }
-        }
-        require(i < s.length, s"unclosed quote in: $exprStr")
-        cur += q; i += 1
-      } else if (c == '(' || c == '[') { depth += 1; cur += c; i += 1 }
-      else if (c == ']') { depth -= 1; cur += c; i += 1 }
-      else if (c == ')') {
-        depth -= 1
-        if (depth > 0) cur += c
-        i += 1
-      } else if (c == ',' && depth == 1) { args += cur.toString; cur.clear(); i += 1 }
-      else { cur += c; i += 1 }
-    }
-    require(depth == 0, s"unbalanced parens in .str call in: $exprStr")
-    args += cur.toString
-    val trimmed = args.toSeq.map(_.trim)
-    (if (trimmed == Seq("")) Nil else trimmed, i)
-  }
-
-  // leading \s* : pandas accepts whitespace between chained accessor
-  // calls — `x.str.split(',') .str.get(0)` is legal — and the matched
-  // length (whitespace included) keeps the caller's end-offset bookkeeping
-  // exact.
-  private val strChainRe = """^\s*\.__GRAFTSTRCHAIN_(\w+)""".r
-
-  /** First occurrence of `needle` in `s` OUTSIDE any quoted string
-    * literal (marker text typed by a user inside a literal is data, not
-    * a marker call), or -1. */
-  private def indexOfOutsideQuotes(s: String, needle: String): Int = {
-    var i = 0
-    while (i < s.length) {
-      val c = s(i)
-      if (c == '\'' || c == '"') {
-        val q = c; i += 1
-        while (i < s.length && s(i) != q) {
-          if (s(i) == '\\' && i + 1 < s.length) i += 2 else i += 1
-        }
-        i += 1
-      } else if (s.startsWith(needle, i)) return i
-      else i += 1
-    }
-    -1
-  }
-
-  /** Rewrite every completed str-marker call (and its chain) in `sql0`. */
-  private def rewriteStrMarkers(sql0: String, exprStr: String): String = {
-    val MARK = "__GRAFTSTR_"
-    var sql = sql0
-    var guard = 0
-    var i = indexOfOutsideQuotes(sql, MARK)
-    while (i >= 0) {
-      guard += 1
-      require(guard < 1000, s"str-marker rewrite did not converge: $exprStr")
-      var j = i + MARK.length
-      val nameStart = j
-      while (j < sql.length && (sql(j).isLetterOrDigit || sql(j) == '_')) j += 1
-      val m0 = sql.substring(nameStart, j)
-      val (args0, end0) = parseArgList(sql, j, exprStr)
-      require(args0.nonEmpty, s"malformed .str.$m0 call in: $exprStr")
-      // receiver + user args; args may themselves contain markers — recurse
-      var cur = rewriteStrMarkers(args0.head, exprStr)
-      var calls = List((m0, args0.tail.map(rewriteStrMarkers(_, exprStr))))
-      var end = end0
-      var chaining = true
-      while (chaining) {
-        strChainRe.findFirstMatchIn(sql.substring(end)) match {
-          case Some(mm) =>
-            val (cargs, cend) =
-              parseArgList(sql, end + mm.matched.length, exprStr)
-            calls = calls :+
-              ((mm.group(1), cargs.map(rewriteStrMarkers(_, exprStr))))
-            end = cend
-          case None => chaining = false
-        }
-      }
-      var isArr = false
-      // `.dt` chains take their LAYER from the base marker's name: a
-      // nested receiver opened `__GRAFTSTR_dte*`, base `__GRAFTSTR_dtb*`
-      // (arrow vs numpy dtype splits — microsecond, strftime %S/%f,
-      // base is_* NaT->False)
-      val dtNestedLayer = m0.startsWith("dte")
-      for ((m, args) <- calls) {
-        val (r, arr) =
-          if (m.startsWith("dtattr"))
-            (dtAttrSql(m.stripPrefix("dtattr"), cur, dtNestedLayer,
-              exprStr), false)
-          else if (m.startsWith("dtchain"))
-            renderStrMethod(
-              "dt" + (if (dtNestedLayer) "e" else "b") +
-                m.stripPrefix("dtchain"), cur, args, isArr, exprStr)
-          else renderStrMethod(m, cur, args, isArr, exprStr)
-        cur = r; isArr = arr
-      }
-      sql = sql.substring(0, i) + cur + sql.substring(end)
-      i = indexOfOutsideQuotes(sql, MARK)
-    }
-    {
-      val left = indexOfOutsideQuotes(sql, "__GRAFTSTRCHAIN_")
-      if (left >= 0) {
-        // name the accessor that was chained and what it was chained onto,
-        // instead of a blanket '.str' message (ADVICE r10): a leftover
-        // chain marker means the receiver was not a .str/.dt marker call —
-        // e.g. a parenthesized receiver `(ts).dt.year`, which pandas
-        // accepts but this rewriter resolves only on direct column paths.
-        val rest = sql.substring(left + "__GRAFTSTRCHAIN_".length)
-        val (acc, meth) =
-          if (rest.startsWith("dtattr")) (".dt", rest.stripPrefix("dtattr"))
-          else if (rest.startsWith("dtchain"))
-            (".dt", rest.stripPrefix("dtchain"))
-          else (".str", rest)
-        val methName = meth.takeWhile(ch => ch.isLetterOrDigit || ch == '_')
-        val recv = sql.substring(0, left).reverse
-          .dropWhile(ch => ch == '.' || ch.isWhitespace)
-          .takeWhile(!_.isWhitespace).reverse
-        throw new IllegalArgumentException(
-          s"chained $acc.$methName must directly follow a .str/.dt method " +
-            s"call or a plain column path — receiver ending " +
-            s"'${recv.takeRight(40)}' is neither (wrap the whole " +
-            s"expression, not the receiver, in parentheses) in: $exprStr")
-      }
-    }
-    sql
-  }
+  /** Test hook: the final Spark SQL the pipeline renders for `exprStr`
+    * against `df`'s schema (element refs via the default `__x` lambda). */
+  private[graft] def renderedSql(df: DataFrame, exprStr: String): String =
+    analyze(df, exprStr, "__x").sql
 
   private def intLit(a: String): Option[Int] = {
     val t = a.trim
@@ -2067,19 +1517,13 @@ object NestedExpr {
       d.drop(names.filterNot(keepHelpers): _*)
     stmt match {
       case assignRe(lhs, rhs) =>
-        val lhsToks = tokenize(lhs)
         // the LHS must be EXACTLY one (possibly dotted/backticked)
         // identifier: subscript (`a[0] = 5`), tuple (`a, b = t`), starred
         // and annotated targets would otherwise silently collapse onto
         // the first identifier — pandas eval raises for all of them
-        val idents = lhsToks.collect { case Ident(p) => p }
-        val junk = lhsToks.exists {
-          case Text(t) => t.trim.nonEmpty; case _ => false
-        }
-        if (idents.length != 1 || junk)
+        val target = ExprParser.lhsPath(lhs).getOrElse(
           throw new IllegalArgumentException(
-            s"Bad assignment target: $lhs (must be a single column name)")
-        val target = idents.head
+            s"Bad assignment target: $lhs (must be a single column name)"))
         target match {
           case Seq(nest, field) if NestedOps.nestedColumns(df).contains(nest) =>
             // Existing nest: anchor the RHS on the TARGET nest.
@@ -2167,12 +1611,24 @@ object NestedExpr {
     * unwritten column has the same value at line 1 as at line N. A
     * reduction over a column an earlier line creates or modifies is NOT
     * hoisted — that line's evalAssign attaches it as before (the
-    * content-hashed helper names make both passes agree). */
+    * content-hashed helper names make both passes agree).
+    *
+    * `inplace = false` mirrors the reference's DEFAULT eval mode
+    * (expr.py:77-128, r11): the NESTED layer is FROZEN per-line — every
+    * line's nested reads (element refs AND global reductions) evaluate
+    * against the PRE-eval frame, nested writes merge at the end, and a
+    * nested field CREATED by an earlier line raises on read (the
+    * reference's _NestResolver reflects the original frame). BASE
+    * columns stay sequential in both modes (reference-executed probe
+    * 2026-08-15: `a = a + 10` then `b = a * 2` sees the new a, while
+    * `n.x = n.x + 100` then `n.y = n.x * 2` sees the OLD x). */
   def eval(df: DataFrame, program: String,
-           locals: Map[String, Any] = Map.empty): DataFrame = {
+           locals: Map[String, Any] = Map.empty,
+           inplace: Boolean = true): DataFrame = {
     val stmts = program.split('\n').map(_.trim)
       .filter(s => s.nonEmpty && !s.startsWith("#"))
       .map(substituteLocals(_, locals)).toSeq
+    if (!inplace) return evalFrozen(df, stmts)
     var written = Set.empty[String]
     val hoisted = Seq.newBuilder[Reduction]
     for (stmt <- stmts) stmt match {
@@ -2182,8 +1638,7 @@ object NestedExpr {
         scala.util.Try(analyze(df, rhs, "__x")).toOption.foreach { a =>
           hoisted ++= a.reductions.filterNot(r => written.contains(r.srcCol))
         }
-        tokenize(lhs).collectFirst { case Ident(p) => p.head }
-          .foreach(written += _)
+        ExprParser.lhsPath(lhs).map(_.head).foreach(written += _)
       case _ => ()
     }
     // keep is computed PER LINE against only the writes that PRECEDE it
@@ -2195,7 +1650,7 @@ object NestedExpr {
     val reds = hoisted.result().distinct
     def writesOf(stmt: String): Set[String] = stmt match {
       case assignRe(lhs, _) =>
-        tokenize(lhs).collectFirst { case Ident(p) => p.head }.toSet
+        ExprParser.lhsPath(lhs).map(_.head).toSet
       case _ => Set.empty
     }
     var writtenSoFar = Set.empty[String]
@@ -2213,6 +1668,83 @@ object NestedExpr {
     // line consumed) are engine-internal — drop any leftovers
     val leftovers = out.columns.filter(_.startsWith("__graft_red_"))
     if (leftovers.isEmpty) out else out.drop(leftovers.toIndexedSeq: _*)
+  }
+
+  /** The reference's `inplace=False` multiline contract (see [[eval]]):
+    * nested reads frozen to the pre-eval frame, nested writes staged in
+    * pending columns and merged at the end, base columns sequential.
+    * Every nested read renders POSITIONALLY against the ORIGINAL nest
+    * column (`nest[__i].f`) while the write target's transform iterates
+    * the staged current version — so `n.x = n.x + 100` followed by
+    * `n.x = n.x * 2` yields frozen-x·2, and `n.y = n.x * 2` after a
+    * write of x still reads the frozen x (reference-executed probes).
+    * Reductions are naturally hoistable: frozen sources never change, so
+    * helpers attach once and are reused by every line. */
+  private def evalFrozen(df: DataFrame, stmts: Seq[String]): DataFrame = {
+    val origNests = NestedOps.nestedColumns(df).toSet
+    def pendName(n: String) = s"__graft_pend_$n"
+    val pending = collection.mutable.LinkedHashMap.empty[String, String]
+    val frozenRef: (String, String) => String =
+      (n, f) => s"${bq(n)}[__i].${bq(f)}"
+    var acc = df
+    for (stmt <- stmts) stmt match {
+      case assignRe(lhs, rhs) =>
+        val target = ExprParser.lhsPath(lhs).getOrElse(
+          throw new IllegalArgumentException(
+            s"Bad assignment target: $lhs (must be a single column name)"))
+        target match {
+          // write into an original nest, or a nest CREATED by an earlier
+          // line (its fields accumulate in the pending column; reads of
+          // it still raise — the frozen frame doesn't have it)
+          case Seq(nest, field) if origNests.contains(nest) ||
+              pending.contains(nest) =>
+            val a = analyze(acc, rhs, frozenRef)
+            val anchor = pending.getOrElse(nest, nest)
+            val existing = NestedOps.subColumns(acc, anchor)
+            val fields = if (existing.contains(field)) existing
+                         else existing :+ field
+            val parts = fields.map { f =>
+              val v = if (f == field) a.sql else s"__x.${bq(f)}"
+              s"${sq(f)}, $v"
+            }.mkString(", ")
+            val dfR = withReductions(acc, a.reductions)
+            // others includes the anchor itself when referenced: the
+            // positional `nest[__i]` reads need the (__x, __i) lambda
+            acc = dfR.withColumn(pendName(nest),
+              alignedTransform(dfR, anchor, a.nests, parts))
+            pending(nest) = pendName(nest)
+          // new-nest creation: element-aligned with the first referenced
+          // (frozen) nest
+          case Seq(newNest, field) =>
+            val a = analyze(acc, rhs, frozenRef)
+            require(a.nests.nonEmpty,
+              s"Assignment to new nest '$newNest.$field' needs ≥1 nested " +
+                s"reference on the RHS (got a base-only expression)")
+            val anchor = a.nests.head
+            val dfR = withReductions(acc, a.reductions)
+            acc = dfR.withColumn(pendName(newNest),
+              alignedTransform(dfR, anchor, a.nests,
+                s"${sq(field)}, ${a.sql}"))
+            pending(newNest) = pendName(newNest)
+          case Seq(name) =>
+            val a = analyze(acc, rhs, frozenRef)
+            require(a.nests.isEmpty,
+              s"Assignment of nested-layer expression to base column '$name'")
+            acc = withReductions(acc, a.reductions)
+              .withColumn(name, expr(a.sql))
+          case other => throw new IllegalArgumentException(
+            s"Bad assignment target: ${other.mkString(".")} " +
+              "(only one nesting level is supported)")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"Not an assignment: $other")
+    }
+    val merged = pending.foldLeft(acc) { case (d, (nest, pn)) =>
+      d.withColumn(nest, col(pn)).drop(pn)
+    }
+    val leftovers = merged.columns.filter(_.startsWith("__graft_red_"))
+    if (leftovers.isEmpty) merged
+    else merged.drop(leftovers.toIndexedSeq: _*)
   }
 
   /** query with `@name` locals (see [[eval]]). */

@@ -93,6 +93,9 @@ class DialectFuzzSpec extends SparkSpec {
           val out = kind match {
             case "query" => NestedExpr.query(df, text)
             case "eval" => NestedExpr.eval(df, text)
+            // the reference's DEFAULT mode: nested layer frozen per-line
+            case "eval_frozen" =>
+              NestedExpr.eval(df, text, inplace = false)
             case "eval_select" => NestedExpr.evalSelect(df, text, "__res")
           }
           if (kind == "eval_select") compareSeries(out, c.get("expect"))

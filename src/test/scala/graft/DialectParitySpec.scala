@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   * generate_data(5,5,seed=1) with the same query string.
   *
   * Known divergences (ours = extension or documented gap):
-  *  - `%` (mod): the REFERENCE RAISES NotImplementedError; we support it
-  *    (Spark SQL `%`). Extension, asserted below.
+  *  - `%` (mod): the reference supports it on the BASE layer (python
+  *    modulo — divisor's sign) and RAISES NotImplementedError on the
+  *    nested layer; we render pmod (= python modulo) on both layers.
+  *    The nested-layer support is an extension, asserted below.
   *  - `.str` methods: the reference reaches pandas' full Series.str
   *    surface; we map the common subset (upper/lower/len/strip/lstrip/
   *    rstrip/title/startswith/endswith/contains) and raise for the rest.
-  *  - ambiguous `a * b // c` / `a ** b ** c` precedence raises a
-  *    "parenthesize" error instead of silently diverging from Python.
+  *  - (until r10 ambiguous `a * b // c` / `a ** b ** c` raised; the r11
+  *    AST parser implements true python precedence — left-assoc //,
+  *    right-assoc ** — reference-executed below.)
   */
 class DialectParitySpec extends SparkSpec {
   import spark.implicits._
@@ -119,13 +122,21 @@ class DialectParitySpec extends SparkSpec {
       .fromLists(Seq("v"), "n")
     val r = NestedExpr.query(df, "n.v // 2 == -4")
     assert(r.select(size($"n")).as[Int].collect().head == 1)
-    // ambiguous precedence raises rather than guessing
-    intercept[IllegalArgumentException] {
-      elems("nested.t * 2 // 3 > 1")
-    }
-    intercept[IllegalArgumentException] {
-      elems("nested.t ** 2 ** 2 > 1")
-    }
+    // r11: python precedence implemented (reference-executed probes
+    // 2026-08-15): // is left-associative and looser than *, ** is
+    // right-associative and tighter than unary minus
+    val pr = Seq((0L, Seq(3.0, 8.0)), (1L, Seq(5.0, 2.0)),
+        (2L, Seq(7.0, 1.0)))
+      .toDF("id", "v").fromLists(Seq("v"), "n")
+    def cnt(q: String): Long = NestedExpr.query(pr, q)
+      .select(coalesce(sum(size($"n")), lit(0L))).as[Long].collect().head
+    assert(cnt("n.v * 2 // 3 > 1") == 4)      // ref: [2,1,1] kept
+    assert(cnt("n.v ** 2 ** 2 > 100") == 3)   // v^4 > 100: 8,5,7
+    // 2 ** a ** 2 == 2^(a^2): right-associative (ref eval: [2,16,512])
+    val pw = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "a")
+    val got = NestedExpr.evalAssign(pw, "d = 2 ** a ** 2")
+      .orderBy("k").select("d").as[Double].collect().toSeq
+    assert(got == Seq(2.0, 16.0, 512.0), s"** right-assoc diverged: $got")
   }
 
   test("r9: eval global reductions build the plan LAZILY and BATCHED — " +
@@ -274,14 +285,11 @@ class DialectParitySpec extends SparkSpec {
       "f = (ts.dt.is_leap_year.max()) + 1")
       .select("f").as[Long].collect().toSet
     assert(comp == Set(2L), s"composed parens diverged: $comp")
-    // a parenthesized RECEIVER `(ts).dt.year` is unsupported — the error
-    // must name .dt and the actual receiver, not claim a '.str' problem
-    val err = intercept[IllegalArgumentException] {
-      NestedExpr.evalAssign(withTs, "y = (ts).dt.year")
-    }
-    assert(err.getMessage.contains(".dt.year") &&
-      !err.getMessage.contains("chained .str is"),
-      s"orphan-chain error still misleading: ${err.getMessage}")
+    // a parenthesized RECEIVER `(ts).dt.year` is legal pandas and (r11,
+    // AST pipeline) evaluates — reference-executed: [2024, 2023]
+    val py = NestedExpr.evalAssign(withTs, "y = (ts).dt.year")
+      .orderBy(desc("y")).select("y").as[Int].collect().toSeq
+    assert(py == Seq(2024, 2023), s"paren receiver .dt diverged: $py")
     // hoist sharing: two EARLY lines share one reduction over a column a
     // LATER line writes — one batched agg, both early lines see pre-write
     // values, a post-write use re-aggregates and sees the new values
@@ -432,10 +440,19 @@ class DialectParitySpec extends SparkSpec {
     assert(isnaKept == Seq("q"), s"isna should keep only the NaN row: $isnaKept")
   }
 
-  test("% mod is OUR extension — the reference raises NotImplementedError") {
-    // documented divergence: reference query("nested.t % 2 > 1") raises;
-    // ours evaluates (Spark SQL %)
+  test("% mod: python semantics (pmod) on both layers; nested layer is " +
+      "OUR extension — the reference raises NotImplementedError there") {
     assert(elems("nested.t % 2 > 1") > 0)
+    // base layer: the reference EVALUATES % with python modulo — the
+    // divisor's sign wins (-7 % 3 = 2, 7 % -3 = -2, -7.5 % 3 = 1.5;
+    // reference-executed 2026-08-15). SQL % would return -1/1/-1.5.
+    val neg = Seq((1L, -7.0), (2L, 7.0), (3L, -7.5)).toDF("k", "x")
+    val m3 = NestedExpr.evalAssign(neg, "m = x % 3")
+      .orderBy("k").select("m").as[Double].collect().toSeq
+    assert(m3 == Seq(2.0, 1.0, 1.5), s"python modulo diverged: $m3")
+    val mneg = NestedExpr.evalAssign(neg, "m = x % -3")
+      .orderBy("k").select("m").as[Double].collect().toSeq
+    assert(mneg == Seq(-1.0, -2.0, -1.5), s"negative divisor diverged: $mneg")
   }
 
   test("evalAssign RHS accepts the extended forms (in-list, chained, ~)") {
@@ -471,36 +488,34 @@ class DialectParitySpec extends SparkSpec {
       elems("(0 < nested.t) and (nested.t < 10) and (10 < nested.flux)"))
   }
 
-  test("preprocess is the IDENTITY on expressions without Python-isms " +
-      "or comparisons; base comparisons get the pandas 2-valued wrap") {
-    // every query string in the registry flows through preprocess — an
-    // expression using none of the rewritten forms must come out
-    // byte-identical (no whitespace scrambling, no backtick loss, no
-    // literal damage). Since r9 a BASE-layer comparison is additionally
-    // wrapped in coalesce(…, false|true) — pandas float64-NaN semantics
-    // (differential-fuzzer finding; element layer keeps Kleene/SQL
-    // semantics and is identity when the nestSet is passed).
-    val plain = Seq(
-      "b is not null",
-      "abs(t - 10) + 2.5e2",
-      "`bad dog`.`n/a` + `bad dog`.`n/b`",
-      "nested.t.mean() - a")
-    plain.foreach { s =>
-      assert(NestedExpr.preprocess(s) == s, s"preprocess changed: '$s'")
-    }
-    // element-layer comparisons are identity too (Kleene), modulo the
-    // nestSet being known
-    val elem = Seq("nested.t > 10 and nested.flux <= 50.5",
-      "items.l_discount > 0.05")
-    assert(NestedExpr.preprocess(elem(0), Set("nested")) == elem(0))
-    assert(NestedExpr.preprocess(elem(1), Set("items")) == elem(1))
+  test("rendered SQL: no literal damage, backticks preserved, base " +
+      "comparisons get the pandas 2-valued wrap, element stay Kleene") {
+    // r11 AST pipeline: the renderer must not damage literals or quoted
+    // names, must wrap BASE-layer comparisons in coalesce(…, false|true)
+    // (pandas float64-NaN semantics, the r9 differential-fuzzer finding),
+    // and must leave ELEMENT-layer numeric comparisons unwrapped (Kleene).
+    val bad = Seq((1L, 2.0, 3.0, "x")).toDF("a", "b", "t", "s")
+      .withColumn("n/a", lit(1.0))
+    assert(NestedExpr.renderedSql(bad, "b is not null") == "`b` is not null")
+    assert(NestedExpr.renderedSql(bad, "abs(t - 10) + 2.5e2") ==
+      "abs(`t` - 10) + 2.5e2")
+    // non-identifier column names keep their backticks
+    assert(NestedExpr.renderedSql(bad, "`n/a` + 1") == "`n/a` + 1")
+    // string literals pass through verbatim, operators inside included
+    assert(NestedExpr.renderedSql(bad, "s == 'a**b'") ==
+      "coalesce((`s` == 'a**b'), false)")
     // base-layer comparisons: exact wrapped form, literals untouched
-    assert(NestedExpr.preprocess("a > 2") == " coalesce((a > 2), false) ")
-    assert(NestedExpr.preprocess("(a % 2) == 1") ==
-      " coalesce(((a % 2) == 1), false) ")
-    assert(NestedExpr.preprocess("x != 3") == " coalesce((x != 3), true) ")
-    assert(NestedExpr.preprocess("x in (1, 2, 3)") ==
-      " coalesce((x in (1, 2, 3)), false) ")
+    assert(NestedExpr.renderedSql(bad, "a > 2") ==
+      "coalesce((`a` > 2), false)")
+    assert(NestedExpr.renderedSql(bad, "(a % 2) == 1").contains("pmod") &&
+      NestedExpr.renderedSql(bad, "(a % 2) == 1").startsWith("coalesce(("))
+    assert(NestedExpr.renderedSql(bad, "a != 3") ==
+      "coalesce((`a` != 3), true)")
+    assert(NestedExpr.renderedSql(bad, "a in (1, 2, 3)") ==
+      "coalesce((`a` in (1, 2, 3)), false)")
+    // element-layer numeric comparison: unwrapped (Kleene), lambda ref
+    val nf = Seq((0L, Seq(1.0, 2.0))).toDF("id", "v").fromLists(Seq("v"), "n")
+    assert(NestedExpr.renderedSql(nf, "n.v > 10") == "__x.`v` > 10")
   }
 
   test("preprocessing is string-literal-safe and keeps sci-notation") {
@@ -510,5 +525,81 @@ class DialectParitySpec extends SparkSpec {
     val r = NestedExpr.query(df, "n.s == 'a**b'")
     assert(r.select(size($"n")).as[Int].collect().head == 1)
     assert(elems("nested.t > 1e1") == 13) // 1e1 = 10
+  }
+
+  test("r11: eval(inplace=false) freezes the NESTED layer per-line — " +
+      "modified fields read pre-eval values, created fields raise, base " +
+      "columns stay sequential (reference-executed 2026-08-15)") {
+    import graft.nested.NestedExpr.{eval => nev}
+    def mk() = Seq((0L, 1.0, Seq(3.0, 8.0)), (1L, 2.0, Seq(5.0, 2.0)),
+        (2L, 3.0, Seq(7.0, 1.0)))
+      .toDF("id", "a", "v").fromLists(Seq("v"), "n")
+      .withColumn("n", expr("transform(n, p -> named_struct('x', p.v))"))
+    // modified nested field: later line reads the FROZEN x
+    val r1 = nev(mk(), "n.x = n.x + 100\nn.y = n.x * 2", inplace = false)
+      .orderBy("id")
+    val row0 = r1.select(expr("transform(n, p -> p.y)")).as[Seq[Double]]
+      .collect().head
+    assert(row0 == Seq(6.0, 16.0), s"frozen read diverged: $row0")
+    val x0 = r1.select(expr("transform(n, p -> p.x)")).as[Seq[Double]]
+      .collect().head
+    assert(x0 == Seq(103.0, 108.0), s"write lost: $x0")
+    // inplace=true default stays sequential (GH#159 contract)
+    val seq0 = nev(mk(), "n.x = n.x + 100\nn.y = n.x * 2")
+      .orderBy("id").select(expr("transform(n, p -> p.y)"))
+      .as[Seq[Double]].collect().head
+    assert(seq0 == Seq(206.0, 216.0), s"sequential mode broke: $seq0")
+    // double write: second RHS reads frozen, second write wins
+    val dw = nev(mk(), "n.x = n.x + 100\nn.x = n.x * 2", inplace = false)
+      .orderBy("id").select(expr("transform(n, p -> p.x)"))
+      .as[Seq[Double]].collect().head
+    assert(dw == Seq(6.0, 16.0), s"double write diverged: $dw")
+    // created nested field raises on read (ref: AttributeError)
+    intercept[Exception] {
+      nev(mk(), "n.b = n.x + 1\nn.c = n.b * 2", inplace = false).collect()
+    }
+    // base columns sequential in BOTH modes
+    val bs = nev(mk(), "a = a + 10\nb = a * 2", inplace = false)
+      .orderBy("id").select("b").as[Double].collect().toSeq
+    assert(bs == Seq(22.0, 24.0, 26.0), s"base seq diverged: $bs")
+    // new-nest fields ACCUMULATE across lines ([4,9] / [6,16] on row 0)
+    val nn = nev(mk(), "p.a = n.x + 1\np.b = n.x * 2", inplace = false)
+      .orderBy("id")
+    val pa = nn.select(expr("transform(p, q -> q.a)")).as[Seq[Double]]
+      .collect().head
+    val pb = nn.select(expr("transform(p, q -> q.b)")).as[Seq[Double]]
+      .collect().head
+    assert(pa == Seq(4.0, 9.0) && pb == Seq(6.0, 16.0),
+      s"new-nest accumulation diverged: $pa / $pb")
+    // reductions freeze too: post-write mean equals pre-write mean
+    val rf = nev(mk(), "b = a + n.x.mean()\nn.x = n.x - 100\n" +
+        "c = a + n.x.mean()", inplace = false).orderBy("id")
+    val (b, c) = (rf.select("b").as[Double].collect().toSeq,
+      rf.select("c").as[Double].collect().toSeq)
+    assert(b == c, s"frozen reduction diverged: $b vs $c")
+  }
+
+  test("r11: .str.cat() is a GLOBAL reduction — flat series joined in " +
+      "index order, NA dropped (or na_rep-substituted), scalar broadcast " +
+      "(reference-executed 2026-08-15)") {
+    import graft.nested.NestedExpr.evalAssign
+    val df = Seq((0L, Option("ab"), Seq[Option[String]](Some("x"), Some("y"))),
+        (1L, Option.empty[String], Seq[Option[String]](None)),
+        (2L, Option("cd"), Seq[Option[String]](Some("z"))))
+      .toDF("id", "s", "v").fromLists(Seq("v"), "m")
+      .withColumn("m", expr("transform(m, p -> named_struct('t', p.v))"))
+    val base = evalAssign(df, "c = s.str.cat()")
+      .select("c").as[String].collect().toSet
+    assert(base == Set("abcd"), s"base cat diverged: $base")
+    val sep = evalAssign(df, "c = m.t.str.cat(sep='-')")
+      .select("c").as[String].collect().toSet
+    assert(sep == Set("x-y-z"), s"element cat diverged: $sep")
+    val narep = evalAssign(df, "c = s.str.cat(sep='-', na_rep='NA')")
+      .select("c").as[String].collect().toSet
+    assert(narep == Set("ab-NA-cd"), s"na_rep cat diverged: $narep")
+    // pandas `others` (positional) has no global analog — loud raise
+    intercept[IllegalArgumentException] {
+      evalAssign(df, "c = s.str.cat('zzz')")
+    }
   }
 }

@@ -27,6 +27,7 @@ imported by the shipped Scala engine.
 import json
 import math
 import random
+import re
 import sys
 from pathlib import Path
 
@@ -249,7 +250,7 @@ def num_atom(r, atoms):
     return f"{r.uniform(0.5, 4):.2f}"
 
 
-def num_expr(r, atoms, depth):
+def num_expr(r, atoms, depth, mod_ok=False):
     if depth <= 0:
         return num_atom(r, atoms)
     roll = r.random()
@@ -257,8 +258,34 @@ def num_expr(r, atoms, depth):
         return f"({num_atom(r, atoms)} ** 2)"
     if roll < 0.24:
         return f"({num_expr(r, atoms, depth - 1)} // {r.randint(1, 4)})"
-    if roll < 0.36:
-        return f"({num_expr(r, atoms, depth - 1)} / {r.choice(['2', '4', '2.5'])})"
+    if mod_ok and roll < 0.32:
+        # r11: base-layer % is python modulo in the reference — the
+        # divisor's sign wins on negative operands (graft renders the
+        # pmod mirror). Negative divisors and dividends both drawn.
+        return (f"({num_expr(r, atoms, depth - 1)} % "
+                f"{r.choice(['2', '3', '-3', '4'])})")
+    if roll < 0.38 and depth >= 2:
+        # r11 AST parser: true python precedence — left-assoc * then //,
+        # right-assoc ** (until r10 these raised "parenthesize")
+        if r.random() < 0.5:
+            return (f"{num_atom(r, atoms)} * {r.randint(1, 3)} // "
+                    f"{r.randint(2, 4)}")
+        # x ** 3 ** 2 = x^9 (right-assoc) vs (x^3)^2 = x^6 — asymmetric
+        # exponents distinguish associativity; x^9 stays finite for every
+        # atom incl. reduction scalars (sum ≲ 300 → 2e22)
+        return f"{num_atom(r, atoms)} ** 3 ** 2"
+    if roll < 0.44:
+        inner = num_expr(r, atoms, depth - 1)
+        if re.fullmatch(r"-[a-zA-Z_.0-9]+", inner):
+            # adjudicated-divergence exclusion (r11 probe): a BARE
+            # NEGATED nested ref directly under true division numpy-
+            # launders arrow NA into float64 NaN in the reference
+            # (2-valued regime), same family as the documented np.sqrt
+            # laundering (PARITY.md); an un-negated bare ref RAISES
+            # TypeError there. `+ 0` keeps the arithmetic identical and
+            # the series arrow-backed (probe: `-n.y - 2` stays Kleene).
+            inner = f"({inner} + 0)"
+        return f"({inner} / {r.choice(['2', '4', '2.5'])})"
     op = r.choice(["+", "-", "*"])
     return f"({num_expr(r, atoms, depth - 1)} {op} {num_expr(r, atoms, depth - 1)})"
 
@@ -345,8 +372,8 @@ def str_value_call(r, recv):
 
 FAMS = ["query_base", "query_elem", "eval_base", "eval_nested",
         "eval_newnest", "eval_select", "eval_str", "query_str",
-        "eval_multiline", "query_reject"]
-FAM_WEIGHTS = [17, 17, 13, 13, 8, 10, 7, 5, 6, 4]
+        "eval_multiline", "query_reject", "eval_frozen"]
+FAM_WEIGHTS = [16, 16, 13, 13, 8, 10, 7, 5, 6, 4, 6]
 # Families whose program only reads/filters (missing cells flow through
 # identically in both engines); nested-assignment and element-alignment
 # families regenerate frames without missing cells (see gen_frame).
@@ -365,7 +392,7 @@ def gen_program(r, fam):
         return "query", bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
     if fam == "eval_base":
         atoms = ["a", "b"] + [reduction_atom(r) for _ in range(r.randint(1, 2))]
-        return "eval", f"r = {num_expr(r, atoms, r.randint(1, 2))}"
+        return "eval", f"r = {num_expr(r, atoms, r.randint(1, 2), mod_ok=True)}"
     if fam == "eval_nested":
         atoms = ["n.x", "n.y", "a"] + (["m.u"] if r.random() < 0.4 else [])
         tgt = r.choice(["n.z", "n.x"])
@@ -381,6 +408,12 @@ def gen_program(r, fam):
         return "eval_select", num_expr(r, atoms, r.randint(1, 2))
     if fam == "eval_str":
         recv = r.choice(["s", "n.t"])
+        if r.random() < 0.22:
+            # r11: .str.cat() is a GLOBAL reduction (whole flat series
+            # joined in index order; sep/na_rep kwargs)
+            args = r.choice(["", "sep='-'", "sep=', '",
+                             "sep='|', na_rep='NA'", "na_rep='?'"])
+            return "eval", f"r = {recv}.str.cat({args})"
         tgt = "r" if recv == "s" else "n.w"
         return "eval", f"{tgt} = {str_value_call(r, recv)}"
     if fam == "query_reject":
@@ -439,6 +472,34 @@ def gen_program(r, fam):
         else:
             l2 = f"n.z = {num_expr(r, ['n.x', 'n.y', 'r1'], r.randint(1, 2))}"
         return "eval", l1 + "\n" + l2
+    if fam == "eval_frozen":
+        # r11: the reference's DEFAULT (inplace=False) multiline mode —
+        # the NESTED layer is frozen per-line (reads see pre-eval
+        # values), base columns stay sequential, new-nest fields
+        # accumulate. Read-after-write is the distinguishing shape.
+        roll = r.random()
+        if roll < 0.3:
+            # modify a nested field, then read it (frozen) on line 2
+            l1 = f"n.x = {num_expr(r, ['n.x', 'n.y'], r.randint(0, 1))}"
+            l2 = ("n.z = " if r.random() < 0.6 else "n.x = ") + \
+                num_expr(r, ["n.x", "a"], r.randint(0, 1))
+            return "eval_frozen", l1 + "\n" + l2
+        if roll < 0.5:
+            # new-nest fields accumulate across lines
+            l1 = f"p.w = {num_expr(r, ['n.x', 'n.y'], r.randint(0, 1))}"
+            l2 = f"p.v = {num_expr(r, ['n.x'], r.randint(0, 1))}"
+            return "eval_frozen", l1 + "\n" + l2
+        if roll < 0.7:
+            # frozen reductions: a write between two reductions of the
+            # same nested column must NOT change the second one
+            l1 = f"r1 = a + n.x.{r.choice(['mean', 'sum', 'max'])}()"
+            l2 = f"n.x = {num_expr(r, ['n.x'], r.randint(0, 1))}"
+            l3 = f"r2 = a + n.x.{r.choice(['mean', 'sum', 'max'])}()"
+            return "eval_frozen", l1 + "\n" + l2 + "\n" + l3
+        # base columns sequential even in frozen mode
+        l1 = f"r1 = {num_expr(r, ['a', 'b'], r.randint(1, 2))}"
+        l2 = f"r2 = {num_expr(r, ['r1', 'a'], r.randint(0, 1))}"
+        return "eval_frozen", l1 + "\n" + l2
     # query_str
     recv, lay = (("s", ["a", "b"]) if r.random() < 0.5
                  else ("n.t", ["n.x", "n.y"]))
@@ -461,6 +522,10 @@ def run_reference(nf, kind, text):
         res = nf.copy()
         res.eval(text, inplace=True)
         return enc_frame(res)
+    if kind == "eval_frozen":
+        # the reference's DEFAULT mode: returns a new frame, nested
+        # layer frozen per-line (expr.py:77-128)
+        return enc_frame(nf.eval(text))
     # eval_select: non-assign eval returns a Series
     return enc_series(nf.eval(text), nf)
 
