@@ -41,6 +41,19 @@ object Queries {
   private def roundSafe(c: Column, prec: Int): Column =
     round(c + lit(1e-9), prec)
 
+  /** Scale-robust exact sum of PRODUCTS of 2-decimal monetary values
+    * (r11, verdict item 4): a double sum of ~1e10 magnitude carries
+    * accumulation-order error ~1e-5, so `round(sum(x), 2)` can land on
+    * either side of a cent boundary between engines at sf1+ (the two
+    * 10×-corpus near-misses). Each product is EXACTLY a 6-decimal value
+    * (2dp × 2dp × 2dp); the computed double is within ulp (~2e-12) of
+    * that grid point, so round(·, 6) recovers it exactly and a DECIMAL
+    * sum is then order-independent and bit-identical in any engine at
+    * ANY scale. Final cast back to double (exact for 2-decimal values
+    * up to 2^52). The oracle mirrors the same shape. */
+  private def exactSumCents(c: Column): Column =
+    round(sum(round(c, 6).cast("decimal(30,6)")), 2).cast("double")
+
   type Q = (SparkSession, String) => DataFrame
 
   // ---------------------------------------------------------------------------
@@ -308,7 +321,7 @@ object Queries {
         e => e.getField("l_extendedprice") * (lit(1.0) - e.getField("l_discount")))
       .toFlat("items")
       .groupBy("l_returnflag")
-      .agg(round(sum(col("revenue")), 2).as("sum_revenue"))
+      .agg(exactSumCents(col("revenue")).as("sum_revenue"))
   }
 
   /** eval-assignment string dialect creating a new nested field. */
@@ -320,7 +333,7 @@ object Queries {
         "items.charge = items.l_extendedprice * (1 - items.l_discount) * (1 + items.l_tax)")
       .toFlat("items")
       .groupBy("l_linestatus")
-      .agg(round(sum(col("charge")), 2).as("sum_charge"))
+      .agg(exactSumCents(col("charge")).as("sum_charge"))
   }
 
   // ---------------------------------------------------------------------------
@@ -944,11 +957,13 @@ object Queries {
         |  FROM lineitem) AS sum_after_fillna""".stripMargin,
     "q_with_field" ->
       """SELECT l_returnflag,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+        | cast(round(sum(cast(round(l_extendedprice * (1 - l_discount), 6)
+        |   as decimal(30,6))), 2) as double) AS sum_revenue
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_eval_assign" ->
       """SELECT l_linestatus,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge
+        | cast(round(sum(cast(round(l_extendedprice * (1 - l_discount)
+        |   * (1 + l_tax), 6) as decimal(30,6))), 2) as double) AS sum_charge
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q_count_nested_by" ->
       """SELECT l_orderkey AS orderkey,

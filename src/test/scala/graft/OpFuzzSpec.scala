@@ -106,6 +106,54 @@ class OpFuzzSpec extends SparkSpec {
         val g = df.groupBy("a").agg(aggs.head, aggs.tail: _*)
         g.withColumn("k",
           row_number().over(Window.orderBy(col("a"))).cast("long") - 1)
+      // r11 tranche 2: column-wise concat on the shared index == join
+      // on k (split mode re-joins the frame's own column halves; extra
+      // mode OUTER-aligns a partial-index frame — missing rows null-fill
+      // like the reference's NaN / missing nest cells)
+      case "concat_axis1" =>
+        import org.apache.spark.sql.types._
+        if (args.get("mode").asText() == "split") {
+          val left = df.select("k", "a", "n")
+          val right = df.select("k", "b", "s", "m")
+          left.join(right, Seq("k"))
+        } else {
+          val ex = args.get("extra")
+          val ks = ex.get("k").elements().asScala.map(_.asLong()).toVector
+          val cs = ex.get("c").elements().asScala.map(_.asDouble()).toVector
+          val rows = ks.indices.map(i => Row(ks(i), cs(i)))
+          val schema = StructType(Array(
+            StructField("k", LongType, nullable = false),
+            StructField("c", DoubleType, nullable = true)))
+          val right = spark.createDataFrame(rows.asJava, schema)
+          df.join(right, Seq("k"), "outer")
+        }
+      // rename: base columns via withColumnRenamed; dotted nested keys
+      // are a NO-OP (the reference silently ignores them — probe)
+      case "rename_cols" =>
+        args.get("mapping").fields().asScala.foldLeft(df) { (d, e) =>
+          if (e.getKey.contains(".")) d
+          else d.withColumnRenamed(e.getKey, e.getValue.asText())
+        }
+      // base astype with the nest in flight. pandas astype(str)
+      // literal-stringifies missing values ('None' for object-None —
+      // corpus-caught wart, 3/1500 on first replay); SQL cast keeps
+      // NULL, so the str path coalesces explicitly.
+      case "astype_base" =>
+        import org.apache.spark.sql.functions.{lit, when}
+        val c = args.get("col").asText()
+        args.get("dtype").asText() match {
+          case "str" =>
+            df.withColumn(c, when(col(c).isNull, lit("None"))
+              .otherwise(col(c).cast("string")))
+          case dt =>
+            val t = dt match {
+              case "float64" => "double"
+              case "int32"   => "int"
+              case "int64"   => "bigint"
+              case other     => other
+            }
+            df.withColumn(c, col(c).cast(t))
+        }
       // positional head/tail incl. pandas negative counts
       // (head(-2) = all but the last 2)
       case "head_tail" =>
@@ -244,6 +292,25 @@ class OpFuzzSpec extends SparkSpec {
                 .map(_.asLong()).toVector
               if (got == exp) None
               else Some(s"row order: got ${got.mkString(",")} expected ${exp.mkString(",")}")
+            case "drop_dup" =>
+              // pandas keep='first'/'last' by ORIGINAL row order: window
+              // rank over the subset keys ordered by the carried index
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions.row_number
+              val subset = args.get("subset").elements().asScala
+                .map(_.asText()).toVector
+              val ord = if (args.get("keep").asText() == "first")
+                col("k").asc else col("k").desc
+              val w = Window.partitionBy(subset.map(col): _*).orderBy(ord)
+              val got = df.withColumn("__rn", row_number().over(w))
+                .where(col("__rn") === 1).drop("__rn")
+                .orderBy(col("k"))
+                .collect().map(_.getAs[Long]("k")).toVector
+              val exp = c.get("expect").get("k_order").elements().asScala
+                .map(_.asLong()).toVector
+              if (got == exp) None
+              else Some(s"kept rows: got ${got.mkString(",")} " +
+                s"expected ${exp.mkString(",")}")
             case "minmax" =>
               val numOnly = !args.has("numeric_only") ||
                 args.get("numeric_only").asBoolean()

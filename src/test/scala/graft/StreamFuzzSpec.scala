@@ -99,4 +99,142 @@ class StreamFuzzSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  // -------------------------------------------------------------------------
+  // r11 (VERDICT item 5): PLANTED-TRUTH streaming dedup. Batch-parity fuzz
+  // over random arrivals can't target the watermark-crossing case; these
+  // plant exact copies at controlled MICRO-BATCH positions and assert
+  // end-of-stream recall: suppressed while state lives, re-admitted only
+  // after the watermark evicts the key, and (index twin) dropped in ANY
+  // batch because the index is static.
+  // -------------------------------------------------------------------------
+
+  test("planted streaming dedup: cross-batch copies suppressed (recall " +
+      "1.0); key re-admitted ONLY after watermark eviction — 6 seeds") {
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(8800 + seed)
+      val nSrc = 12 + r.nextInt(8)
+      val srcIds = (0L until nSrc.toLong).toVector
+      val planted = r.shuffle(srcIds).take(6)
+      val ms = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+      val df = ms.toDF().toDF("user_id", "ts", "value")
+      val deduped = StreamingOps.dedupStream(df, "ts", Seq("user_id"),
+        watermark = "2 hours")
+      val qn = s"planteddedup$seed"
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+      try {
+        // batch 1: every source once
+        ms.addData(srcIds.map(id => (id, ts(id), 1.0)))
+        q.processAllAvailable()
+        // batch 2: planted COPIES (later event times, same keys) + noise
+        ms.addData(planted.map(id => (id, ts(30 + id), 2.0)) ++
+          Seq((900L, ts(35), 1.0)))
+        q.processAllAvailable()
+        val afterPlant = spark.sql(s"SELECT user_id FROM $qn")
+          .as[Long].collect().toSeq
+        val dupKeys = afterPlant.groupBy(identity).filter(_._2.length > 1)
+        assert(dupKeys.isEmpty,
+          s"seed $seed: planted cross-batch copies leaked: ${dupKeys.keys}")
+        val recall = planted.count(id => afterPlant.count(_ == id) == 1)
+          .toDouble / planted.size
+        assert(recall == 1.0, s"seed $seed: suppression recall $recall")
+        // batch 3: watermark advancer only (event time far ahead; the
+        // watermark updates at batch END, so eviction is visible in 4)
+        ms.addData(Seq((901L, ts(600), 1.0)))
+        q.processAllAvailable()
+        // batch 4: a planted key RETURNS after its state was evicted
+        // (last-seen + 2h < watermark) — bounded state means bounded
+        // memory AND re-admission; both sides of the contract asserted
+        ms.addData(Seq((planted.head, ts(590), 3.0)))
+        q.processAllAvailable()
+        val fin = spark.sql(s"SELECT user_id FROM $qn")
+          .as[Long].collect().toSeq
+        assert(fin.count(_ == planted.head) == 2,
+          s"seed $seed: post-eviction arrival was not re-admitted")
+      } finally q.stop()
+    }
+  }
+
+  test("planted streaming NEAR-dup (simhash): identical texts planted in " +
+      "later micro-batches are suppressed, distinct texts survive — 6 seeds") {
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(9900 + seed)
+      def txt(i: Long) = s"document $i body " +
+        Seq.fill(10)("tok" + r.nextInt(5000)).mkString(" ")
+      val docs = (0L until 10L).map(i => (i, txt(i))).toVector
+      val planted = r.shuffle(docs).take(4) // exact text copies, new ids
+        .map { case (i, t) => (100L + i, t) }
+      val ms = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+      val df = ms.toDF().toDF("doc_id", "ts", "text")
+      val out = StreamingOps.dedupNearStream(df, "ts", "text",
+        watermark = "2 hours")
+      val qn = s"plantednear$seed"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      def ts(min: Long) = new java.sql.Timestamp(t0 + min * 60000L)
+      try {
+        ms.addData(docs.map { case (i, t) => (i, ts(i), t) })
+        q.processAllAvailable()
+        ms.addData(planted.map { case (i, t) => (i, ts(40), t) })
+        q.processAllAvailable()
+        val got = spark.sql(s"SELECT doc_id FROM $qn")
+          .as[Long].collect().toSet
+        val leaked = planted.map(_._1).filter(got.contains)
+        assert(leaked.isEmpty,
+          s"seed $seed: planted near-dup copies leaked: $leaked")
+        // every ORIGINAL survived (distinct random texts should not
+        // collide on the full 64-bit signature)
+        assert(docs.map(_._1).forall(got.contains),
+          s"seed $seed: an original was wrongly suppressed")
+      } finally q.stop()
+    }
+  }
+
+  test("planted streaming index dedup: copies of INDEXED docs are dropped " +
+      "in whichever micro-batch they arrive; fresh docs pass — 6 seeds") {
+    import graft.operators.Dedup
+    for (seed <- 1 to 6) {
+      val r = new scala.util.Random(6600 + seed)
+      def txt(i: Long) = s"indexed doc $i " +
+        Seq.fill(30)("w" + r.nextInt(800)).mkString(" ")
+      val corpus = (0L until 15L).map(i => (i, txt(i))).toVector
+      val idx = corpus.toDF("doc_id", "text")
+        .select(col("doc_id"), Dedup.minHashSignaturesNative(col("text"),
+          numHashes = 16, shingleSize = 5).as("sig"))
+      val bandTable = StreamingOps.indexBandTable(idx, "doc_id", "sig",
+        numHashes = 16, rowsPerBand = 4)
+      bandTable.cache().count()
+      try {
+        val planted = r.shuffle(corpus).take(5)
+          .map { case (i, t) => (200L + i, t) } // copies of indexed docs
+        val fresh = (300L until 305L)
+          .map(i => (i, s"fresh doc $i " +
+            Seq.fill(30)("f" + r.nextInt(800)).mkString(" ")))
+        val ms = MemoryStream[(Long, String)](spark)
+        val stream = ms.toDF().toDF("doc_id", "text")
+          .select(col("doc_id"), Dedup.minHashSignaturesNative(col("text"),
+            numHashes = 16, shingleSize = 5).as("sig"))
+        val out = StreamingOps.dedupAgainstIndexStream(stream, bandTable,
+          "doc_id", "sig", numHashes = 16, rowsPerBand = 4)
+        val qn = s"plantedidx$seed"
+        val q = out.writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          // copies split across TWO batches, fresh docs interleaved
+          val (p1, p2) = planted.splitAt(2)
+          ms.addData(p1 ++ fresh.take(2)); q.processAllAvailable()
+          ms.addData(p2 ++ fresh.drop(2)); q.processAllAvailable()
+          val got = spark.sql(s"SELECT doc_id FROM $qn")
+            .as[Long].collect().toSet
+          val leaked = planted.map(_._1).filter(got.contains)
+          assert(leaked.isEmpty,
+            s"seed $seed: planted copies of indexed docs leaked: $leaked")
+          assert(fresh.map(_._1).forall(got.contains),
+            s"seed $seed: a fresh doc was wrongly dropped")
+        } finally q.stop()
+      } finally bandTable.unpersist()
+    }
+  }
 }

@@ -26,9 +26,15 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # r10: the inherited-pandas surface with nests in flight (VERDICT
        # item 2) — base-column merge, base groupby().agg() with the nest
        # carried through, positional head/tail
-       "merge_base", "groupby_agg", "head_tail"]
+       "merge_base", "groupby_agg", "head_tail",
+       # r11 tranche 2 (VERDICT item 7): column-wise concat, rename
+       # (dotted nested keys are silently IGNORED by the reference —
+       # probe 2026-08-15), base astype with the nest in flight,
+       # drop_duplicates(subset=) keep first/last
+       "concat_axis1", "rename_cols", "astype_base", "drop_dup"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
-              8, 6, 7, 6, 7, 5, 6, 9, 8, 6]
+              8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
+              6, 5, 5, 7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -205,6 +211,32 @@ def gen_op(r):
     if op == "head_tail":
         return op, {"which": r.choice(["head", "tail"]),
                     "n": r.choice([1, 2, 3, 5, 40, -1, -2])}
+    if op == "concat_axis1":
+        if r.random() < 0.5:
+            # split the frame's columns in two, concat back on the index
+            return op, {"mode": "split"}
+        n_extra = r.randint(2, 5)
+        idx = sorted(r.sample(range(-2, 10), n_extra))
+        return op, {"mode": "extra",
+                    "extra": {"k": idx,
+                              "c": [round(r.uniform(-5, 5), 2)
+                                    for _ in idx]}}
+    if op == "rename_cols":
+        mapping = {c: c + "2" for c in r.sample(["a", "b", "s"],
+                                                r.randint(1, 2))}
+        if r.random() < 0.4:
+            # the reference IGNORES dotted nested keys (rename of n.x is
+            # a no-op — probe 2026-08-15); pin the no-op
+            mapping["n.x"] = "n.z"
+        return op, {"mapping": mapping}
+    if op == "astype_base":
+        col_, dt = r.choice([("a", "float64"), ("a", "str"),
+                             ("a", "int32"), ("s", "str"),
+                             ("b", "float64")])
+        return op, {"col": col_, "dtype": dt}
+    if op == "drop_dup":
+        return op, {"subset": r.choice([["a"], ["s"], ["a", "s"]]),
+                    "keep": r.choice(["first", "last"])}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -352,6 +384,23 @@ def run_reference(nf, op, args):
         g = nf.groupby("a").agg(**spec).reset_index()
         g = g.sort_values("a").reset_index(drop=True)
         return enc_frame(npd.NestedFrame(g))
+    if op == "concat_axis1":
+        import pandas as pd
+        if args["mode"] == "split":
+            return enc_frame(pd.concat([nf[["a", "n"]],
+                                        nf[["b", "s", "m"]]], axis=1))
+        ex = args["extra"]
+        right = npd.NestedFrame(
+            {"c": pd.Series(ex["c"], dtype="float64", index=ex["k"])},
+            index=ex["k"])
+        return enc_frame(pd.concat([nf, right], axis=1))
+    if op == "rename_cols":
+        return enc_frame(nf.rename(columns=args["mapping"]))
+    if op == "astype_base":
+        return enc_frame(nf.astype({args["col"]: args["dtype"]}))
+    if op == "drop_dup":
+        res = nf.drop_duplicates(subset=args["subset"], keep=args["keep"])
+        return {"k_order": [int(i) for i in res.index]}
     if op == "head_tail":
         return enc_frame(getattr(nf, args["which"])(args["n"]))
     if op == "nest_query":
