@@ -76,8 +76,13 @@ object NestedExpr {
     *    None` drops EVERY element, unlike `n.t != 'x'`).
     *  - `isArray`: the value is the ARRAY result of .str.split/rsplit/
     *    findall (later chain members switch to list semantics). */
+  /** `isStr`: Some(true) = definitely string-valued, Some(false) =
+    * definitely not, None = unknown — drives the string-`+`-is-CONCAT /
+    * arithmetic-on-strings-raises rules (r11 probes; pandas raises
+    * TypeError for every arith op on strings except `+`). */
   private case class Rnd(sql: String, kinds: List[Boolean] = Nil,
-                         hasNone: Boolean = false, isArray: Boolean = false)
+                         hasNone: Boolean = false, isArray: Boolean = false,
+                         isStr: Option[Boolean] = None)
   private def merge(rs: Seq[Rnd]): Rnd =
     Rnd("", rs.flatMap(_.kinds).toList, rs.exists(_.hasNone))
 
@@ -122,38 +127,24 @@ object NestedExpr {
   private def renderAst(a: ExprAst.Ast, ctx: Ctx): Rnd = {
     import ExprAst._
     a match {
-      case Num(t)    => Rnd(numSql(t))
-      case StrLit(t) => Rnd(t)
+      case Num(t)    => Rnd(numSql(t), isStr = Some(false))
+      case StrLit(t) => Rnd(t, isStr = Some(true))
       case NoneLit   => Rnd("null", hasNone = true)
       case Word(t)   => Rnd(t)
       case Un("not", e) =>
         val r = renderAst(e, ctx)
-        r.copy(sql = s"not ${r.sql}", isArray = false)
+        r.copy(sql = s"not ${r.sql}", isArray = false, isStr = Some(false))
       case Un(op, e) =>
         val r = renderAst(e, ctx)
         val sql = e match {
           case _: Num => op + r.sql // "-2" stays a literal-int method arg
           case _      => s"($op ${r.sql})"
         }
-        r.copy(sql = sql, isArray = false)
-      case Bin("**", l, r) =>
+        r.copy(sql = sql, isArray = false, isStr = Some(false))
+      case Bin(op, l, r) if "+-*/%".contains(op) || op == "**" ||
+          op == "//" =>
         val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
-        merge(Seq(lr, rr)).copy(sql = s"power(${lr.sql}, ${rr.sql})")
-      case Bin("//", l, r) =>
-        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
-        merge(Seq(lr, rr)).copy(sql = s"floor((${lr.sql}) / (${rr.sql}))")
-      // python modulo follows the DIVISOR's sign (-7 % 3 = 2, 7 % -3 =
-      // -2) where SQL % follows the dividend's (-1, 1). pmod matches
-      // python for positive divisors; a negative divisor mirrors:
-      // l % r = -pmod(-l, -r). Integer inputs stay integer (pandas
-      // int64 % int64 is int64). r11 probe: the old verbatim `%` was a
-      // silent wrong-answer divergence on negative operands.
-      case Bin("%", l, r) =>
-        val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
-        val (a, b) = (lr.sql, rr.sql)
-        merge(Seq(lr, rr)).copy(sql =
-          s"(case when ($b) < 0 then -pmod(-($a), -($b)) " +
-            s"else pmod(($a), ($b)) end)")
+        renderArith(op, l, r, lr, rr, ctx)
       case Bin(op, l, r) =>
         val (lr, rr) = (renderAst(l, ctx), renderAst(r, ctx))
         merge(Seq(lr, rr)).copy(sql = s"${lr.sql} $op ${rr.sql}")
@@ -199,6 +190,73 @@ object NestedExpr {
         val r = renderAst(e, ctx)
         r.copy(sql = s"distinct ${r.sql}")
       case p: PathCall => renderPath(p, ctx)
+    }
+  }
+
+  /** True when `a` is a nonzero NUMERIC literal (possibly signed,
+    * possibly parenthesized) — the common divisor shape, where the
+    * division-by-zero guard is statically unnecessary. */
+  @annotation.tailrec
+  private def literalNonzero(a: ExprAst.Ast): Boolean = a match {
+    case ExprAst.Num(t) =>
+      t.toDouble != 0.0
+    case ExprAst.Un("-" | "+", inner) => literalNonzero(inner)
+    case ExprAst.Paren(inner, Nil)    => literalNonzero(inner)
+    case _                            => false
+  }
+
+  /** Arithmetic render with the r11 reference-executed type rules:
+    *  - `+` over two definitely-string operands is CONCAT (element layer:
+    *    `n.t + '!'` concatenates, NULL-strict; the RESULT's NA regime is
+    *    KLEENE — unlike `.str` string results, probe 2026-08-15 — so the
+    *    concat collapses its element chains to one Kleene entry);
+    *  - every OTHER arith op with a definitely-string operand RAISES
+    *    (pandas TypeError — the old pipeline silently rendered SQL that
+    *    null-cast the string);
+    *  - `/` and `//` by a non-literal-nonzero divisor guard the zero
+    *    case: pandas yields ±inf (sign of the dividend; 0/0 → NaN) where
+    *    SQL division yields NULL — `(l) * double('Infinity')` reproduces
+    *    all three in one expression;
+    *  - `%` is python modulo (divisor's sign; the old verbatim `%` was a
+    *    silent wrong answer on negatives), with `x % 0` → NaN (pandas)
+    *    when the divisor isn't a nonzero literal. */
+  private def renderArith(op: String, l: ExprAst.Ast, r: ExprAst.Ast,
+                          lr: Rnd, rr: Rnd, ctx: Ctx): Rnd = {
+    def anyStr = lr.isStr.contains(true) || rr.isStr.contains(true)
+    if (op == "+" && lr.isStr.contains(true) && rr.isStr.contains(true)) {
+      val m = merge(Seq(lr, rr))
+      return Rnd(s"concat(${lr.sql}, ${rr.sql})",
+        kinds = if (m.kinds.nonEmpty) List(false) else Nil,
+        hasNone = m.hasNone, isStr = Some(true))
+    }
+    if (op == "+" && anyStr &&
+        (lr.isStr.contains(false) || rr.isStr.contains(false)))
+      throw new IllegalArgumentException(
+        s"`+` between string and non-string operands is not supported " +
+          s"(pandas raises TypeError) in: ${ctx.exprStr}")
+    if (op != "+" && anyStr)
+      throw new IllegalArgumentException(
+        s"`$op` on string operands is not supported (pandas raises " +
+          s"TypeError) in: ${ctx.exprStr}")
+    val m = merge(Seq(lr, rr)).copy(isStr = Some(false))
+    val (a, b) = (lr.sql, rr.sql)
+    op match {
+      case "**" => m.copy(sql = s"power($a, $b)")
+      case "//" =>
+        if (literalNonzero(r)) m.copy(sql = s"floor(($a) / ($b))")
+        else m.copy(sql = s"(case when ($b) = 0 then " +
+          s"($a) * double('Infinity') else floor(($a) / ($b)) end)")
+      case "/" =>
+        if (literalNonzero(r)) m.copy(sql = s"$a / $b")
+        else m.copy(sql = s"(case when ($b) = 0 then " +
+          s"($a) * double('Infinity') else ($a) / ($b) end)")
+      case "%" =>
+        val zero =
+          if (literalNonzero(r)) ""
+          else s"when ($b) = 0 then double('NaN') "
+        m.copy(sql = s"(case ${zero}when ($b) < 0 then " +
+          s"-pmod(-($a), -($b)) else pmod(($a), ($b)) end)")
+      case _ => m.copy(sql = s"$a $op $b")
     }
   }
 
@@ -275,6 +333,7 @@ object NestedExpr {
     var cur = recv.sql
     var isArr = recv.isArray
     var kind: Option[Boolean] = None
+    var strRes: Option[Boolean] = recv.isStr
     val extras = List.newBuilder[Rnd]
     trailers.foreach {
       case ExprAst.Trailer(Nil, _, Some(idx)) =>
@@ -290,6 +349,7 @@ object NestedExpr {
           renderStrMethod(m, cur, ars.map(_.sql), isArr, ctx.exprStr)
         cur = s2; isArr = a2
         kind = Some(strStringResult.contains(m))
+        strRes = Some(strStringResult.contains(m) && !a2)
       case ExprAst.Trailer(List("dt", m), argsOpt, _) =>
         argsOpt match {
           case None =>
@@ -306,6 +366,7 @@ object NestedExpr {
             cur = s2; isArr = a2
         }
         kind = Some(dtTwoValuedMembers.contains(m))
+        strRes = Some(Set("strftime", "day_name", "month_name").contains(m))
       case ExprAst.Trailer(names, _, _) =>
         throw new IllegalArgumentException(
           s"Unresolvable column path '${names.mkString(".")}' " +
@@ -318,7 +379,7 @@ object NestedExpr {
         recv.kinds.init :+ kind.get
       else recv.kinds
     Rnd(cur, kinds0 ++ extraInfo.kinds,
-      recv.hasNone || extraInfo.hasNone, isArr)
+      recv.hasNone || extraInfo.hasNone, isArr, isStr = strRes)
   }
 
   /** Classify one dotted path (+ optional call args + trailers) against
@@ -347,8 +408,11 @@ object NestedExpr {
       }
     def elemRef(nest: String, field: String): Rnd = {
       ctx.nests += nest
+      val isString = NestedOps.subColumns(ctx.df, nest).contains(field) &&
+        NestedOps.nestedStruct(ctx.df, nest)(field).dataType == StringType
       Rnd(ctx.ref(nest, field),
-        kinds = List(ctx.twoValuedElemRefs.contains(s"$nest.$field")))
+        kinds = List(ctx.twoValuedElemRefs.contains(s"$nest.$field")),
+        isStr = Some(isString))
     }
     def fold(head: Rnd, firstMember: Option[Trailer],
              nested: Boolean): Rnd =
@@ -449,7 +513,7 @@ object NestedExpr {
           (nest, s"__e.${bq(field)}", s"cat\u0000$sep\u0000$naRep"),
           Reduction(nest, s"__e.${bq(field)}", "cat", srcCol = nest,
             catSep = sep, catNaRep = naRep))
-        fold(Rnd(bq(r.name)), None, nested = false)
+        fold(Rnd(bq(r.name), isStr = Some(true)), None, nested = false)
       case List(base, "str", "cat") if baseSet.contains(base) &&
           p.args.isDefined =>
         ctx.usesBase = true
@@ -458,7 +522,7 @@ object NestedExpr {
           ("", bq(base), s"cat\u0000$sep\u0000$naRep"),
           Reduction("", bq(base), "cat", srcCol = base,
             catSep = sep, catNaRep = naRep))
-        fold(Rnd(bq(r.name)), None, nested = false)
+        fold(Rnd(bq(r.name), isStr = Some(true)), None, nested = false)
       // nest.field.str.method(...) — pandas Series.str accessor
       case List(nest, field, "str", m) if nestSet.contains(nest) &&
           p.args.isDefined =>
@@ -484,7 +548,9 @@ object NestedExpr {
         fold(head.copy(sql = head.sql + argSuffix()), None, nested = true)
       case List(one) if baseSet.contains(one) =>
         ctx.usesBase = true
-        fold(Rnd(bq(one) + argSuffix()), None, nested = false)
+        fold(Rnd(bq(one) + argSuffix(),
+          isStr = Some(ctx.stringBaseCols.contains(one))),
+          None, nested = false)
       // SQL keyword operands (true/false/null) pass through verbatim
       case List(one) if keywords.contains(one.toLowerCase) =>
         Rnd(one + argSuffix())

@@ -602,4 +602,64 @@ class DialectParitySpec extends SparkSpec {
       evalAssign(df, "c = s.str.cat('zzz')")
     }
   }
+
+  test("r11: string `+` is concat (element + base), every other arith op " +
+      "on strings raises; division/modulo by zero follow pandas " +
+      "inf/NaN semantics (reference-executed 2026-08-15)") {
+    import graft.nested.NestedExpr.{evalAssign, query => nq}
+    val base = Seq((1L, 1L, 2.0, Option("ab")), (2L, 2L, 4.0, Option("cd")),
+        (3L, 0L, 0.0, Option.empty[String]))
+      .toDF("k", "a", "b", "s")
+    val nf = Seq(
+        (0L, Seq(("u", "A", 1.0)), 0),
+        (1L, Seq(("v", "B", 2.0)), 0),
+        (2L, Seq((null.asInstanceOf[String], "D", 3.0)), 0))
+      .toDF("k", "v", "z")
+      .withColumn("n", expr(
+        "transform(v, p -> named_struct('t', p._1, 'u', p._2, 'x', p._3))"))
+      .drop("v", "z")
+    // element concat: literal suffix, literal prefix, field+field
+    def w(e: String) = evalAssign(nf, e).orderBy("k")
+      .select(expr("transform(n, p -> p.w)[0]")).as[String].collect().toSeq
+    assert(w("n.w = n.t + '!'") == Seq("u!", "v!", null))
+    assert(w("n.w = 'pre' + n.t") == Seq("preu", "prev", null))
+    assert(w("n.w = n.t + n.u") == Seq("uA", "vB", null)) // NULL-strict
+    // base concat (the reference's own comparison path needs numexpr;
+    // eval works and concat matches)
+    val ss = evalAssign(base, "r = s + s").orderBy("k")
+      .select("r").as[String].collect().toSeq
+    assert(ss == Seq("abab", "cdcd", null))
+    // the + RESULT's NA regime is KLEENE — unlike .str string results
+    // (probe: ~(n.t + '!' == 'u!') drops the NA element)
+    val kept = nq(nf, "~(n.t + '!' == 'u!')").orderBy("k")
+      .select(coalesce(size(col("n")), lit(-1))).as[Int].collect().toSeq
+    assert(kept == Seq(-1, 1, -1), s"concat regime diverged: $kept")
+    // arith on strings raises (pandas TypeError; the old pipeline
+    // silently rendered a null-casting SQL expression)
+    for (bad <- Seq("r = s * 2", "r = n.t * 2", "r = b * s",
+        "r = n.x - 'a'", "r = s + 1", "r = s + b"))
+      intercept[IllegalArgumentException] { evalAssign(
+        if (bad.contains("n.")) nf
+          .withColumn("b", lit(1.0)).withColumn("s", lit("q")) else base,
+        bad) }
+    // division by a zero-valued COLUMN: pandas inf/NaN, not SQL NULL
+    def d(e: String) = evalAssign(base, e).orderBy("k")
+      .select("r").as[Double].collect().toSeq
+    val dv = d("r = b / (a - a)")
+    assert(dv(0).isPosInfinity && dv(1).isPosInfinity && dv(2).isNaN,
+      s"div-by-zero diverged: $dv")
+    val dz = d("r = b / 0")
+    assert(dz(0).isPosInfinity && dz(1).isPosInfinity && dz(2).isNaN,
+      s"div-by-literal-zero diverged: $dz")
+    val fz = d("r = a // 0")
+    assert(fz(0).isPosInfinity && fz(1).isPosInfinity && fz(2).isNaN,
+      s"floordiv-by-zero diverged: $fz")
+    val mz = d("r = a % 0")
+    assert(mz.forall(_.isNaN), s"mod-by-zero diverged: $mz")
+    // negative dividend: -b / 0 -> -inf (sign of the dividend)
+    val nz = evalAssign(base, "r = (0 - b) / (a - a)").orderBy("k")
+      .select("r").as[Double].collect().toSeq
+    assert(nz(0).isNegInfinity && nz(1).isNegInfinity && nz(2).isNaN,
+      s"negative div-by-zero diverged: $nz")
+  }
 }

@@ -309,6 +309,12 @@ def cmp_expr(r, atoms, str_atom=None):
             a1, a2 = sorted(r.sample(STR_POOL[:8], 2))
             op2 = r.choice(["<", "<=", "=="])
             return f"'{a1}' <= {str_atom} {op2} '{a2}'"
+        if roll < 0.105:
+            # r11: concat-result comparisons are KLEENE (unlike .str
+            # string results) — reference-executed probe
+            return (f"{str_atom} + '!' "
+                    f"{r.choice(['==', '!=', '<='])} "
+                    f"'{r.choice(STR_POOL[:6])}!'")
         # orderings included since r10: string element ORDERING is
         # Kleene (NA drops under mask and ~mask) while equality is
         # 2-valued — reference-executed probe 2026-08-15
@@ -408,6 +414,16 @@ def gen_program(r, fam):
         return "eval_select", num_expr(r, atoms, r.randint(1, 2))
     if fam == "eval_str":
         recv = r.choice(["s", "n.t"])
+        if r.random() < 0.15:
+            # r11: string `+` is CONCAT (element: literal/prefix/field;
+            # base: s + s — base s + 'lit' raises in the reference's
+            # eval env and graft supports it as a documented extension)
+            if recv == "s":
+                return "eval", "r = s + s"
+            form = r.choice([f"n.t + '{r.choice(['!', '#'])}'",
+                             f"'{r.choice(['p_', 'x'])}' + n.t",
+                             "n.t + n.t"])
+            return "eval", f"n.w = {form}"
         if r.random() < 0.22:
             # r11: .str.cat() is a GLOBAL reduction (whole flat series
             # joined in index order; sep/na_rep kwargs)
