@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BoundedTopK, DotProductArray, TextMinHash, TextNGramJaccard, TextSimHash64, TextTokenNGrams}
+import graft.expressions.{BoundedTopK, DotProductArray, TextMinHash, TextNGramJaccard, TextSimHash64, TextTokenNGrams, TextWrap}
 
 /** SQL registration of the native graft expressions.
   *
@@ -44,6 +44,9 @@ object GraftExtensions {
         new ExpressionInfo(classOf[TextTokenNGrams].getName,
           "graft_token_ngrams"),
         (es: Seq[Expression]) => TextTokenNGrams(es(0), intArg(es(1)))),
+      ("graft_wrap",
+        new ExpressionInfo(classOf[TextWrap].getName, "graft_wrap"),
+        (es: Seq[Expression]) => TextWrap(es(0), intArg(es(1)))),
       ("graft_topk_by",
         new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk_by"),
         (es: Seq[Expression]) =>

@@ -620,7 +620,8 @@ object NestedExpr {
       "count", "find", "get", "slice", "split",
       "removeprefix", "removesuffix", "repeat", "extract",
       "swapcase", "title",
-      "rsplit", "findall", "match", "fullmatch", "slice_replace")).sorted
+      "rsplit", "findall", "match", "fullmatch", "slice_replace",
+      "wrap")).sorted
 
   private def strUnsupported(m: String, exprStr: String): Nothing =
     throw new IllegalArgumentException(
@@ -689,7 +690,7 @@ object NestedExpr {
   private val strStringResult = Set("upper", "lower", "casefold", "strip",
     "lstrip", "rstrip", "replace", "capitalize", "title", "swapcase", "get",
     "slice", "removeprefix", "removesuffix", "repeat", "pad", "center",
-    "ljust", "rjust", "zfill", "slice_replace", "extract")
+    "ljust", "rjust", "zfill", "slice_replace", "extract", "wrap")
 
   /** pandas fixed-frequency string → micros (`'15min'`, `'2h'`, `'D'`,
     * `'s'`, `'ms'`, incl. the deprecated single-letter aliases pandas
@@ -1019,8 +1020,20 @@ object NestedExpr {
     * field; the default targets a single-lambda-variable context.
     * Cross-nest callers pass a renderer that distinguishes the anchor
     * nest (`__x`) from other nests (positional `nest[__i]` access). */
+  // The dialect renders some methods as graft-native SQL functions
+  // (`graft_wrap`); make them resolvable in whatever session the frame
+  // lives in, once per session (registry put is idempotent).
+  private val fnRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[
+        org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+  private def ensureFunctions(df: DataFrame): Unit =
+    if (fnRegistered.add(df.sparkSession))
+      graft.GraftExtensions.register(df.sparkSession)
+
   private def analyze(df: DataFrame, exprStr: String,
                       ref: (String, String) => String): Analysis = {
+    ensureFunctions(df)
     val nestSet = NestedOps.nestedColumns(df).toSet
     val baseSet = NestedOps.baseColumns(df).toSet
     // string- AND timestamp-typed fields: both compare 2-valued on NA
@@ -1237,6 +1250,30 @@ object NestedExpr {
         ((s"(case when substring($x, 1, 1) in ('+', '-') then " +
           s"concat(substring($x, 1, 1), $z, substring($x, 2)) " +
           s"else concat($z, $x) end)"), false)
+      case "wrap" =>
+        // pandas Series.str.wrap(width, **textwrap_kwargs) → the native
+        // TextWrap expression (exact CPython textwrap defaults). Any
+        // non-default knob raises — never a silent approximation.
+        require(args.nonEmpty, s".str.wrap expects width in: $exprStr")
+        var width: Option[String] = None
+        args.foreach { a =>
+          kwargRe.findFirstMatchIn(a) match {
+            case Some(mm) => mm.group(1) match {
+              case "width" if width.isEmpty => width = Some(mm.group(2))
+              case other => throw new IllegalArgumentException(
+                s".str.wrap supports only default textwrap knobs " +
+                  s"(keyword '$other' rejected) in: $exprStr")
+            }
+            case None =>
+              require(width.isEmpty,
+                s".str.wrap: too many arguments in: $exprStr")
+              width = Some(a)
+          }
+        }
+        val w = width.get
+        require(w.matches("""\d+""") && w.toInt >= 1,
+          s".str.wrap expects a positive integer-literal width in: $exprStr")
+        (s"graft_wrap($x, $w)", false)
       case "pad" | "center" =>
         // pandas pad(width, side='left', fillchar=' '); center ≡ side='both'
         require(args.nonEmpty,

@@ -69,7 +69,12 @@ STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
                  ("rsplit", lambda r: "' '"),
                  ("slice_replace",
                   lambda r: f"{r.randint(0, 2)}, {r.randint(1, 4)}, "
-                            f"'{r.choice(['ZZ', '#'])}'")]
+                            f"'{r.choice(['ZZ', '#'])}'"),
+                 # r11: textwrap defaults via the native TextWrap kernel
+                 # (tools/wrap_fuzz.py pins the kernel itself on 400
+                 # adversarial texts; this pins the dialect routing +
+                 # regimes through the reference's own eval resolvers)
+                 ("wrap", lambda r: str(r.randint(1, 8)))]
 STR_PRED = [("contains", lambda r: f"'{r.choice(['a', 'b', 'x', ' '])}'"),
             ("startswith", lambda r: f"'{r.choice(['A', 'a', 'de'])}'"),
             ("endswith", lambda r: f"'{r.choice(['b', 'f', 'c'])}'"),
