@@ -336,6 +336,25 @@ object Queries {
       .agg(exactSumCents(col("charge")).as("sum_charge"))
   }
 
+  /** Multiline eval in the reference's DEFAULT (inplace=False) mode: the
+    * nested layer is FROZEN per-line, so line 2's read of
+    * `items.l_extendedprice` sees the PRE-eval value even though line 1
+    * rewrote it — the distinguishing read-after-write shape (sequential
+    * semantics would double the charge). Reference expr.py:77-128. */
+  val qEvalDefault: Q = (s, dir) => {
+    val packed = NestedOps.packFlat(
+      lines(s, dir, "l_extendedprice", "l_tax", "l_linestatus"),
+      Seq("o_orderkey"), "items")
+    NestedExpr.eval(packed,
+        """items.l_extendedprice = items.l_extendedprice * 2
+          |items.charge = items.l_extendedprice * (1 + items.l_tax)""".stripMargin,
+        inplace = false)
+      .toFlat("items")
+      .groupBy("l_linestatus")
+      .agg(exactSumCents(col("charge")).as("sum_charge"),
+        exactSumCents(col("l_extendedprice")).as("sum_price2"))
+  }
+
   // ---------------------------------------------------------------------------
   // §2.6 aggregations
   // ---------------------------------------------------------------------------
@@ -694,6 +713,7 @@ object Queries {
     "q_dropna_fillna" -> qDropnaFillna,
     "q_with_field" -> qWithField,
     "q_eval_assign" -> qEvalAssign,
+    "q_eval_default" -> qEvalDefault,
     "q_count_nested_by" -> qCountNestedBy,
     "q_min_max" -> qMinMax,
     "q_describe" -> qDescribe,
@@ -964,6 +984,13 @@ object Queries {
       """SELECT l_linestatus,
         | cast(round(sum(cast(round(l_extendedprice * (1 - l_discount)
         |   * (1 + l_tax), 6) as decimal(30,6))), 2) as double) AS sum_charge
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_eval_default" ->
+      """SELECT l_linestatus,
+        | cast(round(sum(cast(round(l_extendedprice * (1 + l_tax), 6)
+        |   as decimal(30,6))), 2) as double) AS sum_charge,
+        | cast(round(sum(cast(round(l_extendedprice * 2, 6)
+        |   as decimal(30,6))), 2) as double) AS sum_price2
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q_count_nested_by" ->
       """SELECT l_orderkey AS orderkey,
