@@ -464,12 +464,20 @@ object Dedup {
       minHashSignaturesNative(col(textCol), numHashes, shingleSize).as("sig"))
     val candidates = lshCandidatePairs(withSig, idCol, "sig",
       numHashes, rowsPerBand)
-    // verification joins the texts back (broadcast the slim id→text pairs of
-    // candidates only, not the corpus)
+    // The jaccard verification is ~100× more CPU per byte than a scan, and
+    // the candidate-pair rows are 16 bytes — AQE's byte-based partition
+    // coalescing collapses them to one or two tasks and SERIALIZES the
+    // kernel (measured at sf0.1: 4.2s one-task verify → 0.7s after an
+    // explicit repartition; DedupStageProbe). Pin the parallelism with a
+    // user repartition of the SLIM pair list before the text joins: at
+    // bench scale the text sides broadcast (AQE) so this partitioning
+    // carries into the jaccard stage; at 100 TB the joins shuffle anyway
+    // and repartitioning 16-byte rows is noise.
+    val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val texts = df.select(col(idCol), col(textCol))
     // native one-pass jaccard: the HOF formulation (extract + distinct +
     // intersect ~300-element string arrays per pair) dominated the pipeline
-    val verified = candidates
+    val verified = candidates.repartition(numParts)
       .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
       .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
       .where(graft.expressions.native.ngram_jaccard(
