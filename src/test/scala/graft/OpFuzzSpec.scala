@@ -311,6 +311,123 @@ class OpFuzzSpec extends SparkSpec {
               if (got == exp) None
               else Some(s"kept rows: got ${got.mkString(",")} " +
                 s"expected ${exp.mkString(",")}")
+            // r11 tranche 3: nlargest/nsmallest. NaN rows rank BELOW every
+            // value but still fill remaining slots (probe 2026-08-16) ≡
+            // nulls_last ordering + limit. Tie policy: keep='first' breaks
+            // by carried index asc, 'last' by index DESC (and the output
+            // shows that order), 'all' extends the boundary tie group
+            // (rank over the value keys alone).
+            case "nlargest" =>
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions.rank
+              val desc = args.get("fn").asText() == "nlargest"
+              val n = args.get("n").asInt()
+              val cols = args.get("cols").elements().asScala
+                .map(_.asText()).toVector
+              val cn = cols.head // single-col, n < len family (see gen note)
+              val valOrd =
+                if (desc) col(cn).desc_nulls_last else col(cn).asc_nulls_last
+              val m = c.get("frame").get("k").size()
+              assert(n < m, s"corpus contract violated: n=$n >= len=$m " +
+                "(tie order is a pandas quicksort artifact there)")
+              val sel = args.get("keep").asText() match {
+                case "all" =>
+                  val w = Window.orderBy(valOrd)
+                  df.withColumn("__rk", rank().over(w))
+                    .where(col("__rk") <= n).drop("__rk")
+                    .orderBy(valOrd, col("k").asc)
+                case keep =>
+                  val tie =
+                    if (keep == "first") col("k").asc else col("k").desc
+                  df.orderBy(valOrd, tie).limit(math.max(n, 0))
+              }
+              val got = sel.collect().map(_.getAs[Long]("k")).toVector
+              val exp = c.get("expect").get("k_order").elements().asScala
+                .map(_.asLong()).toVector
+              if (got == exp) None
+              else Some(s"${args.get("fn").asText()} rows: " +
+                s"got ${got.mkString(",")} expected ${exp.mkString(",")}")
+            // value_counts(subset=): group counts with the CANONICAL
+            // (count desc, keys asc, NULL keys last) order pinned by the
+            // generator on both engines; k is the output ordinal.
+            case "value_counts" =>
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions.{count => cnt, lit,
+                row_number, sum}
+              val subset = args.get("subset").elements().asScala
+                .map(_.asText()).toVector
+              val dropna = args.get("dropna").asBoolean()
+              val normalize = args.get("normalize").asBoolean()
+              val src = if (dropna)
+                subset.foldLeft(df)((d, cn) => d.where(col(cn).isNotNull))
+              else df
+              val valcol = if (normalize) "proportion" else "count"
+              var g = src.groupBy(subset.map(col): _*)
+                .agg(cnt(lit(1)).as("__c"))
+              if (normalize)
+                g = g.withColumn(valcol,
+                  col("__c") / sum(col("__c")).over(
+                    Window.partitionBy()))
+              else g = g.withColumn(valcol, col("__c"))
+              val ord = col(valcol).desc +: subset.map(col(_).asc_nulls_last)
+              val out = g.drop("__c")
+                .withColumn("k",
+                  row_number().over(Window.orderBy(ord: _*)).cast("long") - 1)
+              compareFrame(out, c.get("expect"))
+            // frame-level where/mask: non-kept rows null EVERY column
+            // (nest cell included); the cond is 2-valued in pandas (NaN
+            // compares False) ≡ when()'s null-cond fall-through.
+            case "where_mask" =>
+              import org.apache.spark.sql.functions.{lit, when}
+              val cn = args.get("col").asText()
+              val v: Any = if (cn == "a") args.get("val").asLong()
+                else if (cn == "b") args.get("val").asDouble()
+                else args.get("val").asText()
+              val cond = args.get("op2").asText() match {
+                case ">"  => col(cn) > lit(v)
+                case ">=" => col(cn) >= lit(v)
+                case "<=" => col(cn) <= lit(v)
+                case "==" => col(cn) === lit(v)
+              }
+              val isWhere = args.get("fn").asText() == "where"
+              val out = df.select(df.columns.map { c2 =>
+                if (c2 == "k") col("k")
+                else if (isWhere) when(cond, col(c2)).as(c2)
+                else when(cond, lit(null)).otherwise(col(c2)).as(c2)
+              }: _*)
+              compareFrame(out, c.get("expect"))
+            // replace({col: {old: new}}): simultaneous mapping over the
+            // ORIGINAL values (no re-replacement), NULLs untouched.
+            case "replace_vals" =>
+              import org.apache.spark.sql.functions.{lit, when}
+              val cn = args.get("col").asText()
+              val entries = args.get("mapping").fields().asScala.toVector
+              val repl = entries.foldLeft(col(cn)) { (acc, e) =>
+                if (cn == "a")
+                  when(col(cn) === lit(e.getKey.toLong),
+                    lit(e.getValue.asLong())).otherwise(acc)
+                else
+                  when(col(cn) === lit(e.getKey),
+                    lit(e.getValue.asText())).otherwise(acc)
+              }
+              compareFrame(df.withColumn(cn, repl), c.get("expect"))
+            // round(): base FLOAT columns only (ints and nested fields
+            // untouched — probe 2026-08-16). pandas delegates to
+            // np.around = rint(x·10^d)/10^d — half-even on the SCALED
+            // double, NOT on x's decimal expansion: np.round(1.275, 2)
+            // = 1.27 because 1.275·100 = 127.4999…, while bround(1.275,
+            // 2) reads the exact BigDecimal 1.27500…0133 → 1.28
+            // (alt-seed catch). bround at scale 0 ≡ rint, so the scaled
+            // form reproduces numpy bit-for-bit.
+            case "round_base" =>
+              import org.apache.spark.sql.functions.{bround, lit}
+              val dNode = c.get("args").get("decimals")
+              val d = if (dNode.isObject) dNode.get("b").asInt()
+                else dNode.asInt()
+              val p = math.pow(10.0, d)
+              compareFrame(
+                df.withColumn("b", bround(col("b") * lit(p), 0) / lit(p)),
+                c.get("expect"))
             case "minmax" =>
               val numOnly = !args.has("numeric_only") ||
                 args.get("numeric_only").asBoolean()

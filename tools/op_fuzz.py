@@ -31,10 +31,21 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # (dotted nested keys are silently IGNORED by the reference —
        # probe 2026-08-15), base astype with the nest in flight,
        # drop_duplicates(subset=) keep first/last
-       "concat_axis1", "rename_cols", "astype_base", "drop_dup"]
+       "concat_axis1", "rename_cols", "astype_base", "drop_dup",
+       # r11 tranche 3: nlargest/nsmallest (NaN rows fill remaining slots
+       # LAST; keep= tie policy probed 2026-08-16), value_counts(subset=)
+       # with a CANONICAL (count desc, keys asc, NaN last) order pinned on
+       # both engines (pandas' tie order under sort_values is not
+       # guaranteed stable), frame-level where/mask (non-kept rows null
+       # every column INCLUDING the nest cell), replace(dict) on base
+       # columns, and round() (base floats only — nested fields untouched,
+       # numpy HALF-EVEN ≡ Spark bround)
+       "nlargest", "value_counts", "where_mask", "replace_vals",
+       "round_base"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
-              6, 5, 5, 7]
+              6, 5, 5, 7,
+              7, 6, 7, 5, 5]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -237,6 +248,33 @@ def gen_op(r):
     if op == "drop_dup":
         return op, {"subset": r.choice([["a"], ["s"], ["a", "s"]]),
                     "keep": r.choice(["first", "last"])}
+    if op == "nlargest":
+        return op, {}  # drawn in main: n must depend on the frame length
+    if op == "value_counts":
+        return op, {"subset": r.choice([["a"], ["b"], ["s"], ["a", "s"],
+                                        ["s", "b"]]),
+                    "normalize": r.random() < 0.3,
+                    "dropna": r.random() < 0.7}
+    if op == "where_mask":
+        col_, op2, val = r.choice([
+            ("a", r.choice([">", "<=", "=="]), r.randint(-2, 8)),
+            ("b", r.choice([">", "<=", ">="]), round(r.uniform(-2, 6), 2)),
+            ("s", "==", r.choice(["Abc", "de f", "aa", "b", "Ab"]))])
+        return op, {"fn": r.choice(["where", "mask"]),
+                    "col": col_, "op2": op2, "val": val}
+    if op == "replace_vals":
+        if r.random() < 0.5:
+            mapping = {str(r.randint(-5, 12)): r.randint(-20, 20)
+                       for _ in range(r.randint(1, 2))}
+            return op, {"col": "a", "mapping": mapping}
+        mapping = {r.choice(["Abc", "de f", "aa", "b", "Ab", "zz9"]):
+                   r.choice(["ZZ", "qq", ""])
+                   for _ in range(r.randint(1, 2))}
+        return op, {"col": "s", "mapping": mapping}
+    if op == "round_base":
+        if r.random() < 0.4:
+            return op, {"decimals": {"b": r.randint(0, 2)}}
+        return op, {"decimals": r.randint(0, 2)}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -401,6 +439,39 @@ def run_reference(nf, op, args):
     if op == "drop_dup":
         res = nf.drop_duplicates(subset=args["subset"], keep=args["keep"])
         return {"k_order": [int(i) for i in res.index]}
+    if op == "nlargest":
+        res = getattr(nf, args["fn"])(args["n"], args["cols"],
+                                      keep=args["keep"])
+        return {"k_order": [int(i) for i in res.index]}
+    if op == "value_counts":
+        import pandas as pd
+        vc = nf.value_counts(subset=args["subset"],
+                             normalize=args["normalize"],
+                             dropna=args["dropna"])
+        flat = vc.reset_index()
+        valcol = "proportion" if args["normalize"] else "count"
+        # CANONICAL order on both engines: count desc, keys asc, NaN keys
+        # last — pandas' own tie order under sort_values(kind default) is
+        # not a contract, so the corpus pins counts, not pandas tie order
+        flat = flat.sort_values(
+            by=[valcol] + args["subset"],
+            ascending=[False] + [True] * len(args["subset"]),
+            na_position="last", kind="stable").reset_index(drop=True)
+        return enc_frame(npd.NestedFrame(flat))
+    if op == "where_mask":
+        ser = nf[args["col"]]
+        cond = {">": ser > args["val"], ">=": ser >= args["val"],
+                "<=": ser <= args["val"],
+                "==": ser == args["val"]}[args["op2"]]
+        return enc_frame(getattr(nf, args["fn"])(cond))
+    if op == "replace_vals":
+        m = args["mapping"]
+        if args["col"] == "a":
+            m = {int(k): int(v) for k, v in m.items()}
+        return enc_frame(nf.replace({args["col"]: m}))
+    if op == "round_base":
+        d = args["decimals"]
+        return enc_frame(nf.round(d))
     if op == "head_tail":
         return enc_frame(getattr(nf, args["which"])(args["n"]))
     if op == "nest_query":
@@ -900,6 +971,36 @@ def main():
                 continue
             kept.append({"id": len(kept), "op": op, "args": {},
                          "frame": spec, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "nlargest":
+            # SINGLE column, n < len ONLY. Outside that box the tie order
+            # is a pandas-internal artifact, not a contract: n >= len
+            # falls to `sort_values()` with the default QUICKSORT (ties
+            # unstable), and multi-column SelectNFrame can even return
+            # MORE than n rows when a NaN pad becomes the border value
+            # (nlargest(6) -> 7 rows, probed 2026-08-16). Inside the box
+            # the rules are crisp (probed): keep='first' ties idx ASC +
+            # NaN rows pad in idx-asc order, keep='last' ties idx DESC,
+            # keep='all' extends the boundary tie group in idx-ASC order.
+            # keep='last'/'all' draw the never-NA column (their NaN-pad
+            # order stays unpinned).
+            frame = gen_frame(r, allow_missing=True)
+            keep = r.choices(["first", "last", "all"],
+                             weights=[60, 25, 15])[0]
+            cols = r.choice([["a"], ["b"]]) if keep == "first" else ["a"]
+            args = {"fn": r.choice(["nlargest", "nsmallest"]),
+                    "n": r.randint(0, len(frame["k"]) - 1),
+                    "cols": cols, "keep": keep}
+            try:
+                nf = build_ref_frame(frame)
+                expect = run_reference(nf, op, args)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": args,
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op, "args": args,
+                         "frame": frame, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
         allow_missing = not (
