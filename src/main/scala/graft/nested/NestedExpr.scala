@@ -621,7 +621,7 @@ object NestedExpr {
       "removeprefix", "removesuffix", "repeat", "extract",
       "swapcase", "title",
       "rsplit", "findall", "match", "fullmatch", "slice_replace",
-      "wrap")).sorted
+      "wrap", "join")).sorted
 
   private def strUnsupported(m: String, exprStr: String): Nothing =
     throw new IllegalArgumentException(
@@ -690,7 +690,7 @@ object NestedExpr {
   private val strStringResult = Set("upper", "lower", "casefold", "strip",
     "lstrip", "rstrip", "replace", "capitalize", "title", "swapcase", "get",
     "slice", "removeprefix", "removesuffix", "repeat", "pad", "center",
-    "ljust", "rjust", "zfill", "slice_replace", "extract", "wrap")
+    "ljust", "rjust", "zfill", "slice_replace", "extract", "wrap", "join")
 
   /** pandas fixed-frequency string → micros (`'15min'`, `'2h'`, `'D'`,
     * `'s'`, `'ms'`, incl. the deprecated single-letter aliases pandas
@@ -1115,11 +1115,30 @@ object NestedExpr {
     // non-truncating pad amount (pandas rjust/ljust/zfill/pad never
     // truncate strings already >= width, unlike SQL lpad/rpad)
     def padN(w: String) = s"greatest(($w) - length($x), 0)"
-    if (arrayInput && m != "get" && m != "len")
+    if (arrayInput && m != "get" && m != "len" && m != "join")
       throw new IllegalArgumentException(
         s".str.$m after .str.split is not supported (supported on list " +
-          s"results: get, len) in: $exprStr")
+          s"results: get, len, join) in: $exprStr")
     m match {
+      // str.join: list receiver (post-split) joins the pieces; a plain
+      // string receiver joins its CHARACTERS ('abc' → 'a-b-c'), pandas
+      // semantics. On the nested layer the reference itself raises (a
+      // reindex artifact of its flat .str path); graft computes the
+      // obvious semantics — acceptance divergence in graft's favor,
+      // same family as n.t.dt.date (PARITY.md).
+      case "join" =>
+        req(1)
+        val sepLit = strLitContent(args.head).getOrElse(
+          throw new IllegalArgumentException(
+            s".str.join expects a string-literal separator in: $exprStr"))
+        if (arrayInput) (s"array_join($x, ${args.head})", false)
+        else {
+          // insert sep between every pair of adjacent chars; escape
+          // regex-replacement specials in the separator
+          val repl = sepLit.replace("\\", "\\\\").replace("$", "\\$")
+            .replace("'", "''")
+          (s"regexp_replace($x, '(?s)(?<=.)(?=.)', '$repl')", false)
+        }
       // ---- `.dt` methods routed through the marker machinery ----
       // date_trunc returns a session-zoned timestamp even for NTZ input;
       // cast back to NTZ — pandas naive datetime64 is zone-free, and the

@@ -70,6 +70,10 @@ STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
                  ("slice_replace",
                   lambda r: f"{r.randint(0, 2)}, {r.randint(1, 4)}, "
                             f"'{r.choice(['ZZ', '#'])}'"),
+                 # r11: char-join on plain strings ('abc' -> 'a-b-c');
+                 # nested-layer draws raise in the reference (reindex
+                 # artifact) and filter to generator errors
+                 ("join", lambda r: f"'{r.choice(['-', '+'])}'"),
                  # r11: textwrap defaults via the native TextWrap kernel
                  # (tools/wrap_fuzz.py pins the kernel itself on 400
                  # adversarial texts; this pins the dialect routing +
@@ -365,9 +369,12 @@ def reduction_atom(r):
 def str_value_call(r, recv):
     roll = r.random()
     if roll < 0.15:
-        # chained after split: only get/len are list-capable in both
+        # chained after split: get/len/join are list-capable in both
+        # (r11: join — the reference itself raises join on the NESTED
+        # layer, so element draws land in reference-errors, harmless)
         sep = r.choice(["' '", "','"])
-        tail = r.choice([f"get({r.randint(0, 2)})", "len()"])
+        tail = r.choice([f"get({r.randint(0, 2)})", "len()",
+                         f"join('{r.choice(['-', '_', ''])}')"])
         return f"{recv}.str.split({sep}).str.{tail}"
     if roll < 0.3:
         # scalar-to-scalar chain (reference-executed: strip().str.upper())
