@@ -63,43 +63,82 @@ case class TextWrap(child: Expression, width: Int)
 
 object TextWrap {
   // textwrap.wordsep_re with break_on_hyphens=True, transcribed to Java
-  // regex syntax ((?U) gives python-3 unicode \w/\d classes; \z = python
-  // \Z). Group 1 is the chunk — a whitespace run, an em-dash run between
-  // word-punct and a word char, or a word ending at an eligible hyphen /
-  // whitespace / end-of-string / pre-em-dash position.
+  // regex syntax (\z = python \Z). Python's regex classes are spelled
+  // out instead of Java's (?U)\w/\d, which differ at the edges: python
+  // \w = str.isalnum ∪ '_' = [\p{L}\p{N}_] (includes No/Nl numerics
+  // like '½', EXCLUDES combining marks), python \d = \p{Nd}, so
+  // "letter" [^\d\W] = [\p{L}\p{Nl}\p{No}_]. Group 1 is the chunk — a
+  // whitespace run, an em-dash run between word-punct and a word char,
+  // or a word ending at an eligible hyphen / whitespace /
+  // end-of-string / pre-em-dash position.
   private val WS = "[\\t\\n\\x0B\\f\\r ]"
   private val NWS = "[^\\t\\n\\x0B\\f\\r ]"
-  private val WP = "[\\w!\"'&.,?]"
-  private val LT = "[^\\d\\W]"
+  private val PW = "[\\p{L}\\p{N}_]" // python \w
+  private val WP = "[\\p{L}\\p{N}_!\"'&.,?]" // python word_punct
+  private val LT = "[\\p{L}\\p{Nl}\\p{No}_]" // python [^\d\W]
   private[expressions] val wordsepRe: Pattern = Pattern.compile(
-    "(?U)(" +
+    "(" +
       s"$WS+" +
-      s"|(?<=$WP)-{2,}(?=\\w)" +
+      s"|(?<=$WP)-{2,}(?=$PW)" +
       s"|$NWS+?(?:" +
         s"-(?:(?<=$LT$LT-)|(?<=$LT-$LT-))(?=$LT-?$LT)" +
         s"|(?=$WS|\\z)" +
-        s"|(?<=$WP)(?=-{2,}\\w)" +
+        s"|(?<=$WP)(?=-{2,}$PW)" +
       "))")
 
+  // ---- code-point helpers: python strings index by CODE POINT, so all
+  // width accounting and long-word cuts must too (an emoji is len 1 in
+  // python but 2 UTF-16 units; substring at a unit index would split
+  // the surrogate pair and emit mojibake) ----
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  /** (first `fromCp` code points, rest). */
+  private def cpSplitAt(s: String, fromCp: Int): (String, String) = {
+    val i = s.offsetByCodePoints(0, math.min(fromCp, cpLen(s)))
+    (s.substring(0, i), s.substring(i))
+  }
+
+  /** python chunk.rfind('-', 0, limitCp) in code-point indices, plus
+    * whether any code point BEFORE that hyphen is a non-hyphen
+    * (textwrap's `any(c != '-' for c in chunk[:hyphen])`). */
+  private def rfindHyphen(s: String, limitCp: Int): (Int, Boolean) = {
+    var i = 0
+    var cp = 0
+    var found = -1
+    var nonHyphenBefore = false
+    var nonHyphenSeen = false
+    while (i < s.length && cp < limitCp) {
+      val c = s.codePointAt(i)
+      if (c == '-') {
+        found = cp
+        nonHyphenBefore = nonHyphenSeen
+      } else nonHyphenSeen = true
+      i += Character.charCount(c)
+      cp += 1
+    }
+    (found, nonHyphenBefore)
+  }
+
   /** python str.expandtabs(8): pad to the next multiple of tabsize,
-    * column count resets after `\n` and `\r`. */
+    * column count resets after `\n` and `\r`; columns count CODE
+    * POINTS (a surrogate pair is one column in python). */
   private[expressions] def expandTabs(s: String): String = {
     if (s.indexOf('\t') < 0) return s
     val sb = new java.lang.StringBuilder(s.length + 16)
     var col = 0
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
+      val c = s.codePointAt(i)
       if (c == '\t') {
         val pad = 8 - col % 8
         var k = 0
         while (k < pad) { sb.append(' '); k += 1 }
         col += pad
       } else {
-        sb.append(c)
+        sb.appendCodePoint(c)
         col = if (c == '\n' || c == '\r') 0 else col + 1
       }
-      i += 1
+      i += Character.charCount(c)
     }
     sb.toString
   }
@@ -158,26 +197,27 @@ object TextWrap {
           isPyStripEmpty(chunks(pos))) pos += 1
       var fits = true
       while (fits && pos < chunks.length) {
-        val l = chunks(pos).length
+        val l = cpLen(chunks(pos))
         if (curLen + l <= width) {
           curLine += chunks(pos); curLen += l; pos += 1
         } else fits = false
       }
-      // _handle_long_word: break_long_words=True, break_on_hyphens=True
-      if (pos < chunks.length && chunks(pos).length > width) {
+      // _handle_long_word: break_long_words=True, break_on_hyphens=True;
+      // all lengths and the cut are CODE-POINT indices (python slicing)
+      if (pos < chunks.length && cpLen(chunks(pos)) > width) {
         val spaceLeft = if (width < 1) 1 else width - curLen
         val chunk = chunks(pos)
         var end = spaceLeft
-        if (chunk.length > spaceLeft) {
-          // rfind('-', 0, spaceLeft): last '-' at index < spaceLeft
-          val hyphen = chunk.lastIndexOf('-', spaceLeft - 1)
-          if (hyphen > 0 && chunk.substring(0, hyphen).exists(_ != '-'))
+        if (cpLen(chunk) > spaceLeft) {
+          // rfind('-', 0, spaceLeft): last '-' at cp index < spaceLeft
+          val (hyphen, nonHyphenBefore) = rfindHyphen(chunk, spaceLeft)
+          if (hyphen > 0 && nonHyphenBefore)
             end = hyphen + 1
         }
-        val cut = math.max(0, math.min(end, chunk.length))
-        curLine += chunk.substring(0, cut)
-        chunks(pos) = chunk.substring(cut)
-        curLen = curLine.iterator.map(_.length).sum
+        val (piece, rest) = cpSplitAt(chunk, math.max(0, end))
+        curLine += piece
+        chunks(pos) = rest
+        curLen = curLine.iterator.map(cpLen).sum
       }
       // drop an all-whitespace trailing chunk
       if (curLine.nonEmpty && isPyStripEmpty(curLine.last))

@@ -1022,14 +1022,15 @@ object NestedExpr {
     * nest (`__x`) from other nests (positional `nest[__i]` access). */
   // The dialect renders some methods as graft-native SQL functions
   // (`graft_wrap`); make them resolvable in whatever session the frame
-  // lives in, once per session (registry put is idempotent).
-  private val fnRegistered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[
-        org.apache.spark.sql.SparkSession, java.lang.Boolean]())
-  private def ensureFunctions(df: DataFrame): Unit =
-    if (fnRegistered.add(df.sparkSession))
+  // lives in. Probed via the session's own function registry rather
+  // than a static session set — a retained SparkSession reference would
+  // pin short-lived newSession() states for the process lifetime.
+  private def ensureFunctions(df: DataFrame): Unit = {
+    val reg = df.sparkSession.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_wrap")))
       graft.GraftExtensions.register(df.sparkSession)
+  }
 
   private def analyze(df: DataFrame, exprStr: String,
                       ref: (String, String) => String): Analysis = {
@@ -1128,17 +1129,17 @@ object NestedExpr {
       // same family as n.t.dt.date (PARITY.md).
       case "join" =>
         req(1)
-        val sepLit = strLitContent(args.head).getOrElse(
-          throw new IllegalArgumentException(
-            s".str.join expects a string-literal separator in: $exprStr"))
+        require(strLitContent(args.head).isDefined,
+          s".str.join expects a string-literal separator in: $exprStr")
+        // Char join via split('') + array_join so the separator flows
+        // through the SAME SQL-literal path as every other .str argument
+        // (a regexp_replace replacement would add a second, Java-Matcher
+        // escaping layer: '$'/backslash/quote separators broke there).
+        // Java's regex split on the empty pattern advances per CODE
+        // POINT, so surrogate pairs stay intact, matching python's
+        // per-character join.
         if (arrayInput) (s"array_join($x, ${args.head})", false)
-        else {
-          // insert sep between every pair of adjacent chars; escape
-          // regex-replacement specials in the separator
-          val repl = sepLit.replace("\\", "\\\\").replace("$", "\\$")
-            .replace("'", "''")
-          (s"regexp_replace($x, '(?s)(?<=.)(?=.)', '$repl')", false)
-        }
+        else (s"array_join(split($x, ''), ${args.head})", false)
       // ---- `.dt` methods routed through the marker machinery ----
       // date_trunc returns a session-zoned timestamp even for NTZ input;
       // cast back to NTZ — pandas naive datetime64 is zone-free, and the

@@ -73,7 +73,9 @@ STR_VALUE_ARG = [("zfill", lambda r: str(r.randint(2, 8))),
                  # r11: char-join on plain strings ('abc' -> 'a-b-c');
                  # nested-layer draws raise in the reference (reindex
                  # artifact) and filter to generator errors
-                 ("join", lambda r: f"'{r.choice(['-', '+'])}'"),
+                 # '$' pinned: it broke the reverted regexp_replace
+                 # rendering (Java Matcher group-reference layer)
+                 ("join", lambda r: f"'{r.choice(['-', '+', '$', ' '])}'"),
                  # r11: textwrap defaults via the native TextWrap kernel
                  # (tools/wrap_fuzz.py pins the kernel itself on 400
                  # adversarial texts; this pins the dialect routing +

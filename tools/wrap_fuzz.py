@@ -17,13 +17,17 @@ from pathlib import Path
 
 WORDS = ["hello", "world", "a", "ab", "The", "quick9", "fox", "x,y,z",
          "don't", "naïve", "Ärger", "über", "_und_", "end.", "why?",
-         "yes!", "1a2b3", "42", "CAse"]
+         "yes!", "1a2b3", "42", "CAse",
+         # code-point fidelity: astral chars (len 1 in python, 2 UTF-16
+         # units) and No/Nl numerics ('½' IS a python \w / "letter")
+         "😀😀", "a😀b", "𝕏ray", "x½--ab", "½-cup", "Ⅻnl"]
 HYPHENATED = ["a-very-long-hyphenated-word", "cd-ef", "re-do", "x-1-y",
               "a-b-c-d-e", "--dash", "em--dash", "tri---ple", "-lead",
               "trail-", "1-2", "a--", "self-e-steem", "anti-aging-cream"]
 LONG = ["superlongunbreakableword", "abcdefghijklmnopqrstuvwxyz",
         "no-hyphen-breaks-here-at-all-ever", "wwwwwwwwwwww-w",
-        "-" * 9, "a" + "-" * 7 + "b", "ab" + "-" * 5 + "cdef"]
+        "-" * 9, "a" + "-" * 7 + "b", "ab" + "-" * 5 + "cdef",
+        "😀" * 9, "e😀mo-ji😀-long😀word", "½½½½½½½½½-½½½½"]
 SPACES = [" ", "  ", "   ", "\t", "\n", "\r", "\x0b", "\x0c", " \t ",
           " "]  # NBSP is NOT textwrap whitespace: part of the word
 
