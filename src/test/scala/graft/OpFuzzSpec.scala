@@ -428,6 +428,37 @@ class OpFuzzSpec extends SparkSpec {
               compareFrame(
                 df.withColumn("b", bround(col("b") * lit(p), 0) / lit(p)),
                 c.get("expect"))
+            // r11 tranche 4: positional shift — every column lags/leads
+            // over the carried index, the NEST cell included (pandas
+            // shifts cells whole; vacated rows are all-missing)
+            case "shift_rows" =>
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions.{lag, lead}
+              val n = args.get("n").asInt()
+              val w = Window.orderBy(col("k"))
+              val out = df.select(col("k") +:
+                df.columns.filterNot(_ == "k").map { c2 =>
+                  (if (n >= 0) lag(col(c2), n)
+                   else lead(col(c2), -n)).over(w).as(c2)
+                }.toSeq: _*)
+              compareFrame(out, c.get("expect"))
+            // ffill/bfill: missing values (and missing nest CELLS) fill
+            // from the nearest non-missing neighbor in carried order
+            case "fill_dir" =>
+              import org.apache.spark.sql.expressions.Window
+              import org.apache.spark.sql.functions.{first, last}
+              val ff = args.get("fn").asText() == "ffill"
+              val w =
+                if (ff) Window.orderBy(col("k"))
+                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                else Window.orderBy(col("k"))
+                  .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+              val out = df.select(col("k") +:
+                df.columns.filterNot(_ == "k").map { c2 =>
+                  (if (ff) last(col(c2), ignoreNulls = true)
+                   else first(col(c2), ignoreNulls = true)).over(w).as(c2)
+                }.toSeq: _*)
+              compareFrame(out, c.get("expect"))
             case "minmax" =>
               val numOnly = !args.has("numeric_only") ||
                 args.get("numeric_only").asBoolean()

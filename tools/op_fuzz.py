@@ -41,11 +41,18 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # columns, and round() (base floats only — nested fields untouched,
        # numpy HALF-EVEN ≡ Spark bround)
        "nlargest", "value_counts", "where_mask", "replace_vals",
-       "round_base"]
+       "round_base",
+       # r11 tranche 4: positional shift (the NEST cell shifts with the
+       # row — lag-features shape) and ffill/bfill (missing cells fill
+       # from neighbor CELLS, strings and nests included). diff/cumsum
+       # raise on object/nest columns in the reference itself — not
+       # drawn.
+       "shift_rows", "fill_dir"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
-              7, 6, 7, 5, 5]
+              7, 6, 7, 5, 5,
+              6, 6]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -275,6 +282,10 @@ def gen_op(r):
         if r.random() < 0.4:
             return op, {"decimals": {"b": r.randint(0, 2)}}
         return op, {"decimals": r.randint(0, 2)}
+    if op == "shift_rows":
+        return op, {"n": r.choice([-2, -1, 0, 1, 2, 3])}
+    if op == "fill_dir":
+        return op, {"fn": r.choice(["ffill", "bfill"])}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -472,6 +483,10 @@ def run_reference(nf, op, args):
     if op == "round_base":
         d = args["decimals"]
         return enc_frame(nf.round(d))
+    if op == "shift_rows":
+        return enc_frame(nf.shift(args["n"]))
+    if op == "fill_dir":
+        return enc_frame(getattr(nf, args["fn"])())
     if op == "head_tail":
         return enc_frame(getattr(nf, args["which"])(args["n"]))
     if op == "nest_query":
