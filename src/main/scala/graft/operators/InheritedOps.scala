@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The inherited-pandas frame verbs whose semantics are NOT the obvious
+  * one-liner — tie policies, NaN padding, nest-cell behavior, numpy's
+  * scaled rounding — shipped as library surface so a reference user gets
+  * the pinned behavior instead of re-deriving it. Every function here is
+  * replayed against the executed reference by the op-fuzz corpus
+  * (families `nlargest`, `value_counts`, `where_mask`, `replace_vals`,
+  * `round_base`, `shift_rows`, `fill_dir`; see COVERAGE.md §2.8).
+  *
+  * Row order: pandas breaks ties by ROW POSITION. Spark frames have no
+  * implicit position, so these functions take the ordering column
+  * explicitly (`tieCol`/`orderCol`) — the same carried-index contract as
+  * the rest of graft (reference nestedframe/core.py keeps the pandas
+  * index for this).
+  */
+object InheritedOps {
+
+  /** pandas `nlargest`/`nsmallest(n, column, keep=)` — SINGLE sort
+    * column, n < row count (the contract the reference actually honors:
+    * beyond it pandas falls to an unstable quicksort, and its
+    * multi-column path can return MORE than n rows on a NaN border —
+    * probed 2026-08-16, PARITY.md).
+    *
+    * Missing values rank below every present value but still fill
+    * remaining slots in `tieCol` order (pandas pads from `nan_index`).
+    * keep='first' breaks ties by `tieCol` asc, 'last' by desc, 'all'
+    * extends the boundary tie group (computed scale-safely: top-n via
+    * sort+limit — Spark's TakeOrderedAndProject — then a boundary-value
+    * semi-filter, no global window). */
+  def nLargest(df: DataFrame, n: Int, valueCol: String, tieCol: String,
+               keep: String = "first", smallest: Boolean = false): DataFrame = {
+    val valOrd = if (smallest) col(valueCol).asc_nulls_last
+                 else col(valueCol).desc_nulls_last
+    require(Seq("first", "last", "all").contains(keep),
+      s"keep must be first|last|all, got '$keep'")
+    if (n <= 0) return df.limit(0)
+    keep match {
+      case "all" =>
+        // boundary value of the strict top-n (ties broken arbitrarily —
+        // only the VALUE is used), then keep everything not strictly
+        // worse. NULLs join the result only when the top-n itself ran
+        // into the NULL tail.
+        val top = df.orderBy(valOrd).limit(n)
+        val b = top.agg(
+          (if (smallest) max(col(valueCol)) else min(col(valueCol)))
+            .as("__b"),
+          count(lit(1)).as("__cnt"),
+          count(col(valueCol)).as("__nonnull")).head()
+        val hasNullBoundary = b.getLong(2) < b.getLong(1)
+        val bound = b.get(0)
+        val cmp =
+          if (bound == null) lit(true) // top-n all-null: keep null rows
+          else if (smallest) col(valueCol) <= lit(bound)
+          else col(valueCol) >= lit(bound)
+        val keepNulls = bound == null || hasNullBoundary
+        df.where(if (keepNulls) cmp || col(valueCol).isNull else cmp)
+          .orderBy(valOrd, col(tieCol).asc)
+      case k =>
+        val tie = if (k == "first") col(tieCol).asc else col(tieCol).desc
+        df.orderBy(valOrd, tie).limit(n)
+    }
+  }
+
+  /** pandas `value_counts(subset=, normalize=, dropna=)` with the
+    * CANONICAL (count desc, keys asc, NULL keys last) output order —
+    * pandas' own tie order under `sort_values` is not a contract (it
+    * quicksorts), so both graft and the fuzz oracle pin this one. The
+    * count/proportion column is named like pandas ('count' /
+    * 'proportion'). One keyed shuffle + a broadcast of the scalar total
+    * for normalize — no global window. */
+  def valueCounts(df: DataFrame, subset: Seq[String],
+                  normalize: Boolean = false,
+                  dropna: Boolean = true): DataFrame = {
+    val src = if (dropna)
+      subset.foldLeft(df)((d, cn) => d.where(col(cn).isNotNull))
+    else df
+    val counted = src.groupBy(subset.map(col): _*)
+      .agg(count(lit(1)).as("count"))
+    val valcol = if (normalize) "proportion" else "count"
+    val out =
+      if (normalize)
+        counted.crossJoin(
+            broadcast(counted.agg(sum(col("count")).as("__t"))))
+          .withColumn("proportion", col("count") / col("__t"))
+          .drop("count", "__t")
+      else counted
+    out.orderBy(col(valcol).desc +: subset.map(col(_).asc_nulls_last): _*)
+  }
+
+  /** pandas frame-level `where(cond)`: rows where `cond` is not TRUE
+    * keep their shape but every column — nest cells included — becomes
+    * missing. `cond` is 2-valued like pandas (a NULL comparison acts
+    * False); `keepCols` (e.g. the key/index columns) pass through. */
+  def whereCond(df: DataFrame, cond: Column,
+                keepCols: Set[String] = Set.empty): DataFrame =
+    df.select(df.columns.map { c =>
+      if (keepCols.contains(c)) col(c)
+      else when(cond, col(c)).as(c)
+    }.toSeq: _*)
+
+  /** pandas `mask(cond)` — the complement: rows where `cond` IS true
+    * become missing (NULL cond keeps the value, matching pandas' 2-valued
+    * condition). */
+  def maskCond(df: DataFrame, cond: Column,
+               keepCols: Set[String] = Set.empty): DataFrame =
+    df.select(df.columns.map { c =>
+      if (keepCols.contains(c)) col(c)
+      else when(cond, lit(null)).otherwise(col(c)).as(c)
+    }.toSeq: _*)
+
+  /** pandas `replace({column: mapping})`: SIMULTANEOUS mapping over the
+    * original values (no re-replacement chains), NULLs untouched. */
+  def replaceValues(df: DataFrame, column: String,
+                    mapping: Seq[(Any, Any)]): DataFrame = {
+    val repl = mapping.foldLeft(col(column)) { case (acc, (from, to)) =>
+      when(col(column) === lit(from), lit(to)).otherwise(acc)
+    }
+    df.withColumn(column, repl)
+  }
+
+  /** pandas/numpy `round(decimals)` for one DOUBLE column: np.around is
+    * rint(x·10^d)/10^d — half-even on the SCALED double, which differs
+    * from `bround(x, d)` exactly at representation boundaries
+    * (np.round(1.275, 2) = 1.27; bround gives 1.28). `bround(y, 0)` ≡
+    * rint, so the scaled form is numpy-bit-exact. */
+  def roundLikeNumpy(c: Column, decimals: Int): Column = {
+    val p = math.pow(10.0, decimals)
+    bround(c * lit(p), 0) / lit(p)
+  }
+
+  /** pandas `shift(n)`: every column lags (n>0) or leads (n<0) by |n|
+    * positions of `orderCol` — nest cells move whole, vacated rows are
+    * all-missing. Pass `partitionBy` for the scale path (per-key lag
+    * features); the unpartitioned form is a single-partition sort, fine
+    * only for small frames. */
+  def shiftRows(df: DataFrame, n: Int, orderCol: String,
+                partitionBy: Seq[String] = Nil): DataFrame = {
+    val w = (if (partitionBy.nonEmpty)
+               Window.partitionBy(partitionBy.map(col): _*)
+             else Window.partitionBy())
+      .orderBy(col(orderCol))
+    val shifted = df.columns.filterNot(c =>
+      c == orderCol || partitionBy.contains(c)).map { c =>
+      (if (n >= 0) lag(col(c), n) else lead(col(c), -n)).over(w).as(c)
+    }
+    df.select((orderCol +: partitionBy).distinct.map(col) ++ shifted: _*)
+  }
+
+  /** pandas `ffill`/`bfill`: missing values — missing nest CELLS
+    * included — fill from the nearest non-missing neighbor along
+    * `orderCol`. Same `partitionBy` contract as [[shiftRows]]. */
+  def fillDirectional(df: DataFrame, forward: Boolean, orderCol: String,
+                      partitionBy: Seq[String] = Nil): DataFrame = {
+    val base = (if (partitionBy.nonEmpty)
+                  Window.partitionBy(partitionBy.map(col): _*)
+                else Window.partitionBy())
+      .orderBy(col(orderCol))
+    val w =
+      if (forward) base.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = df.columns.filterNot(c =>
+      c == orderCol || partitionBy.contains(c)).map { c =>
+      (if (forward) last(col(c), ignoreNulls = true)
+       else first(col(c), ignoreNulls = true)).over(w).as(c)
+    }
+    df.select((orderCol +: partitionBy).distinct.map(col) ++ filled: _*)
+  }
+}

@@ -325,22 +325,12 @@ class OpFuzzSpec extends SparkSpec {
               val cols = args.get("cols").elements().asScala
                 .map(_.asText()).toVector
               val cn = cols.head // single-col, n < len family (see gen note)
-              val valOrd =
-                if (desc) col(cn).desc_nulls_last else col(cn).asc_nulls_last
               val m = c.get("frame").get("k").size()
               assert(n < m, s"corpus contract violated: n=$n >= len=$m " +
                 "(tie order is a pandas quicksort artifact there)")
-              val sel = args.get("keep").asText() match {
-                case "all" =>
-                  val w = Window.orderBy(valOrd)
-                  df.withColumn("__rk", rank().over(w))
-                    .where(col("__rk") <= n).drop("__rk")
-                    .orderBy(valOrd, col("k").asc)
-                case keep =>
-                  val tie =
-                    if (keep == "first") col("k").asc else col("k").desc
-                  df.orderBy(valOrd, tie).limit(math.max(n, 0))
-              }
+              val sel = graft.operators.InheritedOps.nLargest(df, n, cn,
+                tieCol = "k", keep = args.get("keep").asText(),
+                smallest = !desc)
               val got = sel.collect().map(_.getAs[Long]("k")).toVector
               val exp = c.get("expect").get("k_order").elements().asScala
                 .map(_.asLong()).toVector
@@ -352,33 +342,23 @@ class OpFuzzSpec extends SparkSpec {
             // generator on both engines; k is the output ordinal.
             case "value_counts" =>
               import org.apache.spark.sql.expressions.Window
-              import org.apache.spark.sql.functions.{count => cnt, lit,
-                row_number, sum}
+              import org.apache.spark.sql.functions.row_number
               val subset = args.get("subset").elements().asScala
                 .map(_.asText()).toVector
-              val dropna = args.get("dropna").asBoolean()
               val normalize = args.get("normalize").asBoolean()
-              val src = if (dropna)
-                subset.foldLeft(df)((d, cn) => d.where(col(cn).isNotNull))
-              else df
               val valcol = if (normalize) "proportion" else "count"
-              var g = src.groupBy(subset.map(col): _*)
-                .agg(cnt(lit(1)).as("__c"))
-              if (normalize)
-                g = g.withColumn(valcol,
-                  col("__c") / sum(col("__c")).over(
-                    Window.partitionBy()))
-              else g = g.withColumn(valcol, col("__c"))
+              val g = graft.operators.InheritedOps.valueCounts(df, subset,
+                normalize = normalize,
+                dropna = args.get("dropna").asBoolean())
               val ord = col(valcol).desc +: subset.map(col(_).asc_nulls_last)
-              val out = g.drop("__c")
-                .withColumn("k",
-                  row_number().over(Window.orderBy(ord: _*)).cast("long") - 1)
+              val out = g.withColumn("k",
+                row_number().over(Window.orderBy(ord: _*)).cast("long") - 1)
               compareFrame(out, c.get("expect"))
             // frame-level where/mask: non-kept rows null EVERY column
             // (nest cell included); the cond is 2-valued in pandas (NaN
             // compares False) ≡ when()'s null-cond fall-through.
             case "where_mask" =>
-              import org.apache.spark.sql.functions.{lit, when}
+              import org.apache.spark.sql.functions.lit
               val cn = args.get("col").asText()
               val v: Any = if (cn == "a") args.get("val").asLong()
                 else if (cn == "b") args.get("val").asDouble()
@@ -389,28 +369,24 @@ class OpFuzzSpec extends SparkSpec {
                 case "<=" => col(cn) <= lit(v)
                 case "==" => col(cn) === lit(v)
               }
-              val isWhere = args.get("fn").asText() == "where"
-              val out = df.select(df.columns.map { c2 =>
-                if (c2 == "k") col("k")
-                else if (isWhere) when(cond, col(c2)).as(c2)
-                else when(cond, lit(null)).otherwise(col(c2)).as(c2)
-              }: _*)
+              val out =
+                if (args.get("fn").asText() == "where")
+                  graft.operators.InheritedOps.whereCond(df, cond, Set("k"))
+                else graft.operators.InheritedOps.maskCond(df, cond, Set("k"))
               compareFrame(out, c.get("expect"))
             // replace({col: {old: new}}): simultaneous mapping over the
             // ORIGINAL values (no re-replacement), NULLs untouched.
             case "replace_vals" =>
-              import org.apache.spark.sql.functions.{lit, when}
               val cn = args.get("col").asText()
-              val entries = args.get("mapping").fields().asScala.toVector
-              val repl = entries.foldLeft(col(cn)) { (acc, e) =>
-                if (cn == "a")
-                  when(col(cn) === lit(e.getKey.toLong),
-                    lit(e.getValue.asLong())).otherwise(acc)
-                else
-                  when(col(cn) === lit(e.getKey),
-                    lit(e.getValue.asText())).otherwise(acc)
-              }
-              compareFrame(df.withColumn(cn, repl), c.get("expect"))
+              val mapping = args.get("mapping").fields().asScala.toVector
+                .map { e =>
+                  if (cn == "a")
+                    (e.getKey.toLong: Any, e.getValue.asLong(): Any)
+                  else (e.getKey: Any, e.getValue.asText(): Any)
+                }
+              compareFrame(
+                graft.operators.InheritedOps.replaceValues(df, cn, mapping),
+                c.get("expect"))
             // round(): base FLOAT columns only (ints and nested fields
             // untouched — probe 2026-08-16). pandas delegates to
             // np.around = rint(x·10^d)/10^d — half-even on the SCALED
@@ -420,45 +396,25 @@ class OpFuzzSpec extends SparkSpec {
             // (alt-seed catch). bround at scale 0 ≡ rint, so the scaled
             // form reproduces numpy bit-for-bit.
             case "round_base" =>
-              import org.apache.spark.sql.functions.{bround, lit}
               val dNode = c.get("args").get("decimals")
               val d = if (dNode.isObject) dNode.get("b").asInt()
                 else dNode.asInt()
-              val p = math.pow(10.0, d)
               compareFrame(
-                df.withColumn("b", bround(col("b") * lit(p), 0) / lit(p)),
+                df.withColumn("b",
+                  graft.operators.InheritedOps.roundLikeNumpy(col("b"), d)),
                 c.get("expect"))
             // r11 tranche 4: positional shift — every column lags/leads
             // over the carried index, the NEST cell included (pandas
             // shifts cells whole; vacated rows are all-missing)
             case "shift_rows" =>
-              import org.apache.spark.sql.expressions.Window
-              import org.apache.spark.sql.functions.{lag, lead}
-              val n = args.get("n").asInt()
-              val w = Window.orderBy(col("k"))
-              val out = df.select(col("k") +:
-                df.columns.filterNot(_ == "k").map { c2 =>
-                  (if (n >= 0) lag(col(c2), n)
-                   else lead(col(c2), -n)).over(w).as(c2)
-                }.toSeq: _*)
-              compareFrame(out, c.get("expect"))
+              compareFrame(graft.operators.InheritedOps.shiftRows(df,
+                args.get("n").asInt(), orderCol = "k"), c.get("expect"))
             // ffill/bfill: missing values (and missing nest CELLS) fill
             // from the nearest non-missing neighbor in carried order
             case "fill_dir" =>
-              import org.apache.spark.sql.expressions.Window
-              import org.apache.spark.sql.functions.{first, last}
-              val ff = args.get("fn").asText() == "ffill"
-              val w =
-                if (ff) Window.orderBy(col("k"))
-                  .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                else Window.orderBy(col("k"))
-                  .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-              val out = df.select(col("k") +:
-                df.columns.filterNot(_ == "k").map { c2 =>
-                  (if (ff) last(col(c2), ignoreNulls = true)
-                   else first(col(c2), ignoreNulls = true)).over(w).as(c2)
-                }.toSeq: _*)
-              compareFrame(out, c.get("expect"))
+              compareFrame(graft.operators.InheritedOps.fillDirectional(df,
+                forward = args.get("fn").asText() == "ffill",
+                orderCol = "k"), c.get("expect"))
             case "minmax" =>
               val numOnly = !args.has("numeric_only") ||
                 args.get("numeric_only").asBoolean()
