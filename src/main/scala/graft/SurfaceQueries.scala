@@ -498,6 +498,43 @@ object SurfaceQueries {
   /** The whole reference workflow in ONE oracle-checked query: join_nested →
     * element-level query dialect → count_nested pivot → per-row element mean
     * → row filter. One pack shuffle; everything after is narrow. */
+  /** InheritedOps.valueCounts through the oracle gate — canonical
+    * (count desc, keys asc) order pinned as an explicit rank column. */
+  val qValueCounts: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val vc = graft.operators.InheritedOps.valueCounts(
+      lines(s, dir, "l_returnflag", "l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"))
+    vc.withColumn("rk", row_number().over(Window.orderBy(
+        col("count").desc, col("l_returnflag").asc_nulls_last,
+        col("l_linestatus").asc_nulls_last)).cast("long"))
+      .withColumnRenamed("count", "cnt")
+  }
+
+  /** InheritedOps.shiftRows (pandas shift) per status group — the
+    * per-key lag-feature shape, keyed windows only. */
+  val qShiftLag: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.operators.InheritedOps.shiftRows(o, 1, "o_orderkey",
+        Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").as("prev_price"))
+  }
+
+  /** InheritedOps.fillDirectional (pandas ffill) per status group over a
+    * deterministically-nulled price column. */
+  val qFfill: Q = (s, dir) => {
+    val o = rd(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      when(pmod(col("o_orderkey"), lit(7)) < 2, lit(null))
+        .otherwise(col("o_totalprice")).as("p"))
+    graft.operators.InheritedOps.fillDirectional(o, forward = true,
+        "o_orderkey", Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("p").as("p_filled"))
+  }
+
   val qFlagship: Q = (s, dir) => {
     val nf = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
       .joinNested(lines(s, dir, "l_quantity", "l_extendedprice",
@@ -642,9 +679,32 @@ object SurfaceQueries {
     "q_session_window" -> qSessionWindow,
     "q_eval_reduce" -> qEvalReduce,
     "q_flagship" -> qFlagship,
+    "q_value_counts" -> qValueCounts,
+    "q_shift_lag" -> qShiftLag,
+    "q_ffill" -> qFfill,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_value_counts" ->
+      """SELECT l_returnflag, l_linestatus, cnt,
+        | row_number() OVER (ORDER BY cnt DESC, l_returnflag, l_linestatus)
+        |   AS rk
+        |FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |      FROM lineitem GROUP BY 1, 2)""".stripMargin,
+    "q_shift_lag" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | lag(o_totalprice) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderkey) AS prev_price
+        |FROM orders""".stripMargin,
+    "q_ffill" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | last_value(p IGNORE NULLS) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_filled
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 7 < 2 THEN NULL
+        |             ELSE o_totalprice END AS p
+        |      FROM orders)""".stripMargin,
     "q_zip_nests" ->
       """SELECT l_orderkey AS o_orderkey,
         | round(sum(l_quantity * l_extendedprice) + 1e-9, 2) AS dot
