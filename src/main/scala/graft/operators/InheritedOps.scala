@@ -133,6 +133,46 @@ object InheritedOps {
     bround(c * lit(p), 0) / lit(p)
   }
 
+  /** pandas `combine_first(other)`: outer-align on `key`, take this
+    * frame's value where present else `other`'s — per CELL for nest
+    * columns (a missing cell fills from the other frame's cell whole).
+    * Columns only in `other` are appended; rows only in `other`
+    * contribute their values with this frame's extra columns missing.
+    * The shard-merge verb: one outer keyed join, no window. */
+  def combineFirst(df: DataFrame, other: DataFrame,
+                   key: String): DataFrame = {
+    val shared = other.columns.toSet.intersect(df.columns.toSet) - key
+    val extra = other.columns.filterNot(c => c == key ||
+      df.columns.contains(c))
+    val o = other.select(col(key) +:
+      other.columns.filterNot(_ == key)
+        .map(cn => col(cn).as("__o_" + cn)).toSeq: _*)
+    df.join(o, Seq(key), "outer")
+      .select(col(key) +:
+        (df.columns.filterNot(_ == key).map { cn =>
+          if (shared.contains(cn))
+            coalesce(col(cn), col("__o_" + cn)).as(cn)
+          else col(cn)
+        } ++ extra.map(cn => col("__o_" + cn).as(cn))).toSeq: _*)
+  }
+
+  /** pandas `update(other)`: overwrite this frame's values with
+    * `other`'s NON-missing values on the key intersection (missing in
+    * `other` never erases a present value; rows/columns only in `other`
+    * are ignored). One left keyed join. */
+  def updateFrom(df: DataFrame, other: DataFrame, key: String): DataFrame = {
+    val shared = other.columns.toSet.intersect(df.columns.toSet) - key
+    val o = other.select(col(key) +:
+      shared.toSeq.map(cn => col(cn).as("__o_" + cn)): _*)
+    df.join(o, Seq(key), "left")
+      .select(col(key) +: df.columns.filterNot(_ == key).map { cn =>
+        if (shared.contains(cn))
+          when(col("__o_" + cn).isNotNull, col("__o_" + cn))
+            .otherwise(col(cn)).as(cn)
+        else col(cn)
+      }.toSeq: _*)
+  }
+
   /** pandas `shift(n)`: every column lags (n>0) or leads (n<0) by |n|
     * positions of `orderCol` — nest cells move whole, vacated rows are
     * all-missing. Pass `partitionBy` for the scale path (per-key lag

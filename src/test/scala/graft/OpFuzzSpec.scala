@@ -406,6 +406,15 @@ class OpFuzzSpec extends SparkSpec {
             // r11 tranche 4: positional shift — every column lags/leads
             // over the carried index, the NEST cell included (pandas
             // shifts cells whole; vacated rows are all-missing)
+            // combine_first / update: two-frame align verbs over the
+            // carried index; f2 carries a SUBSET of f1's columns
+            case "combine_update" =>
+              val df2 = buildFrame(spark, c.get("frame2"))
+              val out =
+                if (args.get("fn").asText() == "combine_first")
+                  graft.operators.InheritedOps.combineFirst(df, df2, "k")
+                else graft.operators.InheritedOps.updateFrom(df, df2, "k")
+              compareFrame(out, c.get("expect"))
             case "shift_rows" =>
               compareFrame(graft.operators.InheritedOps.shiftRows(df,
                 args.get("n").asInt(), orderCol = "k"), c.get("expect"))

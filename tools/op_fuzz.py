@@ -47,12 +47,17 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # from neighbor CELLS, strings and nests included). diff/cumsum
        # raise on object/nest columns in the reference itself — not
        # drawn.
-       "shift_rows", "fill_dir"]
+       "shift_rows", "fill_dir",
+       # combine_first (outer-align, self-else-other per value incl.
+       # whole nest CELLS) and update (other's non-missing values
+       # overwrite on the index intersection)
+       "combine_update"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
               7, 6, 7, 5, 5,
-              6, 6]
+              6, 6,
+              7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -168,8 +173,14 @@ def gen_op(r):
                     "numeric_only": r.random() < 0.5}
     if op == "nest_query":
         # same predicate in both dialects: graft sees nest-prefixed
-        # fields, the reference accessor sees flat names
+        # fields, the reference accessor sees flat names. CONSTANT-only
+        # predicates are excluded: pandas query of a scalar boolean
+        # degenerates to .loc[True] == "select the row LABELED 1"
+        # (alt-seed 661177 catch, case `not (not (1.40 != 7))`) — an
+        # indexing artifact, not query semantics.
         text = bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
+        while not any(f in text for f in ("n.x", "n.y", "n.t")):
+            text = bool_expr(r, ["n.x", "n.y"], r.randint(0, 2), "n.t")
         return op, {"text": text, "flat_text": text.replace("n.", "")}
     if op == "setitem":
         v = r.choice(SETITEM_VARS)
@@ -286,6 +297,8 @@ def gen_op(r):
         return op, {"n": r.choice([-2, -1, 0, 1, 2, 3])}
     if op == "fill_dir":
         return op, {"fn": r.choice(["ffill", "bfill"])}
+    if op == "combine_update":
+        return op, {"fn": r.choice(["combine_first", "update"])}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -986,6 +999,36 @@ def main():
                 continue
             kept.append({"id": len(kept), "op": op, "args": {},
                          "frame": spec, "expect": expect})
+            counts[op] = counts.get(op, 0) + 1
+            continue
+        if op == "combine_update":
+            # two-frame family: f2's index overlaps f1's partially and
+            # f2 carries a SUBSET of f1's columns (the shard-merge
+            # reality combine_first/update serve)
+            f1 = gen_frame(r, allow_missing=True)
+            f2 = gen_frame(r, allow_missing=True)
+            lo = r.randint(-2, max(1, len(f1["k"]) - 2))
+            f2["k"] = [lo + i for i in range(len(f2["k"]))]
+            for c_ in r.sample(["a", "b", "s"], r.randint(0, 2)):
+                del f2["base"][c_]
+            if r.random() < 0.4:
+                del f2["nests"]["m"]
+            if r.random() < 0.25:
+                del f2["nests"]["n"]
+            try:
+                nf1, nf2 = build_ref_frame(f1), build_ref_frame(f2)
+                if args["fn"] == "combine_first":
+                    expect = enc_frame(nf1.combine_first(nf2))
+                else:
+                    cpy = nf1.copy()
+                    cpy.update(nf2)
+                    expect = enc_frame(cpy)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"op": op, "args": args,
+                               "err": f"{type(e).__name__}: {e}"[:200]})
+                continue
+            kept.append({"id": len(kept), "op": op, "args": args,
+                         "frame": f1, "frame2": f2, "expect": expect})
             counts[op] = counts.get(op, 0) + 1
             continue
         if op == "nlargest":
