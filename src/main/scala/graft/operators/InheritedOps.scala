@@ -133,6 +133,29 @@ object InheritedOps {
     bround(c * lit(p), 0) / lit(p)
   }
 
+  /** `df[df.duplicated(subset, keep=)]` — the rows MARKED duplicate
+    * (complement of drop_duplicates): keep='first' marks all but the
+    * first occurrence per subset-key group (by `orderCol`), 'last' all
+    * but the last, keep=False marks every member of any group of size
+    * > 1. NULL subset keys group together, like pandas NaN==NaN here.
+    * One keyed window. */
+  def duplicateRows(df: DataFrame, subset: Seq[String], keep: String,
+                    orderCol: String): DataFrame = {
+    val part = Window.partitionBy(subset.map(col): _*)
+    keep match {
+      case "first" | "last" =>
+        val w = part.orderBy(
+          if (keep == "first") col(orderCol).asc else col(orderCol).desc)
+        df.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") > 1).drop("__rn")
+      case "false" =>
+        df.withColumn("__cnt", count(lit(1)).over(part))
+          .where(col("__cnt") > 1).drop("__cnt")
+      case other => throw new IllegalArgumentException(
+        s"keep must be first|last|false, got '$other'")
+    }
+  }
+
   /** pandas `combine_first(other)`: outer-align on `key`, take this
     * frame's value where present else `other`'s — per CELL for nest
     * columns (a missing cell fills from the other frame's cell whole).

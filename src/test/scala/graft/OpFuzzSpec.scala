@@ -415,6 +415,31 @@ class OpFuzzSpec extends SparkSpec {
                   graft.operators.InheritedOps.combineFirst(df, df2, "k")
                 else graft.operators.InheritedOps.updateFrom(df, df2, "k")
               compareFrame(out, c.get("expect"))
+            // df[df.duplicated(subset, keep)] — the rows MARKED duplicate
+            case "dup_filter" =>
+              val kNode = args.get("keep")
+              val keep = if (kNode.isBoolean) "false" else kNode.asText()
+              val subset = args.get("subset").elements().asScala
+                .map(_.asText()).toVector
+              val got = graft.operators.InheritedOps
+                .duplicateRows(df, subset, keep, orderCol = "k")
+                .orderBy(col("k"))
+                .collect().map(_.getAs[Long]("k")).toVector
+              val exp = c.get("expect").get("k_order").elements().asScala
+                .map(_.asLong()).toVector
+              if (got == exp) None
+              else Some(s"duplicated rows: got ${got.mkString(",")} " +
+                s"expected ${exp.mkString(",")}")
+            // add_prefix/add_suffix: TOP-LEVEL columns renamed (nest
+            // fields untouched; the index/k is not a column in pandas)
+            case "prefix_suffix" =>
+              val affix = args.get("affix").asText()
+              val pre = args.get("fn").asText() == "add_prefix"
+              val out = df.columns.filterNot(_ == "k").foldLeft(df) {
+                (d, cn) => d.withColumnRenamed(cn,
+                  if (pre) affix + cn else cn + affix)
+              }
+              compareFrame(out, c.get("expect"))
             case "shift_rows" =>
               compareFrame(graft.operators.InheritedOps.shiftRows(df,
                 args.get("n").asInt(), orderCol = "k"), c.get("expect"))

@@ -51,13 +51,18 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # combine_first (outer-align, self-else-other per value incl.
        # whole nest CELLS) and update (other's non-missing values
        # overwrite on the index intersection)
-       "combine_update"]
+       "combine_update",
+       # df[df.duplicated(subset, keep)] (the complement of drop_dup;
+       # NULL keys group) and add_prefix/add_suffix (top-level column
+       # renames, nest FIELDS untouched)
+       "dup_filter", "prefix_suffix"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
               7, 6, 7, 5, 5,
               6, 6,
-              7]
+              7,
+              6, 4]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -299,6 +304,12 @@ def gen_op(r):
         return op, {"fn": r.choice(["ffill", "bfill"])}
     if op == "combine_update":
         return op, {"fn": r.choice(["combine_first", "update"])}
+    if op == "dup_filter":
+        return op, {"subset": r.choice([["a"], ["s"], ["a", "s"]]),
+                    "keep": r.choice(["first", "last", False])}
+    if op == "prefix_suffix":
+        return op, {"fn": r.choice(["add_prefix", "add_suffix"]),
+                    "affix": r.choice(["p_", "_z", "X"])}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -500,6 +511,11 @@ def run_reference(nf, op, args):
         return enc_frame(nf.shift(args["n"]))
     if op == "fill_dir":
         return enc_frame(getattr(nf, args["fn"])())
+    if op == "dup_filter":
+        res = nf[nf.duplicated(args["subset"], keep=args["keep"])]
+        return {"k_order": [int(i) for i in res.index]}
+    if op == "prefix_suffix":
+        return enc_frame(getattr(nf, args["fn"])(args["affix"]))
     if op == "head_tail":
         return enc_frame(getattr(nf, args["which"])(args["n"]))
     if op == "nest_query":
