@@ -456,33 +456,45 @@ object Dedup {
     * edges → exact n-gram Jaccard verification ≥ `threshold` → connected
     * components → keep the min id per component.
     * Returns the deduplicated frame (adds nothing, drops near-dups). */
-  def dedupNear(df: DataFrame, idCol: String, textCol: String,
-                threshold: Double = 0.8, numHashes: Int = 16,
-                rowsPerBand: Int = 4, shingleSize: Int = 5,
-                preferBy: Option[DataFrame => Column] = None): DataFrame = {
+  /** The LSH-candidate → exact-jaccard verify stage of [[dedupNear]],
+    * exposed so the parallelism pin below is spec-assertable.
+    *
+    * The jaccard verification is ~100× more CPU per byte than a scan, and
+    * the candidate-pair rows are 16 bytes — AQE's byte-based partition
+    * coalescing collapses them to one or two tasks and SERIALIZES the
+    * kernel (measured at sf0.1: 4.2s one-task verify → 0.7s after an
+    * explicit repartition; DedupStageProbe). Pin the parallelism with a
+    * user repartition of the SLIM pair list before the text joins: its
+    * shuffle origin is REPARTITION_BY_NUM, which AQE's coalescer is
+    * DEFINED to leave alone, so the pin holds under any AQE config. At
+    * bench scale the text sides broadcast (AQE) so this partitioning
+    * carries into the jaccard stage; at 100 TB the joins shuffle anyway
+    * and repartitioning 16-byte rows is noise. */
+  private[graft] def verifiedPairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double, numHashes: Int,
+      rowsPerBand: Int, shingleSize: Int): DataFrame = {
     val withSig = df.select(col(idCol),
       minHashSignaturesNative(col(textCol), numHashes, shingleSize).as("sig"))
     val candidates = lshCandidatePairs(withSig, idCol, "sig",
       numHashes, rowsPerBand)
-    // The jaccard verification is ~100× more CPU per byte than a scan, and
-    // the candidate-pair rows are 16 bytes — AQE's byte-based partition
-    // coalescing collapses them to one or two tasks and SERIALIZES the
-    // kernel (measured at sf0.1: 4.2s one-task verify → 0.7s after an
-    // explicit repartition; DedupStageProbe). Pin the parallelism with a
-    // user repartition of the SLIM pair list before the text joins: at
-    // bench scale the text sides broadcast (AQE) so this partitioning
-    // carries into the jaccard stage; at 100 TB the joins shuffle anyway
-    // and repartitioning 16-byte rows is noise.
     val numParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val texts = df.select(col(idCol), col(textCol))
     // native one-pass jaccard: the HOF formulation (extract + distinct +
     // intersect ~300-element string arrays per pair) dominated the pipeline
-    val verified = candidates.repartition(numParts)
+    candidates.repartition(numParts)
       .join(texts.select(col(idCol).as("a"), col(textCol).as("__ta")), "a")
       .join(texts.select(col(idCol).as("b"), col(textCol).as("__tb")), "b")
       .where(graft.expressions.native.ngram_jaccard(
         col("__ta"), col("__tb"), shingleSize) >= threshold)
       .select(col("a"), col("b"))
+  }
+
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double = 0.8, numHashes: Int = 16,
+                rowsPerBand: Int = 4, shingleSize: Int = 5,
+                preferBy: Option[DataFrame => Column] = None): DataFrame = {
+    val verified = verifiedPairs(df, idCol, textCol, threshold,
+      numHashes, rowsPerBand, shingleSize)
     val comps = connectedComponents(verified)
     preferBy match {
       case None =>

@@ -17,8 +17,50 @@ import org.apache.spark.sql.functions._
   * explicitly (`tieCol`/`orderCol`) — the same carried-index contract as
   * the rest of graft (reference nestedframe/core.py keeps the pandas
   * index for this).
+  *
+  * Missing values: pandas has ONE missing marker (NaN doubles as NA in
+  * float columns); Spark has TWO (SQL NULL, and the IEEE NaN value —
+  * which sorts ABOVE every number and groups as its own key). These
+  * verbs normalize NaN → NULL on the float/double columns they rank,
+  * group, fill, or read for overwrite (via [[nanAsNull]]), so a literal
+  * NaN behaves as missing exactly like pandas. Callers that genuinely
+  * want IEEE NaN ordering must handle it before calling in.
   */
 object InheritedOps {
+
+  /** NaN → NULL on the named float/double columns (non-float columns
+    * and names absent from the frame pass through untouched). One
+    * `nanvl` projection — free under codegen. */
+  private def nanAsNull(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val floaty = df.schema.fields.collect {
+      case f if cols.contains(f.name) &&
+        (f.dataType == DoubleType || f.dataType == FloatType) => f.name
+    }.toSet
+    if (floaty.isEmpty) df
+    else df.select(df.columns.map { c =>
+      if (floaty.contains(c)) nanvl(col(c), lit(null)).as(c) else col(c)
+    }.toSeq: _*)
+  }
+
+  /** Fail loudly (like pandas' "cannot reindex on an axis with duplicate
+    * labels" / update's ValueError) if `key` is non-unique in `df`: a
+    * duplicate key on the `other` side of combine_first/update would
+    * silently MULTIPLY rows through the join. One window over the join
+    * key — the exchange it introduces is the same hash partitioning the
+    * join needs, so AQE reuses it. */
+  private def requireUniqueKey(df: DataFrame, key: String,
+                               verb: String): DataFrame = {
+    // The window count is materialized in a projection (windows are not
+    // legal in WHERE) and the raise_error lives in the FILTER that reads
+    // it — a filter can't be pruned away, so the guard always executes.
+    df.withColumn("__kc",
+        count(lit(1)).over(Window.partitionBy(col(key))))
+      .where(when(col("__kc") > 1, raise_error(concat(
+          lit(s"$verb: duplicate key in other frame: $key="),
+          col(key).cast("string")))).otherwise(lit(true)))
+      .drop("__kc")
+  }
 
   /** pandas `nlargest`/`nsmallest(n, column, keep=)` — SINGLE sort
     * column, n < row count (the contract the reference actually honors:
@@ -39,13 +81,14 @@ object InheritedOps {
     require(Seq("first", "last", "all").contains(keep),
       s"keep must be first|last|all, got '$keep'")
     if (n <= 0) return df.limit(0)
+    val df0 = nanAsNull(df, Seq(valueCol))
     keep match {
       case "all" =>
         // boundary value of the strict top-n (ties broken arbitrarily —
         // only the VALUE is used), then keep everything not strictly
         // worse. NULLs join the result only when the top-n itself ran
         // into the NULL tail.
-        val top = df.orderBy(valOrd).limit(n)
+        val top = df0.orderBy(valOrd).limit(n)
         val b = top.agg(
           (if (smallest) max(col(valueCol)) else min(col(valueCol)))
             .as("__b"),
@@ -58,11 +101,11 @@ object InheritedOps {
           else if (smallest) col(valueCol) <= lit(bound)
           else col(valueCol) >= lit(bound)
         val keepNulls = bound == null || hasNullBoundary
-        df.where(if (keepNulls) cmp || col(valueCol).isNull else cmp)
+        df0.where(if (keepNulls) cmp || col(valueCol).isNull else cmp)
           .orderBy(valOrd, col(tieCol).asc)
       case k =>
         val tie = if (k == "first") col(tieCol).asc else col(tieCol).desc
-        df.orderBy(valOrd, tie).limit(n)
+        df0.orderBy(valOrd, tie).limit(n)
     }
   }
 
@@ -76,9 +119,10 @@ object InheritedOps {
   def valueCounts(df: DataFrame, subset: Seq[String],
                   normalize: Boolean = false,
                   dropna: Boolean = true): DataFrame = {
+    val df0 = nanAsNull(df, subset)
     val src = if (dropna)
-      subset.foldLeft(df)((d, cn) => d.where(col(cn).isNotNull))
-    else df
+      subset.foldLeft(df0)((d, cn) => d.where(col(cn).isNotNull))
+    else df0
     val counted = src.groupBy(subset.map(col): _*)
       .agg(count(lit(1)).as("count"))
     val valcol = if (normalize) "proportion" else "count"
@@ -167,10 +211,15 @@ object InheritedOps {
     val shared = other.columns.toSet.intersect(df.columns.toSet) - key
     val extra = other.columns.filterNot(c => c == key ||
       df.columns.contains(c))
-    val o = other.select(col(key) +:
+    // NaN counts as missing on BOTH sides (a NaN cell in `df` fills from
+    // `other`, like pandas); duplicate keys in `other` raise, like
+    // pandas' duplicate-labels reindex error.
+    val df1 = nanAsNull(df, shared.toSeq)
+    val o = requireUniqueKey(
+      nanAsNull(other, shared.toSeq), key, "combineFirst").select(col(key) +:
       other.columns.filterNot(_ == key)
         .map(cn => col(cn).as("__o_" + cn)).toSeq: _*)
-    df.join(o, Seq(key), "outer")
+    df1.join(o, Seq(key), "outer")
       .select(col(key) +:
         (df.columns.filterNot(_ == key).map { cn =>
           if (shared.contains(cn))
@@ -185,7 +234,11 @@ object InheritedOps {
     * are ignored). One left keyed join. */
   def updateFrom(df: DataFrame, other: DataFrame, key: String): DataFrame = {
     val shared = other.columns.toSet.intersect(df.columns.toSet) - key
-    val o = other.select(col(key) +:
+    // a NaN in `other` is MISSING — it must not overwrite (pandas
+    // update ignores other's NaNs); duplicate keys in `other` raise,
+    // like pandas' ValueError on a non-unique other index.
+    val o = requireUniqueKey(nanAsNull(other, shared.toSeq), key,
+        "updateFrom").select(col(key) +:
       shared.toSeq.map(cn => col(cn).as("__o_" + cn)): _*)
     df.join(o, Seq(key), "left")
       .select(col(key) +: df.columns.filterNot(_ == key).map { cn =>
@@ -207,11 +260,12 @@ object InheritedOps {
                Window.partitionBy(partitionBy.map(col): _*)
              else Window.partitionBy())
       .orderBy(col(orderCol))
-    val shifted = df.columns.filterNot(c =>
-      c == orderCol || partitionBy.contains(c)).map { c =>
-      (if (n >= 0) lag(col(c), n) else lead(col(c), -n)).over(w).as(c)
-    }
-    df.select((orderCol +: partitionBy).distinct.map(col) ++ shifted: _*)
+    // pandas shift preserves column order — select in df.columns order,
+    // mapping each column to its shifted or passthrough form in place
+    df.select(df.columns.map { c =>
+      if (c == orderCol || partitionBy.contains(c)) col(c)
+      else (if (n >= 0) lag(col(c), n) else lead(col(c), -n)).over(w).as(c)
+    }.toSeq: _*)
   }
 
   /** pandas `ffill`/`bfill`: missing values — missing nest CELLS
@@ -227,11 +281,15 @@ object InheritedOps {
       if (forward) base.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
       else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = df.columns.filterNot(c =>
-      c == orderCol || partitionBy.contains(c)).map { c =>
-      (if (forward) last(col(c), ignoreNulls = true)
-       else first(col(c), ignoreNulls = true)).over(w).as(c)
-    }
-    df.select((orderCol +: partitionBy).distinct.map(col) ++ filled: _*)
+    // NaN is missing (gets filled, never propagates as a fill value);
+    // pandas ffill/bfill preserve column order — map in place
+    val fillCols = df.columns.filterNot(c =>
+      c == orderCol || partitionBy.contains(c))
+    val df0 = nanAsNull(df, fillCols.toSeq)
+    df0.select(df0.columns.map { c =>
+      if (c == orderCol || partitionBy.contains(c)) col(c)
+      else (if (forward) last(col(c), ignoreNulls = true)
+            else first(col(c), ignoreNulls = true)).over(w).as(c)
+    }.toSeq: _*)
   }
 }

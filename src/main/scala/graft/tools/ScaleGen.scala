@@ -121,21 +121,35 @@ object ScaleGen {
     }
     wr(docReps.reduce(_ unionAll _), "documents")
 
-    // ---- embeddings: offset ids + per-replica element rotation ----
+    // ---- embeddings: offset ids + per-replica ISOMETRY decorrelation ----
+    // Replica i gets rotation (i % dim) composed with a sign-flip mask
+    // drawn from block b = i / dim (identity for b = 0, so multipliers
+    // ≤ dim — and replica 0 always — stay byte-identical to the r10
+    // generator). Both transforms are exact isometries on floats
+    // (permutation; x → -x flips the IEEE sign bit): norms and ALL
+    // in-replica distances are preserved bit-exactly, so planted
+    // near-dup cosines survive at any multiplier. Cross-replica pairs
+    // share a full transform only when rot AND mask agree — i.e. never
+    // for i ≠ j (masks are distinct per block via Murmur3 of (b, j),
+    // a full-pattern collision across blocks has probability 2^-dim).
+    // This removes the r10 `n <= dim` guard (VERDICT r11 item 2: the
+    // 100× corpus previously had no embeddings past dim 64).
     val emb = rd("embeddings")
     val eSpan = span(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    // rotation is the decorrelator: replicas i ≡ j (mod dim) would share
-    // a rotation and reintroduce exact cross-replica duplicates
-    require(n <= dim, s"multiplier $n exceeds embedding dim $dim — " +
-      "replica rotations would repeat and cross-replica vectors collide")
     val embReps = (0 until n).map { i =>
       val rot = i % dim
+      val block = i / dim
       val base = emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * eSpan))
-      if (rot == 0) base
-      else base.withColumn("embedding",
-        concat(slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot)))
+      val rotated =
+        if (rot == 0) base
+        else base.withColumn("embedding",
+          concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot)))
+      if (block == 0) rotated
+      else rotated.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          when(pmod(hash(lit(block), j), lit(2)) === 0, x).otherwise(negate(x))))
     }
     wr(embReps.reduce(_ unionAll _), "embeddings")
 

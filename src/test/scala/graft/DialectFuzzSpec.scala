@@ -82,7 +82,36 @@ class DialectFuzzSpec extends SparkSpec {
       val df = buildFrame(spark, c.get("frame"))
       val expectError = c.has("expect_error") && c.get("expect_error").asBoolean()
       val diff =
-        if (expectError) {
+        if (kind == "eval_both") {
+          // r12 cross-MODE differential: one program, two goldens — the
+          // sequential (inplace=true) result AND the frozen default. A
+          // frozen_error golden means the reference's resolver RAISES
+          // (created-field read against the pre-eval frame): graft's
+          // frozen mode must raise too, while sequential still matches.
+          val seqDiff =
+            try compareFrame(NestedExpr.eval(df, text), c.get("expect_seq"))
+            catch { case e: Throwable =>
+              Some(s"seq THREW ${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").take(160)}") }
+          val frozenDiff =
+            if (c.has("frozen_error")) {
+              try {
+                NestedExpr.eval(df, text, inplace = false).collect()
+                Some(s"frozen mode must RAISE " +
+                  s"(${c.get("frozen_error").asText()}); graft accepted")
+              } catch { case _: Exception => None }
+            } else
+              try compareFrame(NestedExpr.eval(df, text, inplace = false),
+                c.get("expect_frozen"))
+              catch { case e: Throwable =>
+                Some(s"frozen THREW ${e.getClass.getSimpleName}: " +
+                  s"${Option(e.getMessage).getOrElse("").take(160)}") }
+          (seqDiff, frozenDiff) match {
+            case (None, None) => None
+            case (a, b) => Some(Seq(a.map("[seq] " + _),
+              b.map("[frozen] " + _)).flatten.mkString("; "))
+          }
+        } else if (expectError) {
           // ERROR PARITY: the reference rejects this program for a
           // semantic reason (layer mixing / two nests) — graft must too
           try {

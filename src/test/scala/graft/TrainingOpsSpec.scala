@@ -474,6 +474,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(best == Set(3L, 2L)) // component {0,1,3} → keep 3
   }
 
+  test("dedupNear verify stage keeps its parallelism pin under AQE") {
+    // r11 found AQE's byte-based coalescer collapsing the 16-byte
+    // candidate-pair rows to 1-2 tasks, serializing the CPU-bound jaccard
+    // kernel. The fix is a user repartition whose shuffle origin
+    // (REPARTITION_BY_NUM) AQE is defined to leave alone — assert that
+    // origin is actually present in the executed plan so a refactor can't
+    // silently reintroduce the pathology.
+    val verified = Dedup.verifiedPairs(docs, "doc_id", "text",
+      threshold = 0.8, numHashes = 16, rowsPerBand = 4, shingleSize = 5)
+    verified.collect()
+    val plan = verified.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"verify-stage repartition pin missing; plan:\n${plan.take(3000)}")
+    assert(verified.rdd.getNumPartitions > 1,
+      "verify stage ran in a single partition")
+  }
+
   test("packFlatSalted equals packFlat after sort") {
     import graft.nested.NestedOps
     val child = (1 to 100).map(i => (i % 3L, i)).toDF("key", "v")

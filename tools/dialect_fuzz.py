@@ -346,6 +346,15 @@ def cmp_expr(r, atoms, str_atom=None):
     return f"{num_expr(r, atoms, r.randint(0, 2))} {op} {num_expr(r, atoms, r.randint(0, 1))}"
 
 
+def _is_per_row(text):
+    """True if the expression references a COLUMN element-wise (a bare
+    column occurrence not immediately collapsed by a reduction call)."""
+    reds = "|".join(REDUCTIONS)
+    return re.search(
+        rf"(?:\bn\.[xyt]|\bm\.u|\b[abs])\b(?!\.(?:{reds})\(\))",
+        text) is not None
+
+
 def bool_expr(r, atoms, depth, str_atom=None):
     if depth <= 0:
         return cmp_expr(r, atoms, str_atom)
@@ -353,7 +362,19 @@ def bool_expr(r, atoms, depth, str_atom=None):
     if roll < 0.2:
         # mask tilde or the spelled-out python keyword — both dialects
         neg = r.choice(["~", "not "])
-        return f"{neg}({bool_expr(r, atoms, depth - 1, str_atom)})"
+        inner = bool_expr(r, atoms, depth - 1, str_atom)
+        if not _is_per_row(inner):
+            # negating a SCALAR operand (all atoms reduced) is a pandas
+            # eval-env artifact: `not`/`~` rewrites to python int invert
+            # on the scalar (~True == -2), and that int then poisons any
+            # enclosing bitwise combination truthy (found at case 1291,
+            # r12; adjudicated in PARITY.md — graft keeps boolean
+            # semantics). Negate a guaranteed per-row comparison instead.
+            cols = [c for c in atoms if "(" not in c]
+            inner = cmp_expr(r, cols, str_atom)
+            if not _is_per_row(inner):
+                return inner  # str-pool edge: drop the negation entirely
+        return f"{neg}({inner})"
     op = r.choice(["&", "|", "and", "or"])
     return (f"({bool_expr(r, atoms, depth - 1, str_atom)}) {op} "
             f"({bool_expr(r, atoms, depth - 1, str_atom)})")
@@ -392,8 +413,8 @@ def str_value_call(r, recv):
 
 FAMS = ["query_base", "query_elem", "eval_base", "eval_nested",
         "eval_newnest", "eval_select", "eval_str", "query_str",
-        "eval_multiline", "query_reject", "eval_frozen"]
-FAM_WEIGHTS = [16, 16, 13, 13, 8, 10, 7, 5, 6, 4, 6]
+        "eval_multiline", "query_reject", "eval_frozen", "eval_both"]
+FAM_WEIGHTS = [16, 16, 13, 13, 8, 10, 7, 5, 6, 4, 6, 8]
 # Families whose program only reads/filters (missing cells flow through
 # identically in both engines); nested-assignment and element-alignment
 # families regenerate frames without missing cells (see gen_frame).
@@ -530,6 +551,54 @@ def gen_program(r, fam):
         l1 = f"r1 = {num_expr(r, ['a', 'b'], r.randint(1, 2))}"
         l2 = f"r2 = {num_expr(r, ['r1', 'a'], r.randint(0, 1))}"
         return "eval_frozen", l1 + "\n" + l2
+    if fam == "eval_both":
+        # r12 (VERDICT item 5): cross-MODE differential — ONE program,
+        # BOTH inplace modes executed on the reference; the replay diffs
+        # graft's sequential eval AND frozen eval against their own
+        # goldens. Programs where the modes AGREE catch mode-dispatch
+        # bugs; where they DIVERGE they pin the per-line freeze. Adds
+        # .str chains and string reductions inside frozen programs
+        # (the r11 eval_frozen family was numeric-only).
+        roll = r.random()
+        if roll < 0.2:
+            # nested read-after-write: line 2's read diverges by mode
+            l1 = f"n.x = {num_expr(r, ['n.x', 'n.y'], r.randint(0, 1))}"
+            l2 = ("n.z = " if r.random() < 0.6 else "n.x = ") + \
+                num_expr(r, ["n.x", "a"], r.randint(0, 1))
+            return "eval_both", l1 + "\n" + l2
+        if roll < 0.36:
+            # created-nest-field read-back: frozen RAISES (the pre-eval
+            # frame has no p), sequential succeeds — the error shape
+            # that exposes a mode-dispatch bug instantly
+            l1 = f"p.w = {num_expr(r, ['n.x', 'n.y'], r.randint(0, 1))}"
+            if r.random() < 0.5:
+                l2 = f"n.z = p.w + {r.randint(0, 4)}"
+            else:
+                l2 = f"r = a + p.w.{r.choice(['sum', 'mean', 'max'])}()"
+            return "eval_both", l1 + "\n" + l2
+        if roll < 0.56:
+            # reduction sandwich: the write between two reductions of
+            # the same nested column moves r2 ONLY in sequential mode
+            l1 = f"r1 = a + n.x.{r.choice(['mean', 'sum', 'max'])}()"
+            l2 = f"n.x = {num_expr(r, ['n.x'], r.randint(0, 1))}"
+            l3 = f"r2 = a + n.x.{r.choice(['mean', 'sum', 'min'])}()"
+            return "eval_both", l1 + "\n" + l2 + "\n" + l3
+        if roll < 0.8:
+            # .str chain write then read-back: frozen line 2 sees the
+            # PRE-eval strings (string-typed freeze + a string reduction)
+            m1 = r.choice(["strip()", "lower()", "upper()",
+                           "swapcase()", "capitalize()"])
+            l1 = f"n.t = n.t.str.{m1}"
+            if r.random() < 0.3:
+                l2 = "r = n.t.str.cat(sep='-')"
+            else:
+                m2 = r.choice(["len()", "upper()", "count('a')"])
+                l2 = f"n.w = n.t.str.{m2}"
+            return "eval_both", l1 + "\n" + l2
+        # base sequential chain — modes AGREE (pure dispatch check)
+        l1 = f"r1 = {num_expr(r, ['a', 'b'], r.randint(1, 2))}"
+        l2 = f"r2 = {num_expr(r, ['r1', 'a'], r.randint(0, 1))}"
+        return "eval_both", l1 + "\n" + l2
     # query_str
     recv, lay = (("s", ["a", "b"]) if r.random() < 0.5
                  else ("n.t", ["n.x", "n.y"]))
@@ -596,6 +665,41 @@ def main():
             kept.append({"id": len(kept), "seed_i": i - 1,
                          "kind": "query", "text": text, "frame": frame,
                          "expect_error": True})
+            fam_counts[kind] = fam_counts.get(kind, 0) + 1
+            continue
+        if kind == "eval_both":
+            # both modes on the SAME program: sequential golden is
+            # required (a seq failure is a generator artifact — drop);
+            # frozen may legitimately RAISE (created-field read) — pin
+            # the raise itself, but only for the semantic error classes
+            # the reference's resolver produces (env errors drop).
+            try:
+                nf = build_ref_frame(frame)
+                seqf = nf.copy()
+                seqf.eval(text, inplace=True)
+                expect_seq = enc_frame(seqf)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"kind": kind, "text": text,
+                               "err": f"seq {type(e).__name__}: {e}"[:200]})
+                continue
+            rec = {"id": len(kept), "seed_i": i - 1, "kind": kind,
+                   "text": text, "frame": frame, "expect_seq": expect_seq}
+            try:
+                rec["expect_frozen"] = enc_frame(nf.eval(text))
+            except (AttributeError, KeyError) as e:
+                rec["frozen_error"] = type(e).__name__
+            except Exception as e:  # noqa: BLE001
+                # pandas raises UndefinedVariableError when the created
+                # field is read through a REDUCTION ('p' is not in the
+                # frozen env) — same semantic signal, different class
+                if type(e).__name__ == "UndefinedVariableError":
+                    rec["frozen_error"] = type(e).__name__
+                else:
+                    errors.append({"kind": kind, "text": text,
+                                   "err": f"frozen {type(e).__name__}: "
+                                          f"{e}"[:200]})
+                    continue
+            kept.append(rec)
             fam_counts[kind] = fam_counts.get(kind, 0) + 1
             continue
         try:

@@ -1056,13 +1056,17 @@ def main():
             # (nlargest(6) -> 7 rows, probed 2026-08-16). Inside the box
             # the rules are crisp (probed): keep='first' ties idx ASC +
             # NaN rows pad in idx-asc order, keep='last' ties idx DESC,
-            # keep='all' extends the boundary tie group in idx-ASC order.
-            # keep='last'/'all' draw the never-NA column (their NaN-pad
-            # order stays unpinned).
+            # keep='all' extends the boundary tie group in idx-ASC order,
+            # and when keep='all''s top-n runs INTO the NaN pad, ALL NaN
+            # rows return in row-position order (n=5 of 6 -> 6 rows;
+            # probed 2026-08-16 incl. shuffled labels). keep='last' draws
+            # the never-NA column (its NaN-pad order stays unpinned);
+            # keep='all' draws the NA column too — the null-boundary
+            # branch is reference-verified (r11 ADVICE).
             frame = gen_frame(r, allow_missing=True)
             keep = r.choices(["first", "last", "all"],
                              weights=[60, 25, 15])[0]
-            cols = r.choice([["a"], ["b"]]) if keep == "first" else ["a"]
+            cols = r.choice([["a"], ["b"]]) if keep != "last" else ["a"]
             args = {"fn": r.choice(["nlargest", "nsmallest"]),
                     "n": r.randint(0, len(frame["k"]) - 1),
                     "cols": cols, "keep": keep}
