@@ -597,6 +597,26 @@ object SurfaceQueries {
         round(col("o_totalprice"), 2).as("o_totalprice"))
   }
 
+  /** InheritedOps.meltFrame (pandas melt): unpivot two numeric order
+    * columns into variable/value rows — mixed int/double value set
+    * unifies to double, like pandas' single object column. One per-row
+    * generator expansion, no shuffle. */
+  val qMelt: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice", "o_custkey")
+    graft.operators.InheritedOps.meltFrame(o, Seq("o_orderkey"),
+      Seq("o_totalprice", "o_custkey"))
+  }
+
+  /** InheritedOps.pivotTable (pandas pivot_table): quantity sums by
+    * return flag × line status — one grouped pivot shuffle; the oracle
+    * replays the wide layout with the same column names. */
+  val qPivot: Q = (s, dir) =>
+    graft.operators.InheritedOps.pivotTable(
+      lines(s, dir, "l_returnflag", "l_linestatus", "l_quantity"),
+      index = "l_returnflag", columns = "l_linestatus",
+      values = "l_quantity", aggfunc = "sum")
+
   /** describeAll(approx=true) — the 100 TB sketch path: exact stats
     * (count/mean/std/min/max) are oracle-checked value-for-value; each
     * percentile_approx value is BOUND-CHECKED in-query against the exact
@@ -682,9 +702,26 @@ object SurfaceQueries {
     "q_value_counts" -> qValueCounts,
     "q_shift_lag" -> qShiftLag,
     "q_ffill" -> qFfill,
+    "q_melt" -> qMelt,
+    "q_pivot" -> qPivot,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_melt" ->
+      """SELECT o_orderkey, 'o_totalprice' AS variable,
+        | CAST(o_totalprice AS DOUBLE) AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey',
+        | CAST(o_custkey AS DOUBLE) FROM orders""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+        |   AS DOUBLE) AS "F",
+        | CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+        |   AS DOUBLE) AS "O"
+        |FROM lineitem
+        |WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_value_counts" ->
       """SELECT l_returnflag, l_linestatus, cnt,
         | row_number() OVER (ORDER BY cnt DESC, l_returnflag, l_linestatus)

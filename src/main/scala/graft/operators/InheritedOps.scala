@@ -249,6 +249,78 @@ object InheritedOps {
       }.toSeq: _*)
   }
 
+  /** pandas `melt(id_vars=, value_vars=)`: unpivot the value columns
+    * into (variable, value) rows. pandas emits VARIABLE-MAJOR order
+    * (all rows of value_vars[0], then value_vars[1], …; original row
+    * order within each block) — on a Spark frame that order is data,
+    * not an engine guarantee: sort by (variable position, carried
+    * index) to reproduce it. Nest columns pass through whole — as id
+    * vars (the cell repeats per variable) or as the single value var
+    * (the cell becomes the value), both reference-probed 2026-08-16.
+    * Value type: pandas melts into one object column; graft unifies
+    * mixed numeric value vars to double and anything else to string —
+    * one per-row generator expansion, no shuffle. */
+  def meltFrame(df: DataFrame, idVars: Seq[String],
+                valueVars: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DataType, DoubleType, NumericType, StringType}
+    require(valueVars.nonEmpty, "melt needs at least one value column")
+    val types = valueVars.map(v => df.schema(v).dataType)
+    val castTo: Option[DataType] =
+      if (types.distinct.size == 1) None
+      else if (types.forall(_.isInstanceOf[NumericType])) Some(DoubleType)
+      else Some(StringType)
+    val pairs = valueVars.map { v =>
+      val c = castTo.map(t => col(v).cast(t)).getOrElse(col(v))
+      struct(lit(v).as("variable"), c.as("value"))
+    }
+    df.select((idVars.map(col) :+ explode(array(pairs: _*)).as("__m")): _*)
+      .select(idVars.map(col) ++
+        Seq(col("__m.variable"), col("__m.value")): _*)
+  }
+
+  /** pandas `pivot_table(index=, columns=, values=, aggfunc=)` with the
+    * pandas defaults pinned: NULL index/column KEYS drop (groupby
+    * dropna), all-NULL result COLUMNS drop, then all-NULL result ROWS
+    * drop (`dropna=True`), column keys sorted ascending (Spark's pivot
+    * sorts too; names are the keys' string forms, matching pandas
+    * str(key) for int/string keys). One grouped pivot shuffle; the
+    * column-drop inspection is a single 1-row aggregate over the
+    * already-small wide frame (bounded by key cardinality, like
+    * Spark's own pivot value collection). */
+  def pivotTable(df: DataFrame, index: String, columns: String,
+                 values: String, aggfunc: String = "mean"): DataFrame = {
+    def aggOf(c: Column): Column = aggfunc match {
+      case "mean"  => avg(c)
+      // pandas sum is min_count=0: an all-NaN PRESENT group sums to 0.0
+      // (absent index×column combos still read null — pivot never
+      // computes them, so the coalesce can't touch them)
+      case "sum"   => coalesce(sum(c), lit(0.0))
+      case "min"   => min(c)
+      case "max"   => max(c)
+      case "count" => count(c)
+      case other => throw new IllegalArgumentException(
+        s"aggfunc must be mean|sum|min|max|count, got '$other'")
+    }
+    val base = nanAsNull(df, Seq(values))
+      .where(col(index).isNotNull && col(columns).isNotNull)
+    val wide = base.groupBy(col(index)).pivot(columns)
+      .agg(aggOf(col(values)))
+    val valCols = wide.columns.filterNot(_ == index)
+    if (valCols.isEmpty) return wide
+    // pivot names columns after DATA values (e.g. "-3") — backtick every
+    // reference so they parse as names, not expressions
+    def pc(n: String): Column = col(s"`$n`")
+    // pandas count never yields NaN (absent combos become 0 only via
+    // fill_value; absent stays NaN) — Spark pivot leaves absent combos
+    // null on every aggfunc, which matches
+    val counts = wide.agg(count(pc(valCols.head)).as(valCols.head),
+      valCols.tail.map(c => count(pc(c)).as(c)): _*).head()
+    val keep = valCols.filter(c => counts.getAs[Long](c) > 0L)
+    val kept = wide.select((index +: keep).map(pc): _*)
+    if (keep.isEmpty) kept.limit(0)
+    else kept.where(keep.map(pc(_).isNotNull).reduce(_ || _))
+  }
+
   /** pandas `shift(n)`: every column lags (n>0) or leads (n<0) by |n|
     * positions of `orderCol` — nest cells move whole, vacated rows are
     * all-missing. Pass `partitionBy` for the scale path (per-key lag

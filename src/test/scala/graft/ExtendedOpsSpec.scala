@@ -758,6 +758,7 @@ class ExtendedOpsSpec extends SparkSpec {
     import graft.sources.RemoteIO
     RemoteIO.registerScheme("testfs", Map(
       "fs.testfs.impl" -> classOf[TestFs].getName,
+      "fs.testfs.readahead.range" -> "262144",
       "graft.testfs.marker" -> "applied"))
     assert(RemoteIO.storageConf("testfs")
       .get("graft.testfs.marker").contains("applied"))
@@ -771,5 +772,12 @@ class ExtendedOpsSpec extends SparkSpec {
       .get("graft.testfs.marker") == "applied")
     // the read was actually served by the custom FileSystem
     assert(TestFs.opens > before)
+    // r12: the scheme's TUNING key was visible INSIDE the FileSystem at
+    // open() time — the same conf channel fs.s3a.readahead.range rides
+    // (the S3A client itself cannot execute here: hadoop-aws + AWS SDK
+    // jars are absent and unvendorable in the zero-egress sandbox;
+    // PARITY.md r12 note)
+    assert(TestFs.readaheadSeen == "262144",
+      s"expected readahead conf inside the FS, got ${TestFs.readaheadSeen}")
   }
 }

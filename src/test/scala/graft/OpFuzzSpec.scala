@@ -317,6 +317,76 @@ class OpFuzzSpec extends SparkSpec {
             // by carried index asc, 'last' by index DESC (and the output
             // shows that order), 'all' extends the boundary tie group
             // (rank over the value keys alone).
+            // r12 tranche 5: melt — variable-major order reconstructed by
+            // (value_vars position, carried index); nest cells compare
+            // whole (as id vars and as the value var)
+            case "melt_frame" =>
+              val idVars = args.get("id_vars").elements().asScala
+                .map(_.asText()).toVector
+              val valueVars = args.get("value_vars").elements().asScala
+                .map(_.asText()).toVector
+              val varPos = valueVars.zipWithIndex.toMap
+              val out = graft.operators.InheritedOps.meltFrame(df,
+                idVars, valueVars)
+              def norm(v: Any): Any = v match {
+                case s: scala.collection.Seq[_] => s.map(norm)
+                case r0: Row => r0.toSeq.map(norm)
+                case x => x
+              }
+              val rows = out.collect().sortBy(r0 =>
+                (varPos(r0.getAs[String]("variable")), r0.getAs[Long]("k")))
+              val exp = c.get("expect").get("melt_rows")
+              if (rows.length != exp.size())
+                Some(s"melt rows: got ${rows.length} expected ${exp.size()}")
+              else {
+                val bad = rows.zipWithIndex.flatMap { case (r0, i) =>
+                  val e = exp.get(i)
+                  val idsOk = idVars.zipWithIndex.forall { case (cn, j) =>
+                    scalarMatches(norm(r0.getAs[Any](cn)),
+                      e.get("ids").get(j)) }
+                  val varOk = r0.getAs[String]("variable") ==
+                    e.get("variable").asText()
+                  val valOk = scalarMatches(norm(r0.getAs[Any]("value")),
+                    e.get("value"))
+                  if (idsOk && varOk && valOk) None
+                  else Some(s"melt row $i (${e.get("variable").asText()}) " +
+                    "mismatch")
+                }
+                if (bad.isEmpty) None else Some(bad.take(3).mkString("; "))
+              }
+            // pivot_table: sorted column keys compare by NAME (the keys'
+            // string forms), rows by sorted index, cells by value
+            case "pivot_table" =>
+              val idx = args.get("index").asText()
+              val out = graft.operators.InheritedOps.pivotTable(df, idx,
+                args.get("columns").asText(), args.get("values").asText(),
+                args.get("aggfunc").asText())
+              val expCols = c.get("expect").get("pt_columns").elements()
+                .asScala.map(_.asText()).toVector
+              val gotCols = out.columns.filterNot(_ == idx).toVector
+              if (gotCols != expCols)
+                Some(s"pivot columns: got ${gotCols.mkString(",")} " +
+                  s"expected ${expCols.mkString(",")}")
+              else {
+                val rows = out.orderBy(col(idx)).collect()
+                val expIdx = c.get("expect").get("pt_index")
+                val expRows = c.get("expect").get("pt_rows")
+                if (rows.length != expIdx.size())
+                  Some(s"pivot rows: got ${rows.length} " +
+                    s"expected ${expIdx.size()}")
+                else {
+                  val bad = rows.zipWithIndex.flatMap { case (r0, i) =>
+                    val idxOk = scalarMatches(r0.getAs[Any](idx),
+                      expIdx.get(i))
+                    val cellsOk = gotCols.zipWithIndex.forall {
+                      case (cn, j) => scalarMatches(r0.getAs[Any](cn),
+                        expRows.get(i).get(j)) }
+                    if (idxOk && cellsOk) None
+                    else Some(s"pivot row $i mismatch")
+                  }
+                  if (bad.isEmpty) None else Some(bad.take(3).mkString("; "))
+                }
+              }
             case "nlargest" =>
               import org.apache.spark.sql.expressions.Window
               import org.apache.spark.sql.functions.rank

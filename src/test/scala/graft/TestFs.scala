@@ -7,6 +7,13 @@ object TestFs {
   /** Number of file opens served by the custom scheme — proves reads
     * actually went through this FileSystem, not the default one. */
   @volatile var opens: Int = 0
+
+  /** The value of `fs.testfs.readahead.range` as seen by the FileSystem
+    * INSTANCE at open() time (r12): proves per-scheme tuning keys travel
+    * the same Hadoop-conf channel `fs.s3a.readahead.range` would —
+    * session conf → FileSystem.getConf → visible inside the connector
+    * during the read. */
+  @volatile var readaheadSeen: String = _
 }
 
 /** A local-disk Hadoop FileSystem registered under the `testfs://`
@@ -20,6 +27,7 @@ class TestFs extends RawLocalFileSystem {
   override def getScheme: String = "testfs"
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     TestFs.opens += 1
+    TestFs.readaheadSeen = getConf.get("fs.testfs.readahead.range")
     super.open(f, bufferSize)
   }
 }

@@ -55,14 +55,21 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # df[df.duplicated(subset, keep)] (the complement of drop_dup;
        # NULL keys group) and add_prefix/add_suffix (top-level column
        # renames, nest FIELDS untouched)
-       "dup_filter", "prefix_suffix"]
+       "dup_filter", "prefix_suffix",
+       # r12 tranche 5 (VERDICT item 7): melt (unpivot value columns to
+       # variable/value rows, VARIABLE-MAJOR order, nest cells move
+       # whole both as id vars and as the value var — probe 2026-08-16)
+       # and pivot_table (NULL keys drop, all-NaN columns then all-NaN
+       # rows drop, keys sorted — the pandas dropna=True defaults)
+       "melt_frame", "pivot_table"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
               7, 6, 7, 5, 5,
               6, 6,
               7,
-              6, 4]
+              6, 4,
+              7, 7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -310,10 +317,62 @@ def gen_op(r):
     if op == "prefix_suffix":
         return op, {"fn": r.choice(["add_prefix", "add_suffix"]),
                     "affix": r.choice(["p_", "_z", "X"])}
+    if op == "melt_frame":
+        # value sets are type-homogeneous (pandas melts into ONE object
+        # column; graft types the value column, so mixed numeric+string
+        # sets are out of contract — documented in the scaladoc)
+        vv = r.choice([["a", "b"], ["b", "a"], ["b"], ["a"], ["s"],
+                       ["n"]])
+        id_pool = [c for c in ["a", "s"] if c not in vv]
+        ids = ["k"] + r.sample(id_pool, r.randint(0, len(id_pool)))
+        if r.random() < 0.25 and "n" not in vv:
+            ids.append("n")  # nest cell as an id var (repeats per block)
+        return op, {"id_vars": ids, "value_vars": vv}
+    if op == "pivot_table":
+        # columns stay the INT column: pivoted column NAMES are the keys'
+        # string forms on both engines (int keys agree; float formatting
+        # would not)
+        return op, {"index": "s", "columns": "a", "values": "b",
+                    "aggfunc": r.choice(["mean", "sum", "min", "max",
+                                         "count"])}
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
+def _enc_melt_value(v):
+    """Encode one melted `value` cell: scalars via enc_val; a nested cell
+    (per-cell DataFrame) as the usual [[field values…]] row list."""
+    import pandas as pd
+    if hasattr(v, "columns"):  # nested cell → per-cell DataFrame
+        return [[enc_val(v[f].iloc[j]) for f in v.columns]
+                for j in range(len(v))]
+    if v is None or (not isinstance(v, (list, str)) and pd.isna(v)):
+        return None
+    return enc_val(v)
+
+
 def run_reference(nf, op, args):
+    if op == "melt_frame":
+        # k lives in the INDEX on the reference side; melt discards the
+        # index (ignore_index=True default), so materialize it first —
+        # the Spark frame carries k as a column already
+        m = nf.reset_index(names="k").melt(id_vars=args["id_vars"],
+                                           value_vars=args["value_vars"])
+        rows = []
+        for i in range(len(m)):
+            rows.append({
+                "ids": [_enc_melt_value(m[c].iloc[i])
+                        for c in args["id_vars"]],
+                "variable": m["variable"].iloc[i],
+                "value": _enc_melt_value(m["value"].iloc[i])})
+        return {"melt_rows": rows}
+    if op == "pivot_table":
+        pt = nf.pivot_table(index=args["index"], columns=args["columns"],
+                            values=args["values"], aggfunc=args["aggfunc"])
+        return {"pt_index": [enc_val(v) for v in pt.index],
+                "pt_columns": [str(c) for c in pt.columns],
+                "pt_rows": [[_enc_melt_value(pt[c].iloc[i])
+                             for c in pt.columns]
+                            for i in range(len(pt))]}
     if op == "dropna_nested":
         kw = {}
         if args["subset"]:
