@@ -190,6 +190,28 @@ def gen_program(r, fam):
         return "query", core
     if fam == "eval_base":
         return "eval", f"r = {dt_rhs(r, 'ts')}"
+    if fam == "eval_both":
+        # r12 (VERDICT item 5, .dt half): cross-MODE differential with
+        # dt chains — one multi-line program, BOTH inplace modes
+        # reference-executed; read-after-write on a dt-derived nested
+        # field is the mode-diverging shape
+        roll = r.random()
+        if roll < 0.35:
+            # overwrite n.x from a dt attr, then read n.x back
+            l1 = f"n.x = n.t.dt.{r.choice(['month', 'day', 'hour'])}"
+            l2 = ("n.z = " if r.random() < 0.6 else "n.x = ") +                 f"n.x {r.choice(['+', '*'])} {r.randint(1, 3)}"
+            return "eval_both", l1 + "\n" + l2
+        if roll < 0.6:
+            # dt-reduction sandwich: a write between two reductions of
+            # the same column moves r2 only in sequential mode
+            l1 = f"r1 = a + n.x.{r.choice(['mean', 'max'])}()"
+            l2 = f"n.x = n.t.dt.{r.choice(['year', 'dayofyear'])}"
+            l3 = f"r2 = a + n.x.{r.choice(['mean', 'min'])}()"
+            return "eval_both", l1 + "\n" + l2 + "\n" + l3
+        # created dt-derived field read back: frozen raises
+        l1 = f"n.w = n.t.dt.{r.choice(['month', 'minute'])}"
+        l2 = f"n.z = n.w + {r.randint(0, 3)}"
+        return "eval_both", l1 + "\n" + l2
     # eval_elem (no-missing frames: nested assignment flat-repacks)
     return "eval", f"n.w = {dt_rhs(r, 'n.t')}"
 
@@ -249,8 +271,9 @@ def dt_rhs(r, recv):
     return f"{recv}.dt.strftime('{r.choice(STRFTIME_FMTS)}').str.len()"
 
 
-FAMS = ["query_base", "query_elem", "eval_base", "eval_elem"]
-FAM_WEIGHTS = [30, 25, 25, 20]
+FAMS = ["query_base", "query_elem", "eval_base", "eval_elem",
+        "eval_both"]
+FAM_WEIGHTS = [28, 23, 23, 18, 8]
 MISSING_OK = {"query_base", "query_elem", "eval_base"}
 
 
@@ -275,6 +298,36 @@ def main():
         fam = r.choices(FAMS, weights=FAM_WEIGHTS)[0]
         frame = gen_frame_dt(r, allow_missing=fam in MISSING_OK)
         kind, text = gen_program(r, fam)
+        if kind == "eval_both":
+            # both modes on one program (same contract as
+            # dialect_fuzz's eval_both): sequential golden required,
+            # frozen may legitimately raise on a created-field read
+            try:
+                nf = build_ref_frame_dt(frame)
+                seqf = nf.copy()
+                seqf.eval(text, inplace=True)
+                expect_seq = enc_frame(seqf)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"fam": fam, "text": text,
+                               "err": f"seq {type(e).__name__}: "
+                                      f"{e}"[:200]})
+                continue
+            rec = {"id": len(kept), "kind": kind, "text": text,
+                   "frame": frame, "expect_seq": expect_seq}
+            try:
+                rec["expect_frozen"] = enc_frame(nf.eval(text))
+            except Exception as e:  # noqa: BLE001
+                if type(e).__name__ in ("AttributeError", "KeyError",
+                                        "UndefinedVariableError"):
+                    rec["frozen_error"] = type(e).__name__
+                else:
+                    errors.append({"fam": fam, "text": text,
+                                   "err": f"frozen {type(e).__name__}: "
+                                          f"{e}"[:200]})
+                    continue
+            kept.append(rec)
+            counts[fam] = counts.get(fam, 0) + 1
+            continue
         try:
             nf = build_ref_frame_dt(frame)
             expect = run_reference(nf, kind, text)
