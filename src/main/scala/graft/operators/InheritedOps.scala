@@ -249,6 +249,100 @@ object InheritedOps {
       }.toSeq: _*)
   }
 
+  /** pandas `Series.rank(method=, ascending=, na_option=, pct=)` over
+    * one column, appended as `rank` (double, like pandas). Probed
+    * 2026-08-16: ties — average = (min+max)/2 of the tie block's
+    * positions, `first` breaks by row position (the carried index);
+    * na_option `keep` leaves missing ranks missing, `top`/`bottom`
+    * rank the missing group FIRST/LAST as one tie block; pct divides
+    * by the count of RANKED rows (non-missing under keep, all rows
+    * under top/bottom) except `dense`, which divides by the max dense
+    * rank. NaN ≡ missing (normalized on entry). Global ranking is a
+    * single-partition window — pass `partitionBy` for the per-key
+    * scale path, same contract as [[shiftRows]]. */
+  def rankRows(df: DataFrame, valueCol: String, method: String = "average",
+               ascending: Boolean = true, naOption: String = "keep",
+               pct: Boolean = false, tieCol: String = "k",
+               partitionBy: Seq[String] = Nil): DataFrame = {
+    require(Seq("average", "min", "max", "first", "dense").contains(method),
+      s"method must be average|min|max|first|dense, got '$method'")
+    require(Seq("keep", "top", "bottom").contains(naOption),
+      s"na_option must be keep|top|bottom, got '$naOption'")
+    val df0 = nanAsNull(df, Seq(valueCol))
+    val v = col(valueCol)
+    val ord =
+      (ascending, naOption) match {
+        case (true, "top")  => v.asc_nulls_first
+        case (true, _)      => v.asc_nulls_last
+        case (false, "top") => v.desc_nulls_first
+        case (false, _)     => v.desc_nulls_last
+      }
+    val base = if (partitionBy.nonEmpty)
+      Window.partitionBy(partitionBy.map(col): _*)
+    else Window.partitionBy()
+    val w = base.orderBy(ord)
+    val wTie = base.orderBy(ord, col(tieCol).asc)
+    val grp = Window.partitionBy((partitionBy.map(col) :+ v): _*)
+    val raw: Column = method match {
+      case "first"   => row_number().over(wTie).cast("double")
+      case "min"     => rank().over(w).cast("double")
+      case "max"     => (rank().over(w) + count(lit(1)).over(grp) - 1)
+        .cast("double")
+      case "average" => rank().over(w) + (count(lit(1)).over(grp) - 1) / 2.0
+      case "dense"   => dense_rank().over(w).cast("double")
+    }
+    val masked =
+      if (naOption == "keep") when(v.isNotNull, raw) else raw
+    val withRank = df0.withColumn("rank", masked)
+    if (!pct) withRank
+    else {
+      val denom: Column = method match {
+        case "dense" => max(col("rank")).over(base)
+        case _ if naOption == "keep" => count(v).over(base).cast("double")
+        case _ => count(lit(1)).over(base).cast("double")
+      }
+      withRank.withColumn("rank", col("rank") / denom)
+    }
+  }
+
+  /** pandas `cumsum`/`cummax`/`cummin` on one column along `orderCol`:
+    * a missing position STAYS missing, the running aggregate skips it
+    * (probed 2026-08-16). One prefix window. */
+  def cumulative(df: DataFrame, column: String, fn: String,
+                 orderCol: String,
+                 partitionBy: Seq[String] = Nil): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    val w = (if (partitionBy.nonEmpty)
+               Window.partitionBy(partitionBy.map(col): _*)
+             else Window.partitionBy())
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = fn match {
+      case "cumsum" => sum(col(column)).over(w)
+      case "cummax" => max(col(column)).over(w)
+      case "cummin" => min(col(column)).over(w)
+      case other => throw new IllegalArgumentException(
+        s"fn must be cumsum|cummax|cummin, got '$other'")
+    }
+    df0.withColumn(column,
+      when(col(column).isNotNull, agg))
+  }
+
+  /** pandas `diff(n)` on one column: value minus the value |n| positions
+    * before (after, for negative n) along `orderCol`; missing on either
+    * side propagates. */
+  def diffRows(df: DataFrame, column: String, n: Int, orderCol: String,
+               partitionBy: Seq[String] = Nil): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    val w = (if (partitionBy.nonEmpty)
+               Window.partitionBy(partitionBy.map(col): _*)
+             else Window.partitionBy())
+      .orderBy(col(orderCol))
+    val other = if (n >= 0) lag(col(column), n).over(w)
+                else lead(col(column), -n).over(w)
+    df0.withColumn(column, col(column) - other)
+  }
+
   /** pandas `melt(id_vars=, value_vars=)`: unpivot the value columns
     * into (variable, value) rows. pandas emits VARIABLE-MAJOR order
     * (all rows of value_vars[0], then value_vars[1], …; original row

@@ -317,6 +317,39 @@ class OpFuzzSpec extends SparkSpec {
             // by carried index asc, 'last' by index DESC (and the output
             // shows that order), 'all' extends the boundary tie group
             // (rank over the value keys alone).
+            // r12 tranche 6: Series.rank / cumsum / cummax / cummin /
+            // diff over one column — goldens are per-row values in
+            // carried-index order
+            case "rank_col" =>
+              val out = graft.operators.InheritedOps.rankRows(df,
+                args.get("col").asText(), args.get("method").asText(),
+                args.get("ascending").asBoolean(),
+                args.get("na_option").asText(),
+                args.get("pct").asBoolean(), tieCol = "k")
+              val got = out.orderBy(col("k")).select(col("rank"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"rank vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
+            case "cum_diff" =>
+              val cn = args.get("col").asText()
+              val fn = args.get("fn").asText()
+              val out =
+                if (fn == "diff")
+                  graft.operators.InheritedOps.diffRows(df, cn,
+                    args.get("n").asInt(), "k")
+                else graft.operators.InheritedOps.cumulative(df, cn, fn, "k")
+              val got = out.orderBy(col("k")).select(col(cn))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"$fn vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
             // r12 tranche 5: melt — variable-major order reconstructed by
             // (value_vars position, carried index); nest cells compare
             // whole (as id vars and as the value var)

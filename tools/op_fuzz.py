@@ -61,7 +61,12 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # whole both as id vars and as the value var — probe 2026-08-16)
        # and pivot_table (NULL keys drop, all-NaN columns then all-NaN
        # rows drop, keys sorted — the pandas dropna=True defaults)
-       "melt_frame", "pivot_table"]
+       "melt_frame", "pivot_table",
+       # r12 tranche 6: Series.rank over a column (tie methods, na_option
+       # top/bottom rank the missing group as one tie block, pct
+       # denominators probed 2026-08-16), and cumsum/cummax/cummin/diff
+       # (missing STAYS missing, running aggregate skips it)
+       "rank_col", "cum_diff"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -69,7 +74,8 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               6, 6,
               7,
               6, 4,
-              7, 7]
+              7, 7,
+              7, 6]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -335,6 +341,22 @@ def gen_op(r):
         return op, {"index": "s", "columns": "a", "values": "b",
                     "aggfunc": r.choice(["mean", "sum", "min", "max",
                                          "count"])}
+    if op == "rank_col":
+        # b carries NA (exercises na_option); a is tie-rich
+        return op, {"col": r.choice(["b", "a", "a"]),
+                    "method": r.choice(["average", "min", "max",
+                                        "first", "dense"]),
+                    "ascending": r.random() < 0.6,
+                    "na_option": r.choice(["keep", "keep", "top",
+                                           "bottom"]),
+                    "pct": r.random() < 0.3}
+    if op == "cum_diff":
+        fn = r.choice(["cumsum", "cummax", "cummin", "diff"])
+        args = {"fn": fn, "col": r.choice(["b", "a"])}
+        if fn == "diff":
+            args["n"] = r.choice([-2, -1, 1, 1, 2, 3])
+            args["col"] = "b"  # diff of int col upcasts oddly; pin double
+        return op, args
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -365,6 +387,17 @@ def run_reference(nf, op, args):
                 "variable": m["variable"].iloc[i],
                 "value": _enc_melt_value(m["value"].iloc[i])})
         return {"melt_rows": rows}
+    if op == "rank_col":
+        ser = nf[args["col"]].rank(method=args["method"],
+                                   ascending=args["ascending"],
+                                   na_option=args["na_option"],
+                                   pct=args["pct"])
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "cum_diff":
+        base = nf[args["col"]]
+        ser = (base.diff(args["n"]) if args["fn"] == "diff"
+               else getattr(base, args["fn"])())
+        return {"vals": [enc_val(v) for v in ser]}
     if op == "pivot_table":
         pt = nf.pivot_table(index=args["index"], columns=args["columns"],
                             values=args["values"], aggfunc=args["aggfunc"])
