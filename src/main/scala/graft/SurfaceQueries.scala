@@ -617,6 +617,34 @@ object SurfaceQueries {
       index = "l_returnflag", columns = "l_linestatus",
       values = "l_quantity", aggfunc = "sum")
 
+  /** InheritedOps.rankRows (pandas Series.rank, method='average',
+    * descending) per status group — keyed windows only; the average
+    * tie rank is integer-derived (rank + (tie_count-1)/2), so the
+    * oracle replays it exactly. */
+  val qRank: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.operators.InheritedOps.rankRows(o, "o_totalprice",
+        method = "average", ascending = false, tieCol = "o_orderkey",
+        partitionBy = Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("rank"))
+  }
+
+  /** InheritedOps.cumulative (pandas cumsum over an exact int column)
+    * + diffRows (pandas diff on price) per status group — prefix and
+    * lag windows, keyed only. */
+  val qCumDiff: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
+    val c1 = graft.operators.InheritedOps.cumulative(o, "o_custkey",
+      "cumsum", "o_orderkey", Seq("o_orderstatus"))
+    val c2 = graft.operators.InheritedOps.diffRows(c1, "o_totalprice", 1,
+      "o_orderkey", Seq("o_orderstatus"))
+    c2.select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_custkey").cast("long").as("cum_cust"),
+      round(col("o_totalprice") + lit(1e-9), 2).as("price_diff"))
+  }
+
   /** describeAll(approx=true) — the 100 TB sketch path: exact stats
     * (count/mean/std/min/max) are oracle-checked value-for-value; each
     * percentile_approx value is BOUND-CHECKED in-query against the exact
@@ -704,9 +732,28 @@ object SurfaceQueries {
     "q_ffill" -> qFfill,
     "q_melt" -> qMelt,
     "q_pivot" -> qPivot,
+    "q_rank" -> qRank,
+    "q_cum_diff" -> qCumDiff,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(rank() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY o_totalprice DESC)
+        |   + (count(*) OVER (PARTITION BY o_orderstatus, o_totalprice)
+        |      - 1) / 2.0 AS DOUBLE) AS rank
+        |FROM orders""".stripMargin,
+    "q_cum_diff" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(sum(o_custkey) OVER (PARTITION BY o_orderstatus
+        |   ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum_cust,
+        | round(o_totalprice - lag(o_totalprice) OVER (
+        |     PARTITION BY o_orderstatus ORDER BY o_orderkey) + 1e-9, 2)
+        |   AS price_diff
+        |FROM orders""".stripMargin,
     "q_melt" ->
       """SELECT o_orderkey, 'o_totalprice' AS variable,
         | CAST(o_totalprice AS DOUBLE) AS value FROM orders
