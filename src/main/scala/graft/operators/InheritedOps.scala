@@ -249,6 +249,48 @@ object InheritedOps {
       }.toSeq: _*)
   }
 
+  /** pandas `Series.idxmax`/`idxmin`: the carried index of the first
+    * occurrence (smallest `idxCol`) of the extreme value, missing
+    * skipped (probed 2026-08-16). One aggregate — the max-struct trick
+    * (value, then −idx) resolves the tie without a second pass. */
+  def idxExtreme(df: DataFrame, valueCol: String, idxCol: String,
+                 smallest: Boolean = false): DataFrame = {
+    val df0 = nanAsNull(df, Seq(valueCol))
+    val v0 = col(valueCol)
+    val v = if (smallest) v0 * lit(-1) else v0
+    df0.where(v0.isNotNull)
+      .agg(max(struct(v.as("v"), (col(idxCol) * -1).as("ni"))).as("m"))
+      .select((col("m.ni") * -1).as("idx"))
+  }
+
+  /** pandas `Series.mode()`: every value with the maximal count, sorted
+    * ascending; missing excluded. Two keyed aggregates, no window. */
+  def modeValues(df: DataFrame, column: String): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    val counted = df0.where(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("__c"))
+    counted.join(broadcast(counted.agg(max(col("__c")).as("__m"))),
+        col("__c") === col("__m"))
+      .select(col(column)).orderBy(col(column).asc)
+  }
+
+  /** pandas `Series.quantile(q)` (linear interpolation, missing
+    * skipped) — Spark's exact `percentile` uses the same continuous
+    * definition (probed: q=0.3 over {1,2,3} with NaNs → 1.9 on both). */
+  def quantileLinear(df: DataFrame, column: String, q: Double): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    df0.agg(percentile(col(column), lit(q)).as("q"))
+  }
+
+  /** pandas `Series.nunique(dropna=)`. */
+  def nUnique(df: DataFrame, column: String,
+              dropna: Boolean = true): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    if (dropna) df0.agg(countDistinct(col(column)).as("n"))
+    else df0.agg((countDistinct(col(column)) +
+      max(when(col(column).isNull, 1).otherwise(0))).as("n"))
+  }
+
   /** pandas `Series.rank(method=, ascending=, na_option=, pct=)` over
     * one column, appended as `rank` (double, like pandas). Probed
     * 2026-08-16: ties — average = (min+max)/2 of the tie block's

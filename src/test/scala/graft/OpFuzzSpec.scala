@@ -317,6 +317,37 @@ class OpFuzzSpec extends SparkSpec {
             // by carried index asc, 'last' by index DESC (and the output
             // shows that order), 'all' extends the boundary tie group
             // (rank over the value keys alone).
+            // r12 tranche 7: column-stat verbs — scalar (or small-list)
+            // goldens
+            case "col_stats" =>
+              val cn = args.get("col").asText()
+              args.get("fn").asText() match {
+                case f @ ("idxmax" | "idxmin") =>
+                  val got = graft.operators.InheritedOps.idxExtreme(df, cn,
+                    "k", smallest = f == "idxmin").head().getAs[Any](0)
+                  if (scalarMatches(got, c.get("expect").get("val"))) None
+                  else Some(s"$f: got $got expected " +
+                    s"${c.get("expect").get("val")}")
+                case "mode" =>
+                  val got = graft.operators.InheritedOps.modeValues(df, cn)
+                    .collect().map(_.getAs[Any](0)).toVector
+                  val exp = c.get("expect").get("vals")
+                  if (got.length == exp.size() && got.zipWithIndex.forall {
+                      case (v, i) => scalarMatches(v, exp.get(i)) }) None
+                  else Some(s"mode: got ${got.mkString(",")} expected $exp")
+                case "quantile" =>
+                  val got = graft.operators.InheritedOps.quantileLinear(df,
+                    cn, args.get("q").asDouble()).head().getAs[Any](0)
+                  if (scalarMatches(got, c.get("expect").get("val"))) None
+                  else Some(s"quantile: got $got expected " +
+                    s"${c.get("expect").get("val")}")
+                case "nunique" =>
+                  val got = graft.operators.InheritedOps.nUnique(df, cn,
+                    args.get("dropna").asBoolean()).head().getAs[Any](0)
+                  if (scalarMatches(got, c.get("expect").get("val"))) None
+                  else Some(s"nunique: got $got expected " +
+                    s"${c.get("expect").get("val")}")
+              }
             // r12 tranche 6: Series.rank / cumsum / cummax / cummin /
             // diff over one column — goldens are per-row values in
             // carried-index order

@@ -66,7 +66,12 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # top/bottom rank the missing group as one tie block, pct
        # denominators probed 2026-08-16), and cumsum/cummax/cummin/diff
        # (missing STAYS missing, running aggregate skips it)
-       "rank_col", "cum_diff"]
+       "rank_col", "cum_diff",
+       # r12 tranche 7: column-stat verbs — idxmax/idxmin (FIRST
+       # occurrence, missing skipped), mode (all modal values sorted,
+       # missing excluded), quantile (linear interp, missing skipped),
+       # nunique(dropna=) — probed 2026-08-16
+       "col_stats"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -75,7 +80,8 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               7,
               6, 4,
               7, 7,
-              7, 6]
+              7, 6,
+              7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -357,6 +363,19 @@ def gen_op(r):
             args["n"] = r.choice([-2, -1, 1, 1, 2, 3])
             args["col"] = "b"  # diff of int col upcasts oddly; pin double
         return op, args
+    if op == "col_stats":
+        fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique"])
+        args = {"fn": fn,
+                # idxmax/idxmin numeric only (graft's tie trick negates);
+                # mode/nunique also draw the string column
+                "col": r.choice(["a", "b"]) if fn in ("idxmax", "idxmin",
+                                                      "quantile")
+                       else r.choice(["a", "b", "s"])}
+        if fn == "quantile":
+            args["q"] = r.choice([0.0, 0.25, 0.3, 0.5, 0.75, 0.9, 1.0])
+        if fn == "nunique":
+            args["dropna"] = r.random() < 0.7
+        return op, args
     return op, {}  # to_flat / explode / to_lists / zip_nests
 
 
@@ -387,6 +406,16 @@ def run_reference(nf, op, args):
                 "variable": m["variable"].iloc[i],
                 "value": _enc_melt_value(m["value"].iloc[i])})
         return {"melt_rows": rows}
+    if op == "col_stats":
+        base = nf[args["col"]]
+        fn = args["fn"]
+        if fn in ("idxmax", "idxmin"):
+            return {"val": enc_val(getattr(base, fn)())}
+        if fn == "mode":
+            return {"vals": [enc_val(v) for v in base.mode()]}
+        if fn == "quantile":
+            return {"val": enc_val(base.quantile(args["q"]))}
+        return {"val": enc_val(base.nunique(dropna=args["dropna"]))}
     if op == "rank_col":
         ser = nf[args["col"]].rank(method=args["method"],
                                    ascending=args["ascending"],
