@@ -43,12 +43,13 @@ object InheritedOps {
     }.toSeq: _*)
   }
 
-  /** Fail loudly (like pandas' "cannot reindex on an axis with duplicate
-    * labels" / update's ValueError) if `key` is non-unique in `df`: a
-    * duplicate key on the `other` side of combine_first/update would
-    * silently MULTIPLY rows through the join. One window over the join
-    * key — the exchange it introduces is the same hash partitioning the
-    * join needs, so AQE reuses it. */
+  /** Fail loudly (like pandas update's ValueError on a non-unique other
+    * index) if `key` is non-unique in `df`: a duplicate key on the
+    * `other` side of update would silently MULTIPLY rows through the
+    * join. Used by [[updateFrom]] ONLY — pandas combine_first ACCEPTS
+    * duplicate other-keys and multiplies (probe 2026-08-16, r12 review).
+    * One window over the join key — the exchange it introduces is the
+    * same hash partitioning the join needs, so AQE reuses it. */
   private def requireUniqueKey(df: DataFrame, key: String,
                                verb: String): DataFrame = {
     // The window count is materialized in a projection (windows are not
@@ -212,11 +213,11 @@ object InheritedOps {
     val extra = other.columns.filterNot(c => c == key ||
       df.columns.contains(c))
     // NaN counts as missing on BOTH sides (a NaN cell in `df` fills from
-    // `other`, like pandas); duplicate keys in `other` raise, like
-    // pandas' duplicate-labels reindex error.
+    // `other`, like pandas). Duplicate keys in `other` are ACCEPTED and
+    // multiply rows through the outer join — pandas combine_first does
+    // exactly that (probe 2026-08-16, r12 review; only `update` raises).
     val df1 = nanAsNull(df, shared.toSeq)
-    val o = requireUniqueKey(
-      nanAsNull(other, shared.toSeq), key, "combineFirst").select(col(key) +:
+    val o = nanAsNull(other, shared.toSeq).select(col(key) +:
       other.columns.filterNot(_ == key)
         .map(cn => col(cn).as("__o_" + cn)).toSeq: _*)
     df1.join(o, Seq(key), "outer")
@@ -287,8 +288,11 @@ object InheritedOps {
               dropna: Boolean = true): DataFrame = {
     val df0 = nanAsNull(df, Seq(column))
     if (dropna) df0.agg(countDistinct(col(column)).as("n"))
+    // coalesce: max over an EMPTY frame is NULL, and 0 + NULL would
+    // turn pandas' 0 into NULL (r12 review)
     else df0.agg((countDistinct(col(column)) +
-      max(when(col(column).isNull, 1).otherwise(0))).as("n"))
+      coalesce(max(when(col(column).isNull, 1).otherwise(0)),
+        lit(0))).as("n"))
   }
 
   /** pandas `Series.rank(method=, ascending=, na_option=, pct=)` over

@@ -16,7 +16,8 @@ object SemanticProbe {
     // sfDir whose embeddings.parquet becomes the base corpus (r12: the
     // 100×-corpus planted-recall check — copies planted at +10^12, far
     // beyond any replica id span)
-    val srcDir = args.headOption.filterNot(_.forall(_.isDigit))
+    val srcDir = args.headOption.filterNot(a =>
+      scala.util.Try(a.toLong).isSuccess)
     val n = if (srcDir.isEmpty && args.length > 0) args(0).toLong
             else 500000L
     val dups = if (args.length > 1) args(1).toInt else 1000

@@ -99,7 +99,24 @@ class DialectFuzzSpec extends SparkSpec {
                 NestedExpr.eval(df, text, inplace = false).collect()
                 Some(s"frozen mode must RAISE " +
                   s"(${c.get("frozen_error").asText()}); graft accepted")
-              } catch { case _: Exception => None }
+              } catch {
+                // r12 review: accept ONLY the deliberate created-field
+                // resolution errors, not any engine crash — an unrelated
+                // parse/analysis bug must FAIL this case, not pass as
+                // "raised like the reference". Two legitimate shapes:
+                // a created NEST read ("Unresolvable column path") and a
+                // created FIELD on an existing nest (FIELD_NOT_FOUND
+                // resolving against the frozen original struct).
+                case e: IllegalArgumentException
+                  if Option(e.getMessage).exists(
+                    _.contains("Unresolvable column path")) => None
+                case e: org.apache.spark.sql.AnalysisException
+                  if e.getErrorClass == "FIELD_NOT_FOUND" => None
+                case e: Exception =>
+                  Some(s"frozen raise has the wrong shape: " +
+                    s"${e.getClass.getSimpleName}: " +
+                    s"${Option(e.getMessage).getOrElse("").take(140)}")
+              }
             } else
               try compareFrame(NestedExpr.eval(df, text, inplace = false),
                 c.get("expect_frozen"))

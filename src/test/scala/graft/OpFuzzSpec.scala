@@ -544,11 +544,34 @@ class OpFuzzSpec extends SparkSpec {
             // carried index; f2 carries a SUBSET of f1's columns
             case "combine_update" =>
               val df2 = buildFrame(spark, c.get("frame2"))
-              val out =
-                if (args.get("fn").asText() == "combine_first")
-                  graft.operators.InheritedOps.combineFirst(df, df2, "k")
-                else graft.operators.InheritedOps.updateFrom(df, df2, "k")
-              compareFrame(out, c.get("expect"))
+              val isCF = args.get("fn").asText() == "combine_first"
+              if (c.has("expect_error")) {
+                // pandas update RAISES on a non-unique other index —
+                // graft's updateFrom must too (requireUniqueKey)
+                try {
+                  graft.operators.InheritedOps.updateFrom(df, df2, "k")
+                    .collect()
+                  Some("reference update RAISES on duplicate other keys; " +
+                    "graft accepted")
+                } catch { case _: Exception => None }
+              } else if (c.get("expect").has("k_labels")) {
+                // combine_first with DUPLICATE other keys: pandas accepts
+                // and multiplies — pin the output's sorted index labels
+                val got = graft.operators.InheritedOps
+                  .combineFirst(df, df2, "k")
+                  .collect().map(_.getAs[Long]("k")).sorted.toVector
+                val exp = c.get("expect").get("k_labels").elements()
+                  .asScala.map(_.asLong()).toVector
+                if (got == exp) None
+                else Some(s"combine_first dup-key labels: got " +
+                  s"${got.mkString(",")} expected ${exp.mkString(",")}")
+              } else {
+                val out =
+                  if (isCF)
+                    graft.operators.InheritedOps.combineFirst(df, df2, "k")
+                  else graft.operators.InheritedOps.updateFrom(df, df2, "k")
+                compareFrame(out, c.get("expect"))
+              }
             // df[df.duplicated(subset, keep)] — the rows MARKED duplicate
             case "dup_filter" =>
               val kNode = args.get("keep")

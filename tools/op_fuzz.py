@@ -1146,6 +1146,16 @@ def main():
             f2 = gen_frame(r, allow_missing=True)
             lo = r.randint(-2, max(1, len(f1["k"]) - 2))
             f2["k"] = [lo + i for i in range(len(f2["k"]))]
+            # r12 review: ~1 in 4 draws DUPLICATE a key in `other` — the
+            # previously-unexercised path. pandas `update` RAISES
+            # (ValueError, non-unique other index) → pinned as raise
+            # parity; `combine_first` ACCEPTS and MULTIPLIES rows → the
+            # duplicated-label output can't ride the k-keyed frame
+            # comparator, so its golden is the output SHAPE (sorted index
+            # labels), which pins exactly the multiplication behavior.
+            dup = r.random() < 0.25 and len(f2["k"]) >= 2
+            if dup:
+                f2["k"][-1] = f2["k"][0]
             for c_ in r.sample(["a", "b", "s"], r.randint(0, 2)):
                 del f2["base"][c_]
             if r.random() < 0.4:
@@ -1155,10 +1165,29 @@ def main():
             try:
                 nf1, nf2 = build_ref_frame(f1), build_ref_frame(f2)
                 if args["fn"] == "combine_first":
-                    expect = enc_frame(nf1.combine_first(nf2))
+                    res = nf1.combine_first(nf2)
+                    if dup:
+                        kept.append({"id": len(kept), "op": op,
+                                     "args": args, "frame": f1,
+                                     "frame2": f2,
+                                     "expect": {"k_labels": sorted(
+                                         int(v) for v in res.index)}})
+                        counts[op] = counts.get(op, 0) + 1
+                        continue
+                    expect = enc_frame(res)
                 else:
                     cpy = nf1.copy()
-                    cpy.update(nf2)
+                    try:
+                        cpy.update(nf2)
+                    except ValueError:
+                        if dup:  # pandas: non-unique other index raises
+                            kept.append({"id": len(kept), "op": op,
+                                         "args": args, "frame": f1,
+                                         "frame2": f2,
+                                         "expect_error": True})
+                            counts[op] = counts.get(op, 0) + 1
+                            continue
+                        raise
                     expect = enc_frame(cpy)
             except Exception as e:  # noqa: BLE001
                 errors.append({"op": op, "args": args,
