@@ -295,6 +295,31 @@ object InheritedOps {
         lit(0))).as("n"))
   }
 
+  /** pandas `groupby(key)[value].transform(fn)`: the per-group statistic
+    * broadcast back to every row, appended as `transformed`. Probed
+    * 2026-08-16: a missing group KEY yields a missing result (groupby
+    * dropna default) — even for `size`; `count` counts non-missing
+    * values, `size` counts rows; `sum` is min_count=0 (an all-missing
+    * group reads 0.0, not missing). One keyed window — the 100 TB
+    * lag-features shape, no global ordering. */
+  def groupTransform(df: DataFrame, keyCol: String, valueCol: String,
+                     fn: String): DataFrame = {
+    val df0 = nanAsNull(df, Seq(keyCol, valueCol))
+    val w = Window.partitionBy(col(keyCol))
+    val v = col(valueCol)
+    val agg: Column = fn match {
+      case "mean"  => avg(v).over(w)
+      case "sum"   => coalesce(sum(v).over(w), lit(0.0))
+      case "max"   => max(v).over(w)
+      case "min"   => min(v).over(w)
+      case "count" => count(v).over(w).cast("long")
+      case "size"  => count(lit(1)).over(w).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"fn must be mean|sum|max|min|count|size, got '$other'")
+    }
+    df0.withColumn("transformed", when(col(keyCol).isNotNull, agg))
+  }
+
   /** pandas `Series.rank(method=, ascending=, na_option=, pct=)` over
     * one column, appended as `rank` (double, like pandas). Probed
     * 2026-08-16: ties — average = (min+max)/2 of the tie block's

@@ -317,6 +317,19 @@ class OpFuzzSpec extends SparkSpec {
             // by carried index asc, 'last' by index DESC (and the output
             // shows that order), 'all' extends the boundary tie group
             // (rank over the value keys alone).
+            // r12 tranche 8: groupby transform — per-row broadcast stat
+            case "group_transform" =>
+              val out = graft.operators.InheritedOps.groupTransform(df,
+                args.get("key").asText(), args.get("value").asText(),
+                args.get("fn").asText())
+              val got = out.orderBy(col("k")).select(col("transformed"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"transform vals: got ${got.take(12).mkString(",")}" +
+                s" expected $exp")
             // r12 tranche 7: column-stat verbs — scalar (or small-list)
             // goldens
             case "col_stats" =>

@@ -71,7 +71,12 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # occurrence, missing skipped), mode (all modal values sorted,
        # missing excluded), quantile (linear interp, missing skipped),
        # nunique(dropna=) — probed 2026-08-16
-       "col_stats"]
+       "col_stats",
+       # r12 tranche 8: groupby(key)[value].transform(fn) — per-group
+       # stat broadcast to rows; missing KEY -> missing result (groupby
+       # dropna), count = non-missing values, size = rows, sum is
+       # min_count=0 — probed 2026-08-16
+       "group_transform"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -81,6 +86,7 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               6, 4,
               7, 7,
               7, 6,
+              7,
               7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
@@ -363,6 +369,13 @@ def gen_op(r):
             args["n"] = r.choice([-2, -1, 1, 1, 2, 3])
             args["col"] = "b"  # diff of int col upcasts oddly; pin double
         return op, args
+    if op == "group_transform":
+        key = r.choice(["a", "s"])
+        return op, {"key": key,
+                    "value": "b" if key == "a" or r.random() < 0.7
+                             else "a",
+                    "fn": r.choice(["mean", "sum", "max", "min",
+                                    "count", "size"])}
     if op == "col_stats":
         fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique"])
         args = {"fn": fn,
@@ -406,6 +419,9 @@ def run_reference(nf, op, args):
                 "variable": m["variable"].iloc[i],
                 "value": _enc_melt_value(m["value"].iloc[i])})
         return {"melt_rows": rows}
+    if op == "group_transform":
+        ser = nf.groupby(args["key"])[args["value"]].transform(args["fn"])
+        return {"vals": [enc_val(v) for v in ser]}
     if op == "col_stats":
         base = nf[args["col"]]
         fn = args["fn"]
