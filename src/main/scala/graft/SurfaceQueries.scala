@@ -535,6 +535,77 @@ object SurfaceQueries {
         col("p").as("p_filled"))
   }
 
+  /** InheritedOps.rollingAgg (pandas rolling(4, min_periods=2).mean())
+    * per status group over a deterministically-nulled price — exercises
+    * the non-NA min_periods gate through the oracle. Keyed windows
+    * only; one hash shuffle at any scale. */
+  val qRolling: Q = (s, dir) => {
+    val o = rd(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      when(pmod(col("o_orderkey"), lit(5)) === 3, lit(null))
+        .otherwise(col("o_totalprice")).as("p"))
+    graft.operators.InheritedOps.rollingAgg(o, "p", "mean",
+        window = 4, minPeriods = Some(2), orderCol = "o_orderkey",
+        partitionBy = Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("rolled") + lit(1e-9), 4).as("roll_mean"))
+  }
+
+  /** InheritedOps.interpolateLinear (pandas interpolate, linear by
+    * position) per status group over a deterministically-nulled price:
+    * leading missing stays missing, interior gaps fill linearly,
+    * trailing missing carries the last value. */
+  val qInterp: Q = (s, dir) => {
+    val o = rd(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderstatus"),
+      when(pmod(col("o_orderkey"), lit(7)) < 2, lit(null))
+        .otherwise(col("o_totalprice")).as("p"))
+    graft.operators.InheritedOps.interpolateLinear(o, "p",
+        "o_orderkey", Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("p") + lit(1e-9), 4).as("p_interp"))
+  }
+
+  /** InheritedOps.cutBins (pandas cut with explicit edges,
+    * labels=False): right-closed quantity bins — edge values (10, 25,
+    * 50) are live data points, so the (lo, hi] boundary rule is what's
+    * being hashed. Binning is a codegen'd projection; one group-by. */
+  val qCut: Q = (s, dir) =>
+    lines(s, dir, "l_quantity")
+      .withColumn("bin", graft.operators.InheritedOps.cutBins(
+        col("l_quantity"), Seq(0.0, 10.0, 25.0, 50.0)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+
+  /** InheritedOps.qcutBins (pandas qcut, labels=False) on an integer
+    * key at q=4: quartile positions are dyadic and the data integral,
+    * so the exact-percentile edges are bit-identical on both engines
+    * (the interpolated-quantile parity itself is pinned by the
+    * tranche-7 quantile fuzz family). One percentile aggregate + one
+    * binning projection + one group-by. */
+  val qQcut: Q = (s, dir) =>
+    graft.operators.InheritedOps.qcutBins(
+        rd(s, dir, "orders").select("o_custkey"), "o_custkey", 4)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_custkey")).cast("long").as("lo"),
+        max(col("o_custkey")).cast("long").as("hi"))
+
+  /** InheritedOps.corrCov (pandas Series.corr/cov — pairwise-complete
+    * sample statistics): two 1-row aggregates cross-joined (broadcast,
+    * the adjudicated 1-row pattern). */
+  val qCorr: Q = (s, dir) => {
+    val l = lines(s, dir, "l_quantity", "l_extendedprice")
+    val c1 = graft.operators.InheritedOps.corrCov(l, "l_quantity",
+      "l_extendedprice", "corr")
+      .select(round(col("stat") + lit(1e-9), 6).as("corr"))
+    val c2 = graft.operators.InheritedOps.corrCov(l, "l_quantity",
+      "l_extendedprice", "cov")
+      .select(round(col("stat") + lit(1e-9), 2).as("cov"))
+    c1.crossJoin(c2)
+  }
+
   val qFlagship: Q = (s, dir) => {
     val nf = rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
       .joinNested(lines(s, dir, "l_quantity", "l_extendedprice",
@@ -734,9 +805,80 @@ object SurfaceQueries {
     "q_pivot" -> qPivot,
     "q_rank" -> qRank,
     "q_cum_diff" -> qCumDiff,
+    "q_rolling" -> qRolling,
+    "q_interp" -> qInterp,
+    "q_cut" -> qCut,
+    "q_qcut" -> qQcut,
+    "q_corr" -> qCorr,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rolling" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CASE WHEN count(p) OVER w >= 2
+        |      THEN round(avg(p) OVER w + 1e-9, 4) END AS roll_mean
+        |FROM (SELECT o_orderkey, o_orderstatus,
+        |        CASE WHEN o_orderkey % 5 = 3 THEN NULL
+        |             ELSE o_totalprice END AS p
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "q_interp" ->
+      """WITH posed AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 < 2 THEN NULL
+        |         ELSE o_totalprice END AS p,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey) AS DOUBLE) AS pos
+        |  FROM orders),
+        |marked AS (
+        |  SELECT o_orderkey, o_orderstatus, p, pos,
+        |    last_value(p IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN p IS NOT NULL THEN pos END
+        |      IGNORE NULLS) OVER wp AS pi,
+        |    first_value(p IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN p IS NOT NULL THEN pos END
+        |      IGNORE NULLS) OVER wn AS ni
+        |  FROM posed
+        |  WINDOW wp AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT o_orderkey, o_orderstatus,
+        | round(CASE WHEN p IS NOT NULL THEN p
+        |       WHEN pv IS NULL THEN NULL
+        |       WHEN nv IS NULL THEN pv
+        |       ELSE pv + (nv - pv) * ((pos - pi) / (ni - pi)) END
+        |   + 1e-9, 4) AS p_interp
+        |FROM marked""".stripMargin,
+    "q_cut" ->
+      """SELECT CAST(CASE WHEN l_quantity > 0 AND l_quantity <= 10 THEN 0
+        |        WHEN l_quantity > 10 AND l_quantity <= 25 THEN 1
+        |        WHEN l_quantity > 25 AND l_quantity <= 50 THEN 2
+        |   END AS BIGINT) AS bin,
+        | count(*) AS cnt, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_qcut" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(CAST(o_custkey AS DOUBLE), 0.25) AS q1,
+        |         quantile_cont(CAST(o_custkey AS DOUBLE), 0.5)  AS q2,
+        |         quantile_cont(CAST(o_custkey AS DOUBLE), 0.75) AS q3
+        |  FROM orders)
+        |SELECT CAST(CASE WHEN o_custkey <= q1 THEN 0
+        |            WHEN o_custkey <= q2 THEN 1
+        |            WHEN o_custkey <= q3 THEN 2
+        |            ELSE 3 END AS BIGINT) AS bin,
+        | count(*) AS cnt,
+        | CAST(min(o_custkey) AS BIGINT) AS lo,
+        | CAST(max(o_custkey) AS BIGINT) AS hi
+        |FROM orders, e GROUP BY 1""".stripMargin,
+    "q_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice) + 1e-9, 6)
+        |   AS corr,
+        | round(covar_samp(l_quantity, l_extendedprice) + 1e-9, 2)
+        |   AS cov
+        |FROM lineitem""".stripMargin,
     "q_rank" ->
       """SELECT o_orderkey, o_orderstatus,
         | CAST(rank() OVER (PARTITION BY o_orderstatus

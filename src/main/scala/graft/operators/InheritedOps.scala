@@ -529,4 +529,277 @@ object InheritedOps {
             else first(col(c), ignoreNulls = true)).over(w).as(c)
     }.toSeq: _*)
   }
+
+  /** pandas `rolling(window, min_periods=).fn()` / `expanding(mp).fn()`
+    * over one column along `orderCol`, appended as `rolled` (double —
+    * pandas rolling always returns float64). Probed 2026-08-16
+    * (pandas 2.2.2):
+    *  - the aggregate SKIPS missing values inside the window
+    *    (mean of [1, NaN] with min_periods=1 is 1.0);
+    *  - the min_periods gate counts NON-MISSING values in the window
+    *    for every kernel EXCEPT `count`, whose gate counts ROWS
+    *    (rolling(3).count() over [1, NaN, 3] reads 2.0 — the row count
+    *    met the default min_periods=window, the non-NA count did not);
+    *  - min_periods defaults: window (rolling), 1 (expanding).
+    * std/var are sample (ddof=1) ≡ stddev_samp/var_samp. One bounded
+    * rows-window — map-side, no shuffle beyond the `partitionBy` hash;
+    * the unpartitioned form is a single-partition sort, fine only for
+    * small frames (same contract as [[shiftRows]]). */
+  def rollingAgg(df: DataFrame, column: String, fn: String, window: Int,
+                 minPeriods: Option[Int] = None, orderCol: String = "k",
+                 partitionBy: Seq[String] = Nil,
+                 expanding: Boolean = false): DataFrame = {
+    require(window > 0 || expanding, s"window must be positive, got $window")
+    val mp = minPeriods.getOrElse(if (expanding) 1 else window)
+    val df0 = nanAsNull(df, Seq(column))
+    val w0 = (if (partitionBy.nonEmpty)
+                Window.partitionBy(partitionBy.map(col): _*)
+              else Window.partitionBy())
+      .orderBy(col(orderCol))
+    val w =
+      if (expanding) w0.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      else w0.rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val v = col(column)
+    val agg: Column = fn match {
+      case "mean"  => avg(v).over(w)
+      case "sum"   => sum(v).over(w).cast("double")
+      case "min"   => min(v).over(w).cast("double")
+      case "max"   => max(v).over(w).cast("double")
+      case "std"   => stddev_samp(v).over(w)
+      case "var"   => var_samp(v).over(w)
+      case "count" => count(v).over(w).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"fn must be mean|sum|min|max|std|var|count, got '$other'")
+    }
+    val gate =
+      if (fn == "count") count(lit(1)).over(w) >= mp
+      else count(v).over(w) >= mp
+    df0.withColumn("rolled", when(gate, agg))
+  }
+
+  /** pandas `interpolate()` (method='linear', the default forward
+    * limit_direction) on one column along `orderCol`: interior gaps fill
+    * linearly between the nearest present neighbors BY POSITION (pandas
+    * 'linear' treats rows as equally spaced, the index is ignored),
+    * leading missing stays missing, trailing missing carries the last
+    * present value (probed 2026-08-16: [NaN,1,NaN,NaN,4,NaN] →
+    * [NaN,1,2,3,4,4]). The slope term mirrors np.interp's evaluation
+    * order — prev + (next-prev) * gap-fraction. Three windows over one
+    * sort (two prefix, one suffix), no shuffle beyond `partitionBy`. */
+  def interpolateLinear(df: DataFrame, column: String, orderCol: String,
+                        partitionBy: Seq[String] = Nil): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    val base = (if (partitionBy.nonEmpty)
+                  Window.partitionBy(partitionBy.map(col): _*)
+                else Window.partitionBy())
+      .orderBy(col(orderCol))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow,
+      Window.unboundedFollowing)
+    val v = col(column).cast("double")
+    val pos = row_number().over(base).cast("double")
+    val out = df0
+      .withColumn("__pos", pos)
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("__pi", last(when(v.isNotNull, col("__pos")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("__ni", first(when(v.isNotNull, col("__pos")),
+        ignoreNulls = true).over(wNext))
+    out.withColumn(column,
+        when(v.isNotNull, v)
+          .when(col("__pv").isNull, lit(null))
+          .when(col("__nv").isNull, col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            ((col("__pos") - col("__pi")) / (col("__ni") - col("__pi")))))
+      .drop("__pos", "__pv", "__pi", "__nv", "__ni")
+  }
+
+  /** pandas `clip(lower, upper)` on one column: values cap at the
+    * bounds, missing passes through UNCHANGED. Spark's greatest/least
+    * SKIP nulls (greatest(NULL, lo) = lo — which would clip a missing
+    * value to the bound), so the missing guard is explicit. Bound types
+    * follow Spark coercion ≡ pandas: an int column with int bounds
+    * stays int, a float bound upcasts (probed 2026-08-16). */
+  def clipValues(c: Column, lower: Option[Column],
+                 upper: Option[Column]): Column = {
+    require(lower.nonEmpty || upper.nonEmpty,
+      "clip needs at least one of lower/upper")
+    val lowered = lower.map(lo => greatest(c, lo)).getOrElse(c)
+    val clipped = upper.map(hi => least(lowered, hi)).getOrElse(lowered)
+    when(c.isNull || isnan(c.cast("double")), c).otherwise(clipped)
+  }
+
+  /** pandas `pct_change(n)` on one column along `orderCol`:
+    * value / value-n-rows-before − 1. `fillMethod="pad"` (the pandas
+    * 2.2.2 default, deprecated but active) forward-fills non-leading
+    * missing values BEFORE the ratio — both numerator and denominator
+    * read padded values; `fillMethod=None` leaves missing in place
+    * (a missing side propagates). Division by zero follows pandas'
+    * IEEE result (±inf, 0/0 → missing) rather than SQL NULL. Negative
+    * n looks forward. */
+  def pctChange(df: DataFrame, column: String, n: Int = 1,
+                orderCol: String = "k", partitionBy: Seq[String] = Nil,
+                fillMethod: Option[String] = Some("pad")): DataFrame = {
+    require(n != 0, "pct_change periods must be nonzero")
+    val df0 = nanAsNull(df, Seq(column))
+    val base = (if (partitionBy.nonEmpty)
+                  Window.partitionBy(partitionBy.map(col): _*)
+                else Window.partitionBy())
+      .orderBy(col(orderCol))
+    val cur: Column = fillMethod match {
+      case Some("pad") => last(col(column), ignoreNulls = true)
+        .over(base.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow))
+      case None => col(column)
+      case Some(other) => throw new IllegalArgumentException(
+        s"fill_method must be pad or None, got '$other'")
+    }
+    val df1 = df0.withColumn("__cur", cur.cast("double"))
+    val prev = (if (n >= 0) lag(col("__cur"), n)
+                else lead(col("__cur"), -n)).over(base)
+    df1.withColumn("pct_change",
+        when(col("__cur").isNull || prev.isNull, lit(null))
+          .when(prev === 0.0 && col("__cur") === 0.0,
+            lit(Double.NaN))
+          .when(prev === 0.0,
+            when(col("__cur") > 0, lit(Double.PositiveInfinity))
+              .otherwise(lit(Double.NegativeInfinity)))
+          .otherwise(col("__cur") / prev - 1.0))
+      .drop("__cur")
+  }
+
+  /** pandas `pd.cut(x, edges, labels=False)`: the 0-based bin index of
+    * each value against EXPLICIT edges, missing/out-of-range → missing.
+    * `right=true` bins are (lo, hi] — a value equal to the leftmost
+    * edge falls OUT unless `includeLowest` closes the first bin;
+    * `right=false` bins are [lo, hi). The chained CASE stays inside
+    * whole-stage codegen; bin counts are user-written (≲ hundreds), so
+    * the linear chain beats a binary-search expression in practice. */
+  def cutBins(c: Column, edges: Seq[Double], right: Boolean = true,
+              includeLowest: Boolean = false): Column = {
+    require(edges.size >= 2, "cut needs at least two edges")
+    require(edges == edges.sorted, "cut edges must be ascending")
+    var out: Column = lit(null).cast("long")
+    for (i <- edges.indices.dropRight(1)) {
+      val lo = lit(edges(i)); val hi = lit(edges(i + 1))
+      val cond =
+        if (right)
+          ((c > lo) || (if (includeLowest && i == 0) c === lo
+                        else lit(false))) && (c <= hi)
+        else (c >= lo) && (c < hi)
+      out = when(cond, lit(i.toLong)).otherwise(out)
+    }
+    when(c.isNull || isnan(c.cast("double")), lit(null).cast("long"))
+      .otherwise(out)
+  }
+
+  /** pandas `pd.cut(x, n_bins, labels=False)` (integer bins): edges are
+    * np.linspace(min, max, bins+1) with the outermost edge pushed 0.1%
+    * of the range OUTWARD (left edge for right-closed bins, right edge
+    * otherwise — probed 2026-08-16: cut of [0..10] into 2 has edges
+    * [-0.01, 5, 10]), so every value lands in a bin. The edge formula
+    * mirrors np.linspace's `start + i*step` evaluation order for
+    * bit-identical boundaries. Two scans: one min/max aggregate, one
+    * binning projection; appends `bin`. */
+  def cutUniform(df: DataFrame, column: String, bins: Int,
+                 right: Boolean = true): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    val df0 = nanAsNull(df, Seq(column))
+    val mmRow = df0.agg(min(col(column).cast("double")),
+      max(col(column).cast("double"))).head()
+    if (mmRow.isNullAt(0)) // empty or all-missing column: every bin is
+      return df0.withColumn("bin", lit(null).cast("long")) // missing
+    val (mn, mx) = (mmRow.getDouble(0), mmRow.getDouble(1))
+    val step = (mx - mn) / bins
+    val inner = (0 to bins).map(i => mn + step * i).toArray
+    inner(bins) = mx
+    val adj = (mx - mn) * 0.001
+    if (right) inner(0) = mn - adj else inner(bins) = mx + adj
+    df0.withColumn("bin", cutBins(col(column), inner.toSeq, right))
+  }
+
+  /** pandas `pd.qcut(x, q, labels=False, duplicates=)`: quantile-based
+    * bin index. Bin assignment is DISCRETE, so the edges must be
+    * bit-identical to pandas', not merely close — and pandas' edge is
+    * NOT the textbook linear-interpolation quantile: `Series.quantile`
+    * routes through `np.percentile(vals, q*100)`, and the ×100/÷100
+    * round-trip shifts non-dyadic probabilities by an ulp, which
+    * systematically reassigns every data value sitting ON a nominal
+    * quantile position (qcut of n values at q | n−1 puts edges exactly
+    * on data points — the worst case). This function replays the whole
+    * float chain: linspace step `i*(1/q)`, the ×100/÷100 round-trip,
+    * virtual index `p*(n−1)`, and np._lerp including its γ ≥ 0.5
+    * `b − (b−a)(1−γ)` branch (verified exact against pandas on 20k
+    * random draws, ints and 3-decimal floats, q ≤ 8).
+    *
+    * duplicates="drop" collapses equal edges (labels renumber);
+    * "raise" fails like pandas. Cost: one count + one distributed
+    * range-sort with the ≤ 2(q+1) needed order statistics filtered out
+    * by index (no single-partition window, no full collect). At 100 TB
+    * prefer `approx_percentile` edges — the binning projection is
+    * unchanged. */
+  def qcutBins(df: DataFrame, column: String, q: Int,
+               duplicates: String = "raise"): DataFrame = {
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(Seq("raise", "drop").contains(duplicates),
+      s"duplicates must be raise|drop, got '$duplicates'")
+    val df0 = nanAsNull(df, Seq(column))
+    val vcol = df0.where(col(column).isNotNull)
+      .select(col(column).cast("double"))
+    val n = vcol.count()
+    if (n == 0) // empty or all-missing column: every bin is missing
+      return df0.withColumn("bin", lit(null).cast("long"))
+    val step = 1.0 / q
+    // (p, virtual index, floor, gamma) per quantile — pandas' floats
+    val parts = (0 to q).map { i =>
+      val p0 = if (i == q) 1.0 else i * step
+      val p = (p0 * 100.0) / 100.0 // Series.quantile's percent round-trip
+      val vi = p * (n - 1).toDouble
+      val j = math.floor(vi)
+      (j.toLong, vi - j)
+    }
+    val needed = parts.flatMap { case (j, _) =>
+      Seq(j, math.min(j + 1, n - 1)) }.toSet
+    val stats: Map[Long, Double] = vcol.orderBy(col(column))
+      .rdd.zipWithIndex()
+      .filter { case (_, idx) => needed.contains(idx) }
+      .map { case (row, idx) => (idx, row.getDouble(0)) }
+      .collect().toMap
+    val edges = parts.map { case (j, g) =>
+      val a = stats(j)
+      val b = stats(math.min(j + 1, n - 1))
+      if (g < 0.5) a + g * (b - a) else b - (b - a) * (1.0 - g)
+    }
+    // pandas drops CONSECUTIVE duplicate edges (they're sorted)
+    val uniq = edges.foldLeft(Vector.empty[Double]) { (acc, e) =>
+      if (acc.nonEmpty && acc.last == e) acc else acc :+ e }
+    if (uniq.size < edges.size && duplicates == "raise")
+      throw new IllegalArgumentException(
+        s"qcut: bin edges are not unique: ${edges.mkString(",")}")
+    if (uniq.size < 2) // all values identical: pandas yields one
+      return df0.withColumn("bin", // empty-interval bin → all missing
+        lit(null).cast("long"))
+    df0.withColumn("bin",
+      cutBins(col(column), uniq, right = true, includeLowest = true))
+  }
+
+  /** pandas `Series.corr(other)` / `Series.cov(other)`: pairwise
+    * complete observations (a row missing EITHER side drops), sample
+    * statistics (ddof=1) — exactly Spark's corr/covar_samp aggregates.
+    * Fewer than two complete pairs → missing, like pandas min_periods.
+    * One aggregate, map-side partials. */
+  def corrCov(df: DataFrame, col1: String, col2: String,
+              fn: String): DataFrame = {
+    val df0 = nanAsNull(df, Seq(col1, col2))
+    val agg: Column = fn match {
+      case "corr" => corr(col(col1), col(col2))
+      case "cov"  => covar_samp(col(col1), col(col2))
+      case other => throw new IllegalArgumentException(
+        s"fn must be corr|cov, got '$other'")
+    }
+    df0.agg(agg.as("stat"))
+  }
 }

@@ -1,8 +1,8 @@
 package graft
 
 import com.fasterxml.jackson.databind.JsonNode
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, lit}
 import graft.nested.NestedOps
 
 import scala.jdk.CollectionConverters._
@@ -330,6 +330,102 @@ class OpFuzzSpec extends SparkSpec {
               if (got.length == exp.size() && bad.isEmpty) None
               else Some(s"transform vals: got ${got.take(12).mkString(",")}" +
                 s" expected $exp")
+            // r12 tranche 9: rolling/expanding window aggregates —
+            // goldens are per-row values in carried-index order
+            case "roll_expand" =>
+              val mp = if (args.get("min_periods").isNull) None
+                       else Some(args.get("min_periods").asInt())
+              val expanding = args.get("kind").asText() == "expanding"
+              val out = graft.operators.InheritedOps.rollingAgg(df,
+                args.get("col").asText(), args.get("fn").asText(),
+                window = if (expanding) 1 else args.get("window").asInt(),
+                minPeriods = mp, orderCol = "k", expanding = expanding)
+              val got = out.orderBy(col("k")).select(col("rolled"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"rolled vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
+            // r12 tranche 9: linear interpolate by position
+            case "interp" =>
+              val cn = args.get("col").asText()
+              val out = graft.operators.InheritedOps.interpolateLinear(df,
+                cn, "k")
+              val got = out.orderBy(col("k")).select(col(cn))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"interp vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
+            // r12 tranche 9: clip (bounds optional, int bounds keep int)
+            // and pct_change (pad default, negative periods lead)
+            case "clip_pct" =>
+              val cn = args.get("col").asText()
+              val out =
+                if (args.get("kind").asText() == "clip") {
+                  def bound(name: String): Option[Column] = {
+                    val node = args.get(name)
+                    if (node == null || node.isNull) None
+                    else if (node.isIntegralNumber) Some(lit(node.asLong()))
+                    else Some(lit(node.asDouble()))
+                  }
+                  df.withColumn("out", graft.operators.InheritedOps
+                    .clipValues(col(cn), bound("lower"), bound("upper")))
+                } else {
+                  val fill = if (args.get("fill").isNull) None
+                             else Some(args.get("fill").asText())
+                  graft.operators.InheritedOps.pctChange(df, cn,
+                    args.get("n").asInt(), "k", Nil, fill)
+                    .withColumnRenamed("pct_change", "out")
+                }
+              val got = out.orderBy(col("k")).select(col("out"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"clip/pct vals: got ${got.take(12).mkString(",")}" +
+                s" expected $exp")
+            // r12 tranche 10: cut/qcut bin indices (labels=False)
+            case "cut_qcut" =>
+              val cn = args.get("col").asText()
+              val out = args.get("mode").asText() match {
+                case "cut_edges" =>
+                  val edges = args.get("edges").elements().asScala
+                    .map(_.asDouble()).toVector
+                  df.withColumn("bin", graft.operators.InheritedOps
+                    .cutBins(col(cn), edges,
+                      right = args.get("right").asBoolean(),
+                      includeLowest =
+                        args.get("include_lowest").asBoolean()))
+                case "cut_int" =>
+                  graft.operators.InheritedOps.cutUniform(df, cn,
+                    args.get("bins").asInt(),
+                    right = args.get("right").asBoolean())
+                case "qcut" =>
+                  graft.operators.InheritedOps.qcutBins(df, cn,
+                    args.get("q").asInt(), duplicates = "drop")
+              }
+              val got = out.orderBy(col("k")).select(col("bin"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"bin vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
+            // r12 tranche 10: corr/cov — one scalar golden
+            case "corr_cov" =>
+              val got = graft.operators.InheritedOps.corrCov(df,
+                args.get("c1").asText(), args.get("c2").asText(),
+                args.get("fn").asText()).head().getAs[Any](0)
+              if (scalarMatches(got, c.get("expect").get("val"))) None
+              else Some(s"corr/cov: got $got expected " +
+                s"${c.get("expect").get("val")}")
             // r12 tranche 7: column-stat verbs — scalar (or small-list)
             // goldens
             case "col_stats" =>

@@ -76,7 +76,23 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # stat broadcast to rows; missing KEY -> missing result (groupby
        # dropna), count = non-missing values, size = rows, sum is
        # min_count=0 — probed 2026-08-16
-       "group_transform"]
+       "group_transform",
+       # r12 tranche 9: rolling/expanding window aggregates (the
+       # min_periods gate counts NON-NA values for every kernel except
+       # `count`, whose gate counts ROWS — probed 2026-08-16), linear
+       # interpolate (leading NA stays, interior linear by POSITION,
+       # trailing carries last), clip (NA passes through; int bounds on
+       # an int column stay int) and pct_change (pandas-2.2.2 default
+       # fill_method='pad' pads non-leading NA BEFORE the ratio)
+       "roll_expand", "interp", "clip_pct",
+       # r12 tranche 10: cut/qcut binning (labels=False bin indices;
+       # int-bins edges are np.linspace with the outermost edge pushed
+       # 0.1% of the range outward; qcut draws only INTEGER quantile
+       # positions — q dividing non-NA-count-1 — so edges equal data
+       # values bit-exactly on both engines; the interpolation parity
+       # itself is pinned by the tranche-7 quantile family) and
+       # corr/cov (pairwise-complete sample stats ≡ corr/covar_samp)
+       "cut_qcut", "corr_cov"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -87,7 +103,9 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               7, 7,
               7, 6,
               7,
-              7]
+              7,
+              9, 5, 7,
+              8, 5]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -376,6 +394,54 @@ def gen_op(r):
                              else "a",
                     "fn": r.choice(["mean", "sum", "max", "min",
                                     "count", "size"])}
+    if op == "roll_expand":
+        kind = "expanding" if r.random() < 0.3 else "rolling"
+        fn = r.choice(["mean", "sum", "min", "max", "std", "var", "count"])
+        args = {"kind": kind, "col": r.choice(["b", "b", "a"]), "fn": fn}
+        if kind == "rolling":
+            args["window"] = r.randint(2, 4)
+            args["min_periods"] = (None if r.random() < 0.4
+                                   else r.randint(1, args["window"]))
+        else:
+            args["window"] = None
+            args["min_periods"] = (None if r.random() < 0.5
+                                   else r.randint(1, 4))
+        return op, args
+    if op == "interp":
+        return op, {"col": "b"}
+    if op == "clip_pct":
+        if r.random() < 0.5:
+            c_ = r.choice(["a", "b"])
+            lo = None if r.random() < 0.3 else round(r.uniform(-4, 3), 1)
+            hi = None if (lo is not None and r.random() < 0.3) \
+                else round(r.uniform(3, 9), 1)
+            if c_ == "a" and r.random() < 0.4:
+                lo = int(lo) if lo is not None else None
+                hi = int(hi) if hi is not None else None
+            return op, {"kind": "clip", "col": c_, "lower": lo, "upper": hi}
+        return op, {"kind": "pct", "col": "b",
+                    "n": r.choice([-2, -1, 1, 1, 2, 3]),
+                    "fill": r.choice(["pad", "pad", None])}
+    if op == "cut_qcut":
+        mode = r.choice(["cut_edges", "cut_edges", "cut_int", "qcut",
+                         "qcut"])
+        if mode == "cut_edges":
+            nb = r.randint(2, 4)
+            edges = sorted({round(r.uniform(-5, 9), 1)
+                            for _ in range(nb + 1)})
+            while len(edges) < nb + 1:
+                edges.append(round(edges[-1] + r.uniform(0.5, 2), 1))
+            return op, {"mode": mode, "col": r.choice(["a", "b"]),
+                        "edges": edges, "right": r.random() < 0.7,
+                        "include_lowest": r.random() < 0.3}
+        if mode == "cut_int":
+            return op, {"mode": mode, "col": r.choice(["a", "b"]),
+                        "bins": r.randint(2, 5), "right": r.random() < 0.8}
+        # q is frame-dependent (integer quantile positions) — fixed up
+        # in main() after the frame draw
+        return op, {"mode": "qcut", "col": r.choice(["a", "b"]), "q": None}
+    if op == "corr_cov":
+        return op, {"fn": r.choice(["corr", "cov"]), "c1": "a", "c2": "b"}
     if op == "col_stats":
         fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique"])
         args = {"fn": fn,
@@ -405,6 +471,46 @@ def _enc_melt_value(v):
 
 
 def run_reference(nf, op, args):
+    if op == "roll_expand":
+        base = nf[args["col"]]
+        mp = args["min_periods"]
+        if args["kind"] == "rolling":
+            roller = base.rolling(args["window"],
+                                  min_periods=mp if mp is not None
+                                  else args["window"])
+            # (explicit default: pandas rolling min_periods=None means
+            # the window size)
+        else:
+            roller = base.expanding(mp if mp is not None else 1)
+        ser = getattr(roller, args["fn"])()
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "interp":
+        ser = nf[args["col"]].interpolate()
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "clip_pct":
+        base = nf[args["col"]]
+        if args["kind"] == "clip":
+            ser = base.clip(lower=args["lower"], upper=args["upper"])
+        else:
+            ser = base.pct_change(args["n"], fill_method=args["fill"])
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "cut_qcut":
+        import pandas as pd
+        base = nf[args["col"]]
+        if args["mode"] == "cut_edges":
+            ser = pd.cut(base, args["edges"], labels=False,
+                         right=args["right"],
+                         include_lowest=args["include_lowest"])
+        elif args["mode"] == "cut_int":
+            ser = pd.cut(base, args["bins"], labels=False,
+                         right=args["right"])
+        else:
+            ser = pd.qcut(base, args["q"], labels=False,
+                          duplicates="drop")
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "corr_cov":
+        got = getattr(nf[args["c1"]], args["fn"])(nf[args["c2"]])
+        return {"val": enc_val(got)}
     if op == "melt_frame":
         # k lives in the INDEX on the reference side; melt discards the
         # index (ignore_index=True default), so materialize it first —
@@ -1253,6 +1359,28 @@ def main():
         frame = gen_frame(r, allow_missing=allow_missing)
         if op in ("sort_base", "sort_nested"):
             fixup_for_sort(frame, r, nested=op == "sort_nested")
+        if op == "clip_pct" and args.get("kind") == "pct":
+            # an exactly-zero denominator would pit pandas' IEEE ±inf
+            # against a golden encoding that has no inf — nudge it off
+            vs = frame["base"]["b"]["v"]
+            frame["base"]["b"]["v"] = [0.001 if v == 0.0 else v
+                                       for v in vs]
+        if op == "cut_qcut" and args["mode"] == "qcut":
+            # integer quantile positions only: q divides (non-NA count
+            # - 1), so every edge IS a data value — bit-exact on both
+            # engines regardless of interpolation formula (the
+            # interpolated-quantile parity is the tranche-7 family's
+            # job). Ensure >= 3 present values first.
+            info = frame["base"][args["col"]]
+            vs = info["v"]
+            for j in range(len(vs)):
+                if sum(v is not None for v in vs) >= 3:
+                    break
+                if vs[j] is None:
+                    vs[j] = round(r.uniform(-3, 8), 3)
+            cnt = sum(v is not None for v in vs)
+            divisors = [d for d in range(2, 7) if (cnt - 1) % d == 0]
+            args["q"] = r.choice(divisors) if divisors else cnt - 1
         try:
             nf = build_ref_frame(frame)
             expect = run_reference(nf, op, args)
