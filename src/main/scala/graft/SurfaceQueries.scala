@@ -592,6 +592,45 @@ object SurfaceQueries {
         min(col("o_custkey")).cast("long").as("lo"),
         max(col("o_custkey")).cast("long").as("hi"))
 
+  /** InheritedOps column stats (pandas idxmax/idxmin/nunique/quantile/
+    * mode) in one row — five 1-row aggregates cross-joined (broadcast,
+    * the adjudicated 1-row pattern). idxmax ties resolve to the FIRST
+    * occurrence in key order on both engines; mode emits ALL modal
+    * values sorted, joined to one string. */
+  val qColStats: Q = (s, dir) => {
+    val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderpriority")
+    val iMax = graft.operators.InheritedOps.idxExtreme(o,
+      "o_totalprice", "o_orderkey").select(col("idx").as("idx_max"))
+    val iMin = graft.operators.InheritedOps.idxExtreme(o,
+      "o_totalprice", "o_orderkey", smallest = true)
+      .select(col("idx").as("idx_min"))
+    val nu = graft.operators.InheritedOps.nUnique(o, "o_custkey")
+      .select(col("n").as("n_uniq"))
+    val q25 = graft.operators.InheritedOps.quantileLinear(o,
+        "o_totalprice", 0.25)
+      .select(round(col("q") + lit(1e-9), 4).as("q25"))
+    val md = graft.operators.InheritedOps.modeValues(o, "o_orderpriority")
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("o_orderpriority")))).as("mode"))
+    iMax.crossJoin(iMin).crossJoin(nu).crossJoin(q25).crossJoin(md)
+  }
+
+  /** InheritedOps.clipValues + pctChange (pandas clip / pct_change)
+    * per status group — clip is a codegen'd projection, pct_change one
+    * keyed lag window. */
+  val qClipPct: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.operators.InheritedOps.pctChange(o, "o_totalprice", 1,
+        "o_orderkey", Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(graft.operators.InheritedOps.clipValues(
+          col("o_totalprice"), Some(lit(5000.0)), Some(lit(150000.0))),
+          2).as("clip_price"),
+        round(col("pct_change") + lit(1e-9), 6).as("pct"))
+  }
+
   /** InheritedOps.corrCov (pandas Series.corr/cov — pairwise-complete
     * sample statistics): two 1-row aggregates cross-joined (broadcast,
     * the adjudicated 1-row pattern). */
@@ -810,9 +849,33 @@ object SurfaceQueries {
     "q_cut" -> qCut,
     "q_qcut" -> qQcut,
     "q_corr" -> qCorr,
+    "q_col_stats" -> qColStats,
+    "q_clip_pct" -> qClipPct,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_col_stats" ->
+      """WITH m AS (SELECT o_orderpriority AS v, count(*) AS c
+        |           FROM orders WHERE o_orderpriority IS NOT NULL
+        |           GROUP BY 1)
+        |SELECT
+        | (SELECT o_orderkey FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS idx_max,
+        | (SELECT o_orderkey FROM orders
+        |  ORDER BY o_totalprice ASC, o_orderkey LIMIT 1) AS idx_min,
+        | (SELECT count(DISTINCT o_custkey) FROM orders) AS n_uniq,
+        | (SELECT round(quantile_cont(o_totalprice, 0.25) + 1e-9, 4)
+        |  FROM orders) AS q25,
+        | (SELECT string_agg(v, ',' ORDER BY v) FROM m
+        |  WHERE c = (SELECT max(c) FROM m)) AS mode""".stripMargin,
+    "q_clip_pct" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | round(LEAST(GREATEST(o_totalprice, 5000.0), 150000.0), 2)
+        |   AS clip_price,
+        | round(o_totalprice / lag(o_totalprice) OVER (
+        |     PARTITION BY o_orderstatus ORDER BY o_orderkey) - 1
+        |   + 1e-9, 6) AS pct
+        |FROM orders""".stripMargin,
     "q_rolling" ->
       """SELECT o_orderkey, o_orderstatus,
         | CASE WHEN count(p) OVER w >= 2

@@ -739,14 +739,31 @@ object InheritedOps {
     * "raise" fails like pandas. Cost: one count + one distributed
     * range-sort with the ≤ 2(q+1) needed order statistics filtered out
     * by index (no single-partition window, no full collect). At 100 TB
-    * prefer `approx_percentile` edges — the binning projection is
-    * unchanged. */
+    * pass `approxAccuracy` — edges come from one `approx_percentile`
+    * aggregate (GK sketch, map-side partials, no sort) and bins are
+    * approximately-equal-sized rather than pandas-exact; the binning
+    * projection is unchanged. */
   def qcutBins(df: DataFrame, column: String, q: Int,
-               duplicates: String = "raise"): DataFrame = {
+               duplicates: String = "raise",
+               approxAccuracy: Option[Int] = None): DataFrame = {
     require(q >= 1, s"q must be >= 1, got $q")
     require(Seq("raise", "drop").contains(duplicates),
       s"duplicates must be raise|drop, got '$duplicates'")
     val df0 = nanAsNull(df, Seq(column))
+    approxAccuracy.foreach { acc =>
+      val probs = (0 to q).map(i => i.toDouble / q)
+      val row = df0.agg(percentile_approx(col(column).cast("double"),
+        array(probs.map(lit): _*), lit(acc)).as("e")).head()
+      if (row.isNullAt(0))
+        return df0.withColumn("bin", lit(null).cast("long"))
+      val uniq = row.getSeq[Double](0).foldLeft(Vector.empty[Double]) {
+        (acc0, e) => if (acc0.nonEmpty && acc0.last == e) acc0
+                     else acc0 :+ e }
+      if (uniq.size < 2)
+        return df0.withColumn("bin", lit(null).cast("long"))
+      return df0.withColumn("bin",
+        cutBins(col(column), uniq, right = true, includeLowest = true))
+    }
     val vcol = df0.where(col(column).isNotNull)
       .select(col(column).cast("double"))
     val n = vcol.count()

@@ -780,4 +780,28 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(TestFs.readaheadSeen == "262144",
       s"expected readahead conf inside the FS, got ${TestFs.readaheadSeen}")
   }
+
+  test("qcutBins approxAccuracy: the 100 TB edge path bins ~equal-sized " +
+      "buckets from one sketch aggregate, exact path matches pandas " +
+      "quartiles on a clean dyadic case") {
+    import graft.operators.InheritedOps
+    val df = spark.range(1, 1001).toDF("v") // 1..1000
+    // exact path, dyadic q=4 on integers: quartile edges land on data
+    val exact = InheritedOps.qcutBins(df, "v", 4)
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == Set(0L, 1L, 2L, 3L))
+    assert(exact.values.sum == 1000L)
+    // pandas puts 250 in each quartile here (edges 250.75/500.5/750.25)
+    assert(exact.values.forall(c => c >= 249 && c <= 251), s"$exact")
+    // approx path: same shape, buckets within 5% of equal at this
+    // accuracy; raises nothing, bins cover every row
+    val approx = InheritedOps.qcutBins(df, "v", 4,
+        duplicates = "drop", approxAccuracy = Some(10000))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.values.sum == 1000L, s"approx bins dropped rows: $approx")
+    assert(approx.keySet.max <= 3L && approx.values.forall(_ >= 200),
+      s"approx buckets badly skewed: $approx")
+  }
 }
