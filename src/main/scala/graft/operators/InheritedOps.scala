@@ -507,17 +507,18 @@ object InheritedOps {
 
   /** pandas `ffill`/`bfill`: missing values — missing nest CELLS
     * included — fill from the nearest non-missing neighbor along
-    * `orderCol`. Same `partitionBy` contract as [[shiftRows]]. */
+    * `orderCol`. Same `partitionBy` contract as [[shiftRows]]. bfill
+    * runs `last` over a DESC-ordered prefix frame rather than `first`
+    * over (currentRow, unboundedFollowing) — Spark evaluates the
+    * latter O(n²) per partition (see [[interpolateLinear]]). */
   def fillDirectional(df: DataFrame, forward: Boolean, orderCol: String,
                       partitionBy: Seq[String] = Nil): DataFrame = {
-    val base = (if (partitionBy.nonEmpty)
-                  Window.partitionBy(partitionBy.map(col): _*)
-                else Window.partitionBy())
-      .orderBy(col(orderCol))
-    val w =
-      if (forward) base.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)
-      else base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val part = if (partitionBy.nonEmpty)
+      Window.partitionBy(partitionBy.map(col): _*)
+    else Window.partitionBy()
+    val w = part
+      .orderBy(if (forward) col(orderCol) else col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // NaN is missing (gets filled, never propagates as a fill value);
     // pandas ffill/bfill preserve column order — map in place
     val fillCols = df.columns.filterNot(c =>
@@ -525,8 +526,7 @@ object InheritedOps {
     val df0 = nanAsNull(df, fillCols.toSeq)
     df0.select(df0.columns.map { c =>
       if (c == orderCol || partitionBy.contains(c)) col(c)
-      else (if (forward) last(col(c), ignoreNulls = true)
-            else first(col(c), ignoreNulls = true)).over(w).as(c)
+      else last(col(c), ignoreNulls = true).over(w).as(c)
     }.toSeq: _*)
   }
 
@@ -585,19 +585,28 @@ object InheritedOps {
     * leading missing stays missing, trailing missing carries the last
     * present value (probed 2026-08-16: [NaN,1,NaN,NaN,4,NaN] →
     * [NaN,1,2,3,4,4]). The slope term mirrors np.interp's evaluation
-    * order — prev + (next-prev) * gap-fraction. Three windows over one
-    * sort (two prefix, one suffix), no shuffle beyond `partitionBy`. */
+    * order — prev + (next-prev) * gap-fraction.
+    *
+    * The "next present value" is computed as a running `last` over a
+    * DESC-ordered prefix window, NOT `first` over
+    * (currentRow, unboundedFollowing): Spark's
+    * UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate
+    * from scratch per row — O(n²) per partition, measured as a hard
+    * hang on ~10⁶-row status groups at the 10× corpus (r12). The
+    * reversed prefix frame is the same answer via the O(n) running
+    * accumulation; it costs a second in-partition sort, no extra
+    * shuffle. */
   def interpolateLinear(df: DataFrame, column: String, orderCol: String,
                         partitionBy: Seq[String] = Nil): DataFrame = {
     val df0 = nanAsNull(df, Seq(column))
-    val base = (if (partitionBy.nonEmpty)
-                  Window.partitionBy(partitionBy.map(col): _*)
-                else Window.partitionBy())
-      .orderBy(col(orderCol))
+    val part = if (partitionBy.nonEmpty)
+      Window.partitionBy(partitionBy.map(col): _*)
+    else Window.partitionBy()
+    val base = part.orderBy(col(orderCol))
     val wPrev = base.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
-    val wNext = base.rowsBetween(Window.currentRow,
-      Window.unboundedFollowing)
+    val wNextRev = part.orderBy(col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col(column).cast("double")
     val pos = row_number().over(base).cast("double")
     val out = df0
@@ -605,9 +614,9 @@ object InheritedOps {
       .withColumn("__pv", last(v, ignoreNulls = true).over(wPrev))
       .withColumn("__pi", last(when(v.isNotNull, col("__pos")),
         ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(v, ignoreNulls = true).over(wNext))
-      .withColumn("__ni", first(when(v.isNotNull, col("__pos")),
-        ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(v, ignoreNulls = true).over(wNextRev))
+      .withColumn("__ni", last(when(v.isNotNull, col("__pos")),
+        ignoreNulls = true).over(wNextRev))
     out.withColumn(column,
         when(v.isNotNull, v)
           .when(col("__pv").isNull, lit(null))
@@ -801,6 +810,89 @@ object InheritedOps {
         lit(null).cast("long"))
     df0.withColumn("bin",
       cutBins(col(column), uniq, right = true, includeLowest = true))
+  }
+
+  /** pandas `pd.crosstab(row, col, margins=)`: the count matrix of two
+    * key columns — rows where EITHER key is missing drop (pandas
+    * dropna), keys sort ascending, absent combinations read 0.
+    * margins=true appends an `All` column (row sums) and an `All` row
+    * (column sums + grand total). One grouped pivot shuffle; the
+    * column domain is collected first (bounded-cardinality contract,
+    * same as [[valueCounts]]'s canonical ordering) so the pivot runs
+    * single-pass with explicit values. Output column names are the
+    * stringified column-key values. */
+  def crosstabCounts(df: DataFrame, rowCol: String, colCol: String,
+                     margins: Boolean = false): DataFrame = {
+    val df0 = nanAsNull(df, Seq(rowCol, colCol))
+      .where(col(rowCol).isNotNull && col(colCol).isNotNull)
+    val colVals = df0.select(col(colCol)).distinct()
+      .orderBy(col(colCol).asc).collect().map(_.get(0)).toSeq
+    val wide = df0.groupBy(col(rowCol)).pivot(colCol, colVals)
+      .agg(count(lit(1))).na.fill(0).orderBy(col(rowCol).asc)
+    if (!margins || colVals.isEmpty) wide
+    else {
+      val names = colVals.map(_.toString)
+      val withAll = wide.withColumn("All",
+        names.map(n => col(s"`$n`")).reduce(_ + _))
+      val sums = names.map(n => sum(col(s"`$n`")).as(n)) :+
+        sum(col("All")).as("All")
+      val allRow = withAll.groupBy(lit("All").cast("string").as("__all"))
+        .agg(sums.head, sums.tail: _*)
+        .withColumnRenamed("__all", rowCol)
+      // pandas keeps the All row LAST; the row key column becomes
+      // string-typed to host the "All" label, like pandas' object index
+      withAll.select(col(rowCol).cast("string").as(rowCol) +:
+          (names :+ "All").map(n => col(s"`$n`")): _*)
+        .unionByName(allRow.select(col(rowCol) +:
+          (names :+ "All").map(n => col(s"`$n`")): _*))
+    }
+  }
+
+  /** pandas `pd.get_dummies(series, dummy_na=)`: one BOOLEAN indicator
+    * column per distinct non-missing value, named by the value, sorted
+    * ascending; a missing value reads false everywhere (dummy_na=true
+    * appends a `NaN` indicator column instead). The domain is collected
+    * first (bounded-cardinality contract); the indicators themselves
+    * are a single codegen'd projection appended to the frame. */
+  def getDummies(df: DataFrame, column: String,
+                 dummyNa: Boolean = false): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    val vals = df0.where(col(column).isNotNull).select(col(column))
+      .distinct().orderBy(col(column).asc).collect().map(_.get(0)).toSeq
+    val indicators = vals.map(v =>
+      coalesce(col(column) === lit(v), lit(false)).as(v.toString)) ++
+      (if (dummyNa) Seq(col(column).isNull.as("NaN")) else Nil)
+    df0.select(df0.columns.map(col).toSeq ++ indicators: _*)
+  }
+
+  /** pandas `pd.factorize(series)`: integer codes in order of FIRST
+    * APPEARANCE along `orderCol`. Missing → code −1 and excluded from
+    * the uniques (use_na_sentinel default); `useNaSentinel=false` gives
+    * missing its own appearance-ordered code. Appends `code`. Two keyed
+    * shuffles: one first-occurrence aggregate over the value domain
+    * (small) + one value join back — no global window over the data.
+    * Uniques are recoverable as `distinct(code, value) ORDER BY code`. */
+  def factorizeCodes(df: DataFrame, column: String, orderCol: String,
+                     useNaSentinel: Boolean = true): DataFrame = {
+    val df0 = nanAsNull(df, Seq(column))
+    val pool = if (useNaSentinel) df0.where(col(column).isNotNull)
+               else df0
+    val firstSeen = pool.groupBy(col(column))
+      .agg(min(col(orderCol)).as("__fo"))
+    val codes = firstSeen.select(col(column),
+      (row_number().over(Window.orderBy(col("__fo"))) - 1)
+        .cast("long").as("code"))
+    // the codes side is |domain| rows — broadcast when small; the join
+    // must be null-safe when missing carries its own code
+    val joined =
+      if (useNaSentinel)
+        df0.join(broadcast(codes), Seq(column), "left")
+          .withColumn("code", coalesce(col("code"), lit(-1L)))
+      else
+        df0.join(broadcast(codes),
+          df0(column) <=> codes(column), "left")
+          .drop(codes(column))
+    joined
   }
 
   /** pandas `Series.corr(other)` / `Series.cov(other)`: pairwise

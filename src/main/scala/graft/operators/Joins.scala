@@ -169,7 +169,16 @@ object Joins {
     val ordered = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(tsCol) +: col("__side") +: ordCols): _*)
     val wB = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward sweep is `last` over the REVERSE-ordered prefix, not
+    // `first` over (currentRow, unboundedFollowing): Spark's unbounded-
+    // following frame re-aggregates from scratch per row — O(n²) on a
+    // hot key (r12; same fix as InheritedOps.interpolateLinear). The
+    // reversed sort shares the keyed partitioning — no extra shuffle.
+    val orderedRev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol).desc +: col("__side").desc +:
+        ordCols.map(_.desc)): _*)
+    val wFrev = orderedRev.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
     // tolerance nulls out matches farther than the bound (pandas semantics)
     def within(m: Column): Column = tolUnits match {
       case Some(t) =>
@@ -177,7 +186,7 @@ object Joins {
       case None => m
     }
     val backMatch = within(last(col("__r"), ignoreNulls = true).over(wB))
-    val fwdMatch = within(first(col("__r"), ignoreNulls = true).over(wF))
+    val fwdMatch = within(last(col("__r"), ignoreNulls = true).over(wFrev))
     val union = l.unionByName(r)
     val swept = direction match {
       case "backward" => union.withColumn("__match", backMatch)

@@ -418,6 +418,106 @@ class OpFuzzSpec extends SparkSpec {
               if (got.length == exp.size() && bad.isEmpty) None
               else Some(s"bin vals: got ${got.take(12).mkString(",")} " +
                 s"expected $exp")
+            // r12 tranche 11: crosstab — count matrix compared by row
+            // label (margins turns the row key into a string union, so
+            // label equality is the contract there; without margins the
+            // sorted row ORDER is asserted too)
+            case "crosstab" =>
+              val margins = args.get("margins").asBoolean()
+              val out = graft.operators.InheritedOps.crosstabCounts(df,
+                args.get("row").asText(), args.get("col").asText(),
+                margins)
+              val expRows = c.get("expect").get("rows")
+              val expCols = c.get("expect").get("cols")
+              val expM = c.get("expect").get("matrix")
+              val data = out.collect()
+              val ncols = out.columns.length - 1
+              if (data.length != expRows.size())
+                Some(s"crosstab rows: got ${data.length} expected " +
+                  s"${expRows.size()}")
+              else if (ncols != expCols.size())
+                Some(s"crosstab cols: got $ncols expected " +
+                  s"${expCols.size()}")
+              else {
+                val nameBad = (0 until ncols).filterNot { j =>
+                  out.columns(j + 1) == expCols.get(j).asText() }
+                val byLabel = data.map(r0 =>
+                  String.valueOf(r0.get(0)) -> r0).toMap
+                val cellBad = (0 until expRows.size()).flatMap { i =>
+                  val lbl = expRows.get(i).asText()
+                  byLabel.get(lbl) match {
+                    case None => Some(s"missing row '$lbl'")
+                    case Some(r0) =>
+                      (0 until ncols).collectFirst {
+                        case j if r0.getLong(j + 1) !=
+                            expM.get(i).get(j).asLong() =>
+                          s"row '$lbl' col ${out.columns(j + 1)}: got " +
+                            s"${r0.getLong(j + 1)} expected " +
+                            s"${expM.get(i).get(j).asLong()}"
+                      }
+                  }
+                }
+                val orderOk = margins ||
+                  data.map(r0 => String.valueOf(r0.get(0))).toVector ==
+                    (0 until expRows.size()).map(expRows.get(_).asText())
+                      .toVector
+                if (nameBad.isEmpty && cellBad.isEmpty && orderOk) None
+                else Some((nameBad.map(j =>
+                  s"col name ${out.columns(j + 1)} != " +
+                    s"${expCols.get(j).asText()}") ++ cellBad ++
+                  (if (orderOk) Nil else Seq("row order diverged")))
+                  .mkString("; "))
+              }
+            // r12 tranche 11: get_dummies — indicator matrix compared
+            // positionally (both sides sort the domain ascending, the
+            // NaN column is last)
+            case "get_dummies" =>
+              val out = graft.operators.InheritedOps.getDummies(df,
+                args.get("col").asText(),
+                dummyNa = args.get("dummy_na").asBoolean())
+              val expCols = c.get("expect").get("cols")
+              val expRows = c.get("expect").get("rows")
+              val nInd = expCols.size()
+              val base = out.columns.length - nInd
+              val rows = out.orderBy(col("k")).collect()
+              if (rows.length != expRows.size())
+                Some(s"dummies rows: got ${rows.length} expected " +
+                  s"${expRows.size()}")
+              else {
+                val bad = rows.zipWithIndex.flatMap { case (r0, i) =>
+                  (0 until nInd).collectFirst {
+                    case j if r0.getBoolean(base + j) !=
+                        expRows.get(i).get(j).asBoolean() =>
+                      s"row $i ind $j: got ${r0.getBoolean(base + j)}"
+                  }
+                }
+                if (bad.isEmpty) None else Some(bad.mkString("; "))
+              }
+            // r12 tranche 11: factorize — first-appearance codes per
+            // row + the uniques recovered as distinct (code, value)
+            case "factorize" =>
+              val cn = args.get("col").asText()
+              val sentinel = args.get("sentinel").asBoolean()
+              val out = graft.operators.InheritedOps.factorizeCodes(df,
+                cn, "k", useNaSentinel = sentinel)
+              val gotCodes = out.orderBy(col("k")).select(col("code"))
+                .collect().map(_.getLong(0))
+              val expCodes = c.get("expect").get("codes")
+              val expUniq = c.get("expect").get("uniques")
+              val uniq = out.where(if (sentinel) col("code") =!= -1L
+                                   else lit(true))
+                .select(col("code"), col(cn)).distinct()
+                .orderBy(col("code")).collect()
+              val codeBad = gotCodes.length != expCodes.size() ||
+                gotCodes.zipWithIndex.exists { case (v, i) =>
+                  v != expCodes.get(i).asLong() }
+              val uniqBad = uniq.length != expUniq.size() ||
+                uniq.zipWithIndex.exists { case (r0, i) =>
+                  !scalarMatches(r0.get(1), expUniq.get(i)) }
+              if (!codeBad && !uniqBad) None
+              else Some(s"factorize: codes ${gotCodes.take(12)
+                .mkString(",")} vs $expCodes; uniques ${uniq.map(_.get(1))
+                .mkString(",")} vs $expUniq")
             // r12 tranche 10: corr/cov — one scalar golden
             case "corr_cov" =>
               val got = graft.operators.InheritedOps.corrCov(df,

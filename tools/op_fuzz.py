@@ -92,7 +92,14 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # values bit-exactly on both engines; the interpolation parity
        # itself is pinned by the tranche-7 quantile family) and
        # corr/cov (pairwise-complete sample stats ≡ corr/covar_samp)
-       "cut_qcut", "corr_cov"]
+       "cut_qcut", "corr_cov",
+       # r12 tranche 11: crosstab (count matrix, either-key-missing rows
+       # drop, keys sorted, margins appends All row/col), get_dummies
+       # (sorted boolean indicators, missing all-false, dummy_na appends
+       # a NaN column) and factorize (codes by FIRST APPEARANCE,
+       # missing -> -1 sentinel or its own appearance-ordered code) —
+       # probed 2026-08-16
+       "crosstab", "get_dummies", "factorize"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -105,7 +112,8 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               7,
               7,
               9, 5, 7,
-              8, 5]
+              8, 5,
+              6, 6, 7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -442,6 +450,15 @@ def gen_op(r):
         return op, {"mode": "qcut", "col": r.choice(["a", "b"]), "q": None}
     if op == "corr_cov":
         return op, {"fn": r.choice(["corr", "cov"]), "c1": "a", "c2": "b"}
+    if op == "crosstab":
+        rowc, colc = r.choice([("s", "a"), ("a", "s"), ("a", "b")])
+        return op, {"row": rowc, "col": colc, "margins": r.random() < 0.4}
+    if op == "get_dummies":
+        return op, {"col": r.choice(["s", "a"]),
+                    "dummy_na": r.random() < 0.4}
+    if op == "factorize":
+        return op, {"col": r.choice(["s", "a", "b"]),
+                    "sentinel": r.random() < 0.7}
     if op == "col_stats":
         fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique"])
         args = {"fn": fn,
@@ -511,6 +528,29 @@ def run_reference(nf, op, args):
     if op == "corr_cov":
         got = getattr(nf[args["c1"]], args["fn"])(nf[args["c2"]])
         return {"val": enc_val(got)}
+    if op == "crosstab":
+        import pandas as pd
+        ct = pd.crosstab(nf[args["row"]], nf[args["col"]],
+                         margins=args["margins"])
+        return {"rows": [enc_val(v) for v in ct.index],
+                "cols": [enc_val(v) for v in ct.columns],
+                "matrix": [[int(ct[c].iloc[i]) for c in ct.columns]
+                           for i in range(len(ct))]}
+    if op == "get_dummies":
+        import math
+        import pandas as pd
+        gd = pd.get_dummies(nf[args["col"]], dummy_na=args["dummy_na"])
+        cols = [None if (isinstance(c, float) and math.isnan(c))
+                else enc_val(c) for c in gd.columns]
+        return {"cols": cols,
+                "rows": [[bool(gd[c].iloc[i]) for c in gd.columns]
+                         for i in range(len(gd))]}
+    if op == "factorize":
+        import pandas as pd
+        codes, uniq = pd.factorize(nf[args["col"]],
+                                   use_na_sentinel=args["sentinel"])
+        return {"codes": [int(c) for c in codes],
+                "uniques": [enc_val(u) for u in uniq]}
     if op == "melt_frame":
         # k lives in the INDEX on the reference side; melt discards the
         # index (ignore_index=True default), so materialize it first —
