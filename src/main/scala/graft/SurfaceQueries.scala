@@ -631,6 +631,23 @@ object SurfaceQueries {
         round(col("pct_change") + lit(1e-9), 6).as("pct"))
   }
 
+  /** InheritedOps.crosstabCounts (pandas crosstab with margins): the
+    * return-flag × line-status count matrix plus the All row/column —
+    * one grouped pivot shuffle plus a 1-row margin aggregate. */
+  val qCrosstab: Q = (s, dir) =>
+    graft.operators.InheritedOps.crosstabCounts(
+      lines(s, dir, "l_returnflag", "l_linestatus"),
+      "l_returnflag", "l_linestatus", margins = true)
+
+  /** InheritedOps.factorizeCodes (pandas factorize): first-appearance
+    * codes for order priority along the order key — one domain
+    * aggregate + one broadcast join back, no global data window. */
+  val qFactorize: Q = (s, dir) =>
+    graft.operators.InheritedOps.factorizeCodes(
+        rd(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderpriority", "o_orderkey")
+      .select(col("o_orderkey"), col("code"))
+
   /** InheritedOps.corrCov (pandas Series.corr/cov — pairwise-complete
     * sample statistics): two 1-row aggregates cross-joined (broadcast,
     * the adjudicated 1-row pattern). */
@@ -851,9 +868,36 @@ object SurfaceQueries {
     "q_corr" -> qCorr,
     "q_col_stats" -> qColStats,
     "q_clip_pct" -> qClipPct,
+    "q_crosstab" -> qCrosstab,
+    "q_factorize" -> qFactorize,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_crosstab" ->
+      """WITH ct AS (
+        |  SELECT l_returnflag,
+        |   CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS "F",
+        |   CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS "O",
+        |   count(*) AS "All"
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT l_returnflag, "F", "O", "All" FROM ct
+        |UNION ALL
+        |SELECT 'All', CAST(sum("F") AS BIGINT), CAST(sum("O") AS BIGINT),
+        |  CAST(sum("All") AS BIGINT) FROM ct""".stripMargin,
+    "q_factorize" ->
+      """WITH fo AS (SELECT o_orderpriority AS v, min(o_orderkey) AS f
+        |            FROM orders WHERE o_orderpriority IS NOT NULL
+        |            GROUP BY 1),
+        |codes AS (SELECT v,
+        |  CAST(row_number() OVER (ORDER BY f) - 1 AS BIGINT) AS code
+        |  FROM fo)
+        |SELECT o_orderkey, CAST(COALESCE(code, -1) AS BIGINT) AS code
+        |FROM orders LEFT JOIN codes ON o_orderpriority = v"""
+        .stripMargin,
     "q_col_stats" ->
       """WITH m AS (SELECT o_orderpriority AS v, count(*) AS c
         |           FROM orders WHERE o_orderpriority IS NOT NULL

@@ -781,6 +781,43 @@ class ExtendedOpsSpec extends SparkSpec {
       s"expected readahead conf inside the FS, got ${TestFs.readaheadSeen}")
   }
 
+  test("no unbounded-following window frames in the ordered verbs (the " +
+      "O(n^2) UnboundedFollowingWindowFunctionFrame class, r12): " +
+      "interpolate, bfill and the as-of forward/nearest sweeps must " +
+      "plan as prefix frames only") {
+    import graft.operators.{InheritedOps, Joins}
+    import org.apache.spark.sql.functions.{col => c0, when => w0, lit => l0}
+    val df = spark.range(0, 100).toDF("k")
+      .withColumn("g", c0("k") % 3)
+      .withColumn("v", w0(c0("k") % 7 < 2, l0(null))
+        .otherwise(c0("k").cast("double")))
+    val right = spark.range(0, 50).toDF("k")
+      .withColumn("g", c0("k") % 3)
+      .withColumn("ts", c0("k").cast("double"))
+      .withColumn("payload", c0("k") * 2)
+    val left = spark.range(0, 80).toDF("k")
+      .withColumn("g", c0("k") % 3)
+      .withColumn("ts", c0("k").cast("double") + 0.5)
+    def planOf(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.executedPlan.toString
+    val plans = Seq(
+      "interpolate" -> planOf(InheritedOps.interpolateLinear(
+        df, "v", "k", Seq("g"))),
+      "bfill" -> planOf(InheritedOps.fillDirectional(
+        df, forward = false, "k", Seq("g"))),
+      "asof_forward" -> planOf(Joins.asofJoinBy(
+        left.withColumnRenamed("k", "lk"), right.drop("k"),
+        Seq("g"), "ts", direction = "forward")),
+      "asof_nearest" -> planOf(Joins.asofJoinBy(
+        left.withColumnRenamed("k", "lk"), right.drop("k"),
+        Seq("g"), "ts", direction = "nearest")))
+    for ((name, plan) <- plans)
+      assert(!plan.toUpperCase.contains("UNBOUNDED FOLLOWING"),
+        s"$name plans an unbounded-following frame (O(n^2) per row):\n" +
+          plan.linesIterator.filter(_.toUpperCase
+            .contains("UNBOUNDED FOLLOWING")).take(3).mkString("\n"))
+  }
+
   test("qcutBins approxAccuracy: the 100 TB edge path bins ~equal-sized " +
       "buckets from one sketch aggregate, exact path matches pandas " +
       "quartiles on a clean dyadic case") {
