@@ -613,7 +613,14 @@ object SurfaceQueries {
     val md = graft.operators.InheritedOps.modeValues(o, "o_orderpriority")
       .agg(concat_ws(",",
         sort_array(collect_list(col("o_orderpriority")))).as("mode"))
+    val sk = graft.operators.InheritedOps.momentStat(o, "o_totalprice",
+      "skew").select(round(col("stat") + lit(1e-9), 6).as("skew"))
+    val ku = graft.operators.InheritedOps.momentStat(o, "o_totalprice",
+      "kurt").select(round(col("stat") + lit(1e-9), 6).as("kurt"))
+    val se = graft.operators.InheritedOps.momentStat(o, "o_totalprice",
+      "sem").select(round(col("stat") + lit(1e-9), 4).as("sem"))
     iMax.crossJoin(iMin).crossJoin(nu).crossJoin(q25).crossJoin(md)
+      .crossJoin(sk).crossJoin(ku).crossJoin(se)
   }
 
   /** InheritedOps.clipValues + pctChange (pandas clip / pct_change)
@@ -911,7 +918,13 @@ object SurfaceQueries {
         | (SELECT round(quantile_cont(o_totalprice, 0.25) + 1e-9, 4)
         |  FROM orders) AS q25,
         | (SELECT string_agg(v, ',' ORDER BY v) FROM m
-        |  WHERE c = (SELECT max(c) FROM m)) AS mode""".stripMargin,
+        |  WHERE c = (SELECT max(c) FROM m)) AS mode,
+        | (SELECT round(skewness(o_totalprice) + 1e-9, 6)
+        |  FROM orders) AS skew,
+        | (SELECT round(kurtosis(o_totalprice) + 1e-9, 6)
+        |  FROM orders) AS kurt,
+        | (SELECT round(stddev_samp(o_totalprice) / sqrt(count(*)) + 1e-9,
+        |    4) FROM orders) AS sem""".stripMargin,
     "q_clip_pct" ->
       """SELECT o_orderkey, o_orderstatus,
         | round(LEAST(GREATEST(o_totalprice, 5000.0), 150000.0), 2)

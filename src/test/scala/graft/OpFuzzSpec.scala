@@ -550,6 +550,13 @@ class OpFuzzSpec extends SparkSpec {
                   if (scalarMatches(got, c.get("expect").get("val"))) None
                   else Some(s"quantile: got $got expected " +
                     s"${c.get("expect").get("val")}")
+                // r12 tranche 12: bias-corrected sample moments
+                case f @ ("skew" | "kurt" | "sem") =>
+                  val got = graft.operators.InheritedOps.momentStat(df,
+                    cn, f).head().getAs[Any](0)
+                  if (scalarMatches(got, c.get("expect").get("val"))) None
+                  else Some(s"$f: got $got expected " +
+                    s"${c.get("expect").get("val")}")
                 case "nunique" =>
                   val got = graft.operators.InheritedOps.nUnique(df, cn,
                     args.get("dropna").asBoolean()).head().getAs[Any](0)

@@ -389,11 +389,13 @@ def gen_op(r):
                                            "bottom"]),
                     "pct": r.random() < 0.3}
     if op == "cum_diff":
-        fn = r.choice(["cumsum", "cummax", "cummin", "diff"])
+        fn = r.choice(["cumsum", "cummax", "cummin", "diff", "cumprod"])
         args = {"fn": fn, "col": r.choice(["b", "a"])}
         if fn == "diff":
             args["n"] = r.choice([-2, -1, 1, 1, 2, 3])
             args["col"] = "b"  # diff of int col upcasts oddly; pin double
+        if fn == "cumprod":
+            args["col"] = "b"  # int cumprod overflows differently; pin
         return op, args
     if op == "group_transform":
         key = r.choice(["a", "s"])
@@ -460,12 +462,16 @@ def gen_op(r):
         return op, {"col": r.choice(["s", "a", "b"]),
                     "sentinel": r.random() < 0.7}
     if op == "col_stats":
-        fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique"])
+        fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique",
+                       # r12 tranche 12: bias-corrected sample moments
+                       "skew", "kurt", "sem"])
         args = {"fn": fn,
                 # idxmax/idxmin numeric only (graft's tie trick negates);
-                # mode/nunique also draw the string column
+                # mode/nunique also draw the string column; moments are
+                # numeric-only like pandas
                 "col": r.choice(["a", "b"]) if fn in ("idxmax", "idxmin",
-                                                      "quantile")
+                                                      "quantile", "skew",
+                                                      "kurt", "sem")
                        else r.choice(["a", "b", "s"])}
         if fn == "quantile":
             args["q"] = r.choice([0.0, 0.25, 0.3, 0.5, 0.75, 0.9, 1.0])
@@ -577,6 +583,8 @@ def run_reference(nf, op, args):
             return {"vals": [enc_val(v) for v in base.mode()]}
         if fn == "quantile":
             return {"val": enc_val(base.quantile(args["q"]))}
+        if fn in ("skew", "kurt", "sem"):
+            return {"val": enc_val(getattr(base, fn)())}
         return {"val": enc_val(base.nunique(dropna=args["dropna"]))}
     if op == "rank_col":
         ser = nf[args["col"]].rank(method=args["method"],
