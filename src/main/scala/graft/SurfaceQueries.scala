@@ -655,6 +655,26 @@ object SurfaceQueries {
         "o_orderpriority", "o_orderkey")
       .select(col("o_orderkey"), col("code"))
 
+  /** InheritedOps.ewmMean (pandas ewm(alpha=0.3).mean()) per status
+    * group over the first 400 orders of each group (the oracle mirror
+    * is a recursive CTE advancing one row per iteration, so the rank
+    * cap bounds its depth at every SF — a ≤400-row oracle artifact,
+    * like the documented rank stamps). Library side: one hash
+    * repartition + in-partition sort + streaming mapPartitions. */
+  val qEwm: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val capped = o.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))))
+      .where(col("__rn") <= 400).drop("__rn")
+    graft.operators.InheritedOps.ewmMean(capped, "o_totalprice", 0.3,
+        "o_orderkey", Seq("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("ewm") + lit(1e-9), 4).as("ewm"))
+  }
+
   /** InheritedOps.corrCov (pandas Series.corr/cov — pairwise-complete
     * sample statistics): two 1-row aggregates cross-joined (broadcast,
     * the adjudicated 1-row pattern). */
@@ -877,9 +897,27 @@ object SurfaceQueries {
     "q_clip_pct" -> qClipPct,
     "q_crosstab" -> qCrosstab,
     "q_factorize" -> qFactorize,
+    "q_ewm" -> qEwm,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewm" ->
+      """WITH RECURSIVE posed AS (
+        |  SELECT o_orderstatus AS g, o_orderkey AS k, o_totalprice AS x,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |capped AS (SELECT * FROM posed WHERE rn <= 400),
+        |r AS (
+        |  SELECT g, k, x, rn, CAST(x AS DOUBLE) AS num,
+        |    CAST(1.0 AS DOUBLE) AS den
+        |  FROM capped WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.g, c.k, c.x, c.rn, c.x + 0.7 * r.num, 1.0 + 0.7 * r.den
+        |  FROM capped c JOIN r ON c.g = r.g AND c.rn = r.rn + 1)
+        |SELECT k AS o_orderkey, g AS o_orderstatus,
+        |  round(num / den + 1e-9, 4) AS ewm
+        |FROM r""".stripMargin,
     "q_crosstab" ->
       """WITH ct AS (
         |  SELECT l_returnflag,

@@ -839,6 +839,76 @@ object InheritedOps {
       cutBins(col(column), uniq, right = true, includeLowest = true))
   }
 
+  /** pandas `ewm(alpha, adjust=, ignore_na=, min_periods=).mean()`:
+    * exponentially-weighted mean along `orderCol`, appended as `ewm`.
+    * This is a genuinely RECURSIVE accumulation (y depends on y_prev),
+    * inexpressible as a Spark window aggregate without an O(n²) frame
+    * or overflowing (1−α)^(−j) rescaling — so it runs as the documented
+    * last-resort shape: hash-repartition on `partitionBy`, sort WITHIN
+    * partitions, one streaming mapPartitions pass with O(1) state per
+    * group (the classic secondary-sort pattern; no global sort, no
+    * group materialization). The loop mirrors pandas' ewm kernel
+    * exactly: old_wt decays by (1−α) per ROW after the first
+    * observation (per OBSERVATION when ignore_na=true), a present
+    * value folds in with weight 1 (adjust=true) or α (adjust=false,
+    * old_wt renormalized to 1), missing positions CARRY the running
+    * mean forward, and rows before `minPeriods` observations read
+    * missing. The unpartitioned form is a single-partition sort —
+    * small frames only, same contract as [[shiftRows]]. */
+  def ewmMean(df: DataFrame, column: String, alpha: Double,
+              orderCol: String, partitionBy: Seq[String] = Nil,
+              adjust: Boolean = true, ignoreNa: Boolean = false,
+              minPeriods: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val df0 = nanAsNull(df, Seq(column))
+    val sorted =
+      if (partitionBy.nonEmpty)
+        df0.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy :+ orderCol).map(col): _*)
+      else df0.coalesce(1).sortWithinPartitions(col(orderCol))
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex(column)
+    val keyIdx = partitionBy.map(schema.fieldIndex)
+    val oldWtFactor = 1.0 - alpha
+    val newWt = if (adjust) 1.0 else alpha
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var weightedAvg = Double.NaN
+      var oldWt = 1.0
+      var nobs = 0L
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (curKey == null || key != curKey) { // new group: reset state
+          curKey = key
+          weightedAvg = Double.NaN
+          oldWt = 1.0
+          nobs = 0L
+        }
+        val present = !row.isNullAt(vIdx)
+        val cur = if (present)
+          row.get(vIdx).asInstanceOf[Number].doubleValue() else Double.NaN
+        if (present) nobs += 1
+        if (!weightedAvg.isNaN) {
+          if (present || !ignoreNa) {
+            oldWt *= oldWtFactor
+            if (present) {
+              if (weightedAvg != cur)
+                weightedAvg =
+                  (oldWt * weightedAvg + newWt * cur) / (oldWt + newWt)
+              if (adjust) oldWt += newWt else oldWt = 1.0
+            }
+          }
+        } else if (present) weightedAvg = cur
+        val out: Any =
+          if (nobs >= minPeriods && !weightedAvg.isNaN) weightedAvg
+          else null
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+    df0.sparkSession.createDataFrame(outRdd,
+      schema.add("ewm", org.apache.spark.sql.types.DoubleType))
+  }
+
   /** pandas `pd.crosstab(row, col, margins=)`: the count matrix of two
     * key columns — rows where EITHER key is missing drop (pandas
     * dropna), keys sort ascending, absent combinations read 0.

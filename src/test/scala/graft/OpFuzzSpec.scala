@@ -518,6 +518,22 @@ class OpFuzzSpec extends SparkSpec {
               else Some(s"factorize: codes ${gotCodes.take(12)
                 .mkString(",")} vs $expCodes; uniques ${uniq.map(_.get(1))
                 .mkString(",")} vs $expUniq")
+            // r12 tranche 13: ewm mean — per-row goldens replaying the
+            // pandas kernel through the mapPartitions path
+            case "ewm" =>
+              val out = graft.operators.InheritedOps.ewmMean(df, "b",
+                args.get("alpha").asDouble(), "k", Nil,
+                adjust = args.get("adjust").asBoolean(),
+                ignoreNa = args.get("ignore_na").asBoolean(),
+                minPeriods = args.get("min_periods").asInt())
+              val got = out.orderBy(col("k")).select(col("ewm"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"ewm vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
             // r12 tranche 10: corr/cov — one scalar golden
             case "corr_cov" =>
               val got = graft.operators.InheritedOps.corrCov(df,

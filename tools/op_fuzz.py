@@ -99,7 +99,12 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # a NaN column) and factorize (codes by FIRST APPEARANCE,
        # missing -> -1 sentinel or its own appearance-ordered code) —
        # probed 2026-08-16
-       "crosstab", "get_dummies", "factorize"]
+       "crosstab", "get_dummies", "factorize",
+       # r12 tranche 13: ewm mean — pandas kernel replayed exactly
+       # (old_wt decay per row / per observation under ignore_na,
+       # adjust new_wt 1 vs alpha, missing positions CARRY the mean,
+       # min_periods gates on observation count) — probed 2026-08-16
+       "ewm"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -113,7 +118,8 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               7,
               9, 5, 7,
               8, 5,
-              6, 6, 7]
+              6, 6, 7,
+              8]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -461,6 +467,11 @@ def gen_op(r):
     if op == "factorize":
         return op, {"col": r.choice(["s", "a", "b"]),
                     "sentinel": r.random() < 0.7}
+    if op == "ewm":
+        return op, {"alpha": round(r.uniform(0.1, 0.9), 2),
+                    "adjust": r.random() < 0.5,
+                    "ignore_na": r.random() < 0.4,
+                    "min_periods": r.randint(1, 3)}
     if op == "col_stats":
         fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique",
                        # r12 tranche 12: bias-corrected sample moments
@@ -557,6 +568,11 @@ def run_reference(nf, op, args):
                                    use_na_sentinel=args["sentinel"])
         return {"codes": [int(c) for c in codes],
                 "uniques": [enc_val(u) for u in uniq]}
+    if op == "ewm":
+        ser = nf["b"].ewm(alpha=args["alpha"], adjust=args["adjust"],
+                          ignore_na=args["ignore_na"],
+                          min_periods=args["min_periods"]).mean()
+        return {"vals": [enc_val(v) for v in ser]}
     if op == "melt_frame":
         # k lives in the INDEX on the reference side; melt discards the
         # index (ignore_index=True default), so materialize it first —
