@@ -294,12 +294,21 @@ object InheritedOps {
   def momentStat(df: DataFrame, column: String, fn: String): DataFrame = {
     val df0 = nanAsNull(df, Seq(column))
     val v = col(column).cast("double")
-    val n = count(v)
+    // double count: n·(n−1) in LongType would overflow past ~3e9 rows
+    // (the 100 TB scale this targets); double is exact to 2^53 and the
+    // correction factors are float math anyway (r12 review)
+    val n = count(v).cast("double")
+    // pandas nanskew/nankurt return 0.0 on a zero-variance column
+    // (their m2 == 0 branch) where Spark's skewness/kurtosis read NULL
+    // — coalesce restores the pandas contract (r12 review; probed:
+    // Series([5,5,5,5]).skew() == 0.0)
+    val zeroVar = when(var_samp(v) === 0.0, lit(0.0))
     val agg: Column = fn match {
-      case "skew" => when(n >= 3,
-        skewness(v) * sqrt(n * (n - 1)) / (n - 2))
-      case "kurt" => when(n >= 4,
-        ((n + 1) * kurtosis(v) + 6) * (n - 1) / ((n - 2) * (n - 3)))
+      case "skew" => when(n >= 3, coalesce(
+        skewness(v) * sqrt(n * (n - 1)) / (n - 2), zeroVar))
+      case "kurt" => when(n >= 4, coalesce(
+        ((n + 1) * kurtosis(v) + 6) * (n - 1) / ((n - 2) * (n - 3)),
+        zeroVar))
       case "sem" => when(n >= 2, stddev_samp(v) / sqrt(n))
       case other => throw new IllegalArgumentException(
         s"fn must be skew|kurt|sem, got '$other'")
@@ -748,12 +757,27 @@ object InheritedOps {
       max(col(column).cast("double"))).head()
     if (mmRow.isNullAt(0)) // empty or all-missing column: every bin is
       return df0.withColumn("bin", lit(null).cast("long")) // missing
-    val (mn, mx) = (mmRow.getDouble(0), mmRow.getDouble(1))
-    val step = (mx - mn) / bins
-    val inner = (0 to bins).map(i => mn + step * i).toArray
-    inner(bins) = mx
-    val adj = (mx - mn) * 0.001
-    if (right) inner(0) = mn - adj else inner(bins) = mx + adj
+    val (mn0, mx0) = (mmRow.getDouble(0), mmRow.getDouble(1))
+    val inner =
+      if (mn0 == mx0) {
+        // pandas widens a constant range BEFORE binning (tile.py:
+        // mn -= .001·|mn| (or .001 at 0), mx += likewise) and skips the
+        // outer-edge adjustment — every value lands in a bin (r12
+        // review; pd.cut([5,5,5], 2) assigns bin 0)
+        val mn = mn0 - (if (mn0 != 0) 0.001 * math.abs(mn0) else 0.001)
+        val mx = mx0 + (if (mx0 != 0) 0.001 * math.abs(mx0) else 0.001)
+        val step = (mx - mn) / bins
+        val e = (0 to bins).map(i => mn + step * i).toArray
+        e(bins) = mx
+        e
+      } else {
+        val step = (mx0 - mn0) / bins
+        val e = (0 to bins).map(i => mn0 + step * i).toArray
+        e(bins) = mx0
+        val adj = (mx0 - mn0) * 0.001
+        if (right) e(0) = mn0 - adj else e(bins) = mx0 + adj
+        e
+      }
     df0.withColumn("bin", cutBins(col(column), inner.toSeq, right))
   }
 
@@ -792,9 +816,13 @@ object InheritedOps {
         array(probs.map(lit): _*), lit(acc)).as("e")).head()
       if (row.isNullAt(0))
         return df0.withColumn("bin", lit(null).cast("long"))
-      val uniq = row.getSeq[Double](0).foldLeft(Vector.empty[Double]) {
+      val sketch = row.getSeq[Double](0)
+      val uniq = sketch.foldLeft(Vector.empty[Double]) {
         (acc0, e) => if (acc0.nonEmpty && acc0.last == e) acc0
                      else acc0 :+ e }
+      if (uniq.size < sketch.size && duplicates == "raise")
+        throw new IllegalArgumentException( // same contract as exact path
+          s"qcut: bin edges are not unique: ${sketch.mkString(",")}")
       if (uniq.size < 2)
         return df0.withColumn("bin", lit(null).cast("long"))
       return df0.withColumn("bin",

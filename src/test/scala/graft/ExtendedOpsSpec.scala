@@ -800,6 +800,20 @@ class ExtendedOpsSpec extends SparkSpec {
       .withColumn("ts", c0("k").cast("double") + 0.5)
     def planOf(d: org.apache.spark.sql.DataFrame): String =
       d.queryExecution.executedPlan.toString
+    // Spark prints the frame as `unboundedfollowing$()` — no space — so
+    // normalize before matching (r12 review: the spaced form never
+    // appears and made the first version of this guard vacuous)
+    def hasUnboundedFollowing(plan: String): Boolean =
+      plan.toUpperCase.replace(" ", "").contains("UNBOUNDEDFOLLOWING")
+    // positive control: a deliberately-bad plan MUST trip the matcher
+    import org.apache.spark.sql.expressions.{Window => W0}
+    val badPlan = planOf(df.withColumn("nx",
+      org.apache.spark.sql.functions.first(c0("v"), ignoreNulls = true)
+        .over(W0.partitionBy(c0("g")).orderBy(c0("k"))
+          .rowsBetween(W0.currentRow, W0.unboundedFollowing))))
+    assert(hasUnboundedFollowing(badPlan),
+      "positive control failed: matcher no longer detects an " +
+        s"unbounded-following frame — update it. Plan:\n$badPlan")
     val plans = Seq(
       "interpolate" -> planOf(InheritedOps.interpolateLinear(
         df, "v", "k", Seq("g"))),
@@ -812,10 +826,10 @@ class ExtendedOpsSpec extends SparkSpec {
         left.withColumnRenamed("k", "lk"), right.drop("k"),
         Seq("g"), "ts", direction = "nearest")))
     for ((name, plan) <- plans)
-      assert(!plan.toUpperCase.contains("UNBOUNDED FOLLOWING"),
+      assert(!hasUnboundedFollowing(plan),
         s"$name plans an unbounded-following frame (O(n^2) per row):\n" +
-          plan.linesIterator.filter(_.toUpperCase
-            .contains("UNBOUNDED FOLLOWING")).take(3).mkString("\n"))
+          plan.linesIterator.filter(l => hasUnboundedFollowing(l))
+            .take(3).mkString("\n"))
   }
 
   test("qcutBins approxAccuracy: the 100 TB edge path bins ~equal-sized " +

@@ -1429,6 +1429,23 @@ def main():
             vs = frame["base"]["b"]["v"]
             frame["base"]["b"]["v"] = [0.001 if v == 0.0 else v
                                        for v in vs]
+        if (op == "cut_qcut" and args["mode"] == "cut_int"
+                and r.random() < 0.15):
+            # constant column: pandas WIDENS the range before binning
+            # (tile.py mn==mx branch) — r12 review caught the divergence
+            const = (round(r.uniform(-3, 8), 3) if args["col"] == "b"
+                     else r.randint(-5, 12))
+            frame["base"][args["col"]]["v"] = \
+                [const] * len(frame["k"])
+        if (op == "col_stats" and args["fn"] in ("skew", "kurt", "sem")
+                and r.random() < 0.12):
+            # zero-variance column: pandas skew/kurt read 0.0 (their
+            # m2 == 0 branch), Spark's population moments read NULL —
+            # r12 review caught the divergence
+            const = (round(r.uniform(-3, 8), 3) if args["col"] == "b"
+                     else r.randint(-5, 12))
+            frame["base"][args["col"]]["v"] = \
+                [const] * len(frame["k"])
         if op == "cut_qcut" and args["mode"] == "qcut":
             # integer quantile positions only: q divides (non-NA count
             # - 1), so every edge IS a data value — bit-exact on both
