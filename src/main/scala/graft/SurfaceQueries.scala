@@ -675,6 +675,88 @@ object SurfaceQueries {
         round(col("ewm") + lit(1e-9), 4).as("ewm"))
   }
 
+  /** InheritedOps.ewmVar std=true (pandas ewm(span=10).std()) per
+    * status group over the first 400 orders of each group — the same
+    * rank-capped recursive-CTE oracle artifact as [[qEwm]]; the CTE
+    * tracks the weighted sums S1/S2 and weight sums W1/W2 whose closed
+    * form equals the pandas ewmcov recursion, with the
+    * W1²/(W1²−W2) debias and the zsqrt guard. span converts through
+    * the center-of-mass chain on both sides (1/(1+(span−1)/2) — the
+    * same IEEE ops constant-fold in DuckDB). */
+  val qEwmVar: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val capped = o.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))))
+      .where(col("__rn") <= 400).drop("__rn")
+    graft.operators.InheritedOps.ewmVar(capped, "o_totalprice",
+        graft.operators.InheritedOps.ewmAlphaFromSpan(10.0),
+        "o_orderkey", Seq("o_orderstatus"), std = true)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("ewm") + lit(1e-9), 4).as("ewm_std"))
+  }
+
+  /** InheritedOps.rollingTimeAgg (pandas rolling("1h") on the event
+    * stream, per user): closed='both' so the frame is exactly DuckDB's
+    * RANGE INTERVAL 1 HOUR PRECEDING — (user_id, ts) is duplicate-free
+    * at every SF (probed 2026-08-16), so the position-truncation
+    * subtlety the fuzz family pins never fires here. One keyed
+    * repartition + in-partition sort + streaming deque pass. */
+  val qRollingTime: Q = (s, dir) => {
+    // events.ts reads as TIMESTAMP_NTZ (µs parquet); the op's
+    // cast("timestamp") is instant-preserving under the UTC session tz
+    val e = rd(s, dir, "events")
+      .select("event_id", "user_id", "ts", "value")
+    graft.operators.InheritedOps.rollingTimeAgg(e, "value", "mean",
+        3600L * 1000000L, "ts", "event_id", minPeriods = 2,
+        partitionBy = Seq("user_id"), closed = "both")
+      .select(col("event_id"),
+        round(col("rolled") + lit(1e-9), 6).as("roll_mean"))
+  }
+
+  /** InheritedOps.resampleAgg (pandas resample('1h').mean() over the
+    * event stream): left-closed hourly bins anchored at midnight of
+    * the first day, EMPTY bins emitted as missing means. The bin axis
+    * generates distributed (spark.range), the per-bin aggregate is one
+    * keyed shuffle, empties arrive by left join. */
+  val qResample: Q = (s, dir) => {
+    val e = rd(s, dir, "events")
+    graft.operators.InheritedOps.resampleAgg(e, "ts",
+        3600L * 1000000L, "mean", "value")
+      .select(expr("unix_millis(bin)").as("bin_ms"), // dtype-stable label
+        round(col("agg") + lit(1e-9), 6).as("v_mean"))
+  }
+
+  /** InheritedOps.stackFrame (pandas stack(): row-major melt, missing
+    * cells drop): two numeric order columns fold to (variable, value)
+    * rows, mixed int/double unifying to double. Per-row generator
+    * expansion, no shuffle. */
+  val qStack: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    graft.operators.InheritedOps.stackFrame(o, Seq("o_orderkey"),
+        Seq("o_custkey", "o_totalprice"))
+      .select(col("o_orderkey"), col("variable"),
+        round(col("value"), 2).as("value"))
+  }
+
+  /** InheritedOps.unstackFrame (pandas Series.unstack() on a two-level
+    * key): the order-status columns of each order key — unique pairs
+    * by construction, exercising the in-aggregate duplicate raise
+    * guard's happy path. One grouped pivot shuffle. */
+  val qUnstack: Q = (s, dir) => {
+    val o = rd(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    graft.operators.InheritedOps.unstackFrame(o, "o_orderkey",
+        "o_orderstatus", "o_totalprice")
+      .select(col("o_orderkey"),
+        round(col("F"), 2).as("F"),
+        round(col("O"), 2).as("O"),
+        round(col("P"), 2).as("P"))
+  }
+
   /** InheritedOps.corrCov (pandas Series.corr/cov — pairwise-complete
     * sample statistics): two 1-row aggregates cross-joined (broadcast,
     * the adjudicated 1-row pattern). */
@@ -898,9 +980,88 @@ object SurfaceQueries {
     "q_crosstab" -> qCrosstab,
     "q_factorize" -> qFactorize,
     "q_ewm" -> qEwm,
+    // r13: ewm breadth + tranche 14 (time rolling, resample,
+    // stack/unstack)
+    "q_ewm_var" -> qEwmVar,
+    "q_rolling_time" -> qRollingTime,
+    "q_resample" -> qResample,
+    "q_stack" -> qStack,
+    "q_unstack" -> qUnstack,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ewm_var" ->
+      """WITH RECURSIVE posed AS (
+        |  SELECT o_orderstatus AS g, o_orderkey AS k, o_totalprice AS x,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |capped AS (SELECT * FROM posed WHERE rn <= 400),
+        |r AS (
+        |  SELECT g, k, rn, CAST(x AS DOUBLE) AS s1,
+        |    CAST(x * x AS DOUBLE) AS s2,
+        |    CAST(1.0 AS DOUBLE) AS w1, CAST(1.0 AS DOUBLE) AS w2
+        |  FROM capped WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.g, c.k, c.rn,
+        |    c.x + (1 - 1.0/(1.0+(10.0-1.0)/2.0)) * r.s1,
+        |    c.x * c.x + (1 - 1.0/(1.0+(10.0-1.0)/2.0)) * r.s2,
+        |    1.0 + (1 - 1.0/(1.0+(10.0-1.0)/2.0)) * r.w1,
+        |    1.0 + (1 - 1.0/(1.0+(10.0-1.0)/2.0))
+        |        * (1 - 1.0/(1.0+(10.0-1.0)/2.0)) * r.w2
+        |  FROM capped c JOIN r ON c.g = r.g AND c.rn = r.rn + 1)
+        |SELECT k AS o_orderkey, g AS o_orderstatus,
+        |  CASE WHEN w1 * w1 - w2 > 0 THEN
+        |    round(sqrt(GREATEST(
+        |      (w1 * w1 / (w1 * w1 - w2))
+        |        * (s2 / w1 - (s1 / w1) * (s1 / w1)), 0)) + 1e-9, 4)
+        |  END AS ewm_std
+        |FROM r""".stripMargin,
+    "q_rolling_time" ->
+      """SELECT event_id,
+        |  CASE WHEN count(value) OVER w >= 2
+        |       THEN round(avg(value) OVER w + 1e-9, 6) END AS roll_mean
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+    "q_resample" ->
+      """WITH bounds AS (
+        |  SELECT epoch_us(date_trunc('day', min(ts))) AS day0,
+        |         epoch_us(min(ts)) AS tmin, epoch_us(max(ts)) AS tmax
+        |  FROM events),
+        |axis AS (
+        |  SELECT day0 + ((tmin - day0) // 3600000000) * 3600000000
+        |         + unnest(generate_series(0,
+        |             ((tmax - day0) // 3600000000)
+        |           - ((tmin - day0) // 3600000000))) * 3600000000 AS bin
+        |  FROM bounds),
+        |agg AS (
+        |  SELECT day0 + ((epoch_us(ts) - day0) // 3600000000)
+        |           * 3600000000 AS bin,
+        |         avg(value) AS m
+        |  FROM events, bounds GROUP BY 1)
+        |SELECT axis.bin // 1000 AS bin_ms,
+        |  round(agg.m + 1e-9, 6) AS v_mean
+        |FROM axis LEFT JOIN agg USING (bin)""".stripMargin,
+    "q_stack" ->
+      """SELECT o_orderkey, 'o_custkey' AS variable,
+        |  round(CAST(o_custkey AS DOUBLE), 2) AS value
+        |FROM orders WHERE o_custkey IS NOT NULL
+        |UNION ALL
+        |SELECT o_orderkey, 'o_totalprice' AS variable,
+        |  round(CAST(o_totalprice AS DOUBLE), 2) AS value
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
+    "q_unstack" ->
+      """SELECT o_orderkey,
+        |  round(max(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END),
+        |    2) AS "F",
+        |  round(max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END),
+        |    2) AS "O",
+        |  round(max(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END),
+        |    2) AS "P"
+        |FROM orders WHERE o_orderstatus IS NOT NULL
+        |GROUP BY 1""".stripMargin,
     "q_ewm" ->
       """WITH RECURSIVE posed AS (
         |  SELECT o_orderstatus AS g, o_orderkey AS k, o_totalprice AS x,

@@ -546,7 +546,9 @@ object InheritedOps {
     * `orderCol`. Same `partitionBy` contract as [[shiftRows]]. bfill
     * runs `last` over a DESC-ordered prefix frame rather than `first`
     * over (currentRow, unboundedFollowing) — Spark evaluates the
-    * latter O(n²) per partition (see [[interpolateLinear]]). */
+    * latter O(n²) per partition (see [[interpolateLinear]], including
+    * the duplicate-free `orderCol` contract the DESC sweep relies
+    * on). */
   def fillDirectional(df: DataFrame, forward: Boolean, orderCol: String,
                       partitionBy: Seq[String] = Nil): DataFrame = {
     val part = if (partitionBy.nonEmpty)
@@ -576,16 +578,25 @@ object InheritedOps {
     *    for every kernel EXCEPT `count`, whose gate counts ROWS
     *    (rolling(3).count() over [1, NaN, 3] reads 2.0 — the row count
     *    met the default min_periods=window, the non-NA count did not);
-    *  - min_periods defaults: window (rolling), 1 (expanding).
+    *  - min_periods defaults: window (rolling), 1 (expanding);
+    *  - center=True shifts the frame to rows [i − w/2, i + (w−1)/2]
+    *    (integer division — probed 2026-08-16 on even and odd w);
+    *  - median/quantile(q) interpolate LINEARLY over the non-missing
+    *    window values (np.percentile linear ≡ Spark's exact
+    *    `percentile`).
     * std/var are sample (ddof=1) ≡ stddev_samp/var_samp. One bounded
     * rows-window — map-side, no shuffle beyond the `partitionBy` hash;
     * the unpartitioned form is a single-partition sort, fine only for
-    * small frames (same contract as [[shiftRows]]). */
+    * small frames (same contract as [[shiftRows]]). percentile over a
+    * sliding frame re-aggregates per row (O(n·w) like pandas' own
+    * rolling quantile) — bounded by the explicit window size. */
   def rollingAgg(df: DataFrame, column: String, fn: String, window: Int,
                  minPeriods: Option[Int] = None, orderCol: String = "k",
                  partitionBy: Seq[String] = Nil,
-                 expanding: Boolean = false): DataFrame = {
+                 expanding: Boolean = false, center: Boolean = false,
+                 q: Double = 0.5): DataFrame = {
     require(window > 0 || expanding, s"window must be positive, got $window")
+    require(!(center && expanding), "center applies to rolling only")
     val mp = minPeriods.getOrElse(if (expanding) 1 else window)
     val df0 = nanAsNull(df, Seq(column))
     val w0 = (if (partitionBy.nonEmpty)
@@ -595,6 +606,8 @@ object InheritedOps {
     val w =
       if (expanding) w0.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
+      else if (center) w0.rowsBetween(-(window / 2).toLong,
+        ((window - 1) / 2).toLong)
       else w0.rowsBetween(-(window - 1).toLong, Window.currentRow)
     val v = col(column)
     val agg: Column = fn match {
@@ -605,13 +618,163 @@ object InheritedOps {
       case "std"   => stddev_samp(v).over(w)
       case "var"   => var_samp(v).over(w)
       case "count" => count(v).over(w).cast("double")
+      case "median" => percentile(v.cast("double"), lit(0.5)).over(w)
+      case "quantile" =>
+        require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q")
+        percentile(v.cast("double"), lit(q)).over(w)
       case other => throw new IllegalArgumentException(
-        s"fn must be mean|sum|min|max|std|var|count, got '$other'")
+        s"fn must be mean|sum|min|max|std|var|count|median|quantile, " +
+          s"got '$other'")
     }
     val gate =
       if (fn == "count") count(lit(1)).over(w) >= mp
       else count(v).over(w) >= mp
     df0.withColumn("rolled", when(gate, agg))
+  }
+
+  /** pandas time-based `rolling("2s", closed=)` on a datetime column:
+    * the window covers the trailing duration interval — `closed` pins
+    * the TIME endpoints (pandas offset default 'right' = (t−w, t],
+    * 'both', 'left' = [t−w, t), 'neither') — but the window END is the
+    * current row POSITION: with duplicated timestamps, EARLIER rows
+    * sharing the current timestamp are in, LATER ones are out (pandas
+    * VariableWindowIndexer sets end[i] = i+1; fuzz-caught 2026-08-16 —
+    * a Spark RANGE frame with upper bound 0 wrongly includes all
+    * peers, which is why this is NOT a window aggregate). min_periods
+    * defaults to 1 for offset windows; the gate counts non-missing for
+    * every fn except `count`, whose gate counts rows, like
+    * [[rollingAgg]].
+    *
+    * Execution: the [[ewmPass]] shape — hash-repartition on
+    * `partitionBy`, sort within partitions by (keys, ts, tieCol), one
+    * streaming pass holding ONLY the in-window rows in a deque (O(W)
+    * state, W = rows per window duration; evict-front is O(1)
+    * amortized). Aggregates recompute over the deque per row — the
+    * same O(n·W) class as pandas' own variable-window kernels, exact
+    * for order statistics. `tieCol` pins the positional order of
+    * timestamp peers (pandas row position). The unpartitioned form is
+    * a single-partition sort — small frames only, same contract as
+    * [[shiftRows]]. */
+  def rollingTimeAgg(df: DataFrame, column: String, fn: String,
+                     windowMicros: Long, tsCol: String,
+                     tieCol: String,
+                     minPeriods: Int = 1,
+                     partitionBy: Seq[String] = Nil,
+                     closed: String = "right",
+                     q: Double = 0.5): DataFrame = {
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    require(Seq("mean", "sum", "min", "max", "std", "var", "count",
+        "median", "quantile").contains(fn),
+      s"fn must be mean|sum|min|max|std|var|count|median|quantile, got '$fn'")
+    require(Seq("right", "both", "left", "neither").contains(closed),
+      s"closed must be right|both|left|neither, got '$closed'")
+    require(fn != "quantile" || (q >= 0 && q <= 1),
+      s"quantile must be in [0, 1], got $q")
+    val df0 = nanAsNull(df, Seq(column))
+      .withColumn("__t", unix_micros(col(tsCol).cast("timestamp")))
+    val sorted =
+      if (partitionBy.nonEmpty)
+        df0.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions(
+            (partitionBy ++ Seq("__t", tieCol)).map(col): _*)
+      else df0.coalesce(1)
+        .sortWithinPartitions(col("__t"), col(tieCol))
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex(column)
+    val tIdx = schema.fieldIndex("__t")
+    val keyIdx = partitionBy.map(schema.fieldIndex)
+    val includeLow = closed == "both" || closed == "left" // t−w itself in
+    val excludeCur = closed == "left" || closed == "neither" // t_i out
+    val isCount = fn == "count"
+    val qq = if (fn == "median") 0.5 else q
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var buf: scala.collection.mutable.ArrayDeque[(Long, Double, Boolean)] =
+        null
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (buf == null || key != curKey) { // new group: fresh window
+          curKey = key
+          buf = new scala.collection.mutable.ArrayDeque
+        }
+        val t = row.getLong(tIdx)
+        val present = !row.isNullAt(vIdx)
+        val v = if (present)
+          row.get(vIdx).asInstanceOf[Number].doubleValue() else Double.NaN
+        buf.append((t, v, present))
+        val lowBound = t - windowMicros
+        while (buf.nonEmpty &&
+          (if (includeLow) buf.head._1 < lowBound
+           else buf.head._1 <= lowBound)) buf.removeHead()
+        // timestamp peers of t form a suffix of the (t, tie)-sorted
+        // buffer; the open-at-t variants drop that whole suffix
+        var m = buf.length
+        if (excludeCur) while (m > 0 && buf(m - 1)._1 == t) m -= 1
+        var rows = 0
+        var nonNa = 0
+        var sum = 0.0
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var i = 0
+        while (i < m) {
+          val e = buf(i)
+          rows += 1
+          if (e._3) {
+            nonNa += 1
+            sum += e._2
+            if (e._2 < mn) mn = e._2
+            if (e._2 > mx) mx = e._2
+          }
+          i += 1
+        }
+        val gate = if (isCount) rows else nonNa
+        val out: Any =
+          if (gate < minPeriods) null
+          else fn match {
+            case "count" => nonNa.toDouble
+            case "sum"   => sum
+            case "mean"  => if (nonNa == 0) null else sum / nonNa
+            case "min"   => if (nonNa == 0) null else mn
+            case "max"   => if (nonNa == 0) null else mx
+            case "std" | "var" =>
+              if (nonNa < 2) null
+              else {
+                val mu = sum / nonNa
+                var s2 = 0.0
+                var j = 0
+                while (j < m) {
+                  val e = buf(j)
+                  if (e._3) { val d = e._2 - mu; s2 += d * d }
+                  j += 1
+                }
+                val vv = s2 / (nonNa - 1)
+                if (fn == "std") math.sqrt(vv) else vv
+              }
+            case _ => // median | quantile: exact linear interpolation
+              if (nonNa == 0) null
+              else {
+                val arr = new Array[Double](nonNa)
+                var j = 0
+                var p = 0
+                while (j < m) {
+                  val e = buf(j)
+                  if (e._3) { arr(p) = e._2; p += 1 }
+                  j += 1
+                }
+                java.util.Arrays.sort(arr)
+                val vi = qq * (nonNa - 1)
+                val lo = math.floor(vi).toInt
+                val g = vi - lo
+                if (g == 0) arr(lo)
+                else arr(lo) + g * (arr(lo + 1) - arr(lo))
+              }
+          }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ out)
+      }
+    }
+    df0.sparkSession.createDataFrame(outRdd,
+        schema.add("rolled", org.apache.spark.sql.types.DoubleType))
+      .drop("__t")
   }
 
   /** pandas `interpolate()` (method='linear', the default forward
@@ -631,7 +794,14 @@ object InheritedOps {
     * hang on ~10⁶-row status groups at the 10× corpus (r12). The
     * reversed prefix frame is the same answer via the O(n) running
     * accumulation; it costs a second in-partition sort, no extra
-    * shuffle. */
+    * shuffle.
+    *
+    * CONTRACT: `orderCol` must be duplicate-free within each partition
+    * group (the carried-index contract, like pandas' index here). The
+    * ASC and DESC sweeps order tied rows independently, so a duplicated
+    * position could resolve "next present" to a row the ASC order
+    * places before the current one. Same contract as
+    * [[fillDirectional]] bfill and the as-of reverse sweeps. */
   def interpolateLinear(df: DataFrame, column: String, orderCol: String,
                         partitionBy: Seq[String] = Nil): DataFrame = {
     val df0 = nanAsNull(df, Seq(column))
@@ -682,9 +852,12 @@ object InheritedOps {
     * 2.2.2 default, deprecated but active) forward-fills non-leading
     * missing values BEFORE the ratio — both numerator and denominator
     * read padded values; `fillMethod=None` leaves missing in place
-    * (a missing side propagates). Division by zero follows pandas'
-    * IEEE result (±inf, 0/0 → missing) rather than SQL NULL. Negative
-    * n looks forward. */
+    * (a missing side propagates). Division by a zero denominator
+    * follows pandas' IEEE sign (±inf); 0/0 — pandas NaN, which in
+    * pandas' one-marker world IS missing — reads SQL NULL here, the
+    * single missing encoding every other branch of this module uses
+    * (r12 advice: don't mix NaN and NULL in one output column).
+    * Negative n looks forward. */
   def pctChange(df: DataFrame, column: String, n: Int = 1,
                 orderCol: String = "k", partitionBy: Seq[String] = Nil,
                 fillMethod: Option[String] = Some("pad")): DataFrame = {
@@ -708,7 +881,7 @@ object InheritedOps {
     df1.withColumn("pct_change",
         when(col("__cur").isNull || prev.isNull, lit(null))
           .when(prev === 0.0 && col("__cur") === 0.0,
-            lit(Double.NaN))
+            lit(null))
           .when(prev === 0.0,
             when(col("__cur") > 0, lit(Double.PositiveInfinity))
               .otherwise(lit(Double.NegativeInfinity)))
@@ -888,7 +1061,146 @@ object InheritedOps {
               adjust: Boolean = true, ignoreNa: Boolean = false,
               minPeriods: Int = 1): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val df0 = nanAsNull(df, Seq(column))
+    val oldWtFactor = 1.0 - alpha
+    val newWt = if (adjust) 1.0 else alpha
+    ewmPass(nanAsNull(df, Seq(column)), column, orderCol, partitionBy) {
+      () =>
+        var weightedAvg = Double.NaN
+        var oldWt = 1.0
+        var nobs = 0L
+        (present, cur) => {
+          if (present) nobs += 1
+          if (!weightedAvg.isNaN) {
+            if (present || !ignoreNa) {
+              oldWt *= oldWtFactor
+              if (present) {
+                if (weightedAvg != cur)
+                  weightedAvg =
+                    (oldWt * weightedAvg + newWt * cur) / (oldWt + newWt)
+                if (adjust) oldWt += newWt else oldWt = 1.0
+              }
+            }
+          } else if (present) weightedAvg = cur
+          if (nobs >= minPeriods && !weightedAvg.isNaN) weightedAvg
+          else null
+        }
+    }
+  }
+
+  /** pandas `ewm(...).var()` / `.std()`: exponentially-weighted sample
+    * variance along `orderCol`, appended as `ewm`. Same execution shape
+    * and group-state contract as [[ewmMean]]; the loop replays pandas'
+    * `ewmcov` kernel (aggregations.pyx) with x == y: the running mean
+    * updates exactly like the mean kernel, the running covariance folds
+    * each observation in against the UPDATED mean, and the debias factor
+    * is W1²/(W1²−W2) over the running sum-of-weights W1 and
+    * sum-of-squared-weights W2 (both decay by (1−α) resp. (1−α)² per
+    * step and renormalize by the total weight when adjust=false). A
+    * non-positive debias denominator (a single effective observation)
+    * reads missing; pandas floors min_periods at 1 for var/std. std is
+    * pandas `zsqrt`: sqrt of the variance with a negative rounding
+    * residue mapped to 0.0, not NaN. Kernel verified bit-exact against
+    * pandas 2.2.2 on 26k random draws (probe 2026-08-16) and replayed
+    * by the op-fuzz `ewm` family. */
+  def ewmVar(df: DataFrame, column: String, alpha: Double,
+             orderCol: String, partitionBy: Seq[String] = Nil,
+             adjust: Boolean = true, ignoreNa: Boolean = false,
+             minPeriods: Int = 1, bias: Boolean = false,
+             std: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val minp = math.max(minPeriods, 1)
+    val oldWtFactor = 1.0 - alpha
+    val newWt = if (adjust) 1.0 else alpha
+    ewmPass(nanAsNull(df, Seq(column)), column, orderCol, partitionBy) {
+      () =>
+        var meanX = Double.NaN
+        var cov = 0.0
+        var sumWt = 1.0
+        var sumWt2 = 1.0
+        var oldWt = 1.0
+        var nobs = 0L
+        var firstRow = true
+        (present, cur) => {
+          if (present) nobs += 1
+          if (firstRow) {
+            firstRow = false
+            if (present) meanX = cur
+          } else if (!meanX.isNaN) {
+            if (present || !ignoreNa) {
+              sumWt *= oldWtFactor
+              sumWt2 *= oldWtFactor * oldWtFactor
+              oldWt *= oldWtFactor
+              if (present) {
+                val oldMean = meanX
+                if (meanX != cur)
+                  meanX = (oldWt * oldMean + newWt * cur) / (oldWt + newWt)
+                cov = (oldWt * (cov + (oldMean - meanX) * (oldMean - meanX)) +
+                  newWt * ((cur - meanX) * (cur - meanX))) / (oldWt + newWt)
+                sumWt += newWt
+                sumWt2 += newWt * newWt
+                oldWt += newWt
+                if (!adjust) {
+                  sumWt /= oldWt
+                  sumWt2 /= oldWt * oldWt
+                  oldWt = 1.0
+                }
+              }
+            }
+          } else if (present) meanX = cur
+          val v: Double =
+            if (nobs < minp) Double.NaN
+            else if (bias) cov
+            else {
+              val num = sumWt * sumWt
+              val den = num - sumWt2
+              if (den > 0) (num / den) * cov else Double.NaN
+            }
+          val out = if (std && !v.isNaN) { // pandas zsqrt
+            if (v < 0) 0.0 else math.sqrt(v)
+          } else v
+          if (out.isNaN) null else out
+        }
+    }
+  }
+
+  /** pandas' ewm parameterizations, replaying its exact float chain:
+    * every form converts to a center-of-mass first
+    * (`get_center_of_mass`), and the kernel's alpha is 1/(1+com)
+    * (aggregations.pyx). Probed 2026-08-16: the span chain reproduces
+    * pandas bitwise; halflife can differ from pandas by one ulp
+    * (np.exp vs java.lang.Math.exp), inside every comparison tolerance
+    * used here. */
+  def ewmAlphaFromCom(com: Double): Double = {
+    require(com >= 0, s"com must be >= 0, got $com")
+    1.0 / (1.0 + com)
+  }
+
+  def ewmAlphaFromSpan(span: Double): Double = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    ewmAlphaFromCom((span - 1.0) / 2.0)
+  }
+
+  def ewmAlphaFromHalflife(halflife: Double): Double = {
+    require(halflife > 0, s"halflife must be > 0, got $halflife")
+    val decay = 1.0 - math.exp(math.log(0.5) / halflife)
+    ewmAlphaFromCom(1.0 / decay - 1.0)
+  }
+
+  /** The secondary-sort plumbing shared by the ewm kernels: a genuinely
+    * RECURSIVE accumulation (y depends on y_prev) is inexpressible as a
+    * Spark window aggregate without an O(n²) frame or overflowing
+    * (1−α)^(−j) rescaling — so it runs as the documented last-resort
+    * shape: hash-repartition on `partitionBy`, sort WITHIN partitions,
+    * one streaming mapPartitions pass with O(1) state per group (no
+    * global sort, no group materialization). `makeState` builds a fresh
+    * per-group fold; each call receives (present, value) and returns
+    * the appended `ewm` cell. The unpartitioned form is a
+    * single-partition sort — small frames only, same contract as
+    * [[shiftRows]]. */
+  private def ewmPass(df0: DataFrame, column: String, orderCol: String,
+                      partitionBy: Seq[String])
+                     (makeState: () => (Boolean, Double) => Any)
+      : DataFrame = {
     val sorted =
       if (partitionBy.nonEmpty)
         df0.repartition(partitionBy.map(col): _*)
@@ -897,40 +1209,19 @@ object InheritedOps {
     val schema = sorted.schema
     val vIdx = schema.fieldIndex(column)
     val keyIdx = partitionBy.map(schema.fieldIndex)
-    val oldWtFactor = 1.0 - alpha
-    val newWt = if (adjust) 1.0 else alpha
     val outRdd = sorted.rdd.mapPartitions { it =>
       var curKey: Seq[Any] = null
-      var weightedAvg = Double.NaN
-      var oldWt = 1.0
-      var nobs = 0L
+      var step: (Boolean, Double) => Any = null
       it.map { row =>
         val key = keyIdx.map(row.get)
-        if (curKey == null || key != curKey) { // new group: reset state
+        if (step == null || key != curKey) { // new group: fresh state
           curKey = key
-          weightedAvg = Double.NaN
-          oldWt = 1.0
-          nobs = 0L
+          step = makeState()
         }
         val present = !row.isNullAt(vIdx)
         val cur = if (present)
           row.get(vIdx).asInstanceOf[Number].doubleValue() else Double.NaN
-        if (present) nobs += 1
-        if (!weightedAvg.isNaN) {
-          if (present || !ignoreNa) {
-            oldWt *= oldWtFactor
-            if (present) {
-              if (weightedAvg != cur)
-                weightedAvg =
-                  (oldWt * weightedAvg + newWt * cur) / (oldWt + newWt)
-              if (adjust) oldWt += newWt else oldWt = 1.0
-            }
-          }
-        } else if (present) weightedAvg = cur
-        val out: Any =
-          if (nobs >= minPeriods && !weightedAvg.isNaN) weightedAvg
-          else null
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ out)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ step(present, cur))
       }
     }
     df0.sparkSession.createDataFrame(outRdd,
@@ -947,11 +1238,21 @@ object InheritedOps {
     * single-pass with explicit values. Output column names are the
     * stringified column-key values. */
   def crosstabCounts(df: DataFrame, rowCol: String, colCol: String,
-                     margins: Boolean = false): DataFrame = {
+                     margins: Boolean = false,
+                     maxDomain: Int = 10000): DataFrame = {
     val df0 = nanAsNull(df, Seq(rowCol, colCol))
       .where(col(rowCol).isNotNull && col(colCol).isNotNull)
+    // fail-loudly domain cap: the column domain becomes the OUTPUT
+    // SCHEMA WIDTH, so an unbounded domain is a contract violation, not
+    // a scale problem to engineer around. take(cap+1) over the sorted
+    // distinct = TakeOrderedAndProject — driver memory stays bounded by
+    // the cap even when the probe fails.
     val colVals = df0.select(col(colCol)).distinct()
-      .orderBy(col(colCol).asc).collect().map(_.get(0)).toSeq
+      .orderBy(col(colCol).asc).take(maxDomain + 1).map(_.get(0)).toSeq
+    require(colVals.size <= maxDomain,
+      s"crosstab: column '$colCol' has more than $maxDomain distinct " +
+        "values — the domain becomes the output width; bucket or " +
+        "aggregate the column first (or raise maxDomain)")
     val wide = df0.groupBy(col(rowCol)).pivot(colCol, colVals)
       .agg(count(lit(1))).na.fill(0).orderBy(col(rowCol).asc)
     if (!margins || colVals.isEmpty) wide
@@ -973,20 +1274,41 @@ object InheritedOps {
     }
   }
 
-  /** pandas `pd.get_dummies(series, dummy_na=)`: one BOOLEAN indicator
-    * column per distinct non-missing value, named by the value, sorted
-    * ascending; a missing value reads false everywhere (dummy_na=true
-    * appends a `NaN` indicator column instead). The domain is collected
-    * first (bounded-cardinality contract); the indicators themselves
-    * are a single codegen'd projection appended to the frame. */
+  /** pandas `pd.get_dummies(series, prefix=, dummy_na=)`: one BOOLEAN
+    * indicator column per distinct non-missing value, named by the
+    * value (pandas `{prefix}{prefix_sep}{value}` when a prefix is
+    * given), sorted ascending; a missing value reads false everywhere
+    * (dummy_na=true appends a `NaN` indicator column instead). The
+    * domain is collected first under the fail-loudly `maxDomain` cap
+    * (it becomes output schema width — same contract as
+    * [[crosstabCounts]]); the indicators themselves are a single
+    * codegen'd projection appended to the frame. pandas returns a
+    * FRESH frame so no name can collide; graft appends to the input,
+    * so an indicator name equal to an existing column raises — pass a
+    * prefix to disambiguate (the asofJoin rightPrefix pattern). */
   def getDummies(df: DataFrame, column: String,
-                 dummyNa: Boolean = false): DataFrame = {
+                 dummyNa: Boolean = false, prefix: String = "",
+                 prefixSep: String = "_",
+                 maxDomain: Int = 10000): DataFrame = {
     val df0 = nanAsNull(df, Seq(column))
     val vals = df0.where(col(column).isNotNull).select(col(column))
-      .distinct().orderBy(col(column).asc).collect().map(_.get(0)).toSeq
-    val indicators = vals.map(v =>
-      coalesce(col(column) === lit(v), lit(false)).as(v.toString)) ++
-      (if (dummyNa) Seq(col(column).isNull.as("NaN")) else Nil)
+      .distinct().orderBy(col(column).asc)
+      .take(maxDomain + 1).map(_.get(0)).toSeq
+    require(vals.size <= maxDomain,
+      s"get_dummies: column '$column' has more than $maxDomain " +
+        "distinct values — the domain becomes the output width; " +
+        "bucket or aggregate the column first (or raise maxDomain)")
+    def nameOf(v: String): String =
+      if (prefix.isEmpty) v else s"$prefix$prefixSep$v"
+    val names = vals.map(v => nameOf(v.toString)) ++
+      (if (dummyNa) Seq(nameOf("NaN")) else Nil)
+    val clash = names.toSet.intersect(df0.columns.toSet)
+    require(clash.isEmpty,
+      s"get_dummies: indicator name(s) ${clash.mkString(", ")} collide " +
+        "with existing columns — pass prefix= to disambiguate")
+    val indicators = vals.zip(names).map { case (v, n) =>
+      coalesce(col(column) === lit(v), lit(false)).as(n) } ++
+      (if (dummyNa) Seq(col(column).isNull.as(nameOf("NaN"))) else Nil)
     df0.select(df0.columns.map(col).toSeq ++ indicators: _*)
   }
 
@@ -995,29 +1317,46 @@ object InheritedOps {
     * the uniques (use_na_sentinel default); `useNaSentinel=false` gives
     * missing its own appearance-ordered code. Appends `code`. Two keyed
     * shuffles: one first-occurrence aggregate over the value domain
-    * (small) + one value join back — no global window over the data.
-    * Uniques are recoverable as `distinct(code, value) ORDER BY code`. */
+    * + one value join back. Code assignment runs as a DISTRIBUTED
+    * range-sort over the domain + `zipWithIndex` (the qcut
+    * order-statistic pattern) — factorize is exactly the verb users
+    * point at high-cardinality columns (ids, URLs), where a
+    * `row_number` over an unpartitioned window would funnel the whole
+    * domain through one task. The domain-sized codes frame is persisted
+    * (memory-and-disk) so the size probe and the join share one
+    * compute, and is broadcast only when it fits under
+    * `broadcastDomainCap` rows — beyond that the join shuffles both
+    * sides on the value, which is the correct 100 TB plan. Uniques are
+    * recoverable as `distinct(code, value) ORDER BY code`. */
   def factorizeCodes(df: DataFrame, column: String, orderCol: String,
-                     useNaSentinel: Boolean = true): DataFrame = {
+                     useNaSentinel: Boolean = true,
+                     broadcastDomainCap: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val df0 = nanAsNull(df, Seq(column))
     val pool = if (useNaSentinel) df0.where(col(column).isNotNull)
                else df0
     val firstSeen = pool.groupBy(col(column))
       .agg(min(col(orderCol)).as("__fo"))
-    val codes = firstSeen.select(col(column),
-      (row_number().over(Window.orderBy(col("__fo"))) - 1)
-        .cast("long").as("code"))
-    // the codes side is |domain| rows — broadcast when small; the join
-    // must be null-safe when missing carries its own code
-    val joined =
-      if (useNaSentinel)
-        df0.join(broadcast(codes), Seq(column), "left")
-          .withColumn("code", coalesce(col("code"), lit(-1L)))
-      else
-        df0.join(broadcast(codes),
-          df0(column) <=> codes(column), "left")
-          .drop(codes(column))
-    joined
+    // first-appearance positions are unique when orderCol is (the
+    // carried-index contract); the value tiebreak only pins determinism
+    // for duplicated orderCol values
+    val codedRdd = firstSeen.orderBy(col("__fo"), col(column)).rdd
+      .zipWithIndex().map { case (r0, i) => Row(r0.get(0), i) }
+    val codes = df0.sparkSession.createDataFrame(codedRdd,
+        StructType(Seq(firstSeen.schema.fields(0),
+          StructField("code", LongType, nullable = false))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val domain = codes.count()
+    val codesSide = if (domain <= broadcastDomainCap) broadcast(codes)
+                    else codes
+    // the join must be null-safe when missing carries its own code
+    if (useNaSentinel)
+      df0.join(codesSide, Seq(column), "left")
+        .withColumn("code", coalesce(col("code"), lit(-1L)))
+    else
+      df0.join(codesSide, df0(column) <=> codes(column), "left")
+        .drop(codes(column))
   }
 
   /** pandas `Series.corr(other)` / `Series.cov(other)`: pairwise
@@ -1035,5 +1374,121 @@ object InheritedOps {
         s"fn must be corr|cov, got '$other'")
     }
     df0.agg(agg.as("stat"))
+  }
+
+  /** pandas `stack()` (legacy default, dropna=True): the value columns
+    * fold into (variable, value) rows in ROW-MAJOR order — all of a
+    * row's columns consecutive, in the given column order — and
+    * missing cells DROP (probed 2026-08-16: a NaN cell simply has no
+    * output row). [[meltFrame]]'s per-row explode already emits
+    * row-major, so stack is melt + the missing-cell filter; the
+    * numeric-unification cast is melt's. `dropNa=false` keeps missing
+    * cells as null-valued rows (pandas future_stack). */
+  def stackFrame(df: DataFrame, idVars: Seq[String],
+                 valueVars: Seq[String],
+                 dropNa: Boolean = true): DataFrame = {
+    val melted = meltFrame(nanAsNull(df, valueVars), idVars, valueVars)
+    if (dropNa) melted.where(col("value").isNotNull) else melted
+  }
+
+  /** pandas `Series.unstack()` on a two-level (index, columns) key:
+    * the wide first-value matrix — one output column per distinct
+    * column key (sorted ascending, stringified names like
+    * [[pivotTable]]), absent combinations missing. pandas RAISES on a
+    * duplicated (index, column) pair ("Index contains duplicate
+    * entries"); the raise here lives INSIDE the pivot aggregate
+    * (count > 1 → raise_error), so the guard costs no extra pass.
+    * Missing keys on either level drop (documented divergence: pandas
+    * keeps a NaN level as a NaN-labeled row/column — not representable
+    * as a Spark column name). Domain cap contract as
+    * [[crosstabCounts]]. */
+  def unstackFrame(df: DataFrame, index: String, columns: String,
+                   values: String, maxDomain: Int = 10000): DataFrame = {
+    val df0 = nanAsNull(df, Seq(index, columns, values))
+      .where(col(index).isNotNull && col(columns).isNotNull)
+    val colVals = df0.select(col(columns)).distinct()
+      .orderBy(col(columns).asc).take(maxDomain + 1).map(_.get(0)).toSeq
+    require(colVals.size <= maxDomain,
+      s"unstack: column '$columns' has more than $maxDomain distinct " +
+        "values — the domain becomes the output width (raise maxDomain " +
+        "only deliberately)")
+    df0.groupBy(col(index)).pivot(columns, colVals)
+      .agg(when(count(lit(1)) > 1, raise_error(concat(
+          lit("unstack: index contains duplicate entries for key="),
+          first(col(index)).cast("string"))))
+        .otherwise(first(col(values))))
+  }
+
+  /** pandas `resample(freq).fn()` with the pandas defaults pinned
+    * (probed 2026-08-16): bins are `[b, b+freq)` (closed='left')
+    * anchored at MIDNIGHT OF THE FIRST DAY (`origin='start_day'` — for
+    * freqs that don't divide 86400s this differs from epoch
+    * anchoring), labeled by the left edge (`label='right'` adds one
+    * freq), and EMPTY bins between the first and last populated bin
+    * are emitted: sum → 0.0, count → 0, mean/min/max → missing.
+    * Output: (`bin` timestamp, `agg` value), one row per bin.
+    *
+    * Scale shape: one scalar min/max aggregate (1-row collect, the
+    * adjudicated pattern) pins the bin range; the full bin axis
+    * generates DISTRIBUTED via `spark.range(nBins)` (never a
+    * driver-side sequence — at 100 TB a years-long span at seconds
+    * granularity is billions of bins); data aggregates per-bin with
+    * map-side partials and the empty bins arrive by left join, both
+    * sides hash-partitioned on the bin. */
+  def resampleAgg(df: DataFrame, tsCol: String, freqMicros: Long,
+                  fn: String, valueCol: String,
+                  label: String = "left"): DataFrame = {
+    require(freqMicros > 0, s"freq must be positive, got $freqMicros")
+    require(Seq("left", "right").contains(label),
+      s"label must be left|right, got '$label'")
+    val df0 = nanAsNull(df, Seq(valueCol))
+      .withColumn("__t", unix_micros(col(tsCol).cast("timestamp")))
+    val range = df0.agg(
+      unix_micros(date_trunc("DAY",
+        min(col(tsCol).cast("timestamp")))).as("day0"),
+      min(col("__t")).as("tmin"), max(col("__t")).as("tmax")).head()
+    if (range.isNullAt(0))
+      return df0.sparkSession.emptyDataFrame
+        .select(lit(null).cast("timestamp").as("bin"),
+          lit(null).cast("double").as("agg")).limit(0)
+    val day0 = range.getLong(0)
+    // pure long arithmetic (pmod floors negatives too) — double division
+    // near a bin boundary could mis-bin at large epoch offsets
+    val binOf = (t: Column) => {
+      val off = t - day0
+      off - pmod(off, lit(freqMicros)) + day0
+    }
+    val firstBin = day0 +
+      math.floorDiv(range.getLong(1) - day0, freqMicros) * freqMicros
+    val lastBin = day0 +
+      math.floorDiv(range.getLong(2) - day0, freqMicros) * freqMicros
+    val nBins = (lastBin - firstBin) / freqMicros + 1
+    val axis = df0.sparkSession.range(nBins)
+      .select((col("id") * freqMicros + firstBin).as("__bin"))
+    val v = col(valueCol)
+    val agg: Column = fn match {
+      case "mean"  => avg(v)
+      case "sum"   => sum(v).cast("double")
+      case "min"   => min(v).cast("double")
+      case "max"   => max(v).cast("double")
+      case "count" => count(v)
+      case other => throw new IllegalArgumentException(
+        s"fn must be mean|sum|min|max|count, got '$other'")
+    }
+    val perBin = df0.groupBy(binOf(col("__t")).as("__bin")).agg(agg.as("agg"))
+    val joined = axis.join(perBin, Seq("__bin"), "left")
+    // pandas empty-bin fills: sum reads 0.0 (min_count=0), count 0
+    val filled = fn match {
+      case "sum"   => joined.withColumn("agg",
+        coalesce(col("agg"), lit(0.0)))
+      case "count" => joined.withColumn("agg",
+        coalesce(col("agg"), lit(0L)))
+      case _ => joined
+    }
+    val labelShift = if (label == "right") freqMicros else 0L
+    filled.select(
+        timestamp_micros(col("__bin") + labelShift).as("bin"),
+        col("agg"))
+      .orderBy(col("bin"))
   }
 }

@@ -94,6 +94,10 @@ object FuzzHarness {
           seq.zipWithIndex.forall { case (v, i) => scalarMatches(v, exp.get(i)) }
       case d: java.lang.Double if d.isNaN => expMissing
       case f: java.lang.Float if f.isNaN => expMissing
+      // json can't carry IEEE infinities (allow_nan=False): the corpus
+      // encodes them as the strings "inf"/"-inf" (r13 pct_change /0)
+      case d: java.lang.Double if d.isInfinite =>
+        exp.isTextual && exp.asText() == (if (d > 0) "inf" else "-inf")
       case _ if expMissing => false
       case d: java.lang.Double => exp.isNumber && numEq(d, exp.asDouble())
       case f: java.lang.Float => exp.isNumber && numEq(f.toDouble, exp.asDouble())

@@ -2,7 +2,8 @@ package graft
 
 import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{array, col, date_format,
+  element_at, lit, timestamp_micros}
 import graft.nested.NestedOps
 
 import scala.jdk.CollectionConverters._
@@ -339,7 +340,9 @@ class OpFuzzSpec extends SparkSpec {
               val out = graft.operators.InheritedOps.rollingAgg(df,
                 args.get("col").asText(), args.get("fn").asText(),
                 window = if (expanding) 1 else args.get("window").asInt(),
-                minPeriods = mp, orderCol = "k", expanding = expanding)
+                minPeriods = mp, orderCol = "k", expanding = expanding,
+                center = args.has("center") && args.get("center").asBoolean(),
+                q = if (args.has("q")) args.get("q").asDouble() else 0.5)
               val got = out.orderBy(col("k")).select(col("rolled"))
                 .collect().map(_.getAs[Any](0))
               val exp = c.get("expect").get("vals")
@@ -472,9 +475,22 @@ class OpFuzzSpec extends SparkSpec {
             // positionally (both sides sort the domain ascending, the
             // NaN column is last)
             case "get_dummies" =>
-              val out = graft.operators.InheritedOps.getDummies(df,
-                args.get("col").asText(),
-                dummyNa = args.get("dummy_na").asBoolean())
+              // unprefixed first; a domain value equal to an existing
+              // column name raises (r13 collision guard) — replay with
+              // a prefix, the compare is positional so names don't
+              // participate in the golden
+              val out = try {
+                graft.operators.InheritedOps.getDummies(df,
+                  args.get("col").asText(),
+                  dummyNa = args.get("dummy_na").asBoolean())
+              } catch {
+                case e: IllegalArgumentException
+                    if Option(e.getMessage).exists(_.contains("collide")) =>
+                  graft.operators.InheritedOps.getDummies(df,
+                    args.get("col").asText(),
+                    dummyNa = args.get("dummy_na").asBoolean(),
+                    prefix = "d")
+              }
               val expCols = c.get("expect").get("cols")
               val expRows = c.get("expect").get("rows")
               val nInd = expCols.size()
@@ -518,14 +534,32 @@ class OpFuzzSpec extends SparkSpec {
               else Some(s"factorize: codes ${gotCodes.take(12)
                 .mkString(",")} vs $expCodes; uniques ${uniq.map(_.get(1))
                 .mkString(",")} vs $expUniq")
-            // r12 tranche 13: ewm mean — per-row goldens replaying the
-            // pandas kernel through the mapPartitions path
+            // r12 tranche 13 (r13-widened): ewm — per-row goldens
+            // replaying the pandas kernels through the mapPartitions
+            // path; span/halflife/com convert through the
+            // center-of-mass chain, var/std run the ewmcov kernel
             case "ewm" =>
-              val out = graft.operators.InheritedOps.ewmMean(df, "b",
-                args.get("alpha").asDouble(), "k", Nil,
-                adjust = args.get("adjust").asBoolean(),
-                ignoreNa = args.get("ignore_na").asBoolean(),
-                minPeriods = args.get("min_periods").asInt())
+              import graft.operators.InheritedOps
+              val value = args.get("value").asDouble()
+              val alpha = args.get("param").asText() match {
+                case "alpha"    => value
+                case "span"     => InheritedOps.ewmAlphaFromSpan(value)
+                case "halflife" => InheritedOps.ewmAlphaFromHalflife(value)
+                case "com"      => InheritedOps.ewmAlphaFromCom(value)
+              }
+              val adjust = args.get("adjust").asBoolean()
+              val ignoreNa = args.get("ignore_na").asBoolean()
+              val minp = args.get("min_periods").asInt()
+              val out = args.get("stat").asText() match {
+                case "mean" =>
+                  InheritedOps.ewmMean(df, "b", alpha, "k", Nil,
+                    adjust, ignoreNa, minp)
+                case st =>
+                  InheritedOps.ewmVar(df, "b", alpha, "k", Nil,
+                    adjust, ignoreNa, minp,
+                    bias = args.get("bias").asBoolean(),
+                    std = st == "std")
+              }
               val got = out.orderBy(col("k")).select(col("ewm"))
                 .collect().map(_.getAs[Any](0))
               val exp = c.get("expect").get("vals")
@@ -534,6 +568,107 @@ class OpFuzzSpec extends SparkSpec {
               if (got.length == exp.size() && bad.isEmpty) None
               else Some(s"ewm vals: got ${got.take(12).mkString(",")} " +
                 s"expected $exp")
+            // r13 tranche 14: time-based rolling — the ts column is the
+            // drawn offset list (seconds) indexed by k
+            case "roll_time" =>
+              val offs = args.get("ts").elements().asScala
+                .map(_.asLong()).toSeq
+              val tsArr = array(offs.map(o => lit(o * 1000000L)): _*)
+              val withTs = df.withColumn("__ts",
+                timestamp_micros(element_at(tsArr,
+                  (col("k") + 1).cast("int"))))
+              val out = graft.operators.InheritedOps.rollingTimeAgg(
+                withTs, "b", args.get("fn").asText(),
+                args.get("window_s").asLong() * 1000000L, "__ts", "k",
+                minPeriods = args.get("minp").asInt(),
+                closed = args.get("closed").asText(),
+                q = args.get("q").asDouble())
+              val got = out.orderBy(col("k")).select(col("rolled"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"roll_time vals: got ${got.take(12).mkString(",")}" +
+                s" expected $exp")
+            // r13 tranche 14: stack (row-major melt, NaN cells drop) /
+            // unstack (first-value pivot; null column keys drop)
+            case "stack_unstack" if args.get("mode").asText() == "stack" =>
+              val vv = args.get("value_vars").elements().asScala
+                .map(_.asText()).toSeq
+              val out = graft.operators.InheritedOps.stackFrame(
+                df, Seq("k"), vv)
+              // row-major: order by (k, position of variable in vv)
+              val posOf = vv.zipWithIndex.toMap
+              val got = out.select(col("k"), col("variable"), col("value"))
+                .collect()
+                .map(r0 => (r0.getLong(0), r0.getString(1), r0.getAs[Any](2)))
+                .sortBy { case (k, v, _) => (k, posOf(v)) }
+              val exp = c.get("expect").get("rows")
+              val bad = got.length != exp.size() ||
+                got.zipWithIndex.exists { case ((k, v, value), i) =>
+                  val e = exp.get(i)
+                  k != e.get(0).asLong() || v != e.get(1).asText() ||
+                    !scalarMatches(value, e.get(2))
+                }
+              if (!bad) None
+              else Some(s"stack rows: got ${got.take(10).mkString(",")} " +
+                s"expected $exp")
+            case "stack_unstack" =>
+              val out = graft.operators.InheritedOps.unstackFrame(
+                df, "k", "s", "b")
+              val expCols = c.get("expect").get("cols")
+              val expRows = c.get("expect").get("rows")
+              val gotCols = out.columns.drop(1)
+              val colsBad = gotCols.length != expCols.size() ||
+                gotCols.zipWithIndex.exists { case (n, i) =>
+                  n != expCols.get(i).asText() }
+              if (colsBad)
+                Some(s"unstack cols: got ${gotCols.mkString(",")} " +
+                  s"expected $expCols")
+              else {
+                val rows = out.orderBy(col("k")).collect()
+                val bad = rows.length != expRows.size() ||
+                  rows.zipWithIndex.exists { case (r0, i) =>
+                    val e = expRows.get(i)
+                    r0.getLong(0) != e.get(0).asLong() ||
+                      gotCols.indices.exists { j =>
+                        !scalarMatches(r0.getAs[Any](j + 1), e.get(j + 1)) }
+                  }
+                if (!bad) None
+                else Some(s"unstack rows vs $expRows")
+              }
+            // r13 tranche 14: resample — bins anchored at midnight of
+            // the first day, empty bins emitted
+            case "resample" =>
+              val offs = args.get("ts").elements().asScala
+                .map(_.asLong()).toSeq
+              val baseTs = java.time.LocalDateTime.parse(
+                args.get("base").asText().replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC)
+              val baseMicros = baseTs.getEpochSecond * 1000000L
+              val tsArr = array(offs.map(o =>
+                lit(baseMicros + o * 1000000L)): _*)
+              val withTs = df.withColumn("__ts",
+                timestamp_micros(element_at(tsArr,
+                  (col("k") + 1).cast("int"))))
+              val out = graft.operators.InheritedOps.resampleAgg(
+                withTs, "__ts", args.get("freq_s").asLong() * 1000000L,
+                args.get("fn").asText(), "b",
+                label = args.get("label").asText())
+              val got = out
+                .select(date_format(col("bin"),
+                  "yyyy-MM-dd'T'HH:mm:ss").as("l"), col("agg"))
+                .collect().map(r0 => (r0.getString(0), r0.getAs[Any](1)))
+              val expL = c.get("expect").get("labels")
+              val expV = c.get("expect").get("vals")
+              val bad = got.length != expL.size() ||
+                got.zipWithIndex.exists { case ((l, v), i) =>
+                  l != expL.get(i).asText() || !scalarMatches(v, expV.get(i))
+                }
+              if (!bad) None
+              else Some(s"resample: got ${got.take(10).mkString(",")} " +
+                s"expected labels=$expL vals=$expV")
             // r12 tranche 10: corr/cov — one scalar golden
             case "corr_cov" =>
               val got = graft.operators.InheritedOps.corrCov(df,

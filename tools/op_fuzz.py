@@ -100,11 +100,23 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # missing -> -1 sentinel or its own appearance-ordered code) —
        # probed 2026-08-16
        "crosstab", "get_dummies", "factorize",
-       # r12 tranche 13: ewm mean — pandas kernel replayed exactly
-       # (old_wt decay per row / per observation under ignore_na,
-       # adjust new_wt 1 vs alpha, missing positions CARRY the mean,
-       # min_periods gates on observation count) — probed 2026-08-16
-       "ewm"]
+       # r12 tranche 13 (r13-widened): ewm — pandas kernel replayed
+       # exactly (old_wt decay per row / per observation under
+       # ignore_na, adjust new_wt 1 vs alpha, missing positions CARRY
+       # the mean, min_periods gates on observation count); r13 adds
+       # span/halflife/com parameterizations (each converts to
+       # center-of-mass, kernel alpha = 1/(1+com) — pandas
+       # get_center_of_mass chain) and var/std (the ewmcov kernel:
+       # running debias W1²/(W1²−W2); std is zsqrt) — probed 2026-08-16
+       "ewm",
+       # r13 tranche 14: time-based rolling (offset window (t−w, t] by
+       # default, closed= picks the endpoints, min_periods defaults 1),
+       # stack/unstack (row-major melt with NaN cells dropped /
+       # first-value pivot raising on duplicate pairs) and resample
+       # (left-closed left-labeled bins anchored at midnight of the
+       # first day, EMPTY bins emitted: sum 0.0, count 0, mean missing)
+       # — probed 2026-08-16
+       "roll_time", "stack_unstack", "resample"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -119,7 +131,8 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               9, 5, 7,
               8, 5,
               6, 6, 7,
-              8]
+              12,
+              8, 7, 8]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -412,12 +425,17 @@ def gen_op(r):
                                     "count", "size"])}
     if op == "roll_expand":
         kind = "expanding" if r.random() < 0.3 else "rolling"
-        fn = r.choice(["mean", "sum", "min", "max", "std", "var", "count"])
+        fn = r.choice(["mean", "sum", "min", "max", "std", "var", "count",
+                       # r13: order statistics + centered frames
+                       "median", "quantile"])
         args = {"kind": kind, "col": r.choice(["b", "b", "a"]), "fn": fn}
+        if fn == "quantile":
+            args["q"] = r.choice([0.1, 0.25, 0.3, 0.5, 0.75, 0.9])
         if kind == "rolling":
             args["window"] = r.randint(2, 4)
             args["min_periods"] = (None if r.random() < 0.4
                                    else r.randint(1, args["window"]))
+            args["center"] = r.random() < 0.3
         else:
             args["window"] = None
             args["min_periods"] = (None if r.random() < 0.5
@@ -468,10 +486,49 @@ def gen_op(r):
         return op, {"col": r.choice(["s", "a", "b"]),
                     "sentinel": r.random() < 0.7}
     if op == "ewm":
-        return op, {"alpha": round(r.uniform(0.1, 0.9), 2),
-                    "adjust": r.random() < 0.5,
-                    "ignore_na": r.random() < 0.4,
-                    "min_periods": r.randint(1, 3)}
+        param = r.choice(["alpha", "alpha", "span", "span", "halflife",
+                          "com"])
+        value = {"alpha": lambda: round(r.uniform(0.1, 0.9), 2),
+                 "span": lambda: r.choice([2, 3, 4, 5, 10, 20,
+                                           round(r.uniform(1.5, 12), 1)]),
+                 "halflife": lambda: round(r.uniform(0.5, 8), 2),
+                 "com": lambda: round(r.uniform(0.1, 6), 2)}[param]()
+        stat = r.choice(["mean", "mean", "var", "var", "std"])
+        args = {"param": param, "value": value, "stat": stat,
+                "adjust": r.random() < 0.5,
+                "ignore_na": r.random() < 0.4,
+                "min_periods": r.randint(1, 3)}
+        if stat != "mean":
+            args["bias"] = r.random() < 0.3
+        return op, args
+    if op == "roll_time":
+        # ts offsets are frame-length-dependent — fixed up in main()
+        return op, {"window_s": r.randint(2, 6),
+                    "closed": r.choice(["right", "right", "both", "left",
+                                        "neither"]),
+                    "fn": r.choice(["mean", "sum", "min", "max", "count",
+                                    "median", "quantile"]),
+                    "q": round(r.choice([0.25, 0.3, 0.5, 0.75, 0.9]), 2),
+                    "minp": r.randint(1, 3), "ts": None}
+    if op == "stack_unstack":
+        if r.random() < 0.55:
+            # numeric-only: graft melt unifies mixed numerics to double
+            # (≡ pandas' object column under enc tolerance); a string
+            # mix would stringify numbers differently than python repr
+            vv = r.choice([["a", "b"], ["b", "a"], ["b"], ["a"]])
+            return op, {"mode": "stack", "value_vars": vv}
+        return op, {"mode": "unstack"}
+    if op == "resample":
+        # ts offsets fixed up in main(); base picks a mid-day anchor so
+        # origin='start_day' differs from epoch alignment when freq
+        # doesn't divide the day offset
+        return op, {"freq_s": r.randint(2, 7),
+                    "label": r.choice(["left", "left", "right"]),
+                    "fn": r.choice(["mean", "sum", "min", "max", "count"]),
+                    "base": r.choice(["2026-01-02 03:04:05",
+                                      "2026-01-02 00:00:00",
+                                      "1970-01-01 00:00:11"]),
+                    "ts": None}
     if op == "col_stats":
         fn = r.choice(["idxmax", "idxmin", "mode", "quantile", "nunique",
                        # r12 tranche 12: bias-corrected sample moments
@@ -511,23 +568,71 @@ def run_reference(nf, op, args):
         if args["kind"] == "rolling":
             roller = base.rolling(args["window"],
                                   min_periods=mp if mp is not None
-                                  else args["window"])
+                                  else args["window"],
+                                  center=args.get("center", False))
             # (explicit default: pandas rolling min_periods=None means
             # the window size)
         else:
             roller = base.expanding(mp if mp is not None else 1)
-        ser = getattr(roller, args["fn"])()
+        if args["fn"] == "quantile":
+            ser = roller.quantile(args["q"])
+        else:
+            ser = getattr(roller, args["fn"])()
         return {"vals": [enc_val(v) for v in ser]}
+    if op == "roll_time":
+        import pandas as pd
+        idx = pd.to_datetime(args["ts"], unit="s")
+        ser0 = pd.Series(list(nf["b"]), index=idx)
+        roller = ser0.rolling(f"{args['window_s']}s",
+                              closed=args["closed"],
+                              min_periods=args["minp"])
+        if args["fn"] == "quantile":
+            ser = roller.quantile(args["q"])
+        else:
+            ser = getattr(roller, args["fn"])()
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "stack_unstack":
+        import pandas as pd
+        if args["mode"] == "stack":
+            m = nf.reset_index(names="k")
+            st = m.set_index("k")[args["value_vars"]].stack()
+            return {"rows": [[int(k), str(var), enc_val(v)]
+                             for (k, var), v in st.items()]}
+        # unstack: (k, s) two-level index over b — k unique so pairs
+        # are unique (the duplicate-pair raise is spec-covered on the
+        # Scala side); rows with missing s drop (graft's null-key drop)
+        m = nf.reset_index(names="k")
+        m = m[m["s"].notna()]
+        un = m.set_index(["k", "s"])["b"].unstack()
+        return {"cols": [str(c) for c in un.columns],
+                "rows": [[int(k)] + [enc_val(un[c].loc[k])
+                                     for c in un.columns]
+                         for k in un.index]}
+    if op == "resample":
+        import pandas as pd
+        base = pd.Timestamp(args["base"])
+        idx = base + pd.to_timedelta(args["ts"], unit="s")
+        ser0 = pd.Series(list(nf["b"]), index=idx)
+        res = getattr(ser0.resample(f"{args['freq_s']}s",
+                                    label=args["label"]), args["fn"])()
+        return {"labels": [t.isoformat() for t in res.index],
+                "vals": [enc_val(v) for v in res]}
     if op == "interp":
         ser = nf[args["col"]].interpolate()
         return {"vals": [enc_val(v) for v in ser]}
     if op == "clip_pct":
+        import math
         base = nf[args["col"]]
         if args["kind"] == "clip":
             ser = base.clip(lower=args["lower"], upper=args["upper"])
         else:
             ser = base.pct_change(args["n"], fill_method=args["fill"])
-        return {"vals": [enc_val(v) for v in ser]}
+
+        def enc_inf(v):  # json allow_nan=False: ±inf rides as a string
+            if isinstance(v, float) and math.isinf(v):
+                return "inf" if v > 0 else "-inf"
+            return enc_val(v)
+        return {"vals": [enc_inf(v) for v in ser]}
     if op == "cut_qcut":
         import pandas as pd
         base = nf[args["col"]]
@@ -569,9 +674,14 @@ def run_reference(nf, op, args):
         return {"codes": [int(c) for c in codes],
                 "uniques": [enc_val(u) for u in uniq]}
     if op == "ewm":
-        ser = nf["b"].ewm(alpha=args["alpha"], adjust=args["adjust"],
-                          ignore_na=args["ignore_na"],
-                          min_periods=args["min_periods"]).mean()
+        kw = {args["param"]: args["value"], "adjust": args["adjust"],
+              "ignore_na": args["ignore_na"],
+              "min_periods": args["min_periods"]}
+        roller = nf["b"].ewm(**kw)
+        if args["stat"] == "mean":
+            ser = roller.mean()
+        else:
+            ser = getattr(roller, args["stat"])(bias=args["bias"])
         return {"vals": [enc_val(v) for v in ser]}
     if op == "melt_frame":
         # k lives in the INDEX on the reference side; melt discards the
@@ -1424,11 +1534,33 @@ def main():
         if op in ("sort_base", "sort_nested"):
             fixup_for_sort(frame, r, nested=op == "sort_nested")
         if op == "clip_pct" and args.get("kind") == "pct":
-            # an exactly-zero denominator would pit pandas' IEEE ±inf
-            # against a golden encoding that has no inf — nudge it off
             vs = frame["base"]["b"]["v"]
-            frame["base"]["b"]["v"] = [0.001 if v == 0.0 else v
-                                       for v in vs]
+            if r.random() < 0.5:
+                # regular draws keep exact zeros out of the denominator
+                frame["base"]["b"]["v"] = [0.001 if v == 0.0 else v
+                                           for v in vs]
+            else:
+                # r13 (r12 advice): PLANT exact zeros — x/0 exercises
+                # the IEEE ±inf branch (golden encodes inf as the
+                # string "inf"/"-inf"; json allow_nan=False), and a
+                # zero RUN exercises 0/0, which pandas reads NaN (its
+                # one missing marker) and graft reads NULL (its one
+                # missing marker)
+                for j in range(len(vs)):
+                    if r.random() < 0.35:
+                        vs[j] = 0.0
+        if op == "roll_time" or op == "resample":
+            # ascending integer-second offsets, duplicates allowed
+            # (frame peers on both engines), irregular gaps so windows
+            # and bins go empty
+            n = len(frame["k"])
+            t, ts = 0, []
+            for _ in range(n):
+                ts.append(t)
+                t += r.choice([0, 1, 1, 2, 3, 5, 9])
+            if op == "resample":  # duplicate-free not required; keep
+                pass
+            args["ts"] = ts
         if (op == "cut_qcut" and args["mode"] == "cut_int"
                 and r.random() < 0.15):
             # constant column: pandas WIDENS the range before binning
