@@ -115,14 +115,22 @@ object Bench {
         System.err.println(f"[bench pass $passId] $name $sec%.3f")
         name -> sec
       }.toMap
-    val passTimes: Seq[Map[String, Double]] =
-      (1 to 2).map(runPass(_, battery)) :+
-        // Third sample for the PINNED headline set only (~25s of battery):
-        // min-of-3 on the round-over-round metric, min-of-2 elsewhere, so a
-        // single loaded moment can no longer set a headline query's reading
-        // (r10 q_flagship, r11 q_dedup_pipeline were one-off outliers each
-        // costing a round of investigation).
-        runPass(3, battery.filter { case (n, _) => headlineKeys.contains(n) })
+    val firstTwo: Seq[Map[String, Double]] = (1 to 2).map(runPass(_, battery))
+    // Third sample for (a) the PINNED headline set (~25s of battery):
+    // min-of-3 on the round-over-round metric so a single loaded moment
+    // can no longer set a headline query's reading (r10 q_flagship, r11
+    // q_dedup_pipeline were one-off outliers each costing a round of
+    // investigation); and (b) — r13, r12 verdict item 7 — the 15 SLOWEST
+    // non-headline queries by min-so-far: the battery's noise floor lives
+    // almost entirely in its expensive tail (q_dialect_dt at ~2s twice
+    // flagged as "slowest" on what was one cold sample), and re-timing
+    // just that tail buys most of a full min-of-3 pass at ~1/4 the cost.
+    val minSoFar = battery.map { case (n, _) =>
+      n -> firstTwo.flatMap(_.get(n)).min }.toMap
+    val slowTail = minSoFar.toSeq.sortBy(-_._2).take(15).map(_._1).toSet
+    val passTimes: Seq[Map[String, Double]] = firstTwo :+
+      runPass(3, battery.filter { case (n, _) =>
+        headlineKeys.contains(n) || slowTail.contains(n) })
     val results = battery.map { case (name, _) =>
       name -> passTimes.flatMap(_.get(name)).min
     }

@@ -246,4 +246,94 @@ object StreamingOps {
           }
       }
   }
+
+  case class EwmIn(key: Long, seq: Long, value: Option[Double])
+  case class EwmOut(key: Long, seq: Long, ewm: Option[Double])
+  case class EwmStreamState(mean: Double, cov: Double, sumWt: Double,
+                            sumWt2: Double, oldWt: Double, nobs: Long)
+
+  /** Streaming exponentially-weighted mean/var/std: the batch ewm kernel
+    * (`InheritedOps.ewmMean`/`ewmVar` — pandas' ewm/ewmcov recurrences) is
+    * already a left fold with O(1) state, so it lifts directly onto
+    * `flatMapGroupsWithState`: per-key state carries (mean, cov, W1, W2,
+    * old_wt, nobs) across micro-batches and each input row emits exactly
+    * one output row in Append mode. Within a micro-batch the group's rows
+    * are sorted by `seq`; ACROSS batches the kernel is order-sensitive by
+    * nature (y depends on y_prev), so the contract is the usual streaming
+    * one: a key's rows must not arrive in an earlier batch than a
+    * lower-`seq` row — parity with the batch verbs under that contract is
+    * spec-pinned (StreamFuzzSpec, seeded multi-batch splits). State is
+    * O(1) per key and never times out (an ewm over an unbounded stream is
+    * a running statistic, not a window); bound the key space or add an
+    * eviction policy upstream if keys churn. */
+  def ewmStream(events: Dataset[EwmIn], alpha: Double,
+                stat: String = "mean", adjust: Boolean = true,
+                ignoreNa: Boolean = false, minPeriods: Int = 1,
+                bias: Boolean = false)
+               (implicit spark: SparkSession): Dataset[EwmOut] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(Set("mean", "var", "std")(stat),
+      s"stat must be mean|var|std, got $stat")
+    val oldWtFactor = 1.0 - alpha
+    val newWt = if (adjust) 1.0 else alpha
+    val minp = if (stat == "mean") minPeriods else math.max(minPeriods, 1)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[EwmStreamState, EwmOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[EwmIn], state: GroupState[EwmStreamState]) =>
+          var s = state.getOption.getOrElse(
+            EwmStreamState(Double.NaN, 0.0, 1.0, 1.0, 1.0, 0L))
+          val out = Seq.newBuilder[EwmOut]
+          rows.toSeq.sortBy(_.seq).foreach { e =>
+            val present = e.value.exists(v => !v.isNaN)
+            val cur = if (present) e.value.get else Double.NaN
+            var mean = s.mean; var cov = s.cov
+            var sumWt = s.sumWt; var sumWt2 = s.sumWt2
+            var oldWt = s.oldWt; var nobs = s.nobs
+            if (present) nobs += 1
+            if (!mean.isNaN) {
+              if (present || !ignoreNa) {
+                sumWt *= oldWtFactor
+                sumWt2 *= oldWtFactor * oldWtFactor
+                oldWt *= oldWtFactor
+                if (present) {
+                  val oldMean = mean
+                  if (mean != cur)
+                    mean = (oldWt * oldMean + newWt * cur) / (oldWt + newWt)
+                  cov = (oldWt * (cov + (oldMean - mean) * (oldMean - mean)) +
+                    newWt * ((cur - mean) * (cur - mean))) / (oldWt + newWt)
+                  sumWt += newWt
+                  sumWt2 += newWt * newWt
+                  oldWt += newWt
+                  if (!adjust) {
+                    sumWt /= oldWt
+                    sumWt2 /= oldWt * oldWt
+                    oldWt = 1.0
+                  }
+                }
+              }
+            } else if (present) mean = cur
+            s = EwmStreamState(mean, cov, sumWt, sumWt2, oldWt, nobs)
+            val v: Double = stat match {
+              case "mean" =>
+                if (nobs >= minPeriods && !mean.isNaN) mean else Double.NaN
+              case _ =>
+                if (nobs < minp) Double.NaN
+                else if (bias) cov
+                else {
+                  val num = sumWt * sumWt
+                  val den = num - sumWt2
+                  if (den > 0) (num / den) * cov else Double.NaN
+                }
+            }
+            val vv =
+              if (stat == "std" && !v.isNaN) { if (v < 0) 0.0 else math.sqrt(v) }
+              else v
+            out += EwmOut(e.key, e.seq, if (vv.isNaN) None else Some(vv))
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

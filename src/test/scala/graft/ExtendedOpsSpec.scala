@@ -855,4 +855,148 @@ class ExtendedOpsSpec extends SparkSpec {
     assert(approx.keySet.max <= 3L && approx.values.forall(_ >= 200),
       s"approx buckets badly skewed: $approx")
   }
+
+  // -------------------------------------------------------------------------
+  // r13: scale-hardening guards (factorize domain window, domain caps,
+  // name collisions, unstack duplicate raise) + new-surface edges
+  // -------------------------------------------------------------------------
+
+  test("factorizeCodes plans NO window at all and survives a domain as " +
+      "large as the data (r12 scale demerit: the single-partition " +
+      "row_number domain window)") {
+    import graft.operators.InheritedOps
+    import org.apache.spark.sql.functions.{col => c0, concat_ws, lit => l0}
+    // high-cardinality shape: |domain| == |rows|
+    val df = spark.range(0, 5000).toDF("k")
+      .withColumn("u", concat_ws("-", l0("id"), c0("k")))
+    val out = InheritedOps.factorizeCodes(df, "u", "k",
+      broadcastDomainCap = 100) // forces the non-broadcast join path too
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"factorizeCodes still plans a Window node:\n$plan")
+    val rows = out.select(c0("k"), c0("code")).collect()
+    assert(rows.length == 5000)
+    // first-appearance along k with a unique domain ⇒ code == k
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)),
+      "codes are not first-appearance ordered")
+  }
+
+  test("crosstab/get_dummies domain caps fail loudly; get_dummies " +
+      "collision raises unless a prefix disambiguates") {
+    import graft.operators.InheritedOps
+    import org.apache.spark.sql.functions.{col => c0}
+    val wide = spark.range(0, 50).toDF("k")
+      .withColumn("v", c0("k").cast("string"))
+      .withColumn("g", c0("k") % 2)
+    val e1 = intercept[IllegalArgumentException] {
+      InheritedOps.crosstabCounts(wide, "g", "v", maxDomain = 10)
+    }
+    assert(e1.getMessage.contains("distinct values"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      InheritedOps.getDummies(wide, "v", maxDomain = 10)
+    }
+    assert(e2.getMessage.contains("distinct values"), e2.getMessage)
+    // a domain value equal to an existing column name ("g") collides
+    val clashing = spark.range(0, 3).toDF("k")
+      .withColumn("s", org.apache.spark.sql.functions
+        .when(c0("k") === 0, "g").otherwise("x"))
+      .withColumn("g", c0("k") % 2)
+    val e3 = intercept[IllegalArgumentException] {
+      InheritedOps.getDummies(clashing, "s")
+    }
+    assert(e3.getMessage.contains("collide"), e3.getMessage)
+    val prefixed = InheritedOps.getDummies(clashing, "s", prefix = "d")
+    assert(prefixed.columns.takeRight(2).toSeq == Seq("d_g", "d_x"))
+    assert(prefixed.where(c0("d_g")).count() == 1)
+  }
+
+  test("unstackFrame raises on a duplicated (index, column) pair from " +
+      "inside the pivot aggregate; unique pairs pivot to first values") {
+    import graft.operators.InheritedOps
+    import org.apache.spark.sql.functions.{col => c0}
+    val ok = spark.createDataFrame(Seq(
+      (1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0)))
+      .toDF("k", "c", "v")
+    val un = InheritedOps.unstackFrame(ok, "k", "c", "v")
+      .orderBy(c0("k")).collect()
+    assert(un.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(un(1).isNullAt(2), "absent combination must read missing")
+    val dup = ok.union(spark.createDataFrame(Seq((1L, "x", 9.0)))
+      .toDF("k", "c", "v"))
+    val e = intercept[Exception] {
+      InheritedOps.unstackFrame(dup, "k", "c", "v").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("duplicate entries"),
+      s"expected the unstack duplicate raise, got: ${e.getMessage}")
+  }
+
+  test("ewm parameterization helpers replay the pandas center-of-mass " +
+      "chain; ewmVar/ewmMean partitioned ≡ unpartitioned per group") {
+    import graft.operators.InheritedOps
+    import org.apache.spark.sql.functions.{col => c0, when => w0, lit => l0}
+    assert(InheritedOps.ewmAlphaFromSpan(3.0) == 0.5)
+    assert(InheritedOps.ewmAlphaFromCom(1.0) == 0.5)
+    assert(math.abs(InheritedOps.ewmAlphaFromHalflife(1.0) - 0.5) < 1e-15)
+    val df = spark.range(0, 60).toDF("k")
+      .withColumn("g", c0("k") % 3)
+      .withColumn("v", w0(c0("k") % 5 === 2, l0(null))
+        .otherwise(c0("k").cast("double") * 1.7 - 20))
+    val part = InheritedOps.ewmVar(df, "v", 0.3, "k", Seq("g"), std = true)
+      .select(c0("k"), c0("ewm")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+                                 else r.getDouble(1))).toMap
+    for (g <- 0L to 2L) {
+      val solo = InheritedOps.ewmVar(df.where(c0("g") === g), "v",
+          0.3, "k", Nil, std = true)
+        .select(c0("k"), c0("ewm")).collect()
+      for (r <- solo) {
+        val exp = if (r.isNullAt(1)) null else r.getDouble(1)
+        assert(part(r.getLong(0)) == exp,
+          s"k=${r.getLong(0)}: partitioned ${part(r.getLong(0))} != $exp")
+      }
+    }
+  }
+
+  test("rollingTimeAgg partitioned ≡ unpartitioned per group; resample " +
+      "emits empty bins with the pandas fills and label=right shifts") {
+    import graft.operators.InheritedOps
+    import org.apache.spark.sql.functions.{col => c0, timestamp_micros}
+    val df = spark.range(0, 48).toDF("k")
+      .withColumn("g", c0("k") % 2)
+      .withColumn("ts", timestamp_micros(c0("k") * 700000L +
+        (c0("k") % 2) * 300000L))
+      .withColumn("v", c0("k").cast("double"))
+    val part = InheritedOps.rollingTimeAgg(df, "v", "mean",
+        2000000L, "ts", "k", minPeriods = 1, partitionBy = Seq("g"))
+      .select(c0("k"), c0("rolled")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (g <- 0L to 1L) {
+      val solo = InheritedOps.rollingTimeAgg(df.where(c0("g") === g),
+          "v", "mean", 2000000L, "ts", "k", minPeriods = 1)
+        .select(c0("k"), c0("rolled")).collect()
+      for (r <- solo)
+        assert(part(r.getLong(0)) == r.getDouble(1))
+    }
+    // resample: rows at seconds 0, 1 and 9 with freq 3s → bins 0,3,6,9;
+    // bins 3 and 6 are EMPTY (sum 0.0 / count 0 / mean null)
+    val sparse = spark.createDataFrame(Seq(
+      (0L, 1.0), (1L, 5.0), (9L, 7.0))).toDF("sec", "v")
+      .withColumn("ts", timestamp_micros(c0("sec") * 1000000L))
+    def runs(fn: String) = InheritedOps.resampleAgg(
+        sparse, "ts", 3000000L, fn, "v")
+      .orderBy(c0("bin")).collect()
+    val sums = runs("sum")
+    assert(sums.length == 4, s"expected 4 bins, got ${sums.length}")
+    assert(sums.map(_.getDouble(1)).toSeq == Seq(6.0, 0.0, 0.0, 7.0))
+    val counts = runs("count")
+    assert(counts.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
+    val means = runs("mean")
+    assert(means(1).isNullAt(1) && means(2).isNullAt(1))
+    val right = InheritedOps.resampleAgg(sparse, "ts", 3000000L,
+        "sum", "v", label = "right").orderBy(c0("bin")).collect()
+    assert(right.head.getTimestamp(0).getTime ==
+      sums.head.getTimestamp(0).getTime + 3000L,
+      "label=right must shift the label one freq forward")
+  }
 }

@@ -237,4 +237,64 @@ class StreamFuzzSpec extends SparkSpec {
       } finally bandTable.unpersist()
     }
   }
+
+  test("ewmStream ≡ batch ewmMean/ewmVar across micro-batches over 12 " +
+      "seeded inputs (stat × adjust × ignore_na × min_periods × bias)") {
+    import graft.operators.InheritedOps
+    import graft.streaming.StreamingOps.EwmIn
+    for (seed <- 1 to 12) {
+      val r = new scala.util.Random(4200 + seed)
+      val stat = Seq("mean", "var", "std")(seed % 3)
+      val adjust = r.nextBoolean()
+      val ignoreNa = r.nextBoolean()
+      val minPeriods = 1 + r.nextInt(3)
+      val bias = r.nextBoolean()
+      val alpha = 0.05 + r.nextDouble() * 0.9
+      val evs: Seq[EwmIn] =
+        (for (k <- 1L to 3L; i <- 0L until (5 + r.nextInt(15)).toLong)
+          yield EwmIn(k, i,
+            if (r.nextInt(5) == 0) None
+            else Some(math.floor(r.nextDouble() * 1000) / 10))).toSeq
+      val ms = MemoryStream[EwmIn](spark)
+      val out = StreamingOps.ewmStream(ms.toDS(), alpha, stat, adjust,
+        ignoreNa, minPeriods, bias)(spark)
+      val qn = s"ewmstream$seed"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        // split by GLOBAL seq order so no key's later row precedes an
+        // earlier one across batches (the documented contract); shuffle
+        // WITHIN each batch — the kernel must re-sort
+        val sorted = evs.sortBy(e => (e.seq, e.key))
+        val nb = 1 + r.nextInt(3)
+        val per = math.max(1, sorted.length / nb)
+        sorted.grouped(per).foreach { b =>
+          ms.addData(r.shuffle(b))
+          q.processAllAvailable()
+        }
+        val got = spark.table(qn).collect()
+          .map(row => (row.getLong(0), row.getLong(1)) ->
+            (if (row.isNullAt(2)) null else row.getDouble(2))).toMap
+        val df = evs.map(e => (e.key, e.seq, e.value))
+          .toDF("key", "seq", "value")
+        val batch = (if (stat == "mean")
+            InheritedOps.ewmMean(df, "value", alpha, "seq", Seq("key"),
+              adjust, ignoreNa, minPeriods)
+          else
+            InheritedOps.ewmVar(df, "value", alpha, "seq", Seq("key"),
+              adjust, ignoreNa, minPeriods, bias, std = stat == "std"))
+          .select(col("key"), col("seq"), col("ewm")).collect()
+          .map(row => (row.getLong(0), row.getLong(1)) ->
+            (if (row.isNullAt(2)) null else row.getDouble(2))).toMap
+        assert(got.size == evs.size,
+          s"seed $seed: expected one output row per input, got ${got.size}")
+        val diff = batch.keys.filter(k => got.get(k) != Some(batch(k)))
+        assert(diff.isEmpty,
+          s"seed $seed ($stat adjust=$adjust ignoreNa=$ignoreNa " +
+            s"mp=$minPeriods bias=$bias): stream != batch at " +
+            diff.take(5).map(k => s"$k: ${got.get(k)} vs ${batch(k)}")
+              .mkString("; "))
+      } finally q.stop()
+    }
+  }
 }
