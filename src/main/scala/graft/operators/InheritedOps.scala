@@ -1428,6 +1428,14 @@ object InheritedOps {
     * are emitted: sum → 0.0, count → 0, mean/min/max → missing.
     * Output: (`bin` timestamp, `agg` value), one row per bin.
     *
+    * r13 fn breadth: `std`/`var` (ddof=1, single-observation bin
+    * missing), `median` (linear interpolation, exact `percentile`),
+    * `first`/`last` (first/last NON-missing value in time order;
+    * on a DUPLICATED timestamp pandas keeps stable arrival order but
+    * a distributed min_by/max_by tie-break is arbitrary — the
+    * contract here is duplicate-free timestamps for first/last, and
+    * the fuzz family draws them so).
+    *
     * Scale shape: one scalar min/max aggregate (1-row collect, the
     * adjudicated pattern) pins the bin range; the full bin axis
     * generates DISTRIBUTED via `spark.range(nBins)` (never a
@@ -1466,14 +1474,27 @@ object InheritedOps {
     val axis = df0.sparkSession.range(nBins)
       .select((col("id") * freqMicros + firstBin).as("__bin"))
     val v = col(valueCol)
+    // r13 breadth: std/var are pandas' ddof=1 sample statistics (a
+    // single-observation bin reads missing, like pandas); median is
+    // linear-interpolation over the bin's non-missing values (≡ exact
+    // `percentile`); first/last are the first/last NON-missing value in
+    // time order (pandas GroupBy.first/last skip NA) via min_by/max_by
+    // on the timestamp — rows whose value is missing contribute no
+    // ordering key, so they are skipped inside the same aggregate.
     val agg: Column = fn match {
       case "mean"  => avg(v)
       case "sum"   => sum(v).cast("double")
       case "min"   => min(v).cast("double")
       case "max"   => max(v).cast("double")
       case "count" => count(v)
+      case "std"   => stddev_samp(v)
+      case "var"   => var_samp(v)
+      case "median" => percentile(v.cast("double"), lit(0.5))
+      case "first" => min_by(v, when(v.isNotNull, col("__t")))
+      case "last"  => max_by(v, when(v.isNotNull, col("__t")))
       case other => throw new IllegalArgumentException(
-        s"fn must be mean|sum|min|max|count, got '$other'")
+        s"fn must be mean|sum|min|max|count|std|var|median|first|last, " +
+          s"got '$other'")
     }
     val perBin = df0.groupBy(binOf(col("__t")).as("__bin")).agg(agg.as("agg"))
     val joined = axis.join(perBin, Seq("__bin"), "left")

@@ -524,7 +524,9 @@ def gen_op(r):
         # doesn't divide the day offset
         return op, {"freq_s": r.randint(2, 7),
                     "label": r.choice(["left", "left", "right"]),
-                    "fn": r.choice(["mean", "sum", "min", "max", "count"]),
+                    "fn": r.choice(["mean", "sum", "min", "max", "count",
+                                    "std", "var", "median",
+                                    "first", "last"]),
                     "base": r.choice(["2026-01-02 03:04:05",
                                       "2026-01-02 00:00:00",
                                       "1970-01-01 00:00:11"]),
@@ -1558,8 +1560,16 @@ def main():
             for _ in range(n):
                 ts.append(t)
                 t += r.choice([0, 1, 1, 2, 3, 5, 9])
-            if op == "resample":  # duplicate-free not required; keep
-                pass
+            if op == "resample" and args["fn"] in ("first", "last"):
+                # first/last tie-break on a duplicated timestamp is
+                # stable arrival order in pandas but arbitrary in a
+                # distributed min_by/max_by — draw duplicate-free
+                # offsets for these fns (the documented contract);
+                # every other fn keeps duplicates
+                t, ts = 0, []
+                for _ in range(n):
+                    ts.append(t)
+                    t += r.choice([1, 1, 2, 3, 5, 9])
             args["ts"] = ts
         if (op == "cut_qcut" and args["mode"] == "cut_int"
                 and r.random() < 0.15):
