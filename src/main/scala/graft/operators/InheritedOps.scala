@@ -1163,6 +1163,158 @@ object InheritedOps {
     }
   }
 
+  /** One pandas `ewmcov` kernel instance (aggregations.pyx) — the
+    * two-series generalization of [[ewmVar]]'s accumulator: an
+    * observation is a row where BOTH inputs are present; the two
+    * running means update like the mean kernel and the covariance
+    * folds against the UPDATED means; weight sums debias as
+    * W1²/(W1²−W2). Plain mutable class so [[ewmCov]] can run three
+    * instances (cov, var_x, var_y) in one streaming pass. */
+  private final class EwmCovState(alpha: Double, adjust: Boolean,
+                                  ignoreNa: Boolean) {
+    private val oldWtFactor = 1.0 - alpha
+    private val newWt = if (adjust) 1.0 else alpha
+    private var meanX = Double.NaN
+    private var meanY = Double.NaN
+    private var cov = 0.0
+    private var sumWt = 1.0
+    private var sumWt2 = 1.0
+    private var oldWt = 1.0
+    private var nobs = 0L
+    private var firstRow = true
+    def step(xp: Boolean, x: Double, yp: Boolean, y: Double): Unit = {
+      val isObs = xp && yp
+      if (firstRow) {
+        firstRow = false
+        if (isObs) { nobs = 1; meanX = x; meanY = y }
+        return
+      }
+      if (isObs) nobs += 1
+      if (!meanX.isNaN) {
+        if (isObs || !ignoreNa) {
+          sumWt *= oldWtFactor
+          sumWt2 *= oldWtFactor * oldWtFactor
+          oldWt *= oldWtFactor
+          if (isObs) {
+            val omx = meanX; val omy = meanY
+            if (meanX != x) meanX = (oldWt * omx + newWt * x) / (oldWt + newWt)
+            if (meanY != y) meanY = (oldWt * omy + newWt * y) / (oldWt + newWt)
+            cov = ((oldWt * (cov + (omx - meanX) * (omy - meanY))) +
+              newWt * ((x - meanX) * (y - meanY))) / (oldWt + newWt)
+            sumWt += newWt
+            sumWt2 += newWt * newWt
+            oldWt += newWt
+            if (!adjust) {
+              sumWt /= oldWt
+              sumWt2 /= oldWt * oldWt
+              oldWt = 1.0
+            }
+          }
+        }
+      } else if (isObs) { meanX = x; meanY = y }
+    }
+    def value(minp: Int, bias: Boolean): Double =
+      if (nobs < minp) Double.NaN
+      else if (bias) cov
+      else {
+        val num = sumWt * sumWt
+        val den = num - sumWt2
+        if (den > 0) (num / den) * cov else Double.NaN
+      }
+  }
+
+  /** pandas `ewm(...).cov(other, bias=)` / `.corr(other)` along
+    * `orderCol`, appended as `ewm`. Semantics pinned by probe
+    * (2026-08-16, 0/8,802 cells off vs pandas 2.2.2 once the kernel
+    * alpha rides pandas' alpha→com→alpha round-trip — callers who
+    * start from a raw alpha should pass
+    * `ewmAlphaFromCom((1-α)/α)`):
+    *  - `cov`: ONE ewmcov instance over the two columns — an
+    *    observation is a row where BOTH are present; a half-missing
+    *    row decays weights (under ignore_na=false) but moves nothing.
+    *  - `corr`: the inputs are masked to the COMMON present pattern
+    *    first (a half-missing row contributes to NEITHER the
+    *    covariance nor either variance — pandas' own x-masked
+    *    `_cov(x,x)` would say otherwise, but the executed reference
+    *    freezes on half-missing rows, and the probe is the contract),
+    *    then cov/var_x/var_y run as three bias=True instances in the
+    *    same pass and the output is cov/zsqrt(var_x·var_y), missing
+    *    when the denominator is 0 or missing (a 0 denominator forces
+    *    cov = 0, so no ±inf branch exists).
+    * Same execution shape and contracts as [[ewmMean]]. */
+  def ewmCov(df: DataFrame, xCol: String, yCol: String, alpha: Double,
+             orderCol: String, partitionBy: Seq[String] = Nil,
+             adjust: Boolean = true, ignoreNa: Boolean = false,
+             minPeriods: Int = 1, bias: Boolean = false,
+             corr: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val minp = math.max(minPeriods, 1)
+    ewmPass2(nanAsNull(df, Seq(xCol, yCol)), xCol, yCol, orderCol,
+        partitionBy) { () =>
+      if (!corr) {
+        val c = new EwmCovState(alpha, adjust, ignoreNa)
+        (xp, x, yp, y) => {
+          c.step(xp, x, yp, y)
+          val v = c.value(minp, bias)
+          if (v.isNaN) null else v
+        }
+      } else {
+        val c = new EwmCovState(alpha, adjust, ignoreNa)
+        val vx = new EwmCovState(alpha, adjust, ignoreNa)
+        val vy = new EwmCovState(alpha, adjust, ignoreNa)
+        (xp, x, yp, y) => {
+          val obs = xp && yp
+          c.step(obs, x, obs, y)
+          vx.step(obs, x, obs, x)
+          vy.step(obs, y, obs, y)
+          val prod = vx.value(minp, bias = true) * vy.value(minp, bias = true)
+          val den = if (prod.isNaN) prod
+                    else if (prod < 0) 0.0 else math.sqrt(prod) // zsqrt
+          val num = c.value(minp, bias = true)
+          val v = if (den.isNaN || den == 0.0) Double.NaN else num / den
+          if (v.isNaN) null else v
+        }
+      }
+    }
+  }
+
+  /** Two-column variant of [[ewmPass]]: same secondary-sort shape, the
+    * fold receives (xPresent, x, yPresent, y) per row. */
+  private def ewmPass2(df0: DataFrame, xCol: String, yCol: String,
+                       orderCol: String, partitionBy: Seq[String])
+                      (makeState: () => (Boolean, Double, Boolean, Double) => Any)
+      : DataFrame = {
+    val sorted =
+      if (partitionBy.nonEmpty)
+        df0.repartition(partitionBy.map(col): _*)
+          .sortWithinPartitions((partitionBy :+ orderCol).map(col): _*)
+      else df0.coalesce(1).sortWithinPartitions(col(orderCol))
+    val schema = sorted.schema
+    val xIdx = schema.fieldIndex(xCol)
+    val yIdx = schema.fieldIndex(yCol)
+    val keyIdx = partitionBy.map(schema.fieldIndex)
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var step: (Boolean, Double, Boolean, Double) => Any = null
+      it.map { row =>
+        val key = keyIdx.map(row.get)
+        if (step == null || key != curKey) { // new group: fresh state
+          curKey = key
+          step = makeState()
+        }
+        val xp = !row.isNullAt(xIdx)
+        val yp = !row.isNullAt(yIdx)
+        val x = if (xp)
+          row.get(xIdx).asInstanceOf[Number].doubleValue() else Double.NaN
+        val y = if (yp)
+          row.get(yIdx).asInstanceOf[Number].doubleValue() else Double.NaN
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ step(xp, x, yp, y))
+      }
+    }
+    df0.sparkSession.createDataFrame(outRdd,
+      schema.add("ewm", org.apache.spark.sql.types.DoubleType))
+  }
+
   /** pandas' ewm parameterizations, replaying its exact float chain:
     * every form converts to a center-of-mass first
     * (`get_center_of_mass`), and the kernel's alpha is 1/(1+com)

@@ -568,6 +568,41 @@ class OpFuzzSpec extends SparkSpec {
               if (got.length == exp.size() && bad.isEmpty) None
               else Some(s"ewm vals: got ${got.take(12).mkString(",")} " +
                 s"expected $exp")
+            // r13 breadth: ewm cov/corr — the second series rides in
+            // args (yv) so both inputs carry independent missing draws;
+            // the kernel alpha replays pandas' alpha→com→alpha chain
+            case "ewm_cov" =>
+              import graft.operators.InheritedOps
+              val value = args.get("value").asDouble()
+              val alpha = args.get("param").asText() match {
+                case "alpha"    =>
+                  InheritedOps.ewmAlphaFromCom((1.0 - value) / value)
+                case "span"     => InheritedOps.ewmAlphaFromSpan(value)
+                case "halflife" => InheritedOps.ewmAlphaFromHalflife(value)
+                case "com"      => InheritedOps.ewmAlphaFromCom(value)
+              }
+              val yv = args.get("yv").elements().asScala.toSeq
+              val yArr = array(yv.map(n =>
+                if (n.isNull) lit(null).cast("double")
+                else lit(n.asDouble())): _*)
+              val withY = df.withColumn("__y",
+                element_at(yArr, (col("k") + 1).cast("int")))
+              val isCorr = args.get("fn").asText() == "corr"
+              val out = InheritedOps.ewmCov(withY, "b", "__y", alpha,
+                "k", Nil,
+                adjust = args.get("adjust").asBoolean(),
+                ignoreNa = args.get("ignore_na").asBoolean(),
+                minPeriods = args.get("min_periods").asInt(),
+                bias = !isCorr && args.get("bias").asBoolean(),
+                corr = isCorr)
+              val got = out.orderBy(col("k")).select(col("ewm"))
+                .collect().map(_.getAs[Any](0))
+              val exp = c.get("expect").get("vals")
+              val bad = got.zipWithIndex.filterNot { case (v, i) =>
+                scalarMatches(v, exp.get(i)) }
+              if (got.length == exp.size() && bad.isEmpty) None
+              else Some(s"ewm_cov vals: got ${got.take(12).mkString(",")} " +
+                s"expected $exp")
             // r13 tranche 14: time-based rolling — the ts column is the
             // drawn offset list (seconds) indexed by k
             case "roll_time" =>

@@ -116,7 +116,13 @@ OPS = ["dropna_nested", "dropna_base", "fillna", "count_nested", "split",
        # (left-closed left-labeled bins anchored at midnight of the
        # first day, EMPTY bins emitted: sum 0.0, count 0, mean missing)
        # — probed 2026-08-16
-       "roll_time", "stack_unstack", "resample"]
+       "roll_time", "stack_unstack", "resample",
+       # r13 breadth: ewm().cov(other)/corr(other) — ONE ewmcov kernel
+       # instance for cov (observation = both present); corr masks both
+       # inputs to the COMMON present pattern then divides three
+       # bias=True instances (probed 2026-08-16, bit-exact on 8.8k
+       # cells incl. the alpha→com→alpha round-trip)
+       "ewm_cov"]
 OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 6, 7, 6, 7, 5, 6, 9, 8, 6,
               6, 5, 5, 7,
@@ -132,7 +138,8 @@ OP_WEIGHTS = [12, 7, 11, 10, 9, 9, 7, 7, 5, 5, 5, 6, 5, 6, 5, 5, 5, 9, 9, 7,
               8, 5,
               6, 6, 7,
               12,
-              8, 7, 8]
+              8, 7, 8,
+              7]
 
 # __setitem__ fuzzes over PRESENT cells only: pandas' flat-repack on
 # nested assignment turns a missing cell into an EMPTY cell (probe
@@ -501,6 +508,24 @@ def gen_op(r):
         if stat != "mean":
             args["bias"] = r.random() < 0.3
         return op, args
+    if op == "ewm_cov":
+        # r13: ewm().cov(other)/corr(other) — x is frame column b, the
+        # second series rides in args (yv, frame-length-dependent,
+        # fixed up in main()) so BOTH sides draw missing cells
+        param = r.choice(["alpha", "alpha", "span", "halflife", "com"])
+        value = {"alpha": lambda: round(r.uniform(0.1, 0.9), 2),
+                 "span": lambda: r.choice([2, 3, 5, 10,
+                                           round(r.uniform(1.5, 12), 1)]),
+                 "halflife": lambda: round(r.uniform(0.5, 8), 2),
+                 "com": lambda: round(r.uniform(0.1, 6), 2)}[param]()
+        args = {"param": param, "value": value,
+                "fn": r.choice(["cov", "cov", "corr"]),
+                "adjust": r.random() < 0.5,
+                "ignore_na": r.random() < 0.4,
+                "min_periods": r.randint(1, 3), "yv": None}
+        if args["fn"] == "cov":
+            args["bias"] = r.random() < 0.3
+        return op, args
     if op == "roll_time":
         # ts offsets are frame-length-dependent — fixed up in main()
         return op, {"window_s": r.randint(2, 6),
@@ -684,6 +709,16 @@ def run_reference(nf, op, args):
             ser = roller.mean()
         else:
             ser = getattr(roller, args["stat"])(bias=args["bias"])
+        return {"vals": [enc_val(v) for v in ser]}
+    if op == "ewm_cov":
+        import pandas as pd
+        kw = {args["param"]: args["value"], "adjust": args["adjust"],
+              "ignore_na": args["ignore_na"],
+              "min_periods": args["min_periods"]}
+        other = pd.Series(args["yv"], index=nf.index, dtype="float64")
+        roller = nf["b"].ewm(**kw)
+        ser = (roller.cov(other, bias=args["bias"])
+               if args["fn"] == "cov" else roller.corr(other))
         return {"vals": [enc_val(v) for v in ser]}
     if op == "melt_frame":
         # k lives in the INDEX on the reference side; melt discards the
@@ -1551,6 +1586,12 @@ def main():
                 for j in range(len(vs)):
                     if r.random() < 0.35:
                         vs[j] = 0.0
+        if op == "ewm_cov":
+            # the second series rides in args so both inputs draw
+            # missing cells independently of the frame columns
+            args["yv"] = [None if r.random() < 0.2
+                          else round(r.uniform(-6, 10), 3)
+                          for _ in range(len(frame["k"]))]
         if op == "roll_time" or op == "resample":
             # ascending integer-second offsets, duplicates allowed
             # (frame peers on both engines), irregular gaps so windows
