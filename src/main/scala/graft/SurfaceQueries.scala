@@ -698,6 +698,30 @@ object SurfaceQueries {
         round(col("ewm") + lit(1e-9), 4).as("ewm_std"))
   }
 
+  /** InheritedOps.ewmCov corr=true (pandas ewm(alpha=0.2).corr(other))
+    * per status group over the first 400 orders of each group — the
+    * same rank-capped recursive-CTE oracle artifact as [[qEwm]]. With
+    * both inputs complete (orders has no missing price/custkey) and
+    * adjust=true, the three bias=True kernel instances reduce to
+    * weighted moments: the CTE tracks Sx/Sy/Sxy/Sxx/Syy/W1 and the
+    * closed form (Sxy/W1 − mx·my)/√((Sxx/W1 − mx²)(Syy/W1 − my²))
+    * equals the kernel recursion; the first row of each group reads
+    * missing on both engines (0/0 variance). */
+  val qEwmCov: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = rd(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_custkey").cast("double").as("__y"))
+    val capped = o.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))))
+      .where(col("__rn") <= 400).drop("__rn")
+    graft.operators.InheritedOps.ewmCov(capped, "o_totalprice", "__y",
+        0.2, "o_orderkey", Seq("o_orderstatus"), corr = true)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("ewm") + lit(1e-9), 5).as("ewm_corr"))
+  }
+
   /** InheritedOps.rollingTimeAgg (pandas rolling("1h") on the event
     * stream, per user): closed='both' so the frame is exactly DuckDB's
     * RANGE INTERVAL 1 HOUR PRECEDING — (user_id, ts) is duplicate-free
@@ -983,6 +1007,7 @@ object SurfaceQueries {
     // r13: ewm breadth + tranche 14 (time rolling, resample,
     // stack/unstack)
     "q_ewm_var" -> qEwmVar,
+    "q_ewm_cov" -> qEwmCov,
     "q_rolling_time" -> qRollingTime,
     "q_resample" -> qResample,
     "q_stack" -> qStack,
@@ -1016,6 +1041,33 @@ object SurfaceQueries {
         |      (w1 * w1 / (w1 * w1 - w2))
         |        * (s2 / w1 - (s1 / w1) * (s1 / w1)), 0)) + 1e-9, 4)
         |  END AS ewm_std
+        |FROM r""".stripMargin,
+    "q_ewm_cov" ->
+      """WITH RECURSIVE posed AS (
+        |  SELECT o_orderstatus AS g, o_orderkey AS k,
+        |    CAST(o_totalprice AS DOUBLE) AS x,
+        |    CAST(o_custkey AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_orderkey) AS rn
+        |  FROM orders),
+        |capped AS (SELECT * FROM posed WHERE rn <= 400),
+        |r AS (
+        |  SELECT g, k, rn, x AS sx, y AS sy, x * y AS sxy,
+        |    x * x AS sxx, y * y AS syy, CAST(1.0 AS DOUBLE) AS w1
+        |  FROM capped WHERE rn = 1
+        |  UNION ALL
+        |  SELECT c.g, c.k, c.rn,
+        |    c.x + 0.8 * r.sx, c.y + 0.8 * r.sy,
+        |    c.x * c.y + 0.8 * r.sxy, c.x * c.x + 0.8 * r.sxx,
+        |    c.y * c.y + 0.8 * r.syy, 1.0 + 0.8 * r.w1
+        |  FROM capped c JOIN r ON c.g = r.g AND c.rn = r.rn + 1)
+        |SELECT k AS o_orderkey, g AS o_orderstatus,
+        |  CASE WHEN (sxx / w1 - (sx / w1) * (sx / w1))
+        |         * (syy / w1 - (sy / w1) * (sy / w1)) > 0 THEN
+        |    round((sxy / w1 - (sx / w1) * (sy / w1))
+        |      / sqrt((sxx / w1 - (sx / w1) * (sx / w1))
+        |           * (syy / w1 - (sy / w1) * (sy / w1))) + 1e-9, 5)
+        |  END AS ewm_corr
         |FROM r""".stripMargin,
     "q_rolling_time" ->
       """SELECT event_id,
