@@ -622,9 +622,28 @@ object InheritedOps {
       case "quantile" =>
         require(q >= 0 && q <= 1, s"quantile must be in [0, 1], got $q")
         percentile(v.cast("double"), lit(q)).over(w)
+      // r13 breadth: the [[momentStat]] bias corrections at the window
+      // level. pandas' rolling kernels floor the gate internally at
+      // 3 (skew) / 4 (kurt) present values whatever min_periods says,
+      // and their zero-variance branch diverges from Series.skew/kurt:
+      // rolling skew reads 0.0 but rolling KURT reads -3.0 (the
+      // same-value branch of roll_kurt; Series.kurt reads 0.0 —
+      // probed 2026-08-17). Spark's central-moment aggregates read
+      // NULL there, so the coalesce restores each convention.
+      case "skew" =>
+        val nW = count(v).over(w).cast("double")
+        when(nW >= 3, coalesce(
+          skewness(v).over(w) * sqrt(nW * (nW - 1)) / (nW - 2),
+          when(var_samp(v).over(w) === 0.0, lit(0.0))))
+      case "kurt" =>
+        val nW = count(v).over(w).cast("double")
+        when(nW >= 4, coalesce(
+          ((nW + 1) * kurtosis(v).over(w) + 6) * (nW - 1)
+            / ((nW - 2) * (nW - 3)),
+          when(var_samp(v).over(w) === 0.0, lit(-3.0))))
       case other => throw new IllegalArgumentException(
-        s"fn must be mean|sum|min|max|std|var|count|median|quantile, " +
-          s"got '$other'")
+        s"fn must be mean|sum|min|max|std|var|count|median|quantile|" +
+          s"skew|kurt, got '$other'")
     }
     val gate =
       if (fn == "count") count(lit(1)).over(w) >= mp

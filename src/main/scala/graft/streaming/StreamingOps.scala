@@ -336,4 +336,107 @@ object StreamingOps {
           out.result().iterator
       }
   }
+
+  case class RollIn(key: Long, tsMicros: Long, value: Option[Double])
+  case class RollOut(key: Long, tsMicros: Long, rolled: Option[Double])
+  case class RollTimeState(ts: Seq[Long], vs: Seq[Double],
+                           pres: Seq[Boolean])
+
+  /** Streaming time-based rolling aggregate: the batch
+    * `InheritedOps.rollingTimeAgg` deque kernel on
+    * `flatMapGroupsWithState` — per-key state holds ONLY the rows
+    * inside the trailing window duration (O(W) per key, evicted as the
+    * window slides), each input row emits exactly one output row in
+    * Append mode. Same aggregate set and min_periods gates as the
+    * batch verb; `closed` supports the trailing-window variants that
+    * keep the current row ("right" = (t−w, t] default, "both" =
+    * [t−w, t]). Contracts: per-key timestamps are DUPLICATE-FREE and
+    * must not arrive in an earlier micro-batch than a lower-ts row
+    * (within a batch any order is fine — the kernel re-sorts); parity
+    * with the batch verb under that contract is spec-pinned
+    * (StreamFuzzSpec seeded multi-batch splits, bit-identical — the
+    * accumulation order matches the batch pass). */
+  def rollingTimeStream(events: Dataset[RollIn], windowMicros: Long,
+                        fn: String = "mean", minPeriods: Int = 1,
+                        closed: String = "right", q: Double = 0.5)
+                       (implicit spark: SparkSession): Dataset[RollOut] = {
+    import spark.implicits._
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    require(Seq("mean", "sum", "min", "max", "std", "var", "count",
+        "median", "quantile").contains(fn),
+      s"unsupported fn '$fn'")
+    require(Seq("right", "both").contains(closed),
+      s"stream closed must be right|both, got '$closed'")
+    val includeLow = closed == "both"
+    val isCount = fn == "count"
+    val qq = if (fn == "median") 0.5 else q
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[RollTimeState, RollOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[RollIn], state: GroupState[RollTimeState]) =>
+          val s0 = state.getOption.getOrElse(RollTimeState(Nil, Nil, Nil))
+          val buf = scala.collection.mutable.ArrayDeque.from(
+            s0.ts.lazyZip(s0.vs).lazyZip(s0.pres).toSeq)
+          val out = Seq.newBuilder[RollOut]
+          rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+            val present = e.value.exists(v => !v.isNaN)
+            val v = if (present) e.value.get else Double.NaN
+            buf.append((e.tsMicros, v, present))
+            val lowBound = e.tsMicros - windowMicros
+            while (buf.nonEmpty &&
+              (if (includeLow) buf.head._1 < lowBound
+               else buf.head._1 <= lowBound)) buf.removeHead()
+            var rowsN = 0
+            var nonNa = 0
+            var sum = 0.0
+            var mn = Double.PositiveInfinity
+            var mx = Double.NegativeInfinity
+            buf.foreach { case (_, ev, ep) =>
+              rowsN += 1
+              if (ep) {
+                nonNa += 1
+                sum += ev
+                if (ev < mn) mn = ev
+                if (ev > mx) mx = ev
+              }
+            }
+            val gate = if (isCount) rowsN else nonNa
+            val res: Option[Double] =
+              if (gate < minPeriods) None
+              else fn match {
+                case "count" => Some(nonNa.toDouble)
+                case "sum"   => Some(sum)
+                case "mean"  => if (nonNa == 0) None else Some(sum / nonNa)
+                case "min"   => if (nonNa == 0) None else Some(mn)
+                case "max"   => if (nonNa == 0) None else Some(mx)
+                case "std" | "var" =>
+                  if (nonNa < 2) None
+                  else {
+                    val mu = sum / nonNa
+                    var s2 = 0.0
+                    buf.foreach { case (_, ev, ep) =>
+                      if (ep) { val d = ev - mu; s2 += d * d } }
+                    val vv = s2 / (nonNa - 1)
+                    Some(if (fn == "std") math.sqrt(vv) else vv)
+                  }
+                case _ => // median | quantile
+                  if (nonNa == 0) None
+                  else {
+                    val arr = buf.collect {
+                      case (_, ev, ep) if ep => ev }.toArray
+                    java.util.Arrays.sort(arr)
+                    val vi = qq * (nonNa - 1)
+                    val lo = math.floor(vi).toInt
+                    val g = vi - lo
+                    Some(if (g == 0) arr(lo)
+                         else arr(lo) + g * (arr(lo + 1) - arr(lo)))
+                  }
+              }
+            out += RollOut(e.key, e.tsMicros, res)
+          }
+          state.update(RollTimeState(buf.map(_._1).toSeq,
+            buf.map(_._2).toSeq, buf.map(_._3).toSeq))
+          out.result().iterator
+      }
+  }
 }

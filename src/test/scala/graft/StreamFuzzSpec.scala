@@ -297,4 +297,65 @@ class StreamFuzzSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("rollingTimeStream ≡ batch rollingTimeAgg across micro-batches " +
+      "over 9 seeded inputs (every fn, both closed variants)") {
+    import graft.operators.InheritedOps
+    import graft.streaming.StreamingOps.RollIn
+    for (seed <- 1 to 9) {
+      val r = new scala.util.Random(5300 + seed)
+      val fn = Seq("mean", "sum", "min", "max", "std", "var", "count",
+        "median", "quantile")(seed - 1)
+      val closed = if (r.nextBoolean()) "right" else "both"
+      val minPeriods = 1 + r.nextInt(2)
+      val windowMicros = (2L + r.nextInt(5)) * 1000000L
+      val qv = Seq(0.25, 0.5, 0.75)(r.nextInt(3))
+      // duplicate-free irregular per-key timestamps (the documented
+      // stream contract), ~20% missing values
+      val evs: Seq[RollIn] = (1L to 3L).flatMap { k =>
+        var t = 0L
+        (0 until (5 + r.nextInt(15))).map { _ =>
+          t += (1L + r.nextInt(4)) * 1000000L
+          RollIn(k, t,
+            if (r.nextInt(5) == 0) None
+            else Some(math.floor(r.nextDouble() * 1000) / 10))
+        }
+      }
+      val ms = MemoryStream[RollIn](spark)
+      val out = StreamingOps.rollingTimeStream(ms.toDS(), windowMicros,
+        fn, minPeriods, closed, qv)(spark)
+      val qn = s"rollstream$seed"
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        val sorted = evs.sortBy(e => (e.tsMicros, e.key))
+        val nb = 1 + r.nextInt(3)
+        val per = math.max(1, sorted.length / nb)
+        sorted.grouped(per).foreach { b =>
+          ms.addData(r.shuffle(b))
+          q.processAllAvailable()
+        }
+        val got = spark.table(qn).collect()
+          .map(row => (row.getLong(0), row.getLong(1)) ->
+            (if (row.isNullAt(2)) null else row.getDouble(2))).toMap
+        val df = evs.map(e => (e.key, e.tsMicros, e.value))
+          .toDF("key", "ts_us", "value")
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+        val batch = InheritedOps.rollingTimeAgg(df, "value", fn,
+            windowMicros, "ts", "ts_us", minPeriods, Seq("key"),
+            closed, qv)
+          .select(col("key"), col("ts_us"), col("rolled")).collect()
+          .map(row => (row.getLong(0), row.getLong(1)) ->
+            (if (row.isNullAt(2)) null else row.getDouble(2))).toMap
+        assert(got.size == evs.size,
+          s"seed $seed: expected one output per input, got ${got.size}")
+        val diff = batch.keys.filter(k => got.get(k) != Some(batch(k)))
+        assert(diff.isEmpty,
+          s"seed $seed ($fn closed=$closed mp=$minPeriods q=$qv): " +
+            "stream != batch at " +
+            diff.take(5).map(k => s"$k: ${got.get(k)} vs ${batch(k)}")
+              .mkString("; "))
+      } finally q.stop()
+    }
+  }
 }

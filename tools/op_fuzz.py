@@ -434,12 +434,18 @@ def gen_op(r):
         kind = "expanding" if r.random() < 0.3 else "rolling"
         fn = r.choice(["mean", "sum", "min", "max", "std", "var", "count",
                        # r13: order statistics + centered frames
-                       "median", "quantile"])
+                       "median", "quantile",
+                       # r13 breadth: window-level bias-corrected
+                       # moments (internal 3/4-value floors, rolling
+                       # zero-variance conventions skew 0.0 / kurt -3.0)
+                       "skew", "kurt"])
         args = {"kind": kind, "col": r.choice(["b", "b", "a"]), "fn": fn}
         if fn == "quantile":
             args["q"] = r.choice([0.1, 0.25, 0.3, 0.5, 0.75, 0.9])
         if kind == "rolling":
-            args["window"] = r.randint(2, 4)
+            # moments need 3/4 present values to emit anything at all
+            args["window"] = (r.randint(4, 7) if fn in ("skew", "kurt")
+                              else r.randint(2, 4))
             args["min_periods"] = (None if r.random() < 0.4
                                    else r.randint(1, args["window"]))
             args["center"] = r.random() < 0.3
