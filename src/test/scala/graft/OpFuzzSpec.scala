@@ -554,6 +554,9 @@ class OpFuzzSpec extends SparkSpec {
                 case "mean" =>
                   InheritedOps.ewmMean(df, "b", alpha, "k", Nil,
                     adjust, ignoreNa, minp)
+                case "sum" =>
+                  InheritedOps.ewmSum(df, "b", alpha, "k", Nil,
+                    ignoreNa, minp)
                 case st =>
                   InheritedOps.ewmVar(df, "b", alpha, "k", Nil,
                     adjust, ignoreNa, minp,

@@ -244,8 +244,8 @@ class StreamFuzzSpec extends SparkSpec {
     import graft.streaming.StreamingOps.EwmIn
     for (seed <- 1 to 12) {
       val r = new scala.util.Random(4200 + seed)
-      val stat = Seq("mean", "var", "std")(seed % 3)
-      val adjust = r.nextBoolean()
+      val stat = Seq("mean", "var", "std", "sum")(seed % 4)
+      val adjust = stat == "sum" || r.nextBoolean()
       val ignoreNa = r.nextBoolean()
       val minPeriods = 1 + r.nextInt(3)
       val bias = r.nextBoolean()
@@ -280,6 +280,9 @@ class StreamFuzzSpec extends SparkSpec {
         val batch = (if (stat == "mean")
             InheritedOps.ewmMean(df, "value", alpha, "seq", Seq("key"),
               adjust, ignoreNa, minPeriods)
+          else if (stat == "sum")
+            InheritedOps.ewmSum(df, "value", alpha, "seq", Seq("key"),
+              ignoreNa, minPeriods)
           else
             InheritedOps.ewmVar(df, "value", alpha, "seq", Seq("key"),
               adjust, ignoreNa, minPeriods, bias, std = stat == "std"))

@@ -506,12 +506,15 @@ def gen_op(r):
                                            round(r.uniform(1.5, 12), 1)]),
                  "halflife": lambda: round(r.uniform(0.5, 8), 2),
                  "com": lambda: round(r.uniform(0.1, 6), 2)}[param]()
-        stat = r.choice(["mean", "mean", "var", "var", "std"])
+        stat = r.choice(["mean", "mean", "var", "var", "std",
+                         # r13 breadth: the unnormalized kernel
+                         "sum", "sum"])
         args = {"param": param, "value": value, "stat": stat,
-                "adjust": r.random() < 0.5,
+                # pandas raises NotImplementedError for adjust=False sum
+                "adjust": True if stat == "sum" else r.random() < 0.5,
                 "ignore_na": r.random() < 0.4,
                 "min_periods": r.randint(1, 3)}
-        if stat != "mean":
+        if stat not in ("mean", "sum"):
             args["bias"] = r.random() < 0.3
         return op, args
     if op == "ewm_cov":
@@ -711,8 +714,8 @@ def run_reference(nf, op, args):
               "ignore_na": args["ignore_na"],
               "min_periods": args["min_periods"]}
         roller = nf["b"].ewm(**kw)
-        if args["stat"] == "mean":
-            ser = roller.mean()
+        if args["stat"] in ("mean", "sum"):
+            ser = getattr(roller, args["stat"])()
         else:
             ser = getattr(roller, args["stat"])(bias=args["bias"])
         return {"vals": [enc_val(v) for v in ser]}
