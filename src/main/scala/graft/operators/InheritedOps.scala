@@ -822,7 +822,8 @@ object InheritedOps {
     * places before the current one. Same contract as
     * [[fillDirectional]] bfill and the as-of reverse sweeps. */
   def interpolateLinear(df: DataFrame, column: String, orderCol: String,
-                        partitionBy: Seq[String] = Nil): DataFrame = {
+                        partitionBy: Seq[String] = Nil,
+                        byValues: Boolean = false): DataFrame = {
     val df0 = nanAsNull(df, Seq(column))
     val part = if (partitionBy.nonEmpty)
       Window.partitionBy(partitionBy.map(col): _*)
@@ -833,7 +834,13 @@ object InheritedOps {
     val wNextRev = part.orderBy(col(orderCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col(column).cast("double")
-    val pos = row_number().over(base).cast("double")
+    // byValues = pandas interpolate(method='index'/'values'): the gap
+    // position is the ORDER VALUE (numeric index / timestamp) rather
+    // than the row position — the time-series interpolation (probed
+    // 2026-08-17: leading/interior/trailing rules are unchanged, only
+    // the abscissa differs; 'values' is an alias of 'index')
+    val pos = if (byValues) col(orderCol).cast("double")
+              else row_number().over(base).cast("double")
     val out = df0
       .withColumn("__pos", pos)
       .withColumn("__pv", last(v, ignoreNulls = true).over(wPrev))
@@ -1569,14 +1576,22 @@ object InheritedOps {
 
   /** pandas `Series.corr(other)` / `Series.cov(other)`: pairwise
     * complete observations (a row missing EITHER side drops), sample
-    * statistics (ddof=1) — exactly Spark's corr/covar_samp aggregates.
-    * Fewer than two complete pairs → missing, like pandas min_periods.
+    * statistics (ddof=1). Fewer than two complete pairs → missing,
+    * like pandas min_periods, and a ZERO-VARIANCE side reads missing
+    * too — Spark's own `corr` aggregate throws DIVIDE_BY_ZERO there
+    * under ANSI mode (alt-seed fuzz caught it, r13: complete pairs
+    * [-1,-1] × [7.984, 0.273]), so the statistic is built from
+    * null-guarded pieces over the pre-filtered complete pairs:
+    * covar_samp / nullif(sx·sy, 0) — algebraically Pearson, and a 0
+    * or missing denominator reads missing instead of raising.
     * One aggregate, map-side partials. */
   def corrCov(df: DataFrame, col1: String, col2: String,
               fn: String): DataFrame = {
     val df0 = nanAsNull(df, Seq(col1, col2))
+      .where(col(col1).isNotNull && col(col2).isNotNull)
     val agg: Column = fn match {
-      case "corr" => corr(col(col1), col(col2))
+      case "corr" => covar_samp(col(col1), col(col2)) /
+        nullif(stddev_samp(col(col1)) * stddev_samp(col(col2)), lit(0.0))
       case "cov"  => covar_samp(col(col1), col(col2))
       case other => throw new IllegalArgumentException(
         s"fn must be corr|cov, got '$other'")

@@ -354,8 +354,19 @@ class OpFuzzSpec extends SparkSpec {
             // r12 tranche 9: linear interpolate by position
             case "interp" =>
               val cn = args.get("col").asText()
-              val out = graft.operators.InheritedOps.interpolateLinear(df,
-                cn, "k")
+              // r13 breadth: method='index' rides the drawn irregular
+              // abscissa in as __ord and interpolates by its VALUES
+              val out =
+                if (args.has("method") &&
+                    args.get("method").asText() == "index") {
+                  val idx = args.get("idx").elements().asScala.toSeq
+                  val arr = array(idx.map(n => lit(n.asDouble())): _*)
+                  val withOrd = df.withColumn("__ord",
+                    element_at(arr, (col("k") + 1).cast("int")))
+                  graft.operators.InheritedOps.interpolateLinear(withOrd,
+                    cn, "__ord", byValues = true).drop("__ord")
+                } else graft.operators.InheritedOps.interpolateLinear(df,
+                  cn, "k")
               val got = out.orderBy(col("k")).select(col(cn))
                 .collect().map(_.getAs[Any](0))
               val exp = c.get("expect").get("vals")

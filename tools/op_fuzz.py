@@ -455,7 +455,12 @@ def gen_op(r):
                                    else r.randint(1, 4))
         return op, args
     if op == "interp":
-        return op, {"col": "b"}
+        # r13 breadth: method='index' interpolates by the ORDER VALUE
+        # (the time-series abscissa); the irregular strictly-increasing
+        # index is frame-length-dependent — fixed up in main()
+        return op, {"col": "b",
+                    "method": r.choice(["linear", "linear", "index"]),
+                    "idx": None}
     if op == "clip_pct":
         if r.random() < 0.5:
             c_ = r.choice(["a", "b"])
@@ -654,7 +659,13 @@ def run_reference(nf, op, args):
         return {"labels": [t.isoformat() for t in res.index],
                 "vals": [enc_val(v) for v in res]}
     if op == "interp":
-        ser = nf[args["col"]].interpolate()
+        if args.get("method") == "index":
+            import pandas as pd
+            ser = pd.Series(list(nf[args["col"]]),
+                            index=pd.Index(args["idx"], dtype="float64")
+                            ).interpolate(method="index")
+        else:
+            ser = nf[args["col"]].interpolate()
         return {"vals": [enc_val(v) for v in ser]}
     if op == "clip_pct":
         import math
@@ -1595,6 +1606,12 @@ def main():
                 for j in range(len(vs)):
                     if r.random() < 0.35:
                         vs[j] = 0.0
+        if op == "interp" and args["method"] == "index":
+            t, idx = 0.0, []
+            for _ in range(len(frame["k"])):
+                t += r.choice([0.5, 1.0, 1.5, 2.0, 3.5, 7.0])
+                idx.append(round(t, 3))
+            args["idx"] = idx
         if op == "ewm_cov":
             # the second series rides in args so both inputs draw
             # missing cells independently of the frame columns
