@@ -1767,26 +1767,147 @@ object NestedExpr {
     // keep is computed PER LINE against only the writes that PRECEDE it
     // (ADVICE r10): two early lines sharing a reduction over a column only
     // a later line writes reuse one agg. A helper becomes invalid the
-    // moment its source column is written — the fold drops it right then
-    // (whether or not the writing line consumed it), so any later use
-    // re-aggregates and sees the written values
+    // moment its source column is written — it is dropped at the next
+    // flush point (whether or not the writing line consumed it), so any
+    // later use re-aggregates and sees the written values
     val reds = hoisted.result().distinct
     def writesOf(stmt: String): Set[String] = stmt match {
       case assignRe(lhs, _) =>
         ExprParser.lhsPath(lhs).map(_.head).toSet
       case _ => Set.empty
     }
+
+    // Consecutive assignments into ONE nest are FUSED into a single
+    // transform: the per-line form nests one transform per assignment,
+    // rebuilding every already-present field at every level — O(k²) field
+    // materializations and k array allocations per row for a k-line
+    // program (q_dialect_dt's 12-line program built each element struct
+    // 12 times, and the toFlat explode re-ran the whole chain in its
+    // inferred filter). Fusion accumulates `field -> SQL` with reads of
+    // fields the group itself wrote inlined (sequential semantics), and
+    // emits one transform at a flush point. Results are identical: same
+    // fields in the same order, same per-element expressions, same
+    // alignment guard. Flush points (falling back to the per-line path
+    // for that statement): target switches to another nest / a base
+    // column / fails to parse; a reduction reads a column the program
+    // already wrote (it must re-aggregate against the materialized
+    // frame); or the inlined SQL grows past a size cap.
+    var acc = withReductions(df, reds)
     var writtenSoFar = Set.empty[String]
-    val out = stmts.foldLeft(withReductions(df, reds)) { (acc, stmt) =>
+    // every helper known attached (hoisted + fused-attached): name -> srcCol
+    val liveHelpers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    reds.foreach(r => liveHelpers(r.name) = r.srcCol)
+    var helpersToDrop = List.empty[String]
+
+    var pNest: Option[String] = None
+    var pAnchor = ""
+    var pIsNew = false
+    var pStartFields: Seq[String] = Nil
+    val pParts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val pOthers = scala.collection.mutable.ListBuffer.empty[String]
+
+    def fusedColumn(): org.apache.spark.sql.Column = {
+      val newFields = pParts.keys.filterNot(pStartFields.contains).toSeq
+      val fields = pStartFields ++ newFields
+      val parts = fields.map { f =>
+        val v = pParts.getOrElse(f, s"__x.${bq(f)}")
+        s"${sq(f)}, $v"
+      }.mkString(", ")
+      alignedTransform(acc, pAnchor,
+        pOthers.distinct.filterNot(n => n == pAnchor || pNest.contains(n)).toSeq,
+        parts)
+    }
+    def dropStale(): Unit = if (helpersToDrop.nonEmpty) {
+      val present = helpersToDrop.filter(acc.columns.contains)
+      if (present.nonEmpty) acc = acc.drop(present: _*)
+      helpersToDrop = Nil
+    }
+    def flush(): Unit = {
+      if (pNest.isDefined) {
+        acc = acc.withColumn(pNest.get, fusedColumn())
+        pNest = None; pAnchor = ""; pIsNew = false; pStartFields = Nil
+        pParts.clear(); pOthers.clear()
+      }
+      dropStale()
+    }
+    def legacyLine(stmt: String): Unit = {
+      flush()
       val keepNow = reds.filterNot(r => writtenSoFar.contains(r.srcCol))
         .map(_.name).toSet
-      val res = evalAssign(acc, stmt, keepHelpers = keepNow)
+      acc = evalAssign(acc, stmt, keepHelpers = keepNow)
+    }
+
+    for (stmt <- stmts) {
+      stmt match {
+        case assignRe(lhs, rhs) =>
+          ExprParser.lhsPath(lhs) match {
+            case Some(Seq(nest, field)) =>
+              if (pNest.exists(_ != nest)) flush()
+              val groupStart = pNest.isEmpty
+              val existingNest =
+                groupStart && NestedOps.nestedColumns(acc).contains(nest)
+              if (groupStart) {
+                if (existingNest) {
+                  pAnchor = nest; pIsNew = false
+                  pStartFields = NestedOps.subColumns(acc, nest)
+                } else {
+                  // new-nest creation: anchor on the first nest the RHS
+                  // references (same rule as the per-line path)
+                  val probe = analyze(acc, rhs, "__x")
+                  require(probe.nests.nonEmpty,
+                    s"Assignment to new nest '$nest.$field' needs ≥1 nested " +
+                      s"reference on the RHS (got a base-only expression)")
+                  pAnchor = probe.nests.head; pIsNew = true
+                  pStartFields = Nil
+                }
+                pNest = Some(nest)
+              }
+              val tgt = nest
+              val ref: (String, String) => String = (n, f) =>
+                if (n == tgt && pParts.contains(f)) s"(${pParts(f)})"
+                else if (n == pAnchor) s"__x.${bq(f)}"
+                else s"${bq(n)}[__i].${bq(f)}"
+              val view =
+                if (pParts.isEmpty) acc
+                else acc.withColumn(tgt, fusedColumn())
+              val a = analyze(view, rhs, ref)
+              val stale = a.reductions.filter(r =>
+                writtenSoFar.contains(r.srcCol))
+              if (stale.nonEmpty) {
+                // a reduction over a written column must see the written
+                // values: materialize, drop the stale helper, re-aggregate
+                if (groupStart) { pNest = None; pAnchor = ""; pIsNew = false
+                  pStartFields = Nil }
+                helpersToDrop ++= stale.map(_.name)
+                legacyLine(stmt)
+              } else {
+                val unattached = a.reductions
+                  .filterNot(r => acc.columns.contains(r.name))
+                if (unattached.nonEmpty) {
+                  acc = withReductions(acc, unattached)
+                  unattached.foreach(r => liveHelpers(r.name) = r.srcCol)
+                }
+                pParts(field) = a.sql
+                pOthers ++= a.nests.filterNot(n => n == pAnchor || n == tgt)
+                // bound the inlining blowup on pathological chains
+                if (pParts.valuesIterator.map(_.length).sum > 100000) flush()
+              }
+            case _ => legacyLine(stmt)
+          }
+        case _ => legacyLine(stmt)
+      }
       val wr = writesOf(stmt)
       writtenSoFar ++= wr
-      val invalid = reds.filter(r => wr.contains(r.srcCol)).map(_.name)
-        .filter(res.columns.contains)
-      if (invalid.isEmpty) res else res.drop(invalid.toIndexedSeq: _*)
+      val invalid = liveHelpers.collect {
+        case (name, src) if wr.contains(src) => name }.toList
+      if (invalid.nonEmpty) {
+        invalid.foreach(liveHelpers.remove)
+        helpersToDrop ++= invalid
+        if (pNest.isEmpty) dropStale()
+      }
     }
+    flush()
+    val out = acc
     // hoisted helpers a line's own analysis didn't resolve to (or that no
     // line consumed) are engine-internal — drop any leftovers
     val leftovers = out.columns.filter(_.startsWith("__graft_red_"))
@@ -1806,10 +1927,48 @@ object NestedExpr {
   private def evalFrozen(df: DataFrame, stmts: Seq[String]): DataFrame = {
     val origNests = NestedOps.nestedColumns(df).toSet
     def pendName(n: String) = s"__graft_pend_$n"
-    val pending = collection.mutable.LinkedHashMap.empty[String, String]
     val frozenRef: (String, String) => String =
       (n, f) => s"${bq(n)}[__i].${bq(f)}"
+    // Per-nest FUSED pending state: every nested read is frozen
+    // (positional against the ORIGINAL columns), so all writes into one
+    // nest compose into a single transform — `field -> SQL` with
+    // last-write-wins — instead of one transform layer per line (the
+    // per-line form rebuilt every already-present field at every layer;
+    // see [[eval]]'s fusion note). `startFields` snapshots the field list
+    // of the anchor at group start (original nest fields, or the staged
+    // fields after a base-write flush); `others` accumulates every nest
+    // read positionally, anchor included, because positional `nest[__i]`
+    // reads need the (__x, __i) lambda.
+    case class Pend(anchor: String,
+                    startFields: Seq[String],
+                    parts: collection.mutable.LinkedHashMap[String, String],
+                    others: collection.mutable.ListBuffer[String])
+    val pending = collection.mutable.LinkedHashMap.empty[String, Pend]
     var acc = df
+    def fusedColumn(p: Pend): org.apache.spark.sql.Column = {
+      val newFields = p.parts.keys.filterNot(p.startFields.contains).toSeq
+      val fields = p.startFields ++ newFields
+      val parts = fields.map { f =>
+        val v = p.parts.getOrElse(f, s"__x.${bq(f)}")
+        s"${sq(f)}, $v"
+      }.mkString(", ")
+      alignedTransform(acc, p.anchor, p.others.distinct.toSeq, parts)
+    }
+    // Base-column assignments bind SEQUENTIALLY (reference probe
+    // 2026-08-15), so pending SQL that may reference a base column must
+    // be staged into the pend column BEFORE the base write rebinds it —
+    // exactly where the per-line form staged every line.
+    def stageAll(): Unit =
+      pending.keys.toSeq.foreach { nest =>
+        val p = pending(nest)
+        if (p.parts.nonEmpty) {
+          acc = acc.withColumn(pendName(nest), fusedColumn(p))
+          pending(nest) = Pend(pendName(nest),
+            NestedOps.subColumns(acc, pendName(nest)),
+            collection.mutable.LinkedHashMap.empty,
+            collection.mutable.ListBuffer.empty)
+        }
+      }
     for (stmt <- stmts) stmt match {
       case assignRe(lhs, rhs) =>
         val target = ExprParser.lhsPath(lhs).getOrElse(
@@ -1817,25 +1976,18 @@ object NestedExpr {
             s"Bad assignment target: $lhs (must be a single column name)"))
         target match {
           // write into an original nest, or a nest CREATED by an earlier
-          // line (its fields accumulate in the pending column; reads of
+          // line (its fields accumulate in the pending parts; reads of
           // it still raise — the frozen frame doesn't have it)
           case Seq(nest, field) if origNests.contains(nest) ||
               pending.contains(nest) =>
             val a = analyze(acc, rhs, frozenRef)
-            val anchor = pending.getOrElse(nest, nest)
-            val existing = NestedOps.subColumns(acc, anchor)
-            val fields = if (existing.contains(field)) existing
-                         else existing :+ field
-            val parts = fields.map { f =>
-              val v = if (f == field) a.sql else s"__x.${bq(f)}"
-              s"${sq(f)}, $v"
-            }.mkString(", ")
-            val dfR = withReductions(acc, a.reductions)
-            // others includes the anchor itself when referenced: the
-            // positional `nest[__i]` reads need the (__x, __i) lambda
-            acc = dfR.withColumn(pendName(nest),
-              alignedTransform(dfR, anchor, a.nests, parts))
-            pending(nest) = pendName(nest)
+            val p = pending.getOrElseUpdate(nest,
+              Pend(nest, NestedOps.subColumns(acc, nest),
+                collection.mutable.LinkedHashMap.empty,
+                collection.mutable.ListBuffer.empty))
+            acc = withReductions(acc, a.reductions)
+            p.parts(field) = a.sql
+            p.others ++= a.nests
           // new-nest creation: element-aligned with the first referenced
           // (frozen) nest
           case Seq(newNest, field) =>
@@ -1843,16 +1995,18 @@ object NestedExpr {
             require(a.nests.nonEmpty,
               s"Assignment to new nest '$newNest.$field' needs ≥1 nested " +
                 s"reference on the RHS (got a base-only expression)")
-            val anchor = a.nests.head
-            val dfR = withReductions(acc, a.reductions)
-            acc = dfR.withColumn(pendName(newNest),
-              alignedTransform(dfR, anchor, a.nests,
-                s"${sq(field)}, ${a.sql}"))
-            pending(newNest) = pendName(newNest)
+            acc = withReductions(acc, a.reductions)
+            val p = Pend(a.nests.head, Nil,
+              collection.mutable.LinkedHashMap.empty,
+              collection.mutable.ListBuffer.empty)
+            p.parts(field) = a.sql
+            p.others ++= a.nests
+            pending(newNest) = p
           case Seq(name) =>
             val a = analyze(acc, rhs, frozenRef)
             require(a.nests.isEmpty,
               s"Assignment of nested-layer expression to base column '$name'")
+            stageAll()
             acc = withReductions(acc, a.reductions)
               .withColumn(name, expr(a.sql))
           case other => throw new IllegalArgumentException(
@@ -1862,8 +2016,13 @@ object NestedExpr {
       case other =>
         throw new IllegalArgumentException(s"Not an assignment: $other")
     }
-    val merged = pending.foldLeft(acc) { case (d, (nest, pn)) =>
-      d.withColumn(nest, col(pn)).drop(pn)
+    // stage every pending transform FIRST (bound against the original,
+    // frozen columns — another pending nest's positional reads of this
+    // nest must not see the merged values), then rename staged -> nest
+    stageAll()
+    val merged = pending.foldLeft(acc) { case (d, (nest, p)) =>
+      if (p.anchor == nest) d
+      else d.withColumn(nest, col(p.anchor)).drop(p.anchor)
     }
     val leftovers = merged.columns.filter(_.startsWith("__graft_red_"))
     if (leftovers.isEmpty) merged

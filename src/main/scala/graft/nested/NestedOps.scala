@@ -441,8 +441,27 @@ object NestedOps {
     val cell =
       if (fields.isEmpty) col(nest)
       else arrays_zip(fields.map(f => col(s"$nest.$f").as(f)): _*)
-    val gen = if (keepEmpty) inline_outer(cell) else inline(cell)
-    df.select(baseCols.map(col) :+ gen: _*)
+    if (keepEmpty) df.select(baseCols.map(col) :+ inline_outer(cell): _*)
+    else {
+      // NOT `inline(cell)`: InferFiltersFromGenerate turns a non-outer
+      // generate into Filter(size(cell)>0 AND isnotnull(cell)) + Generate,
+      // and predicate pushdown substitutes the FULL cell expression into
+      // that filter — a computed nest (eval/query transform chains) was
+      // re-evaluated twice more per row (plan-verified on q_dialect_dt;
+      // 3 evaluations of the per-element projection instead of 1).
+      // posexplode_outer + a pos filter is row-for-row identical to
+      // inline — the outer generator emits exactly one NULL-pos row for
+      // NULL/empty cells, and real NULL elements keep a position — while
+      // the rule only fires for non-outer generators, so the cell is
+      // evaluated ONCE. The pos filter sits ABOVE the generate and
+      // references only the generated ordinal (cheap, never duplicated).
+      val fieldList = if (fields.isEmpty) subColumns(df, nest) else fields
+      df.select(baseCols.map(col) :+
+          posexplode_outer(cell).as(Seq("__graft_gpos", "__graft_gelem")): _*)
+        .where(col("__graft_gpos").isNotNull)
+        .select(baseCols.map(col) ++
+          fieldList.map(f => col("__graft_gelem").getField(f).as(f)): _*)
+    }
   }
 
   /** Project nested column to a subset of its fields.
@@ -509,10 +528,19 @@ object NestedOps {
       when(exists(col(nest), pred), filter(col(nest), pred)))
 
   /** Same, but drop rows whose cell emptied.
-    * Reference: `.nest.query` (accessor.py:600-638). */
+    * Reference: `.nest.query` (accessor.py:600-638).
+    * NOT composed as `filterElements(...).where(isNotNull)`: predicate
+    * pushdown substitutes the computed `when(exists, filter)` column into
+    * the Filter, so every row ran the exists+filter pair TWICE (once in
+    * the Filter, once in the Project). Filtering on `exists` over the
+    * ORIGINAL column first is equivalent — `when(exists, filter)` is
+    * non-NULL exactly when `exists` is true — and every surviving row
+    * then takes the `when` branch, so the kept cell is just
+    * `filter(...)`: one exists + one filter per row, no duplication. */
   def filterElementsDropEmpty(df: DataFrame, nest: String,
                               pred: Column => Column): DataFrame =
-    filterElements(df, nest, pred).where(col(nest).isNotNull)
+    df.where(exists(col(nest), pred))
+      .withColumn(nest, filter(col(nest), pred))
 
   /** Drop elements with NULLs in `subset` fields (all fields if empty).
     * Reference: `dropna(on_nested=...)` (core.py:1699-1849) with pandas'
@@ -915,8 +943,18 @@ object NestedOps {
   def explodeNested(df: DataFrame, nest: String,
                     keepEmpty: Boolean = false): DataFrame = {
     val base = df.columns.filterNot(_ == nest).toSeq
-    val gen = if (keepEmpty) inline_outer(col(nest)) else inline(col(nest))
-    df.select(base.map(col) :+ gen: _*)
+    if (keepEmpty) df.select(base.map(col) :+ inline_outer(col(nest)): _*)
+    else {
+      // posexplode_outer + pos filter ≡ inline, minus the
+      // InferFiltersFromGenerate duplication of a computed cell — see
+      // [[toFlat]].
+      val fieldList = subColumns(df, nest)
+      df.select(base.map(col) :+
+          posexplode_outer(col(nest)).as(Seq("__graft_gpos", "__graft_gelem")): _*)
+        .where(col("__graft_gpos").isNotNull)
+        .select(base.map(col) ++
+          fieldList.map(f => col("__graft_gelem").getField(f).as(f)): _*)
+    }
   }
 
   /** Split one nest into `{nest}_{value}` nests by the values of a categorical

@@ -21,6 +21,12 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf experiments: SPARK_SQL_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_SQL_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val names =
       if (name == "ALL") graft.SparkEntry.queries.keys.toSeq.sorted
       else name.split(",").toSeq
