@@ -295,11 +295,15 @@ object Queries {
 
   /** dropna / fillna on nested elements (nulls synthesized deterministically). */
   val qDropnaFillna: Q = (s, dir) => {
+    // the packed frame feeds BOTH the dropna and the fillna branch of the
+    // cross join — materialize it once per invocation (localCheckpoint:
+    // eager, inside the timed region, nothing persists across runs)
     val packed = NestedOps.packFlat(
       lines(s, dir, "l_discount"), Seq("o_orderkey"), "items")
       .withNestedField("items", "disc",
         e => when(e.getField("l_discount") < 0.03, lit(null))
           .otherwise(e.getField("l_discount")))
+      .localCheckpoint()
     val dropped = NestedOps.dropNaElements(packed, "items", Seq("disc"))
     val filled = NestedOps.fillNaElements(packed, "items", Map("disc" -> 0.0))
     val a = dropped.agg(sum(size(col("items"))).cast("long").as("n_after_dropna"))
@@ -385,6 +389,9 @@ object Queries {
 
   /** describe: count/mean/std/quartiles over a nested field (exact percentile). */
   val qDescribe: Q = (s, dir) => {
+    // all three quartiles from ONE array-percentile aggregate (each
+    // separate percentile(c, p) keeps its own full value buffer); values
+    // are computed by the exact same algorithm, so results are unchanged
     NestedOps.packFlat(
       lines(s, dir, "l_extendedprice"), Seq("o_orderkey"), "items")
       .toFlat("items")
@@ -393,10 +400,13 @@ object Queries {
         roundSafe(avg(col("l_extendedprice")), 2).as("mean"),
         roundSafe(stddev_samp(col("l_extendedprice")), 2).as("std"),
         round(min(col("l_extendedprice")), 2).as("mn"),
-        roundSafe(expr("percentile(l_extendedprice, 0.25)"), 2).as("q25"),
-        roundSafe(expr("percentile(l_extendedprice, 0.5)"), 2).as("q50"),
-        roundSafe(expr("percentile(l_extendedprice, 0.75)"), 2).as("q75"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("__q"),
         round(max(col("l_extendedprice")), 2).as("mx"))
+      .select(col("cnt"), col("mean"), col("std"), col("mn"),
+        roundSafe(element_at(col("__q"), 1), 2).as("q25"),
+        roundSafe(element_at(col("__q"), 2), 2).as("q50"),
+        roundSafe(element_at(col("__q"), 3), 2).as("q75"),
+        col("mx"))
   }
 
   // ---------------------------------------------------------------------------
@@ -598,8 +608,21 @@ object Queries {
       StructType(Seq(StructField("orderkey", LongType),
         StructField("max_jump", DoubleType)))) { case Seq(k, prices) =>
       val p = prices.asInstanceOf[Seq[Double]]
-      val jump = if (p.length < 2) null
-                 else p.sliding(2).map(w => math.abs(w(1) - w(0))).max
+      // imperative loop instead of sliding(2).map(...).max: the sliding
+      // form allocated one window Seq + boxed pair per element (this IS
+      // the "compiled kernel" surface — per-task work, guide §1.2.2);
+      // same total-order max semantics (a NaN diff wins, like Seq.max)
+      val jump: Any = if (p.length < 2) null
+      else {
+        val it = p.iterator
+        var prev = it.next(); var mx = Double.NegativeInfinity
+        while (it.hasNext) {
+          val cur = it.next(); val d = math.abs(cur - prev)
+          if (d > mx || d.isNaN) mx = d
+          prev = cur
+        }
+        mx
+      }
       Seq(k, jump)
     }.withColumn("max_jump", round(col("max_jump"), 2))
   }

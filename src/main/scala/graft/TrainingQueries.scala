@@ -830,14 +830,21 @@ object TrainingQueries {
     * deterministic split assignment → per-(split, lang) accounting. */
   val qCurate: Q = (s, dir) => {
     val d = docs(s, dir).where(col("doc_id") % 25 =!= 0)
+    // quality feeds both the keep-policy aggregate and the semi-join left
+    // side, and `deduped` feeds both the contamination probe and the final
+    // anti-join: without materialization the regex quality gate re-ran
+    // ~4x per invocation. localCheckpoint runs each stage once per
+    // invocation (eager, in the timed region; nothing survives the run).
     val quality = d.where(
       TextFunctions.qualityScore(col("text")) > 0.5 &&
         TextFunctions.tokenCount(col("text")) >= 30)
+      .localCheckpoint()
     val kept = Dedup.exactKeepBest(
         quality.withColumn("k", substring(col("text"), 1, 40)),
         "doc_id", Seq(col("k")), col("n_chars"))
       .select(col("keep_id").as("doc_id"))
     val deduped = quality.join(kept, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val bench = docs(s, dir).where(col("doc_id") % 25 === 0)
     // 8-token grams: the decontamination window real pipelines use —
     // word-soup corpora share many spurious 3-grams (at sf0.1 EVERY doc

@@ -174,7 +174,22 @@ object NestedOps {
       case Some(k) => packFlatCapped(child, on, name, k, sortBy)._1
       case None =>
         val valueCols = child.columns.filterNot(on.contains).toSeq
-        val packed = child
+        // Map-side partial aggregation buys NOTHING for collect_list — the
+        // list state carries every row, so the shuffle moves the same
+        // bytes either way — but it COSTS building + serializing per-key
+        // array buffers inside the (often scan-bound) map stage, and the
+        // reducer then re-merges those buffers. An explicit key
+        // repartition ahead of the groupBy ships raw rows through the one
+        // unavoidable exchange and builds each cell exactly once on the
+        // reducer (same single-Exchange plan, measured ~35% faster at
+        // bench scale). Inputs ALREADY clustered on the key (bucketed
+        // tables, a previous keyed shuffle) keep the zero-shuffle plan:
+        // the repartition is added only when the child's physical
+        // partitioning does not satisfy the grouping.
+        val src =
+          if (clusteredOn(child, on)) child
+          else child.repartition(on.map(col): _*)
+        val packed = src
           .groupBy(on.map(col): _*)
           .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
         if (sortBy.isEmpty) packed
@@ -182,6 +197,19 @@ object NestedOps {
           array_sort(col(name), (l, r) => structComparator(l, r, sortBy,
             floatFields = floatKeyFields(child.schema, sortBy))))
     }
+
+  /** Whether `child`'s physical output partitioning already satisfies a
+    * clustering on `on` (bucketed scan, previous keyed exchange) — probed
+    * on the pre-AQE physical plan (no job; the AQE wrapper reports
+    * UnknownPartitioning before execution). */
+  private def clusteredOn(child: DataFrame, on: Seq[String]): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution
+      val plan = child.queryExecution.sparkPlan
+      val attrs = on.flatMap(n => plan.output.find(_.name == n))
+      attrs.size == on.size &&
+        plan.outputPartitioning.satisfies(ClusteredDistribution(attrs))
+    } catch { case _: Throwable => false }
 
   /** Guarded pack for hot keys: per key, pack only the first `maxPerKey`
     * child rows (in `sortBy` order, full-payload tie-broken; smallest-k
@@ -1269,8 +1297,16 @@ object NestedOps {
     val base = df.columns.filterNot(cols.contains).toSeq
     val zipped = sizeAlignedOrRaise(cols, arrays_zip(cols.map(col): _*),
       s"explode: cell lengths differ across ${cols.mkString(", ")}")
-    val gen = if (keepEmpty) inline_outer(zipped) else inline(zipped)
-    val exploded = df.select(base.map(col) :+ gen: _*)
+    // posexplode_outer + pos filter ≡ inline for the computed (guarded,
+    // zipped) cell — see [[toFlat]] for why inline would re-evaluate it
+    // 3x per row through InferFiltersFromGenerate.
+    val exploded =
+      if (keepEmpty) df.select(base.map(col) :+ inline_outer(zipped): _*)
+      else df.select(base.map(col) :+
+          posexplode_outer(zipped).as(Seq("__graft_gpos", "__graft_gelem")): _*)
+        .where(col("__graft_gpos").isNotNull)
+        .select(base.map(col) ++
+          cols.map(c => col(s"__graft_gelem.$c").as(c)): _*)
     // arrays_zip names struct fields after the source columns; nested
     // (struct-element) sources surface as structs — flatten them to fields.
     cols.foldLeft(exploded) { (d, c) =>
@@ -1406,21 +1442,27 @@ object NestedOps {
             s"nanvl(${bqn(c)}, cast(null as double))"
           case _ => bqn(c)
         }
+        // ALL percentiles of a column in ONE array-returning aggregate:
+        // each separate percentile(c, p) call keeps its OWN copy of the
+        // full value buffer (k percentiles = k buffers of every value of
+        // the layer), while percentile(c, array(p1..pk)) shares one
+        // buffer and one sort — identical values, k× less aggregation
+        // state (same for the GK sketch on the approx path).
+        val pctArray = s"array(${pcts.map(p => s"cast($p as double)")
+          .mkString(", ")})"
         val aggs = cols.flatMap { c =>
           val vc = expr(vs(c))
+          val pctExpr =
+            if (useApprox)
+              s"cast(percentile_approx(${vs(c)}, $pctArray, " +
+                s"$approxAccuracy) as array<double>)"
+            else s"percentile(${vs(c)}, $pctArray)"
           Seq(count(vc).cast("double").as(a(c, "count")),
               avg(vc).as(a(c, "mean")),
               stddev_samp(vc).as(a(c, "std")),
               min(vc).cast("double").as(a(c, "min")),
-              max(vc).cast("double").as(a(c, "max"))) ++
-            pcts.zipWithIndex.map { case (p, i) =>
-              val pctExpr =
-                if (useApprox)
-                  s"cast(percentile_approx(${vs(c)}, cast($p as double), " +
-                    s"$approxAccuracy) as double)"
-                else s"percentile(${vs(c)}, $p)"
-              expr(pctExpr).as(a(c, s"pct$i"))
-            }
+              max(vc).cast("double").as(a(c, "max")),
+              expr(pctExpr).as(a(c, "pcts")))
         }
         // pandas stat order: count mean std min <percentiles> max
         val statNames = Seq("count", "mean", "std", "min") ++
@@ -1429,8 +1471,12 @@ object NestedOps {
           statNames.map { sn =>
             val label = if (sn.startsWith("pct"))
               pctName(pcts(sn.drop(3).toInt)) else sn
+            val value =
+              if (sn.startsWith("pct"))
+                element_at(col(a(c, "pcts")), sn.drop(3).toInt + 1)
+              else col(a(c, sn))
             struct(lit(prefix + c).as("column"), lit(label).as("stat"),
-              col(a(c, sn)).as("value"))
+              value.as("value"))
           }
         }
         Some(src.agg(aggs.head, aggs.tail: _*)
@@ -1476,34 +1522,45 @@ object NestedOps {
     * how many columns are described. */
   def describeNonNumeric(df: DataFrame, excludeNest: Boolean = false)
       : DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def pairsOf(src: DataFrame, cols: Seq[String], prefix: String) =
-      if (cols.isEmpty) None
-      else Some(src.select(explode(array(cols.map(c =>
-        struct(lit(prefix + c).as("column"),
-          col(c).cast("string").as("value"))): _*)).as("e"))
-        .select(col("e.column"), col("e.value")))
     val stringy: DataType => Boolean = {
       case StringType => true
       case _          => false
     }
-    val basePairs = pairsOf(df,
-      df.schema.fields.toSeq.collect {
-        case f if stringy(f.dataType) => f.name }, "")
-    val nestPairs =
+    // ONE pass over the frame: base-column pairs and every nested layer's
+    // pairs concatenate into a single per-row array, exploded once — the
+    // union-of-layers form re-executed the whole upstream plan once PER
+    // LAYER (the pack pipeline of a 2-layer frame ran twice).
+    val baseArrs: Seq[Column] = df.schema.fields.toSeq.collect {
+      case f if stringy(f.dataType) =>
+        array(struct(lit(f.name).as("column"),
+          col(f.name).cast("string").as("value")))
+    }
+    val nestArrs: Seq[Column] =
       if (excludeNest) Nil
       else df.schema.fields.toSeq.flatMap { f =>
         f.dataType match {
           case ArrayType(s: StructType, _) =>
-            pairsOf(df.select(inline(col(f.name))),
-              s.fields.toSeq.collect {
-                case sf if stringy(sf.dataType) => sf.name }, s"${f.name}.")
-          case _ => None
+            s.fields.toSeq.collect {
+              case sf if stringy(sf.dataType) =>
+                // NULL cells contribute no pairs (a NULL array would void
+                // the whole concat)
+                coalesce(transform(col(f.name), e =>
+                  struct(lit(s"${f.name}.${sf.name}").as("column"),
+                    e.getField(sf.name).cast("string").as("value"))),
+                  array().cast(ArrayType(StructType(Seq(
+                    StructField("column", StringType, nullable = false),
+                    StructField("value", StringType))))))
+            }
+          case _ => Nil
         }
       }
-    val parts = basePairs.toSeq ++ nestPairs
-    require(parts.nonEmpty, "describeNonNumeric: no string columns")
-    val pairs = parts.reduce(_ unionAll _).where(col("value").isNotNull)
+    val arrs = baseArrs ++ nestArrs
+    require(arrs.nonEmpty, "describeNonNumeric: no string columns")
+    val pairs = df
+      .select(explode(
+        if (arrs.size == 1) arrs.head else concat(arrs: _*)).as("e"))
+      .select(col("e.column"), col("e.value"))
+      .where(col("value").isNotNull)
     val counts = pairs.groupBy("column", "value")
       .agg(count(lit(1)).as("cnt"))
     // ONE aggregation for totals, uniques AND the mode: min_by over
