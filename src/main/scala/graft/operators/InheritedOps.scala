@@ -504,8 +504,13 @@ object InheritedOps {
     }
     val base = nanAsNull(df, Seq(values))
       .where(col(index).isNotNull && col(columns).isNotNull)
+    // the wide frame is consumed twice (the all-null-column counts probe
+    // below AND the final projection) — materialize it once per call;
+    // its size is |index domain| rows × the bounded pivot width, the same
+    // bounded-output contract pivot itself already imposes
     val wide = base.groupBy(col(index)).pivot(columns)
       .agg(aggOf(col(values)))
+      .localCheckpoint()
     val valCols = wide.columns.filterNot(_ == index)
     if (valCols.isEmpty) return wide
     // pivot names columns after DATA values (e.g. "-3") — backtick every
