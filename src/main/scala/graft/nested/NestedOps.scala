@@ -189,14 +189,49 @@ object NestedOps {
         val src =
           if (clusteredOn(child, on)) child
           else child.repartition(on.map(col): _*)
-        val packed = src
+        def comparatorSorted = src
           .groupBy(on.map(col): _*)
           .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
-        if (sortBy.isEmpty) packed
-        else packed.withColumn(name,
-          array_sort(col(name), (l, r) => structComparator(l, r, sortBy,
-            floatFields = floatKeyFields(child.schema, sortBy))))
+          .withColumn(name,
+            array_sort(col(name), (l, r) => structComparator(l, r, sortBy,
+              floatFields = floatKeyFields(child.schema, sortBy))))
+        val uniformDir = sortBy.forall(_._2) || sortBy.forall(!_._2)
+        if (sortBy.isEmpty)
+          src.groupBy(on.map(col): _*)
+            .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
+        else if (floatKeyFields(child.schema, sortBy).isEmpty && uniformDir &&
+            naturalSortEligible(child, on, sortBy)) {
+          // Fast path: the interpreted comparator lambda runs once per
+          // COMPARISON (n log n per cell, no codegen); a key-prefixed
+          // struct under sort_array's native ordering sorts the same keys
+          // with the same null placement (asc → nulls first, desc → last —
+          // exactly structComparator's naPosition=None rule) at a fraction
+          // of the cost. Requires non-floating keys (the comparator
+          // rewrites NaN → NA) and uniform directions. Ties break by the
+          // remaining payload fields — a deterministic TOTAL order, where
+          // the comparator path fell back to shuffle-arrival order (which
+          // at scale is fetch-order-dependent and not retry-stable).
+          val asc = sortBy.head._2
+          val ordChild = struct((sortBy.zipWithIndex.map { case ((f, _), i) =>
+            col(f).as(s"__s$i") } :+
+            struct(valueCols.map(col): _*).as("__p")): _*)
+          src.groupBy(on.map(col): _*)
+            .agg(sort_array(collect_list(ordChild), asc = asc).as(name))
+            .withColumn(name, transform(col(name), x => x.getField("__p")))
+        } else comparatorSorted
     }
+
+  /** The natural-ordering fast path needs every sort key AND the payload
+    * tie-break to be orderable types. */
+  private def naturalSortEligible(child: DataFrame, on: Seq[String],
+                                  sortBy: Seq[(String, Boolean)]): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.RowOrdering
+      val valueCols = child.columns.filterNot(on.contains).toSeq
+      RowOrdering.isOrderable(StructType(
+        sortBy.map { case (f, _) => child.schema(f) } ++
+          valueCols.map(c => child.schema(c))))
+    } catch { case _: Throwable => false }
 
   /** Whether `child`'s physical output partitioning already satisfies a
     * clustering on `on` (bucketed scan, previous keyed exchange) — probed

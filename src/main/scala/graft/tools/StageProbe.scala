@@ -42,7 +42,23 @@ object StageProbe {
     def packedRR = rd.repartition(32).groupBy(col("o_orderkey"))
       .agg(collect_list(struct(col("l_extendedprice"), col("l_discount"),
         col("l_tax"), col("l_linestatus"))).as("items"))
+    // 5-key sorted pack: lambda comparator vs natural struct ordering
+    def rd5 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+      .select("o_orderkey", "l_shipdate", "l_linenumber", "l_extendedprice",
+        "l_partkey", "l_suppkey")
+    def packSortCmp = NestedOps.packFlat(rd5, Seq("o_orderkey"), "items",
+      sortBy = Seq(("l_shipdate", true), ("l_linenumber", true),
+        ("l_extendedprice", true), ("l_partkey", true), ("l_suppkey", true)))
+    def packSortNat = {
+      val vals = Seq("l_shipdate", "l_linenumber", "l_extendedprice",
+        "l_partkey", "l_suppkey")
+      rd5.repartition(col("o_orderkey")).groupBy(col("o_orderkey"))
+        .agg(sort_array(collect_list(struct(vals.map(col): _*))).as("items"))
+    }
     val stages: Seq[(String, () => DataFrame)] = Seq(
+      "pack5_cmp" -> (() => packSortCmp),
+      "pack5_nat" -> (() => packSortNat),
       "scan4col" -> (() => rd),
       "pack" -> (() => packed),
       "pack_repart" -> (() => packedRepart),
