@@ -416,8 +416,6 @@ object SurfaceQueries {
     val nf = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
       .joinNested(lines(s, dir, "l_quantity", "l_returnflag"),
         Seq("o_orderkey"), "items", "inner")
-      // consumed by both agg branches — one pack+join per invocation
-      .localCheckpoint()
     val full = NestedOps.aggAllColumns(nf.drop("o_orderkey"), "min")
       .select(col("o_orderpriority").as("min_priority"),
         col("`items.l_quantity`").cast("double").as("min_qty"),
@@ -438,9 +436,6 @@ object SurfaceQueries {
       .withNestedField("items", "d2",
         e => when(e.getField("l_quantity") > 40.0, lit(null))
           .otherwise(e.getField("l_quantity")))
-      // consumed by the three dropna branches below — one pack per
-      // invocation (localCheckpoint: eager, timed, dies with the run)
-      .localCheckpoint()
     val anyN = NestedOps.dropNaElements(packed, "items", Seq("d1", "d2"))
     val allN = NestedOps.dropNaElements(packed, "items", Seq("d1", "d2"),
       how = "all")
