@@ -1298,17 +1298,31 @@ object NestedOps {
     * cells. Codegen-friendly `aggregate` HOF — the fused replacement for the
     * reference's `map_rows(np.mean, "nested.f")` hot path (core.py:2207-2545). */
   def elementMean(nest: String, field: String): Column = {
-    val vals = filter(transform(col(nest), s => s.getField(field)),
-      v => v.isNotNull)
-    when(size(vals) > 0,
-      aggregate(vals, lit(0.0), (acc, v) => acc + v) / size(vals))
+    // ONE fold accumulating (n, Σ): the filter(transform(...)) form was
+    // referenced three times (the when-gate size, the fold, the divisor)
+    // and HOF lambdas get no codegen CSE, so the extraction ran 3× per
+    // row on top of the fold — ~7 interpreted array passes where one
+    // suffices. Same accumulation order over the same non-null elements
+    // (bit-identical sum), same NULL/empty semantics.
+    val acc = aggregate(col(nest),
+      struct(lit(0L).as("n"), lit(0.0).as("s")),
+      (a, e) => {
+        val v = e.getField(field)
+        when(v.isNotNull, struct((a.getField("n") + 1L).as("n"),
+          (a.getField("s") + v).as("s"))).otherwise(a)
+      })
+    // let-binding (see reductionSql): evaluate the fold once, use twice
+    element_at(transform(array(acc), a =>
+      when(a.getField("n") > 0, a.getField("s") / a.getField("n"))), 1)
   }
 
-  /** Sum of a numeric nested field per row (0.0 for empty, NULL for NULL cell). */
+  /** Sum of a numeric nested field per row (0.0 for empty, NULL for NULL cell).
+    * One fold directly over the struct elements (the transform+fold pair
+    * was two interpreted passes). */
   def elementSum(nest: String, field: String): Column =
     when(col(nest).isNotNull,
-      aggregate(transform(col(nest), s => s.getField(field)), lit(0.0),
-        (acc, v) => acc + coalesce(v, lit(0.0))))
+      aggregate(col(nest), lit(0.0),
+        (acc, s) => acc + coalesce(s.getField(field), lit(0.0))))
 
   /** Min/max of a nested field per row. */
   def elementMin(nest: String, field: String): Column =
