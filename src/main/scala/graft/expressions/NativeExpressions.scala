@@ -43,6 +43,10 @@ object native {
   def adc_score(q: Column, codes: Column,
                 books: Array[Array[Array[Double]]]): Column =
     EU.column(AdcScore(EU.expression(q), EU.expression(codes), books))
+  def field_reduce(arr: Column, field: String, op: String): Column =
+    EU.column(StructFieldReduce(EU.expression(arr), field, op))
+  def field_counteq(arr: Column, field: String, value: String): Column =
+    EU.column(StructFieldCountEq(EU.expression(arr), field, value))
 }
 
 /** Sequential-fold dot product over two numeric arrays, accumulated in

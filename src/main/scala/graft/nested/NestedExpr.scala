@@ -930,10 +930,17 @@ object NestedExpr {
     require(reductionAggs.contains(agg),
       s"unknown element reduction '$agg' (supported: " +
         s"${reductionAggs.toSeq.sorted.mkString(", ")})")
-    expr(reductionSql(nest, field, agg))
+    // native kernel loop (StructFieldReduce) — one compiled pass per row,
+    // bit-identical to the HOF/let-binding SQL it replaces (the SQL form
+    // is kept below as the differential-spec reference: FieldReduceSpec
+    // replays both on fuzzed cells and asserts exact equality)
+    graft.expressions.native.field_reduce(col(bq(nest)), field, agg)
   }
 
-  private def reductionSql(nest: String, field: String, agg: String): String = {
+  /** The pre-r13 HOF formulation, retained as the semantic REFERENCE for
+    * the native kernel (exercised by FieldReduceSpec's differential
+    * replay, not by the query path). */
+  private[graft] def reductionSql(nest: String, field: String, agg: String): String = {
     val arr = s"transform(${bq(nest)}, __r -> __r.${bq(field)})"
     val vals = s"filter($arr, __v -> __v is not null)"
     def n = s"size($vals)"

@@ -1201,17 +1201,26 @@ object NestedOps {
                   dropNa: Boolean = false): DataFrame = by match {
     case None => df.withColumn(s"n_$nest", coalesce(size(col(nest)), lit(0)))
     case Some(field) =>
-      val noNulls = !coalesce(
-        size(filter(col(nest), s => s.getField(field).isNull)) > 0,
-        lit(false))
+      // native kernel loops where the by-field is a string (the common
+      // case): one compiled pass per (row, value) instead of an
+      // interpreted filter lambda — identical counts (see FieldReduceSpec)
+      val isStr = nestedStruct(df, nest)(field).dataType
+        .isInstanceOf[org.apache.spark.sql.types.StringType]
+      val nullsIn =
+        if (isStr)
+          graft.expressions.native.field_reduce(col(nest), field, "nullcount")
+        else size(filter(col(nest), s => s.getField(field).isNull))
+      val noNulls = !coalesce(nullsIn > 0, lit(false))
       def guard(c: Column): Column =
         if (dropNa) c
         else when(assert_true(noNulls,
           lit(s"count_nested: null values in by-column '$field' " +
             "(pass dropNa = true to ignore them)")).isNull, c)
       values.zipWithIndex.foldLeft(df) { case (acc, (v, i)) =>
-        val cnt = coalesce(
-          size(filter(col(nest), s => s.getField(field) === lit(v))), lit(0))
+        val raw =
+          if (isStr) graft.expressions.native.field_counteq(col(nest), field, v)
+          else size(filter(col(nest), s => s.getField(field) === lit(v)))
+        val cnt = coalesce(raw, lit(0))
         acc.withColumn(s"n_${nest}_$v", if (i == 0) guard(cnt) else cnt)
       }
   }
@@ -1259,19 +1268,18 @@ object NestedOps {
       if (skipNa) agg else when(!anyNa, agg)
     def baseAgg(c: Column, dt: DataType) =
       guarded(scalarAgg(naToNull(c, dt)), max(isNa(c, dt)))
-    def arrayAgg(c: Column, dt: DataType) = {
-      // array_min/array_max ignore nulls inside; min/max over rows ignore
-      // null cells — the skipna=false guard re-detects element NAs. The
-      // NaN→NULL transform only exists for floating fields (identity
-      // elsewhere — skip the no-op per-element lambda)
-      val cc = dt match {
-        case DoubleType | FloatType => transform(c, e => naToNull(e, dt))
-        case _                      => c
-      }
+    def arrayAgg(c: Column, dt: DataType, field: String) = {
+      // per-row piece is a native kernel loop (StructFieldReduce):
+      // minskipnan/maxskipnan == array_min/array_max AFTER the NaN→NULL
+      // rewrite (pandas skipna); nacount>0 == exists(isNa) — identical
+      // values, one compiled pass instead of 2-3 interpreted lambdas
       val agg = fn match {
-        case "min" => min(array_min(cc)); case "max" => max(array_max(cc))
+        case "min" => min(graft.expressions.native.field_reduce(c, field, "minskipnan"))
+        case "max" => max(graft.expressions.native.field_reduce(c, field, "maxskipnan"))
       }
-      guarded(agg, max(coalesce(exists(c, e => isNa(e, dt)), lit(false))))
+      guarded(agg, max(coalesce(
+        graft.expressions.native.field_reduce(c, field, "nacount") > 0,
+        lit(false))))
     }
     def keep(dt: DataType): Boolean = dt match {
       case _: NumericType | BooleanType => true
@@ -1283,8 +1291,8 @@ object NestedOps {
         case ArrayType(s: StructType, _) =>
           s.fields.toSeq.collect {
             case sf if keep(sf.dataType) =>
-              arrayAgg(transform(col(f.name), e => e.getField(sf.name)),
-                sf.dataType).as(s"${f.name}.${sf.name}")
+              arrayAgg(col(f.name), sf.dataType, sf.name)
+                .as(s"${f.name}.${sf.name}")
           }
         case dt if keep(dt) => Seq(baseAgg(col(f.name), dt).as(f.name))
         case _              => Nil
@@ -1297,38 +1305,25 @@ object NestedOps {
   /** Mean of a numeric nested field per row, as a Column. NULL for NULL/empty
     * cells. Codegen-friendly `aggregate` HOF — the fused replacement for the
     * reference's `map_rows(np.mean, "nested.f")` hot path (core.py:2207-2545). */
-  def elementMean(nest: String, field: String): Column = {
-    // ONE fold accumulating (n, Σ): the filter(transform(...)) form was
-    // referenced three times (the when-gate size, the fold, the divisor)
-    // and HOF lambdas get no codegen CSE, so the extraction ran 3× per
-    // row on top of the fold — ~7 interpreted array passes where one
-    // suffices. Same accumulation order over the same non-null elements
-    // (bit-identical sum), same NULL/empty semantics.
-    val acc = aggregate(col(nest),
-      struct(lit(0L).as("n"), lit(0.0).as("s")),
-      (a, e) => {
-        val v = e.getField(field)
-        when(v.isNotNull, struct((a.getField("n") + 1L).as("n"),
-          (a.getField("s") + v).as("s"))).otherwise(a)
-      })
-    // let-binding (see reductionSql): evaluate the fold once, use twice
-    element_at(transform(array(acc), a =>
-      when(a.getField("n") > 0, a.getField("s") / a.getField("n"))), 1)
-  }
+  def elementMean(nest: String, field: String): Column =
+    // native kernel loop (StructFieldReduce): the single-fold HOF form
+    // still paid interpreted per-element lambda evaluation; the kernel
+    // accumulates (n, Σ) over the same non-null elements in the same
+    // order (bit-identical), same NULL/empty semantics.
+    graft.expressions.native.field_reduce(col(nest), field, "mean")
 
   /** Sum of a numeric nested field per row (0.0 for empty, NULL for NULL cell).
-    * One fold directly over the struct elements (the transform+fold pair
-    * was two interpreted passes). */
+    * Native kernel: fold 0.0 + coalesce(v, 0.0) in element order —
+    * bit-identical to the HOF fold it replaces. */
   def elementSum(nest: String, field: String): Column =
-    when(col(nest).isNotNull,
-      aggregate(col(nest), lit(0.0),
-        (acc, s) => acc + coalesce(s.getField(field), lit(0.0))))
+    graft.expressions.native.field_reduce(col(nest), field, "esum")
 
-  /** Min/max of a nested field per row. */
+  /** Min/max of a nested field per row (array_min/array_max semantics:
+    * nulls skipped, NaN greatest, empty/all-null → NULL). */
   def elementMin(nest: String, field: String): Column =
-    array_min(transform(col(nest), s => s.getField(field)))
+    graft.expressions.native.field_reduce(col(nest), field, "min")
   def elementMax(nest: String, field: String): Column =
-    array_max(transform(col(nest), s => s.getField(field)))
+    graft.expressions.native.field_reduce(col(nest), field, "max")
 
   /** Explode SEVERAL aligned array/nested columns together, one output row
     * per position (lengths must match — reference `NestedFrame.explode`
