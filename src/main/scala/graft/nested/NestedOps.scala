@@ -199,21 +199,27 @@ object NestedOps {
         if (sortBy.isEmpty)
           src.groupBy(on.map(col): _*)
             .agg(collect_list(struct(valueCols.map(col): _*)).as(name))
-        else if (floatKeyFields(child.schema, sortBy).isEmpty && uniformDir &&
-            naturalSortEligible(child, on, sortBy)) {
+        else if (uniformDir && naturalSortEligible(child, on, sortBy)) {
           // Fast path: the interpreted comparator lambda runs once per
           // COMPARISON (n log n per cell, no codegen); a key-prefixed
           // struct under sort_array's native ordering sorts the same keys
           // with the same null placement (asc → nulls first, desc → last —
           // exactly structComparator's naPosition=None rule) at a fraction
-          // of the cost. Requires non-floating keys (the comparator
-          // rewrites NaN → NA) and uniform directions. Ties break by the
-          // remaining payload fields — a deterministic TOTAL order, where
-          // the comparator path fell back to shuffle-arrival order (which
+          // of the cost. Floating keys join the fast path (r13) by
+          // rewriting NaN → NULL in the SORT PREFIX only (the payload
+          // keeps the raw values) — exactly the comparator's NaN-as-NA
+          // rule, so NaN orders with the nulls on either direction.
+          // Requires uniform directions. Ties break by the remaining
+          // payload fields — a deterministic TOTAL order, where the
+          // comparator path fell back to shuffle-arrival order (which
           // at scale is fetch-order-dependent and not retry-stable).
           val asc = sortBy.head._2
+          val floats = floatKeyFields(child.schema, sortBy)
+          def keyCol(f: String): Column =
+            if (floats.contains(f)) when(isnan(col(f)), lit(null)).otherwise(col(f))
+            else col(f)
           val ordChild = struct((sortBy.zipWithIndex.map { case ((f, _), i) =>
-            col(f).as(s"__s$i") } :+
+            keyCol(f).as(s"__s$i") } :+
             struct(valueCols.map(col): _*).as("__p")): _*)
           src.groupBy(on.map(col): _*)
             .agg(sort_array(collect_list(ordChild), asc = asc).as(name))
