@@ -133,6 +133,31 @@ object StreamBench {
           vec(col("value") + 7L).as("embedding")),
         idx, k = 5, "vec_id", "embedding", numPlanes = 4, dim = dim)
     }
+    // r13: the inherited-surface streaming kernels (ewm, time-rolling) —
+    // O(1)/O(W) state per key; key space 5000, per-key seq/ts strictly
+    // increasing (the kernels' documented arrival contract)
+    measure("ewmStream", mode = "append") {
+      val sess = spark
+      import sess.implicits._
+      StreamingOps.ewmStream(
+        src.select((col("value") % 5000).as("key"), col("value").as("seq"),
+          when(col("value") % 13 =!= 0,
+            (col("value") % 97).cast("double")).as("value"))
+          .as[StreamingOps.EwmIn],
+        alpha = 0.3)(sess).toDF()
+    }
+    measure("rollingTimeStream", mode = "append") {
+      val sess = spark
+      import sess.implicits._
+      // tsMicros = the rate value itself (unique + monotone per key);
+      // 50k-micro window → ~10 buffered elements per key at this key space
+      StreamingOps.rollingTimeStream(
+        src.select((col("value") % 5000).as("key"),
+          col("value").as("tsMicros"),
+          (col("value") % 97).cast("double").as("value"))
+          .as[StreamingOps.RollIn],
+        windowMicros = 50000L)(sess).toDF()
+    }
     spark.stop()
   }
 }
