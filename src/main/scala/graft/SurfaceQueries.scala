@@ -234,10 +234,19 @@ object SurfaceQueries {
   val qReadGlob: Q = (s, dir) => {
     val root = "/tmp/graft_glob_read"
     val li = lines(s, dir, "l_quantity", "l_linestatus")
-    li.where(col("l_linestatus") === "O")
-      .write.mode("overwrite").parquet(s"$root/open")
-    li.where(col("l_linestatus") =!= "O")
-      .write.mode("overwrite").parquet(s"$root/rest")
+    // the two fixture writes are independent jobs into separate dirs —
+    // submit both before awaiting either (each is a small 1-stage scan;
+    // overlapped, the pair costs ~the slower one)
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fo = Future(li.where(col("l_linestatus") === "O")
+        .write.mode("overwrite").parquet(s"$root/open"))
+      val fr = Future(li.where(col("l_linestatus") =!= "O")
+        .write.mode("overwrite").parquet(s"$root/rest"))
+      Await.result(fo, Duration.Inf); Await.result(fr, Duration.Inf)
+    }
     s.read.parquet(s"$root/*")
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -927,8 +936,11 @@ object SurfaceQueries {
     // localCheckpoint materializes the ~30-row long frames once per
     // invocation (eagerly, inside the timed region — nothing persists
     // across runs) so the pipeline runs once per describe call.
-    val approxD = NestedOps.describeAll(packed, percentiles = pcts,
-      approx = true).localCheckpoint()
+    // The approx and exact-envelope describes are INDEPENDENT jobs over
+    // the already-materialized pack — submit both before awaiting either,
+    // so the second job back-fills the first one's task tail.
+    val approxRaw = NestedOps.describeAll(packed, percentiles = pcts,
+      approx = true)
     def renamed(d: DataFrame, from: Seq[Double], vname: String) = {
       val mapping = from.zip(pcts).foldLeft(lit(null).cast("string")) {
         case (acc, (f, t)) =>
@@ -945,10 +957,17 @@ object SurfaceQueries {
     }
     // ONE exact pass computes both envelope edges (6 percentiles in a
     // single layer-shared aggregate) — 2 scans total with the approx pass
-    val exactBoth = NestedOps.describeAll(packed,
+    val exactRaw = NestedOps.describeAll(packed,
       percentiles = pcts.map(_ - delta) ++ pcts.map(_ + delta),
       exactRowLimit = Long.MaxValue) // envelope must stay exact (guard off)
-      .localCheckpoint()
+    val (approxD, exactBoth) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(approxRaw.localCheckpoint())
+      val fe = Future(exactRaw.localCheckpoint())
+      (Await.result(fa, Duration.Inf), Await.result(fe, Duration.Inf))
+    }
     val lo = renamed(exactBoth, pcts.map(_ - delta), "lo")
     val hi = renamed(exactBoth, pcts.map(_ + delta), "hi")
     val exactStats = approxD.where(!col("stat").endsWith("%"))
