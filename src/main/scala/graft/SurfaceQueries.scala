@@ -23,6 +23,29 @@ object SurfaceQueries {
     rd(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
       .select(("o_orderkey" +: cols).map(col): _*)
 
+  /** Run two INDEPENDENT Spark actions concurrently and await BOTH before
+    * returning or propagating (guide §2.6 overlap; ADVICE r13 hardening):
+    *  - both futures are awaited even when the first fails, so no orphaned
+    *    in-flight job can race a retry/overwrite of the same target;
+    *  - a dedicated 2-thread executor (threads created lazily from THIS
+    *    call, so SparkContext's InheritableThreadLocal job-group/description
+    *    properties are inherited from the caller) instead of the shared
+    *    global ForkJoinPool, whose long-lived workers carry whatever
+    *    properties the thread that first created them had. */
+  private[graft] def awaitBoth[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import scala.util.Try
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val f1 = Future(fa); val f2 = Future(fb)
+      val r1 = Try(Await.result(f1, Duration.Inf))
+      val r2 = Try(Await.result(f2, Duration.Inf))
+      (r1.get, r2.get) // both quiesced; first failure (if any) propagates
+    } finally pool.shutdown()
+  }
+
   /** Element type for the packSeq local constructor (top-level for TypeTag). */
   case class PSElem(x: Long, y: Double)
 
@@ -237,16 +260,11 @@ object SurfaceQueries {
     // the two fixture writes are independent jobs into separate dirs —
     // submit both before awaiting either (each is a small 1-stage scan;
     // overlapped, the pair costs ~the slower one)
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fo = Future(li.where(col("l_linestatus") === "O")
-        .write.mode("overwrite").parquet(s"$root/open"))
-      val fr = Future(li.where(col("l_linestatus") =!= "O")
+    awaitBoth(
+      li.where(col("l_linestatus") === "O")
+        .write.mode("overwrite").parquet(s"$root/open"),
+      li.where(col("l_linestatus") =!= "O")
         .write.mode("overwrite").parquet(s"$root/rest"))
-      Await.result(fo, Duration.Inf); Await.result(fr, Duration.Inf)
-    }
     s.read.parquet(s"$root/*")
       .agg(count(lit(1)).as("n"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -960,14 +978,8 @@ object SurfaceQueries {
     val exactRaw = NestedOps.describeAll(packed,
       percentiles = pcts.map(_ - delta) ++ pcts.map(_ + delta),
       exactRowLimit = Long.MaxValue) // envelope must stay exact (guard off)
-    val (approxD, exactBoth) = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fa = Future(approxRaw.localCheckpoint())
-      val fe = Future(exactRaw.localCheckpoint())
-      (Await.result(fa, Duration.Inf), Await.result(fe, Duration.Inf))
-    }
+    val (approxD, exactBoth) =
+      awaitBoth(approxRaw.localCheckpoint(), exactRaw.localCheckpoint())
     val lo = renamed(exactBoth, pcts.map(_ - delta), "lo")
     val hi = renamed(exactBoth, pcts.map(_ + delta), "hi")
     val exactStats = approxD.where(!col("stat").endsWith("%"))

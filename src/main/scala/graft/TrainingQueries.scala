@@ -126,7 +126,16 @@ object TrainingQueries {
     val verified = cand
       .join(texts.select(col("doc_id").as("a"), col("text").as("__ta")), "a")
       .join(texts.select(col("doc_id").as("b"), col("text").as("__tb")), "b")
-      .where(Dedup.nGramJaccard(col("__ta"), col("__tb"), 5) >= 0.8)
+      // native one-pass jaccard kernel (same switch verifiedPairs made in
+      // r10): the HOF form extracts/distincts/intersects ~300-element string
+      // arrays per pair and was this query's single dominant job (0.61 s of
+      // a 1.76 s wall, JobProfile r14). Byte shingles == char shingles on
+      // this all-ASCII corpus (probed at every SF), parity with the HOF
+      // form is spec-pinned (NativeExprSpec), and the DuckDB oracle still
+      // replays the char-5-gram values independently — the hash check stays
+      // as strong as before.
+      .where(graft.expressions.native.ngram_jaccard(
+        col("__ta"), col("__tb"), 5) >= 0.8)
       .select(col("a"), col("b"))
     val comps = Dedup.connectedComponents(verified)
     docs(s, dir).where(col("doc_id") < 200)
@@ -830,20 +839,26 @@ object TrainingQueries {
     * deterministic split assignment → per-(split, lang) accounting. */
   val qCurate: Q = (s, dir) => {
     val d = docs(s, dir).where(col("doc_id") % 25 =!= 0)
-    // quality feeds both the keep-policy aggregate and the semi-join left
-    // side, and `deduped` feeds both the contamination probe and the final
-    // anti-join: without materialization the regex quality gate re-ran
-    // ~4x per invocation. localCheckpoint runs each stage once per
-    // invocation (eager, in the timed region; nothing survives the run).
+    // `deduped` feeds both the contamination probe and the final anti-join:
+    // without materialization the whole quality+dedup chain re-ran per
+    // consumer. localCheckpoint runs it once per invocation (eager, in the
+    // timed region; nothing survives the run).
     val quality = d.where(
       TextFunctions.qualityScore(col("text")) > 0.5 &&
         TextFunctions.tokenCount(col("text")) >= 30)
-      .localCheckpoint()
-    val kept = Dedup.exactKeepBest(
-        quality.withColumn("k", substring(col("text"), 1, 40)),
-        "doc_id", Seq(col("k")), col("n_chars"))
-      .select(col("keep_id").as("doc_id"))
-    val deduped = quality.join(kept, Seq("doc_id"), "left_semi")
+    // keep-best dedup as ONE window over one keyed exchange (r14): the
+    // previous exactKeepBest aggregate + left-semi join pair consumed
+    // `quality` twice (which forced a second localCheckpoint of the regex
+    // gate) and cost an extra aggregate exchange + broadcast build.
+    // row_number over (k, n_chars desc, doc_id asc) = 1 keeps exactly the
+    // max_by(doc_id, struct(n_chars, -doc_id)) row per group: max n_chars,
+    // ties min id.
+    val wKeep = Window.partitionBy(col("k"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val deduped = quality
+      .withColumn("k", substring(col("text"), 1, 40))
+      .withColumn("__rn", row_number().over(wKeep))
+      .where(col("__rn") === 1).drop("k", "__rn")
       .localCheckpoint()
     val bench = docs(s, dir).where(col("doc_id") % 25 === 0)
     // 8-token grams: the decontamination window real pipelines use —

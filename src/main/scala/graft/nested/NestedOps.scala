@@ -224,8 +224,67 @@ object NestedOps {
           src.groupBy(on.map(col): _*)
             .agg(sort_array(collect_list(ordChild), asc = asc).as(name))
             .withColumn(name, transform(col(name), x => x.getField("__p")))
+        } else if (naturalSortEligible(child, on, sortBy) &&
+            sortBy.forall { case (f, asc) =>
+              asc || descEncodable(child.schema(f).dataType) }) {
+          // MIXED-direction fast path (r14): one GLOBAL ascending
+          // sort_array with per-key encodings that reproduce
+          // structComparator's naPosition=None placement exactly —
+          //  - ascending keys ride raw (NaN → NULL on floats): native asc
+          //    order puts nulls first, the comparator's asc rule;
+          //  - descending keys become the pair (is-null flag, order-
+          //    reversed value): flag 0 < 1 puts nulls LAST (the
+          //    comparator's desc rule), and [[descEncode]] reverses the
+          //    value order losslessly per type (bitwise NOT for integral
+          //    types — no MinValue negation overflow — negate for
+          //    float/double/decimal, epoch arithmetic for date/timestamp).
+          // Strings (no order-reversing encode) keep the comparator path.
+          // Ties break by the remaining payload fields ascending — a
+          // deterministic total order, like the uniform fast path.
+          val floats = floatKeyFields(child.schema, sortBy)
+          def keyCol(f: String): Column =
+            if (floats.contains(f)) when(isnan(col(f)), lit(null)).otherwise(col(f))
+            else col(f)
+          val prefix = sortBy.zipWithIndex.flatMap { case ((f, asc), i) =>
+            if (asc) Seq(keyCol(f).as(s"__s$i"))
+            else {
+              val k = keyCol(f)
+              Seq(k.isNull.cast("int").as(s"__n$i"),
+                descEncode(k, child.schema(f).dataType).as(s"__s$i"))
+            }
+          }
+          val ordChild = struct(
+            (prefix :+ struct(valueCols.map(col): _*).as("__p")): _*)
+          src.groupBy(on.map(col): _*)
+            .agg(sort_array(collect_list(ordChild), asc = true).as(name))
+            .withColumn(name, transform(col(name), x => x.getField("__p")))
         } else comparatorSorted
     }
+
+  /** Types with a lossless ORDER-REVERSING encode for the mixed-direction
+    * fast path (strings have none — they fall back to the comparator). */
+  private def descEncodable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | FloatType | DoubleType | BooleanType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Order-REVERSING encode of a (non-NaN; NaN pre-mapped to NULL) sort key:
+    * x < y  ⇔  enc(x) > enc(y). Integral types use bitwise NOT (monotone
+    * decreasing, no `-MinValue` overflow); date/timestamp go through exact
+    * epoch integers first; float/double/decimal negate (Spark normalizes
+    * ±0.0 for comparisons, so the 0.0 class keeps its order). */
+  private def descEncode(k: Column, dt: DataType): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType => bitwise_not(k)
+    case DateType => bitwise_not(datediff(k, to_date(lit("1970-01-01"))))
+    case TimestampType => bitwise_not(unix_micros(k))
+    case FloatType | DoubleType => negate(k)
+    case _: DecimalType => negate(k)
+    case BooleanType => !k
+    case other => throw new IllegalArgumentException(
+      s"descEncode: unsupported type $other")
+  }
 
   /** The natural-ordering fast path needs every sort key AND the payload
     * tie-break to be orderable types. */

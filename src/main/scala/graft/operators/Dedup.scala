@@ -767,9 +767,15 @@ object Dedup {
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),
         Similarity.cosine(col("__va"), col("__vb")).as("__sim"))
+    // No distinct before CC (r14): one vector lives in exactly ONE bucket,
+    // so a pair can repeat at most ×3 (smallPairs/star/chain overlap) —
+    // union-find is idempotent on duplicate edges and the stars path
+    // re-canonicalizes anyway, so the distinct was a pure extra
+    // exchange+aggregate stage (the driverMaxEdges count sees ≤3× edges:
+    // strictly more conservative).
     val verified = smallPairs.unionAll(star).unionAll(chain)
       .where(col("__sim") >= threshold)
-      .select(col("a"), col("b")).distinct()
+      .select(col("a"), col("b"))
     val comps = connectedComponents(verified)
     embs.join(comps.where(col("v") =!= col("component"))
       .select(col("v").as(idCol)), Seq(idCol), "left_anti")

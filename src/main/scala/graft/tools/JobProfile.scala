@@ -30,8 +30,14 @@ object JobProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
-    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
-    var collecting = false
+    // (jobId, start ns, end ns, desc): absolute intervals so the summary can
+    // union them (overlapped jobs would otherwise produce a negative "gap")
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, String)]()
+    // @volatile + a jobId watermark (ADVICE r13): the flags are read from the
+    // async listener-bus thread, and late JobEnd events from warm-up reps
+    // must not be attributed to the timed rep
+    @volatile var collecting = false
+    @volatile var jobIdWatermark = -1
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val desc = Option(js.properties)
@@ -41,9 +47,9 @@ object JobProfile {
         ()
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
-        if (collecting) {
+        if (collecting && je.jobId > jobIdWatermark) {
           Option(starts.get(je.jobId)).foreach { case (t0, desc) =>
-            jobs.add((je.jobId, (System.nanoTime() - t0) / 1e9, 0, desc))
+            jobs.add((je.jobId, t0, System.nanoTime(), desc))
           }
         }
         ()
@@ -53,7 +59,11 @@ object JobProfile {
     names.foreach { nm =>
       val fn = graft.SparkEntry.queries(nm)
       (1 until reps).foreach { _ => fn(spark, sfDir).count() } // warm
-      jobs.clear()
+      // watermark: only jobs STARTED after this point are attributed to the
+      // timed rep (late warm-up JobEnds carry a smaller jobId and are dropped)
+      jobIdWatermark = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+        .foldLeft(-1)(math.max)
+      jobs.clear(); starts.clear()
       collecting = true
       val t0 = System.nanoTime()
       val c = fn(spark, sfDir).count()
@@ -64,11 +74,17 @@ object JobProfile {
       println(f"[jobprofile] $nm wall=$wall%.3f rows=$c jobs=${jobs.size}")
       import scala.jdk.CollectionConverters._
       val sum = jobs.asScala.toSeq.sortBy(_._1)
-      sum.foreach { case (id, sec, _, desc) =>
-        println(f"[jobprofile]   job $id%3d $sec%7.3f s  $desc")
+      sum.foreach { case (id, s0, s1, desc) =>
+        println(f"[jobprofile]   job $id%3d ${(s1 - s0) / 1e9}%7.3f s  $desc")
       }
-      println(f"[jobprofile]   sum-of-jobs ${sum.map(_._2).sum}%.3f s " +
-        f"(gaps = driver planning/analysis: ${wall - sum.map(_._2).sum}%.3f s)")
+      // busy = union of job intervals (overlapped jobs must not double-count;
+      // a raw per-job sum can exceed wall and read as a negative gap)
+      val iv = sum.map { case (_, s0, s1, _) => (s0, s1) }.sortBy(_._1)
+      val busy = iv.foldLeft((0L, Long.MinValue)) { case ((acc, hi), (s0, s1)) =>
+        if (s0 > hi) (acc + (s1 - s0), s1) else (acc + math.max(0L, s1 - hi), math.max(hi, s1))
+      }._1 / 1e9
+      println(f"[jobprofile]   sum-of-jobs ${sum.map(t => (t._3 - t._2) / 1e9).sum}%.3f s; " +
+        f"busy(union) $busy%.3f s; idle gaps (driver planning/analysis): ${wall - busy}%.3f s")
     }
     spark.stop()
   }

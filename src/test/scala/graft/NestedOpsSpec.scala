@@ -168,6 +168,44 @@ class NestedOpsSpec extends SparkSpec {
     }
   }
 
+  test("packFlat mixed-direction sortBy: native encode path, comparator " +
+      "null/NaN placement, deterministic payload tie-break") {
+    import java.sql.Timestamp
+    def ts(s: String): Timestamp = Timestamp.valueOf(s)
+    // (key, ts, d, tag): ts sorts DESC (comparator rule: nulls LAST),
+    // d sorts ASC (nulls FIRST, NaN treated as NA = with the nulls)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType)))
+    val rows = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, ts("2020-01-02 00:00:00"), 1.0, "A"),
+        Row(1L, ts("2020-01-02 00:00:00"), Double.NaN, "B"),
+        Row(1L, null, 0.5, "C"),
+        Row(1L, ts("2020-01-01 00:00:00"), null, "D"),
+        Row(1L, ts("2020-01-02 00:00:00"), null, "E"),
+        Row(1L, ts("2020-01-01 00:00:00"), 2.0, "F")),
+      schema)
+    val packed = NestedOps.packFlat(rows, Seq("key"), "items",
+      sortBy = Seq(("t", false), ("d", true)))
+    // the mixed-direction NATIVE path engaged (desc null-flag column __n0
+    // only exists there; the comparator path has no such field)
+    assert(packed.queryExecution.executedPlan.toString.contains("__n0"))
+    // ts desc (nulls last): 01-02 {A,B,E} → 01-01 {D,F} → null {C};
+    // within 01-02, d asc with NaN-as-NA: {B,E} (both NA) before A, and the
+    // B/E tie breaks by raw payload ascending (null d < NaN d → E first);
+    // within 01-01, d asc nulls first: D before F
+    val got = packed.select(expr("transform(items, e -> e.tag)"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("E", "B", "A", "D", "F", "C"), got)
+  }
+
   test("sortElements multi-key mixed direction") {
     val r = nf.sortElements("nested", ("c", false), ("d", true))
     val firstC = r.orderBy($"key").select(expr("nested[0].c")).as[Int].collect()
