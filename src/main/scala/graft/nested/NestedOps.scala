@@ -265,7 +265,8 @@ object NestedOps {
     * fast path (strings have none — they fall back to the comparator). */
   private def descEncodable(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType | FloatType | DoubleType | BooleanType => true
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         BooleanType => true
     case _: DecimalType => true
     case _ => false
   }
@@ -279,6 +280,19 @@ object NestedOps {
     case ByteType | ShortType | IntegerType | LongType => bitwise_not(k)
     case DateType => bitwise_not(datediff(k, to_date(lit("1970-01-01"))))
     case TimestampType => bitwise_not(unix_micros(k))
+    case TimestampNTZType =>
+      // NO session-timezone cast: NTZ→TIMESTAMP goes through the session
+      // zone, and a DST gap maps two DISTINCT wall times to one instant
+      // (silent tie-merge). Local date + time-of-day field extraction is
+      // timezone-free; the (days, microsOfDay) pair orders exactly like
+      // the NTZ value and a struct compares lexicographically, so NOT-ing
+      // both fields reverses the order losslessly. extract-SECOND carries
+      // the fractional part as DECIMAL(8,6) — exact micros.
+      struct(
+        bitwise_not(datediff(to_date(k), to_date(lit("1970-01-01")))),
+        bitwise_not((hour(k).cast("long") * 3600000000L +
+          minute(k).cast("long") * 60000000L +
+          (date_part(lit("SECOND"), k) * 1000000).cast("long"))))
     case FloatType | DoubleType => negate(k)
     case _: DecimalType => negate(k)
     case BooleanType => !k

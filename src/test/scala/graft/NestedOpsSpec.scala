@@ -204,6 +204,25 @@ class NestedOpsSpec extends SparkSpec {
     val got = packed.select(expr("transform(items, e -> e.tag)"))
       .as[Seq[String]].collect()(0)
     assert(got == Seq("E", "B", "A", "D", "F", "C"), got)
+
+    // TIMESTAMP_NTZ desc key (the lineitem l_shipdate shape): the encode is
+    // timezone-free field arithmetic — verify sub-second ordering survives
+    // and the native path engages
+    val ntz = Seq(
+      (1L, java.time.LocalDateTime.parse("2020-03-08T02:30:00.000001"), "a"),
+      (1L, java.time.LocalDateTime.parse("2020-03-08T02:30:00.000002"), "b"),
+      (1L, java.time.LocalDateTime.parse("2020-03-07T23:59:59.999999"), "c"),
+      (1L, null.asInstanceOf[java.time.LocalDateTime], "d"))
+      .toDF("key", "t", "tag")
+    assert(ntz.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val np = NestedOps.packFlat(ntz, Seq("key"), "items",
+      sortBy = Seq(("t", false), ("tag", true)))
+    assert(np.queryExecution.executedPlan.toString.contains("__n0"))
+    val ngot = np.select(expr("transform(items, e -> e.tag)"))
+      .as[Seq[String]].collect()(0)
+    // t desc, nulls last: .000002 > .000001 > 23:59:59.999999 > null
+    assert(ngot == Seq("b", "a", "c", "d"), ngot)
   }
 
   test("sortElements multi-key mixed direction") {
